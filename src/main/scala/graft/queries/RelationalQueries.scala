@@ -1,0 +1,279 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator battery over the driver's TPC-H-ish tables.
+  *
+  * Every query here has a DuckDB oracle (same column names, floats
+  * rounded identically on both sides so order-of-summation ulp noise
+  * cannot flip the driver's hash compare).
+  *
+  * Scale notes (100 TB design intent, tested at sf<=0.1):
+  *  - small dims (region/nation/customer/supplier/part) are broadcast;
+  *    only fact-fact joins shuffle, keyed on the join column.
+  *  - aggregations are partial (map-side combine) by construction —
+  *    plain `groupBy(...).agg` compiles to HashAggregate(partial) →
+  *    shuffle → HashAggregate(final).
+  *  - filters/projections sit directly on the parquet scan
+  *    (PushedFilters / ReadSchema pruning).
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Round a double column to `s` decimals — mirrored in the oracle SQL. */
+  private def r(c: Column, s: Int): Column = round(c, s)
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1 shape: scan-heavy groupBy with partial aggregation.
+    "q01_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1999-12-31").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          r(sum("l_quantity"), 3).as("sum_qty"),
+          r(sum("l_extendedprice"), 3).as("sum_base_price"),
+          r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 3).as("sum_disc_price"),
+          r(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 3).as("sum_charge"),
+          r(sum("l_quantity") / count(lit(1)), 4).as("avg_qty"),
+          r(sum("l_discount") / count(lit(1)), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Broadcast-dim star join: revenue per region/nation.
+    "q02_revenue_by_nation" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val rg = Tables.region(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(rg), n("n_regionkey") === rg("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(r(sum("o_totalprice"), 3).as("revenue"),
+             count(lit(1)).as("n_orders"))
+    }),
+
+    // Fact-fact shuffle join + top-k with deterministic tiebreak.
+    "q03_top_orders" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      li.groupBy(col("l_orderkey"))
+        .agg(r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 3).as("revenue"))
+        .join(o, col("l_orderkey") === o("o_orderkey"))
+        .select(col("o_orderkey"), col("revenue"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // Window function: latest 3 orders per customer, then aggregate.
+    "q04_recent_orders_per_customer" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      o.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_recent"),
+             r(sum("o_totalprice"), 2).as("recent_total"))
+    }),
+
+    // Selective filter + narrow projection: raw rows, exact values.
+    "q05_filter_project" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 48 && col("l_discount") > 0.08 &&
+          col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          r(col("l_extendedprice"), 2).as("price"),
+          col("l_returnflag"))
+    }),
+
+    // Distinct (shuffle dedup on grouping key).
+    "q06_distinct_flags" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus")).distinct()
+    }),
+
+    // Left-semi join (EXISTS).
+    "q07_customers_with_big_orders" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // Left-anti join (NOT EXISTS with correlated predicate).
+    "q08_customers_without_orders" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 350000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_nationkey"))
+    }),
+
+    // Union + distinct aggregation across two sources.
+    "q09_account_holders_by_nation" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_nationkey").cast("int").as("nationkey"),
+                r(col("c_acctbal"), 2).as("acctbal"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_nationkey").cast("int").as("nationkey"),
+                r(col("s_acctbal"), 2).as("acctbal"))
+      c.unionByName(sup)
+        .groupBy(col("nationkey"))
+        .agg(count(lit(1)).as("n_accounts"),
+             r(sum("acctbal"), 2).as("total_bal"))
+    }),
+
+    // Order-by + limit with unique tiebreak.
+    "q10_priciest_parts" -> ((s, d) => {
+      Tables.part(s, d)
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+        .limit(20)
+        .select(col("p_partkey"), col("p_name"),
+          r(col("p_retailprice"), 2).as("retail"))
+    }),
+
+    // Conditional aggregation (CASE WHEN buckets).
+    "q11_event_type_stats" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          r(sum("value"), 3).as("total_value"),
+          sum(when(col("value") > 100, 1).otherwise(0)).as("n_large"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // Time bucketing (hour truncation) — output epoch seconds.
+    "q12_hourly_events" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
+        .agg(count(lit(1)).as("n"), r(sum("value"), 3).as("v"))
+    }),
+
+    // Window lag: inter-event gap per user in whole seconds.
+    "q13_user_event_gaps" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("sec", floor(unix_timestamp(col("ts"))))
+        .withColumn("prev_sec", lag(col("sec"), 1).over(w))
+        .filter(col("prev_sec").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+             r(avg(col("sec") - col("prev_sec")), 4).as("avg_gap_sec"),
+             max(col("sec") - col("prev_sec")).as("max_gap_sec"))
+    }),
+
+    // Per-group existence flags (meta_exists / F7-A7 analog).
+    "q14_user_activity_flags" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("has_purchase"),
+          max(when(col("event_type") === "error", 1).otherwise(0)).as("has_error"),
+          countDistinct(col("event_type")).as("n_types"))
+    }),
+
+    // Rank within group (dense ranking over aggregate).
+    "q15_part_rank_by_brand" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+      p.withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 2)
+        .select(col("p_brand"), col("rnk"), col("p_partkey"),
+          r(col("p_retailprice"), 2).as("retail"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity),3) AS sum_qty,
+         round(sum(l_extendedprice),3) AS sum_base_price,
+         round(sum(l_extendedprice*(1-l_discount)),3) AS sum_disc_price,
+         round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),3) AS sum_charge,
+         round(sum(l_quantity)/count(*),4) AS avg_qty,
+         round(sum(l_discount)/count(*),6) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-31'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q02_revenue_by_nation" ->
+      """SELECT r_name, n_name, round(sum(o_totalprice),3) AS revenue,
+         count(*) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+    "q03_top_orders" ->
+      """SELECT o_orderkey, revenue, o_orderpriority FROM (
+           SELECT l_orderkey, round(sum(l_extendedprice*(1-l_discount)),3) AS revenue
+           FROM lineitem GROUP BY l_orderkey) rev
+         JOIN orders ON l_orderkey = o_orderkey
+         ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
+    "q04_recent_orders_per_customer" ->
+      """SELECT o_custkey, count(*) AS n_recent,
+         round(sum(o_totalprice),2) AS recent_total
+         FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) t
+         WHERE rn <= 3 GROUP BY o_custkey""",
+    "q05_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(l_extendedprice,2) AS price, l_returnflag
+         FROM lineitem
+         WHERE l_quantity >= 48 AND l_discount > 0.08 AND l_returnflag = 'R'""",
+    "q06_distinct_flags" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q07_customers_with_big_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 400000)""",
+    "q08_customers_without_orders" ->
+      """SELECT c_custkey, c_nationkey FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 350000)""",
+    "q09_account_holders_by_nation" ->
+      """SELECT nationkey, count(*) AS n_accounts,
+         round(sum(acctbal),2) AS total_bal FROM (
+           SELECT CAST(c_nationkey AS INT) AS nationkey,
+                  round(c_acctbal,2) AS acctbal FROM customer
+           UNION ALL
+           SELECT CAST(s_nationkey AS INT) AS nationkey,
+                  round(s_acctbal,2) AS acctbal FROM supplier) u
+         GROUP BY nationkey""",
+    "q10_priciest_parts" ->
+      """SELECT p_partkey, p_name, round(p_retailprice,2) AS retail
+         FROM part ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 20""",
+    "q11_event_type_stats" ->
+      """SELECT event_type, count(*) AS n, round(sum(value),3) AS total_value,
+         CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
+         count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY event_type""",
+    "q12_hourly_events" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+         count(*) AS n, round(sum(value),3) AS v
+         FROM events GROUP BY 1""",
+    "q13_user_event_gaps" ->
+      """SELECT user_id, count(*) AS n_gaps,
+         round(avg(sec - prev_sec),4) AS avg_gap_sec,
+         max(sec - prev_sec) AS max_gap_sec
+         FROM (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+               lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id
+                 ORDER BY ts ASC, event_id ASC) AS prev_sec FROM events) t
+         WHERE prev_sec IS NOT NULL GROUP BY user_id""",
+    "q14_user_activity_flags" ->
+      """SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase,
+         max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS has_error,
+         count(DISTINCT event_type) AS n_types
+         FROM events GROUP BY user_id""",
+    "q15_part_rank_by_brand" ->
+      """SELECT p_brand, rnk, p_partkey, round(p_retailprice,2) AS retail
+         FROM (SELECT *, row_number() OVER (PARTITION BY p_brand
+               ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk FROM part) t
+         WHERE rnk <= 2"""
+  )
+}
