@@ -83,10 +83,10 @@ object SyntheticCatalog {
     val gg = (gid: Int) => 33792 + gid
     val deform = (0 until 3).flatMap { gid =>
       Seq(
-        (-(gid * 3 + 1).toLong, ">>", "X", "GRID", 4, 1, 1, D0,
+        (-(gid * 2 + 1).toLong, ">>", "X", "GRID", 4, 1, 1, D0,
           gg(gid), 77761, 0, 0, 0, 5, 32, "E", 900, 0, 43200, 43200, D0,
           Seq(10f, 20f, 30f, 40f)),
-        (-(gid * 3 + 2).toLong, "^^", "X", "GRID", 1, 3, 1, D0,
+        (-(gid * 2 + 2).toLong, "^^", "X", "GRID", 1, 3, 1, D0,
           gg(gid), 77761, 0, 0, 0, 5, 32, "E", 900, 0, 43200, 43200, D0,
           Seq(45f, 46f, 47f)))
     }

@@ -1,0 +1,197 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Metadata-aware selection algebra: select_meta / select_with_meta /
+  * metadata_cleanup (reference:
+  * /root/reference/fstpy/dataframe_utils.py:21-110, 232-459).
+  *
+  * Scale notes: the data side (`noMeta`) is never shuffled on payload —
+  * the cleanup derives three SMALL per-grid summaries (kind flags,
+  * dims, match groups) via partial aggregations and broadcasts them
+  * into the meta side, which is tiny by construction. At 100 TB the
+  * only wide exchange is the distinct on (grid,dateo,deet,npas), whose
+  * cardinality is bounded by grids x output times, not by records.
+  */
+object Select {
+
+  /** Meta nomvars per the cleanup functions (E1 intentionally absent —
+    * /root/reference/fstpy/dataframe_utils.py:22-23).
+    */
+  val CleanupMeta: Seq[String] =
+    Seq("!!", "P0", "PT", ">>", "^^", "^>", "HY", "!!SF")
+
+  val CleanupMetaSqlList: String =
+    CleanupMeta.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  /** Deformation-match identity subset
+    * (/root/reference/fstpy/dataframe_utils.py:336).
+    */
+  val DeformSubset: Seq[String] = Seq(
+    "nomvar", "typvar", "etiket", "ni", "nj", "nk", "dateo", "ip1",
+    "ip2", "ip3", "deet", "npas", "ig1", "ig2", "ig3", "ig4")
+
+  /** 19-col meta dedup subset
+    * (/root/reference/fstpy/dataframe_utils.py:296-297).
+    */
+  val MetaSubset: Seq[String] = Seq(
+    "grtyp", "nomvar", "typvar", "ni", "nj", "nk", "ip1", "ip2", "ip3",
+    "deet", "npas", "nbits", "ig1", "ig2", "ig3", "ig4", "datev",
+    "dateo", "datyp")
+
+  def selectMeta(df: DataFrame): DataFrame =
+    df.filter(col("nomvar").isin(CleanupMeta: _*))
+
+  def antiMeta(df: DataFrame): DataFrame =
+    df.filter(!col("nomvar").isin(CleanupMeta: _*))
+
+  /** F4 select_with_meta: chosen nomvars + their coordinate records,
+    * minimal and consistent.
+    */
+  def selectWithMeta(df: DataFrame, nomvars: Seq[String]): DataFrame = {
+    val g = ensureGrid(df)
+    metadataCleanup(
+      g.filter(col("nomvar").isin(nomvars: _*)).unionByName(selectMeta(g)))
+  }
+
+  private def ensureGrid(df: DataFrame): DataFrame =
+    if (df.columns.contains("grid")) df else Decode.addGrid(df)
+
+  /** M18 metadata_cleanup: keep only the meta records justified by the
+    * data records present.
+    */
+  def metadataCleanup(df: DataFrame): DataFrame = {
+    val g = ensureGrid(df)
+    val cols = g.columns
+    val noMeta = antiMeta(g)
+    val metaDf = selectMeta(g)
+
+    // per-grid vertical-kind flags from decoded ip1 (A5 bucketing)
+    val kindFlags = noMeta
+      .withColumn("k", IpColumns.decodeKind(col("ip1")))
+      .groupBy("grid").agg(
+        max(col("k") === 1).as("has_sigma"),
+        max(col("k") === 5).as("has_hybrid"),
+        max(col("k") === 2).as("has_pressure"))
+
+    // per-grid field dims (reference takes the first row's ni/nj,
+    // dataframe_utils.py:404-406; grids are dimensionally homogeneous)
+    val dims = noMeta.groupBy("grid").agg(
+      min("ni").as("gni"), min("nj").as("gnj"))
+
+    // J3: 3-tier fallback match of deformation records to data groups
+    val groups = noMeta.select("grid", "dateo", "deet", "npas").distinct()
+      .withColumnRenamed("dateo", "gdateo")
+      .withColumnRenamed("deet", "gdeet")
+      .withColumnRenamed("npas", "gnpas")
+    val coord = metaDf.filter(col("nomvar").isin("^^", ">>", "^>"))
+    val tier =
+      when(col("dateo") === col("gdateo") && col("deet") === col("gdeet")
+        && col("npas") === col("gnpas"), 1)
+        .when(col("dateo") === col("gdateo"), 2)
+        .otherwise(3)
+    val w = Window.partitionBy(
+      col("grid"), col("gdateo"), col("gdeet"), col("gnpas"), col("nomvar"))
+    val deform = coord
+      .join(broadcast(groups), Seq("grid"))
+      .withColumn("tier", tier)
+      .withColumn("mt", min("tier").over(w))
+      .filter(col("tier") === col("mt"))
+      .select(cols.map(col): _*)
+      .dropDuplicates(DeformSubset)
+
+    // J6: P0/PT records matching grid and dims of model-level grids
+    def surfaceFields(nomvar: String, flag: Column): DataFrame =
+      metaDf.filter(col("nomvar") === nomvar)
+        .join(broadcast(dims
+          .join(kindFlags.filter(flag), Seq("grid"))
+          .select(col("grid").as("sgrid"), col("gni"), col("gnj"))),
+          col("grid") === col("sgrid") && col("ni") === col("gni")
+            && col("nj") === col("gnj"))
+        .select(cols.map(col): _*)
+        .dropDuplicates(MetaSubset)
+
+    val p0 = surfaceFields("P0", col("has_sigma") || col("has_hybrid"))
+    val pt = surfaceFields("PT", col("has_sigma"))
+
+    // HY kept iff hybrid levels exist anywhere (HY is grid-less)
+    val hybridAny = noMeta
+      .agg(max(IpColumns.decodeKind(col("ip1")) === 5).as("any_hybrid"))
+    val hy = metaDf.filter(col("nomvar") === "HY")
+      .crossJoin(broadcast(hybridAny))
+      .filter(col("any_hybrid"))
+      .select(cols.map(col): _*)
+      .dropDuplicates(MetaSubset)
+
+    // !! filtered per vcode family of the grid's level kinds
+    val toctoc = metaDf.filter(col("nomvar") === "!!")
+      .join(broadcast(kindFlags), Seq("grid"))
+      .filter(
+        (col("has_hybrid") &&
+          col("ig1").isin(graft.meta.Lookups.HybridVcodes: _*)) ||
+        (col("has_sigma") &&
+          col("ig1").isin(graft.meta.Lookups.SigmaVcodes: _*)) ||
+        (col("has_pressure") &&
+          col("ig1").isin(graft.meta.Lookups.PressureVcodes: _*)))
+      .select(cols.map(col): _*)
+      .dropDuplicates(MetaSubset)
+
+    Seq(deform, p0, pt, hy, toctoc)
+      .foldLeft(noMeta)((acc, d) => acc.unionByName(d))
+  }
+
+  // ---------- DuckDB twin ----------
+
+  /** Oracle SQL: cleaned catalog as (rid, nomvar, grid) rows, with the
+    * data side filtered by `dataFilter` (select_with_meta semantics:
+    * meta candidates come from the unfiltered catalog).
+    */
+  def cleanupSql(dataFilter: String): String = {
+    val k = IpColumns.decodeKindSql("ip1")
+    val hv = graft.meta.Lookups.HybridVcodes.mkString("(", ", ", ")")
+    val sv = graft.meta.Lookups.SigmaVcodes.mkString("(", ", ", ")")
+    val pv = graft.meta.Lookups.PressureVcodes.mkString("(", ", ", ")")
+    s""", g AS (SELECT *, ${Decode.gridSql} AS grid FROM cat)
+, nometa AS (SELECT * FROM g
+    WHERE nomvar NOT IN $CleanupMetaSqlList AND ($dataFilter))
+, meta AS (SELECT * FROM g WHERE nomvar IN $CleanupMetaSqlList)
+, kg AS (SELECT grid, bool_or($k = 1) AS has_sigma,
+    bool_or($k = 5) AS has_hybrid, bool_or($k = 2) AS has_pressure
+  FROM nometa GROUP BY grid)
+, dims AS (SELECT grid, min(ni) AS gni, min(nj) AS gnj
+  FROM nometa GROUP BY grid)
+, grp AS (SELECT DISTINCT grid, dateo AS gdateo, deet AS gdeet,
+    npas AS gnpas FROM nometa)
+, cand AS (SELECT m.rid, m.nomvar, m.grid, grp.gdateo, grp.gdeet,
+    grp.gnpas,
+    CASE WHEN m.dateo = grp.gdateo AND m.deet = grp.gdeet
+      AND m.npas = grp.gnpas THEN 1
+      WHEN m.dateo = grp.gdateo THEN 2 ELSE 3 END AS tier
+  FROM meta m JOIN grp ON m.grid = grp.grid
+  WHERE m.nomvar IN ('^^', '>>', '^>'))
+, deform AS (SELECT DISTINCT rid FROM (
+    SELECT rid, tier, min(tier) OVER (PARTITION BY grid, gdateo,
+      gdeet, gnpas, nomvar) AS mt FROM cand) t WHERE tier = mt)
+, p0r AS (SELECT DISTINCT m.rid FROM meta m
+  JOIN dims dm ON m.grid = dm.grid AND m.ni = dm.gni AND m.nj = dm.gnj
+  JOIN kg ON kg.grid = m.grid
+  WHERE m.nomvar = 'P0' AND (kg.has_sigma OR kg.has_hybrid))
+, ptr AS (SELECT DISTINCT m.rid FROM meta m
+  JOIN dims dm ON m.grid = dm.grid AND m.ni = dm.gni AND m.nj = dm.gnj
+  JOIN kg ON kg.grid = m.grid
+  WHERE m.nomvar = 'PT' AND kg.has_sigma)
+, hyr AS (SELECT rid FROM meta WHERE nomvar = 'HY'
+  AND EXISTS (SELECT 1 FROM kg WHERE has_hybrid))
+, ttr AS (SELECT DISTINCT m.rid FROM meta m JOIN kg ON kg.grid = m.grid
+  WHERE m.nomvar = '!!' AND (
+    (kg.has_hybrid AND m.ig1 IN $hv) OR
+    (kg.has_sigma AND m.ig1 IN $sv) OR
+    (kg.has_pressure AND m.ig1 IN $pv)))
+SELECT rid, nomvar, grid FROM g WHERE rid IN (SELECT rid FROM nometa)
+  OR rid IN (SELECT rid FROM deform) OR rid IN (SELECT rid FROM p0r)
+  OR rid IN (SELECT rid FROM ptr) OR rid IN (SELECT rid FROM hyr)
+  OR rid IN (SELECT rid FROM ttr)"""
+  }
+}

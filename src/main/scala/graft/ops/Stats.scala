@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-record payload statistics (fststat / compute_stats,
+  * /root/reference/fstpy/dataframe_utils.py:147-182) and the voir
+  * listing projection (:117-140).
+  *
+  * All stats are built from higher-order array functions — per-row,
+  * no shuffle, inside whole-stage codegen. Sums fold left in DOUBLE so
+  * the result is deterministic and oracle-reproducible. argmin/argmax
+  * positions are 1-based (i,j) on the (ni,nj) field; first occurrence
+  * in Fortran storage order breaks ties.
+  */
+object Stats {
+
+  private def foldSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (a, x) => a + x.cast("double"))
+
+  private def foldSumSq(arr: Column): Column =
+    aggregate(arr, lit(0.0),
+      (a, x) => a + x.cast("double") * x.cast("double"))
+
+  /** A1/M17 fststat: min/max/mean/std + (i,j) extrema positions. */
+  def fststat(df: DataFrame): DataFrame = {
+    val d = col("d")
+    val n = size(d).cast("double")
+    val mean = foldSum(d) / n
+    val posMin = array_position(d, array_min(d))
+    val posMax = array_position(d, array_max(d))
+    df.withColumn("min", array_min(d))
+      .withColumn("max", array_max(d))
+      .withColumn("mean", mean)
+      .withColumn("std", sqrt(foldSumSq(d) / n - mean * mean))
+      .withColumn("min_pos_i",
+        (pmod(posMin - 1, col("ni").cast("long")) + 1).cast("int"))
+      .withColumn("min_pos_j",
+        (floor((posMin - 1) / col("ni").cast("long")) + 1).cast("int"))
+      .withColumn("max_pos_i",
+        (pmod(posMax - 1, col("ni").cast("long")) + 1).cast("int"))
+      .withColumn("max_pos_j",
+        (floor((posMax - 1) / col("ni").cast("long")) + 1).cast("int"))
+  }
+
+  /** DuckDB twins of the fststat columns as (expr, alias) pairs. */
+  def fststatSql: Seq[(String, String)] = {
+    val dd = "list_transform(d, x -> CAST(x AS DOUBLE))"
+    val sum = s"list_reduce($dd, (a, x) -> a + x)"
+    val sumSq = s"list_reduce(list_transform(d, x -> " +
+      "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, x) -> a + x)"
+    val n = "CAST(len(d) AS DOUBLE)"
+    val mean = s"($sum / $n)"
+    val posMin = s"list_position(d, list_aggregate(d, 'min'))"
+    val posMax = s"list_position(d, list_aggregate(d, 'max'))"
+    Seq(
+      "list_aggregate(d, 'min')" -> "min",
+      "list_aggregate(d, 'max')" -> "max",
+      mean -> "mean",
+      s"sqrt($sumSq / $n - $mean * $mean)" -> "std",
+      s"CAST(($posMin - 1) % ni + 1 AS INT)" -> "min_pos_i",
+      s"CAST(($posMin - 1) // ni + 1 AS INT)" -> "min_pos_j",
+      s"CAST(($posMax - 1) % ni + 1 AS INT)" -> "max_pos_i",
+      s"CAST(($posMax - 1) // ni + 1 AS INT)" -> "max_pos_j")
+  }
+
+  /** M19/O2 voir: decoded listing sorted by (nomvar asc, level desc). */
+  def voir(df: DataFrame): DataFrame = {
+    val decoded = Decode.addIpInfo(Decode.addDataTypeStr(df))
+    decoded.select(
+      col("nomvar"), col("typvar"), col("etiket"), col("ni"), col("nj"),
+      col("nk"),
+      IpColumns.stampToTimestamp(col("dateo")).as("dateo"),
+      col("ip1"), col("level"), col("ip2"), col("ip3"), col("deet"),
+      col("npas"), col("data_type_str").as("datyp"), col("nbits"),
+      col("grtyp"), col("ig1"), col("ig2"), col("ig3"), col("ig4"))
+      .orderBy(asc("nomvar"), desc("level"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.fixtures.SyntheticCatalog
-import graft.ops.{Decode, IpColumns}
+import graft.ops.{Decode, IpColumns, Select, Stats}
 import graft.meta.Lookups
 
 /** FST-domain operator queries over the deterministic synthetic record
@@ -106,7 +106,41 @@ object FstQueries {
         max(col("nomvar") === "PT").as("pt"),
         max(col("nomvar") === "!!SF").as("sf"),
         max(col("nomvar") === "HY").as("hy"))
-    }))
+    }),
+
+    // F3/F4 + M18: select nomvars with accompanying meta, cleaned
+    "f11_select_with_meta" -> ((s, dir) =>
+      Select.selectWithMeta(Decode.addGrid(cat(s, dir)), Seq("TT", "UU"))
+        .select("rid", "nomvar", "grid")),
+
+    // M18 metadata_cleanup over the full catalog
+    "f12_metadata_cleanup" -> ((s, dir) =>
+      Select.metadataCleanup(Decode.addGrid(cat(s, dir)))
+        .select("rid", "nomvar", "grid")),
+
+    // A1/M17 fststat per-record payload statistics
+    "f13_fststat" -> ((s, dir) =>
+      Stats.fststat(cat(s, dir)).select(
+        "rid", "nomvar", "min", "max", "mean", "std",
+        "min_pos_i", "min_pos_j", "max_pos_i", "max_pos_j")),
+
+    // M19 voir listing (decoded projection, sorted)
+    "f14_voir" -> ((s, dir) => Stats.voir(cat(s, dir))),
+
+    // A2 drop_duplicates on the 19-col identity (input doubled to
+    // prove the dedup actually collapses)
+    "f15_dedup_identity" -> ((s, dir) => {
+      val c = cat(s, dir)
+      c.unionByName(c)
+        .dropDuplicates(graft.core.Constants.DedupColumns)
+        .select(graft.core.Constants.DedupColumns.map(col): _*)
+    }),
+
+    // A5 distinct-ip1 bucketing by decoded kind
+    "f16_ip_buckets" -> ((s, dir) =>
+      cat(s, dir).select("ip1").distinct()
+        .withColumn("kind", IpColumns.decodeKind(col("ip1")))
+        .filter(col("kind").isin(1, 2, 5))))
 
   val oracles: Map[String, String] = Map(
     "f01_grid_column" -> W(
@@ -186,5 +220,31 @@ object FstQueries {
         bool_or(nomvar = 'PT') AS pt,
         bool_or(nomvar = '!!SF') AS sf,
         bool_or(nomvar = 'HY') AS hy
-      FROM cat GROUP BY 1"""))
+      FROM cat GROUP BY 1"""),
+
+    "f11_select_with_meta" -> W(
+      Select.cleanupSql("nomvar IN ('TT', 'UU')")),
+
+    "f12_metadata_cleanup" -> W(Select.cleanupSql("TRUE")),
+
+    "f13_fststat" -> W(
+      "SELECT rid, nomvar, " +
+        Stats.fststatSql.map { case (e, a) => s"$e AS $a" }.mkString(", ") +
+        " FROM cat"),
+
+    "f14_voir" -> W(
+      s"""SELECT nomvar, typvar, etiket, ni, nj, nk,
+        ${IpColumns.stampToTimestampSql("dateo")} AS dateo,
+        ip1, $v1Sql AS level, ip2, ip3, deet, npas,
+        ${Decode.datypStrSql} AS datyp, nbits, grtyp, ig1, ig2, ig3, ig4
+      FROM cat"""),
+
+    "f15_dedup_identity" -> W(
+      s"""SELECT DISTINCT ${graft.core.Constants.DedupColumns.mkString(", ")}
+      FROM (SELECT * FROM cat UNION ALL SELECT * FROM cat)"""),
+
+    "f16_ip_buckets" -> W(
+      s"""SELECT ip1, kind FROM (
+        SELECT DISTINCT ip1, ${IpColumns.decodeKindSql("ip1")} AS kind
+        FROM cat) WHERE kind IN (1, 2, 5)"""))
 }
