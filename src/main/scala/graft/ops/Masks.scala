@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** M10 ApplyMask / M11 RecoverMask
+  * (/root/reference/fstpy/apply_mask.py:16-93,
+  * /root/reference/fstpy/recover_mask.py:16-100).
+  *
+  * Masked payloads are represented as null elements in `d` (the
+  * reference uses numpy masked arrays, which retain the underlying
+  * values; recovery here fills masked positions with 0 — a documented
+  * representation difference). Pairing is an equi-join on the 17
+  * identity columns (BASE minus typvar/datyp/nbits/datev/d), keyed
+  * entirely on metadata — payload arrays are never shuffle keys.
+  */
+object Masks {
+
+  /** Pair-identity columns (apply_mask.py:57). */
+  val PairCols: Seq[String] = graft.core.Constants.BaseColumns
+    .filterNot(Seq("typvar", "datyp", "nbits", "datev", "d").contains)
+
+  /** M10: apply `@@` mask rows to their paired data rows; mask rows are
+    * consumed. keepValue=1 keeps elements where the mask is nonzero.
+    */
+  def applyMask(df: DataFrame, maskTypvar: String = "@@",
+                keepValue: Int = 1): DataFrame = {
+    val g = if (df.columns.contains("grid")) df else Decode.addGrid(df)
+    val cols = g.columns
+    val meta = g.filter(col("nomvar").isin(VCoord.VcMeta: _*))
+    val noMeta = g.filter(!col("nomvar").isin(VCoord.VcMeta: _*))
+    val masked = noMeta.filter(col("typvar").contains("@"))
+    val notMasked = noMeta.filter(!col("typvar").contains("@"))
+
+    val masks = masked.filter(col("typvar") === maskTypvar)
+      .select(PairCols.map(col) :+ col("d").as("mask_d"): _*)
+    val vars = masked.filter(col("typvar") =!= maskTypvar)
+
+    val keep = lit(keepValue.toFloat)
+    val applied = vars.join(masks, PairCols)
+      .withColumn("d", zip_with(col("d"), col("mask_d"), (v, m) =>
+        when(if (keepValue == 1) m =!= 0f else m === 0f, v)))
+      .select(cols.map(col): _*)
+
+    meta.unionByName(notMasked).unionByName(applied)
+  }
+
+  /** M11: re-emit `@@` mask rows (datyp 2, nbits 1) from null-masked
+    * data rows; masked positions in the data are filled with 0.
+    * Groups that already carry both rows pass through.
+    */
+  def recoverMask(df: DataFrame, maskTypvar: String = "@@",
+                  keepValue: Int = 1): DataFrame = {
+    val g = if (df.columns.contains("grid")) df else Decode.addGrid(df)
+    val cols = g.columns
+    val meta = g.filter(col("nomvar").isin(VCoord.VcMeta: _*))
+    val noMeta = g.filter(!col("nomvar").isin(VCoord.VcMeta: _*))
+    val masked = noMeta.filter(col("typvar").contains("@"))
+    val notMasked = noMeta.filter(!col("typvar").contains("@"))
+
+    val w = Window.partitionBy(PairCols.map(col): _*)
+    val withN = masked.withColumn("pair_n", count(lit(1)).over(w))
+    val complete = withN.filter(col("pair_n") === 2)
+      .select(cols.map(col): _*)
+    val singles = withN.filter(col("pair_n") === 1)
+
+    val one = lit(if (keepValue == 1) 1f else 0f)
+    val zero = lit(if (keepValue == 1) 0f else 1f)
+    val dataRows = singles
+      .withColumn("d", transform(col("d"), x => coalesce(x, lit(0f))))
+      .select(cols.map(col): _*)
+    val maskRows = singles
+      .withColumn("typvar", lit(maskTypvar))
+      .withColumn("datyp", lit(2))
+      .withColumn("nbits", lit(1))
+      .withColumn("d",
+        transform(col("d"), x => when(x.isNotNull, one).otherwise(zero)))
+      .select(cols.map(col): _*)
+
+    meta.unionByName(notMasked).unionByName(complete)
+      .unionByName(dataRows).unionByName(maskRows)
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.fixtures.SyntheticCatalog
-import graft.ops.{Decode, IpColumns, Select, Stats}
+import graft.ops.{Decode, IpColumns, Masks, Select, Stats, UnitConvert, VCoord}
 import graft.meta.Lookups
 
 /** FST-domain operator queries over the deterministic synthetic record
@@ -140,7 +140,55 @@ object FstQueries {
     "f16_ip_buckets" -> ((s, dir) =>
       cat(s, dir).select("ip1").distinct()
         .withColumn("kind", IpColumns.decodeKind(col("ip1")))
-        .filter(col("kind").isin(1, 2, 5))))
+        .filter(col("kind").isin(1, 2, 5))),
+
+    // M8/J7 vertical-coordinate classification per (grid, ip1_kind)
+    "f17_vctype" -> ((s, dir) =>
+      VCoord.setVerticalCoordinateType(cat(s, dir))
+        .filter(!col("nomvar").isin(VCoord.VcMeta: _*))
+        .select("grid", "ip1_kind", "vctype").distinct()),
+
+    // M1 unit_convert to kelvin (temperature family converts, others
+    // pass through), exploded to scalar rows
+    "f18_unit_convert" -> ((s, dir) => {
+      val out = UnitConvert.unitConvert(cat(s, dir), "kelvin")
+        .filter(!col("nomvar").isin(VCoord.VcMeta: _*))
+      out.select(col("rid"), col("nomvar"), col("unit"),
+          col("unit_converted"), posexplode(col("d")))
+        .select(col("rid"), col("nomvar"), col("unit"),
+          col("unit_converted"), (col("pos") + 1).as("pos"),
+          col("col").as("value"))
+    }),
+
+    // M2-M5 QuickPressure: PX fields for sigma/eta/pressure coords
+    "f19_quick_pressure" -> ((s, dir) => {
+      val px = VCoord.quickPressure(cat(s, dir))
+      px.select(col("grid"), col("vctype"), col("datev"), col("ip1"),
+          col("level"), col("typvar"), col("dateo"), col("ip2"),
+          col("datyp"), col("nbits"), posexplode(col("d")))
+        .select(col("grid"), col("vctype"), col("datev"), col("ip1"),
+          col("level"), col("typvar"), col("dateo"), col("ip2"),
+          col("datyp"), col("nbits"), (col("pos") + 1).as("pos"),
+          col("col").as("value"))
+    }),
+
+    // M10/M11 ApplyMask -> RecoverMask round-trip on synthesized pairs
+    "f20_mask_roundtrip" -> ((s, dir) => {
+      val base = Decode.addGrid(cat(s, dir))
+        .filter(col("nomvar") === "TT" && col("rid") > 0)
+        .withColumn("ip3", col("rid").cast("int")) // unique pair identity
+      val vars = base.withColumn("typvar", lit("P@"))
+      val masks = base.withColumn("typvar", lit("@@"))
+        .withColumn("datyp", lit(2)).withColumn("nbits", lit(1))
+        .withColumn("d", transform(sequence(lit(0), lit(11)),
+          k => pmod(k, lit(2)).cast("float")))
+      val recovered = Masks.recoverMask(
+        Masks.applyMask(vars.unionByName(masks)))
+      recovered.filter(col("typvar").isin("P@", "@@"))
+        .select(col("rid"), col("typvar"), posexplode(col("d")))
+        .select(col("rid"), col("typvar"), (col("pos") + 1).as("pos"),
+          col("col").as("value"))
+    }))
 
   val oracles: Map[String, String] = Map(
     "f01_grid_column" -> W(
@@ -246,5 +294,89 @@ object FstQueries {
     "f16_ip_buckets" -> W(
       s"""SELECT ip1, kind FROM (
         SELECT DISTINCT ip1, ${IpColumns.decodeKindSql("ip1")} AS kind
-        FROM cat) WHERE kind IN (1, 2, 5)"""))
+        FROM cat) WHERE kind IN (1, 2, 5)"""),
+
+    "f17_vctype" -> W(VCoord.vctypeSql +
+      "\nSELECT grid, ip1_kind, vctype FROM vclass"),
+
+    "f18_unit_convert" -> W(
+      s""", u AS (SELECT c.*, coalesce(sv.unit, 'scalar') AS unit
+    FROM cat c LEFT JOIN (VALUES $stdvarValuesSql)
+      AS sv(nomvar, unit, description) ON c.nomvar = sv.nomvar
+    WHERE c.nomvar NOT IN ${VCoord.VcMeta.map(s => s"'$s'")
+        .mkString("(", ", ", ")")})
+, j AS (SELECT u.*, fu.fu_name, fu.fu_expr, fu.fu_factor
+    FROM u LEFT JOIN (VALUES ${UnitConvert.unitsValuesSql})
+      AS fu(fu_name, fu_expr, fu_factor) ON u.unit = fu.fu_name)
+, cv AS (SELECT *, (fu_name IS NOT NULL AND unit <> 'kelvin'
+      AND unit <> 'scalar' AND fu_expr = 'K') AS conv FROM j)
+, cv2 AS (SELECT rid, nomvar,
+    CASE WHEN conv THEN 'kelvin' ELSE unit END AS unit,
+    conv AS unit_converted,
+    CASE WHEN conv THEN list_transform(d, x ->
+      CAST(${UnitConvert.formulaSql("x", "kelvin", 1.0)} AS FLOAT))
+      ELSE d END AS dd
+    FROM cv)
+SELECT rid, nomvar, unit, unit_converted,
+  CAST(unnest(range(1, len(dd) + 1)) AS INT) AS pos,
+  unnest(dd) AS value FROM cv2"""),
+
+    "f19_quick_pressure" -> W(VCoord.vctypeSql +
+      s"""
+, qd AS (SELECT vdata.*, vclass.vctype FROM vdata
+    JOIN vclass ON vdata.grid = vclass.grid
+      AND vdata.ip1_kind = vclass.ip1_kind
+    WHERE vdata.ip1 <> 0 AND vclass.vctype <> 'UNKNOWN'
+      AND vdata.nomvar NOT IN ('PX', 'PXSA'))
+, reps AS (SELECT grid, vctype, datev,
+    arg_min(typvar, rid) AS typvar, arg_min(dateo, rid) AS dateo,
+    arg_min(ip2, rid) AS ip2, arg_min(ni, rid) AS ni,
+    arg_min(nj, rid) AS nj FROM qd GROUP BY 1, 2, 3)
+, lv AS (SELECT DISTINCT grid, vctype, datev, ip1 FROM qd)
+, lv2 AS (SELECT *, ${IpColumns.decodeValueSql("ip1")} AS level FROM lv)
+, p0 AS (SELECT grid, datev, d AS p0_d, nbits AS p0_nbits,
+    datyp AS p0_datyp FROM vmeta WHERE nomvar = 'P0')
+, pt AS (SELECT grid, datev, d AS pt_d FROM vmeta WHERE nomvar = 'PT')
+, px AS (SELECT lv2.grid, lv2.vctype, lv2.datev, lv2.ip1, lv2.level,
+    reps.typvar, reps.dateo, reps.ip2,
+    CASE WHEN lv2.vctype = 'PRESSURE_2001' THEN 5 ELSE p0.p0_datyp END
+      AS datyp,
+    CASE WHEN lv2.vctype = 'PRESSURE_2001' THEN 32 ELSE p0.p0_nbits END
+      AS nbits,
+    CASE WHEN lv2.vctype = 'SIGMA_1001' THEN
+        list_transform(p0.p0_d, x -> CAST(CAST(lv2.level AS DOUBLE)
+          * CAST(x AS DOUBLE) AS FLOAT))
+      WHEN lv2.vctype = 'ETA_1002' THEN
+        list_transform(range(1, len(p0.p0_d) + 1), i ->
+          CAST(CAST(lv2.level AS DOUBLE)
+            * (CAST(p0.p0_d[i] AS DOUBLE) - CAST(pt.pt_d[i] AS DOUBLE))
+            + CAST(pt.pt_d[i] AS DOUBLE) AS FLOAT))
+      ELSE list_transform(range(0, reps.ni * reps.nj), x -> lv2.level)
+    END AS d
+  FROM lv2 JOIN reps ON lv2.grid = reps.grid
+    AND lv2.vctype = reps.vctype AND lv2.datev = reps.datev
+  LEFT JOIN p0 ON lv2.grid = p0.grid AND lv2.datev = p0.datev
+  LEFT JOIN pt ON lv2.grid = pt.grid AND lv2.datev = pt.datev
+  WHERE (lv2.vctype = 'SIGMA_1001' AND p0.p0_d IS NOT NULL)
+    OR (lv2.vctype = 'ETA_1002' AND p0.p0_d IS NOT NULL
+      AND pt.pt_d IS NOT NULL)
+    OR lv2.vctype = 'PRESSURE_2001')
+SELECT grid, vctype, datev, ip1, level, typvar, dateo, ip2, datyp,
+  nbits, CAST(unnest(range(1, len(d) + 1)) AS INT) AS pos,
+  unnest(d) AS value FROM px"""),
+
+    "f20_mask_roundtrip" -> W(
+      s""", tt AS (SELECT rid, d FROM cat
+    WHERE nomvar = 'TT' AND rid > 0)
+, pairs AS (
+  SELECT rid, 'P@' AS typvar,
+    list_transform(range(1, len(d) + 1), i ->
+      CASE WHEN (i - 1) % 2 = 1 THEN d[i] ELSE CAST(0 AS FLOAT) END)
+      AS dd FROM tt
+  UNION ALL
+  SELECT rid, '@@' AS typvar,
+    list_transform(range(1, len(d) + 1), i ->
+      CAST((i - 1) % 2 AS FLOAT)) AS dd FROM tt)
+SELECT rid, typvar, CAST(unnest(range(1, len(dd) + 1)) AS INT) AS pos,
+  unnest(dd) AS value FROM pairs"""))
 }
