@@ -1,0 +1,148 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Building blocks for the large-scale training-data pipeline
+  * operators: tokenization, seeded 48-bit hashes, shingles, MinHash,
+  * SimHash, cosine similarity — each with a DuckDB SQL twin generated
+  * from the same constants (md5 is identical across engines, so seeded
+  * hashes agree bit-for-bit).
+  *
+  * Scale shape: everything here is per-row expression work (no
+  * shuffles); the dedup/similarity pipelines built on top shuffle only
+  * on band keys / bucket ids — never all-pairs.
+  */
+object PipelineOps {
+
+  // ---- tokenization ----
+
+  def words(text: Column): Column = split(trim(text), "\\s+")
+  def wordsSql(text: String): String =
+    s"regexp_split_to_array(trim($text), '\\s+')"
+
+  /** Seeded 48-bit hash from md5 (engine-portable). */
+  def h64(e: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(seed.toString), lit("|"), e)), 1, 12),
+      16, 10).cast("long")
+  def h64Sql(e: String, seed: Int): String =
+    s"CAST('0x' || substring(md5('$seed' || '|' || $e), 1, 12) AS BIGINT)"
+
+  // ---- shingles ----
+
+  /** Distinct word n-gram shingles (default 3). */
+  def shingles(w: Column, n: Int = 3): Column =
+    when(size(w) >= n, array_distinct(
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ",
+          (0 until n).map(k => element_at(w, i + lit(k))): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  def shinglesSql(w: String, n: Int = 3): String = {
+    val parts = (0 until n).map(k => s"$w[CAST(i + $k AS INT)]")
+      .mkString(" || ' ' || ")
+    s"(CASE WHEN len($w) >= $n THEN list_distinct(" +
+      s"list_transform(range(1, len($w) - ${n - 2}), i -> $parts)) " +
+      "ELSE [] END)"
+  }
+
+  // ---- MinHash + banded LSH ----
+
+  val MinHashFns = 16
+  val LshBands = 8 // 2 rows per band
+
+  def minhash(sh: Column, seed: Int): Column =
+    array_min(transform(sh, s => h64(s, seed)))
+  def minhashSql(sh: String, seed: Int): String =
+    s"list_min(list_transform($sh, s -> ${h64Sql("s", seed)}))"
+
+  /** Band keys: md5 over each band's row signatures. */
+  def bandKeys(sh: Column): Column =
+    array((0 until LshBands).map { b =>
+      md5(concat_ws(",",
+        minhash(sh, 2 * b).cast("string"),
+        minhash(sh, 2 * b + 1).cast("string")))
+    }: _*)
+
+  def bandKeysSql(sh: String): String =
+    "[" + (0 until LshBands).map { b =>
+      s"md5(CAST(${minhashSql(sh, 2 * b)} AS VARCHAR) || ',' || " +
+        s"CAST(${minhashSql(sh, 2 * b + 1)} AS VARCHAR))"
+    }.mkString(", ") + "]"
+
+  /** Exact Jaccard over two distinct-shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+  def jaccardSql(a: String, b: String): String =
+    s"(CAST(len(list_intersect($a, $b)) AS DOUBLE) / " +
+      s"CAST(len(list_distinct($a || $b)) AS DOUBLE))"
+
+  // ---- SimHash (16-bit) ----
+
+  def simhash16(w: Column): Column = {
+    val wh = transform(w, x => h64(x, 99))
+    (0 until 16).map { k =>
+      when(size(filter(wh,
+        h => shiftright(h, k).bitwiseAND(lit(1L)) === 1L)) * 2
+        > size(wh), lit(1 << k)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  def simhash16Sql(w: String): String = {
+    val wh = s"list_transform($w, x -> ${h64Sql("x", 99)})"
+    "(" + (0 until 16).map { k =>
+      s"(CASE WHEN len(list_filter($wh, h -> (h >> $k) & 1 = 1)) * 2 " +
+        s"> len($wh) THEN ${1 << k} ELSE 0 END)"
+    }.mkString(" + ") + ")"
+  }
+
+  // ---- cosine similarity ----
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+      (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+  def norm(a: Column): Column = sqrt(dot(a, a))
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> " +
+      s"CAST($a[CAST(i AS INT)] AS DOUBLE) * " +
+      s"CAST($b[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y)"
+  def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** IVF-lite bucket id: index (1-based) of the max-|x| component —
+    * a deterministic, engine-portable coarse quantizer.
+    */
+  def argmaxBucket(a: Column): Column = {
+    val absd = transform(a, x => abs(x))
+    array_position(absd, array_max(absd)).cast("int")
+  }
+  def argmaxBucketSql(a: String): String = {
+    val absd = s"list_transform($a, x -> abs(x))"
+    s"CAST(list_position($absd, list_max($absd)) AS INT)"
+  }
+
+  // ---- language ID / quality heuristics ----
+
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "mit", "von"),
+    "es" -> Seq("el", "los", "las", "de", "y", "en", "un", "que"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "有"))
+
+  def stopRatio(w: Column, lang: String): Column = {
+    val list = Stopwords.toMap.apply(lang)
+    size(filter(w, x => x.isin(list: _*))).cast("double") /
+      size(w).cast("double")
+  }
+  def stopRatioSql(w: String, lang: String): String = {
+    val list = Stopwords.toMap.apply(lang)
+      .map(s => s"'$s'").mkString(", ")
+    s"(CAST(len(list_filter($w, x -> x IN ($list))) AS DOUBLE) / " +
+      s"CAST(len($w) AS DOUBLE))"
+  }
+}

@@ -1,11 +1,307 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.pipeline.PipelineOps._
 
-/** LLM-data-pipeline operator queries (dedup / similarity / text /
-  * multimodal). Populated as the operators land. */
+/** LLM-training-data pipeline operators over the driver's
+  * documents/embeddings parquet: dedup (exact, MinHash-LSH, SimHash,
+  * n-gram Jaccard), similarity search (brute-force + bucketed ANN),
+  * and text analysis (language ID, quality, tokens, fingerprints),
+  * plus multimodal binary-column plumbing.
+  *
+  * Scale notes (100 TB posture): no query does an unbucketed
+  * cross-join — LSH candidates shuffle on band keys, pair scoring on
+  * source buckets, ANN on coarse-quantizer buckets; the brute-force
+  * cosine keeps the query side broadcast-small by construction.
+  */
 object PipelineQueries {
   type Q = (SparkSession, String) => DataFrame
-  val queries: Map[String, Q] = Map()
-  val oracles: Map[String, String] = Map()
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** documents + perturbed near-dup copies (ids offset by 1e6). */
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionByName(d.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" zzz extra tail qq")).as("text")))
+  }
+  private val corpusSql =
+    """corpus AS (SELECT doc_id, text FROM documents
+    UNION ALL SELECT doc_id + 1000000 AS doc_id,
+      text || ' zzz extra tail qq' AS text FROM documents)"""
+
+  val queries: Map[String, Q] = Map(
+    // exact dedup by content hash (input doubled to prove collapse)
+    "p01_exact_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      d.unionByName(d)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("copies"))
+    }),
+
+    // banded MinHash-LSH near-dup candidates + exact Jaccard verify
+    "p02_minhash_lsh" -> ((s, dir) => {
+      val sh = corpus(s, dir)
+        .withColumn("sh", shingles(words(col("text"))))
+        .filter(size(col("sh")) > 0)
+        .select("doc_id", "sh")
+      val bands = sh.select(col("doc_id"),
+        posexplode(bandKeys(col("sh"))).as(Seq("band", "bkey")))
+      val cand = bands.alias("a")
+        .join(bands.alias("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id_a"),
+          col("b.doc_id").as("doc_id_b"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("doc_id_a"),
+          col("sh").as("sh_a")), Seq("doc_id_a"))
+        .join(sh.select(col("doc_id").as("doc_id_b"),
+          col("sh").as("sh_b")), Seq("doc_id_b"))
+        .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    }),
+
+    // SimHash document signatures
+    "p03_simhash" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        simhash16(words(col("text"))).as("simhash"))),
+
+    // n-gram Jaccard similarity within source buckets (no cross-join)
+    "p04_ngram_jaccard" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("sh", shingles(words(col("text"))))
+        .filter(size(col("sh")) > 0)
+        .select("source", "doc_id", "sh")
+      d.alias("a").join(d.alias("b"),
+          col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.source").as("source"),
+          col("a.doc_id").as("doc_id_a"),
+          col("b.doc_id").as("doc_id_b"),
+          jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+        .filter(col("jaccard") > 0.05)
+    }),
+
+    // brute-force cosine top-5 neighbors for a small query set
+    "p05_cosine_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val rn = row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("vec_id").asc))
+      broadcast(q).join(e, col("vec_id") =!= col("query_id"))
+        .withColumn("cos", cosine(col("qv"), col("embedding")))
+        .withColumn("rank", rn)
+        .filter(col("rank") <= 5)
+        .select("query_id", "vec_id", "rank", "cos")
+    }),
+
+    // bucketed (IVF-lite) ANN: search only the query's coarse bucket
+    "p06_cosine_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .withColumn("bucket", argmaxBucket(col("embedding")))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("bucket"))
+      val rn = row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("vec_id").asc))
+      broadcast(q).join(e.withColumnRenamed("bucket", "cbucket"),
+          col("cbucket") === col("bucket") &&
+            col("vec_id") =!= col("query_id"))
+        .withColumn("cos", cosine(col("qv"), col("embedding")))
+        .withColumn("rank", rn)
+        .filter(col("rank") <= 5)
+        .select("query_id", "vec_id", "bucket", "rank", "cos")
+    }),
+
+    // language ID via stopword-ratio heuristic
+    "p07_langid" -> ((s, dir) => {
+      val w = words(col("text"))
+      val scores = Stopwords.map { case (l, _) => l -> stopRatio(w, l) }
+      val pred = scores.foldRight(lit(Stopwords.last._1): Column) {
+        case ((l, sc), acc) =>
+          val rest = scores.dropWhile(_._1 != l).drop(1)
+          if (rest.isEmpty) acc
+          else when(rest.map(r => sc >= r._2).reduce(_ && _), lit(l))
+            .otherwise(acc)
+      }
+      docs(s, dir).select(col("doc_id"), col("lang"),
+        pred.as("predicted"),
+        scores.toMap.apply("en").as("score_en"))
+    }),
+
+    // quality scoring: length/punctuation/stopword metrics
+    "p08_quality" -> ((s, dir) => {
+      val t = col("text")
+      val w = words(t)
+      val nw = size(w).cast("double")
+      val punct = (length(t) -
+        length(regexp_replace(t, "[.,!?;:]", ""))).cast("double") /
+        length(t).cast("double")
+      val stop = stopRatio(w, "en")
+      docs(s, dir).select(col("doc_id"),
+        size(w).as("n_words"),
+        (length(regexp_replace(t, "\\s", "")).cast("double") / nw)
+          .as("mean_wlen"),
+        punct.as("punct_ratio"),
+        stop.as("stop_ratio"),
+        (least(nw / 100, lit(1.0)) * 0.4 + (lit(1.0) - punct) * 0.3 +
+          least(stop * 5, lit(1.0)) * 0.3).as("quality"))
+    }),
+
+    // token counting: whitespace, regex word/punct, BPE estimate
+    "p09_token_stats" -> ((s, dir) => {
+      val t = col("text")
+      docs(s, dir).select(col("doc_id"),
+        size(words(t)).as("ws_tokens"),
+        regexp_count(t, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"))
+          .as("re_tokens"),
+        ceil(length(t).cast("double") / 4).cast("int").as("bpe_est"))
+    }),
+
+    // document fingerprint: min rolling shingle hash
+    "p10_fingerprint" -> ((s, dir) => {
+      val sh = shingles(words(col("text")), 5)
+      docs(s, dir).select(col("doc_id"),
+        coalesce(array_min(transform(sh, x => h64(x, 7))), lit(-1L))
+          .as("fingerprint"),
+        size(sh).as("n_shingles"))
+    }),
+
+    // multimodal plumbing: opaque binary payload + scalar features
+    "p11_multimodal" -> ((s, dir) =>
+      graft.pipeline.Multimodal.features(
+        graft.pipeline.Multimodal.toBinaryRecords(docs(s, dir)))
+        .select("doc_id", "byte_len", "digest", "head_cp", "cp_sum")))
+
+  private def predSql: String = {
+    val scores = Stopwords.map { case (l, _) =>
+      l -> stopRatioSql(wordsSql("text"), l)
+    }
+    scores.zipWithIndex.foldRight(s"'${Stopwords.last._1}'") {
+      case (((l, sc), i), acc) =>
+        val rest = scores.drop(i + 1)
+        if (rest.isEmpty) acc
+        else s"CASE WHEN ${rest.map(r => s"$sc >= ${r._2}")
+          .mkString(" AND ")} THEN '$l' ELSE $acc END"
+    }
+  }
+
+  val oracles: Map[String, String] = Map(
+    "p01_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id,
+        CAST(count(*) AS BIGINT) AS copies
+      FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+      GROUP BY md5(text)""",
+
+    "p02_minhash_lsh" -> {
+      val sh = shinglesSql(wordsSql("text"))
+      s"""WITH $corpusSql,
+sh AS (SELECT doc_id, $sh AS sh FROM corpus),
+sh2 AS (SELECT * FROM sh WHERE len(sh) > 0),
+bands AS (SELECT doc_id,
+  CAST(unnest(range(0, $LshBands)) AS INT) AS band,
+  unnest(${bandKeysSql("sh")}) AS bkey FROM sh2),
+cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+    AND a.doc_id < b.doc_id)
+SELECT doc_id_a, doc_id_b,
+  ${jaccardSql("sa.sh", "sb.sh")} AS jaccard
+FROM cand JOIN sh2 sa ON sa.doc_id = doc_id_a
+  JOIN sh2 sb ON sb.doc_id = doc_id_b
+WHERE ${jaccardSql("sa.sh", "sb.sh")} >= 0.5"""
+    },
+
+    "p03_simhash" ->
+      s"""SELECT doc_id, ${simhash16Sql(wordsSql("text"))} AS simhash
+      FROM documents""",
+
+    "p04_ngram_jaccard" -> {
+      val sh = shinglesSql(wordsSql("text"))
+      s"""WITH sh AS (SELECT source, doc_id, $sh AS sh FROM documents),
+sh2 AS (SELECT * FROM sh WHERE len(sh) > 0)
+SELECT a.source AS source, a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+  ${jaccardSql("a.sh", "b.sh")} AS jaccard
+FROM sh2 a JOIN sh2 b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE ${jaccardSql("a.sh", "b.sh")} > 0.05"""
+    },
+
+    "p05_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+    FROM embeddings WHERE vec_id < 10),
+c AS (SELECT q.query_id, e.vec_id,
+    ${cosineSql("q.qv", "e.embedding")} AS cos
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
+SELECT query_id, vec_id, rank, cos FROM r WHERE rank <= 5""",
+
+    "p06_cosine_ann" ->
+      s"""WITH e AS (SELECT *, ${argmaxBucketSql("embedding")} AS bucket
+    FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM e
+    WHERE vec_id < 10),
+c AS (SELECT q.query_id, e.vec_id, q.bucket,
+    ${cosineSql("q.qv", "e.embedding")} AS cos
+  FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
+SELECT query_id, vec_id, bucket, rank, cos FROM r WHERE rank <= 5""",
+
+    "p07_langid" ->
+      s"""SELECT doc_id, lang, $predSql AS predicted,
+      ${stopRatioSql(wordsSql("text"), "en")} AS score_en
+      FROM documents""",
+
+    "p08_quality" -> {
+      val w = wordsSql("text")
+      val nw = s"CAST(len($w) AS DOUBLE)"
+      val punct = "(CAST(length(text) - length(regexp_replace(text, " +
+        "'[.,!?;:]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE))"
+      val stop = stopRatioSql(w, "en")
+      s"""SELECT doc_id, CAST(len($w) AS INT) AS n_words,
+      (CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+        / $nw) AS mean_wlen,
+      $punct AS punct_ratio, $stop AS stop_ratio,
+      (least($nw / 100, 1.0) * 0.4 + (1.0 - $punct) * 0.3 +
+        least($stop * 5, 1.0) * 0.3) AS quality
+      FROM documents"""
+    },
+
+    "p09_token_stats" ->
+      s"""SELECT doc_id,
+      CAST(len(${wordsSql("text")}) AS INT) AS ws_tokens,
+      CAST(len(regexp_extract_all(text,
+        '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS INT) AS re_tokens,
+      CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS INT) AS bpe_est
+      FROM documents""",
+
+    "p10_fingerprint" -> {
+      val sh = shinglesSql(wordsSql("text"), 5)
+      s"""SELECT doc_id,
+      coalesce(list_min(list_transform($sh, x -> ${h64Sql("x", 7)})),
+        -1) AS fingerprint,
+      CAST(len($sh) AS INT) AS n_shingles
+      FROM documents"""
+    },
+
+    "p11_multimodal" ->
+      """SELECT doc_id,
+      CAST(strlen(text) AS BIGINT) AS byte_len,
+      md5(text) AS digest,
+      ascii(substring(text, 1, 1)) AS head_cp,
+      list_reduce(list_transform(range(1, length(text) + 1, 16),
+        i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT)),
+        (a, b) -> a + b) AS cp_sum
+      FROM documents""")
 }
