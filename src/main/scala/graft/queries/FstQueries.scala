@@ -188,6 +188,26 @@ object FstQueries {
         .select(col("rid"), col("typvar"), posexplode(col("d")))
         .select(col("rid"), col("typvar"), (col("pos") + 1).as("pos"),
           col("col").as("value"))
+    }),
+
+    // S7/S9 CSV record sink + source round-trip (level <-> ip1 encode,
+    // payload string <-> Fortran array, defaults, dim validation)
+    "f21_csv_roundtrip" -> ((s, dir) => {
+      val base = cat(s, dir)
+        .filter(col("nomvar") === "TT" && col("rid") > 0)
+        .withColumn("ip3", col("rid").cast("int"))
+        .withColumn("level", IpColumns.decodeValue(col("ip1")))
+      val path =
+        s"/tmp/graft_csv_roundtrip_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      graft.sources.CsvRecords.write(base, path,
+        extraCols = Seq("level"))
+      graft.sources.CsvRecords.read(s, path)
+        .select(col("ip3").as("rid"), col("nomvar"), col("etiket"),
+          IpColumns.decodeValue(col("ip1")).as("level"), col("ni"),
+          col("nj"), posexplode(col("d")))
+        .select(col("rid"), col("nomvar"), col("etiket"), col("level"),
+          col("ni"), col("nj"), (col("pos") + 1).as("pos"),
+          col("col").as("value"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -378,5 +398,12 @@ SELECT grid, vctype, datev, ip1, level, typvar, dateo, ip2, datyp,
     list_transform(range(1, len(d) + 1), i ->
       CAST((i - 1) % 2 AS FLOAT)) AS dd FROM tt)
 SELECT rid, typvar, CAST(unnest(range(1, len(dd) + 1)) AS INT) AS pos,
-  unnest(dd) AS value FROM pairs"""))
+  unnest(dd) AS value FROM pairs"""),
+
+    "f21_csv_roundtrip" -> W(
+      s"""SELECT CAST(rid AS INT) AS rid, nomvar, etiket,
+        $v1Sql AS level, ni, nj,
+        CAST(unnest(range(1, len(d) + 1)) AS INT) AS pos,
+        unnest(d) AS value
+      FROM cat WHERE nomvar = 'TT' AND rid > 0"""))
 }

@@ -1,0 +1,129 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.IpCodec
+
+/** S7/S9: CSV record-catalog source and sink
+  * (/root/reference/fstpy/csv_reader.py:85-505,
+  * /root/reference/fstpy/csv_writer.py:11-137).
+  *
+  * Payload cells are `"a,b;c,d"` strings (`;` rows = ni, `,` cols =
+  * nj); the catalog stores the field Fortran-flattened. Missing
+  * columns are defaulted (nbits 24, datyp 1, grtyp X, typvar X,
+  * etiket CSVREADER, ip2/ip3/igs/deet/npas 0); `level` is encoded to
+  * ip1 with kind 3 (arbitrary). Validation (nomvar/typvar/etiket
+  * lengths, one (ni,nj) per record group) is folded into lazy
+  * `raise_error` expressions so the scan stays a single pass.
+  */
+object CsvRecords {
+
+  val Defaults: Map[String, Column] = Map(
+    "nk" -> lit(1), "nbits" -> lit(24), "datyp" -> lit(1),
+    "grtyp" -> lit("X"), "typvar" -> lit("X"),
+    "etiket" -> lit("CSVREADER"), "ip2" -> lit(0), "ip3" -> lit(0),
+    "ig1" -> lit(0), "ig2" -> lit(0), "ig3" -> lit(0), "ig4" -> lit(0),
+    "deet" -> lit(0), "npas" -> lit(0))
+
+  val AllowedColumns: Set[String] = Set(
+    "nomvar", "typvar", "etiket", "ni", "nj", "nk", "dateo", "datev",
+    "ip1", "ip2", "ip3", "deet", "npas", "datyp", "nbits", "grtyp",
+    "ig1", "ig2", "ig3", "ig4", "level", "d")
+
+  private val encodeIp1Kind3 = udf((l: Float) => IpCodec.encode(l, 3))
+
+  private def checkLen(c: Column, lo: Int, hi: Int, name: String): Column =
+    when(length(c).between(lo, hi), c)
+      .otherwise(raise_error(concat(lit(s"invalid $name length: "), c)))
+
+  /** Read CSV files into the record catalog. `defaultDateo` stands in
+    * for the reference's `utcnow` default so tests are deterministic.
+    */
+  def read(spark: SparkSession, path: String, encodeIp1: Boolean = true,
+           defaultDateo: Long = 442998800L,
+           validateDims: Boolean = true): DataFrame = {
+    val raw = spark.read.option("header", "true").csv(path)
+    val cols = raw.columns.toSet
+    val unknown = cols.diff(AllowedColumns)
+    require(unknown.isEmpty, s"invalid csv columns: $unknown")
+    require(cols.contains("nomvar") && cols.contains("d"),
+      "csv must have at least nomvar and d columns")
+    require(cols.contains("level") || cols.contains("ip1"),
+      "csv must have level or ip1")
+    require(!(cols.contains("level") && cols.contains("ip1")),
+      "csv cannot have both level and ip1")
+
+    // defaults for missing columns
+    var df = Defaults.foldLeft(raw) { case (d, (name, default)) =>
+      if (cols.contains(name)) d else d.withColumn(name, default)
+    }
+    if (!cols.contains("dateo"))
+      df = df.withColumn("dateo", lit(defaultDateo))
+    if (!cols.contains("datev")) df = df.withColumn("datev", col("dateo"))
+
+    // payload: "a,b;c,d" -> dims + Fortran-flat float array
+    val rows = transform(split(col("d"), ";"), r => split(r, ","))
+    df = df
+      .withColumn("rows", rows)
+      .withColumn("ni", size(col("rows")))
+      .withColumn("nj", size(element_at(col("rows"), 1)))
+      .withColumn("d", transform(
+        sequence(lit(0), col("ni") * col("nj") - 1),
+        k => element_at(
+          element_at(col("rows"), pmod(k, col("ni")).cast("int") + 1),
+          (k / col("ni")).cast("int") + 1).cast("float")))
+      .drop("rows")
+
+    // level -> encoded ip1 (kind 3, CONVIP_ENCODE)
+    if (cols.contains("level")) {
+      df = df.withColumn("ip1",
+        if (encodeIp1) encodeIp1Kind3(col("level").cast("float"))
+        else col("level").cast("float").cast("int"))
+        .drop("level")
+    }
+
+    // length validation, lazily raised
+    df = df
+      .withColumn("nomvar", checkLen(col("nomvar"), 2, 4, "nomvar"))
+      .withColumn("typvar", checkLen(col("typvar"), 1, 2, "typvar"))
+      .withColumn("etiket", checkLen(col("etiket"), 1, 12, "etiket"))
+
+    // A6: one (ni,nj) per record group
+    if (validateDims) {
+      val gcols = Seq("nomvar", "typvar", "etiket", "dateo", "ip2",
+        "ip3", "deet", "npas", "datyp", "nbits", "ig1", "ig2", "ig3",
+        "ig4").map(col)
+      val w = Window.partitionBy(gcols: _*)
+      df = df
+        .withColumn("ni", when(
+          max(col("ni")).over(w) === min(col("ni")).over(w) &&
+            max(col("nj")).over(w) === min(col("nj")).over(w), col("ni"))
+          .otherwise(raise_error(
+            lit("records in the same group have different dimensions"))))
+    }
+
+    val intCols = Seq("ni", "nj", "nk", "dateo", "datev", "ip1", "ip2",
+      "ip3", "deet", "npas", "datyp", "nbits", "ig1", "ig2", "ig3", "ig4")
+    intCols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("int")))
+      .select(("nomvar" +: "typvar" +: "etiket" +: intCols.take(3)) ++
+        intCols.drop(3) ++ Seq("grtyp", "d") map col: _*)
+  }
+
+  /** Write a record catalog as CSV: the payload is serialized back to
+    * the `"a,b;c,d"` form (inverse Fortran flatten).
+    */
+  def write(df: DataFrame, path: String,
+            extraCols: Seq[String] = Seq.empty): Unit = {
+    val dStr = concat_ws(";",
+      transform(sequence(lit(0), col("ni") - 1), i =>
+        concat_ws(",", transform(sequence(lit(0), col("nj") - 1), j =>
+          element_at(col("d"), i + j * col("ni") + 1).cast("string")))))
+    val base = Seq("nomvar", "typvar", "etiket", "dateo", "ip2", "ip3",
+      "deet", "npas", "datyp", "nbits", "grtyp", "ig1", "ig2", "ig3",
+      "ig4")
+    val keep = (base ++ extraCols).filter(df.columns.contains)
+    df.select((keep.map(col) :+ dStr.as("d")): _*)
+      .write.mode("overwrite").option("header", "true").csv(path)
+  }
+}
