@@ -1,5 +1,10 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: times every declared query at the env-selected
+  * scale factor and emits ONE JSON line. A failing query reports an
+  * "err" entry (and rc 1) instead of masquerading as a fast run.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,15 +17,35 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    var failures = 0
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val t0 = System.nanoTime()
+        val err: Option[String] =
+          try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable =>
+            failures += 1
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+              .take(120))
+          }
+        val secs = (System.nanoTime() - t0) / 1e9
+        name -> (secs, err)
+    }
+    val qs = results.map { case (k, (v, err)) =>
+      err match {
+        case None => s""""$k":$v"""
+        case Some(m) => s""""$k":{"sec":$v,"err":"${esc(m)}"}"""
+      }
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$failures}""")
     spark.stop()
+    if (failures > 0) sys.exit(1)
   }
 }

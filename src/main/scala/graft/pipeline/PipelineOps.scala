@@ -30,13 +30,18 @@ object PipelineOps {
 
   // ---- shingles ----
 
-  /** Distinct word n-gram shingles (default 3). */
+  /** Distinct word n-gram shingles (default 3). The word array is
+    * let-bound so the tokenizing split runs once per row, not once per
+    * element reference (inlining would make it quadratic).
+    */
   def shingles(w: Column, n: Int = 3): Column =
-    when(size(w) >= n, array_distinct(
-      transform(sequence(lit(1), size(w) - (n - 1)),
-        i => concat_ws(" ",
-          (0 until n).map(k => element_at(w, i + lit(k))): _*))))
-      .otherwise(array().cast("array<string>"))
+    bind(w) { wb =>
+      when(size(wb) >= n, array_distinct(
+        transform(sequence(lit(1), size(wb) - (n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(k => element_at(wb, i + lit(k))): _*))))
+        .otherwise(array().cast("array<string>"))
+    }
 
   def shinglesSql(w: String, n: Int = 3): String = {
     val parts = (0 until n).map(k => s"$w[CAST(i + $k AS INT)]")
@@ -46,37 +51,64 @@ object PipelineOps {
       "ELSE [] END)"
   }
 
-  // ---- MinHash + banded LSH ----
+  /** Hashed shingle set: ONE md5 per shingle; all downstream MinHash
+    * functions derive from it arithmetically (16x fewer digests).
+    */
+  def hashedShingles(sh: Column): Column =
+    array_distinct(transform(sh, s => h64(s, 0)))
+  def hashedShinglesSql(sh: String): String =
+    s"list_distinct(list_transform($sh, s -> ${h64Sql("s", 0)}))"
+
+  // ---- MinHash + banded LSH (over hashed shingles) ----
 
   val MinHashFns = 16
   val LshBands = 8 // 2 rows per band
 
-  def minhash(sh: Column, seed: Int): Column =
-    array_min(transform(sh, s => h64(s, seed)))
-  def minhashSql(sh: String, seed: Int): String =
-    s"list_min(list_transform($sh, s -> ${h64Sql("s", seed)}))"
+  /** i-th MinHash from the 48-bit base hashes via an odd-multiplier
+    * affine mix — products stay < 2^54, so the arithmetic is exact and
+    * overflow-free in both the JVM and DuckDB.
+    */
+  def minhash(hs: Column, i: Int): Column =
+    array_min(transform(hs, h => h * lit(2L * i + 1) + lit(i * 99991L)))
+  def minhashSql(hs: String, i: Int): String =
+    s"list_min(list_transform($hs, h -> h * ${2 * i + 1} + ${i * 99991}))"
 
-  /** Band keys: md5 over each band's row signatures. */
-  def bandKeys(sh: Column): Column =
-    array((0 until LshBands).map { b =>
-      md5(concat_ws(",",
-        minhash(sh, 2 * b).cast("string"),
-        minhash(sh, 2 * b + 1).cast("string")))
-    }: _*)
+  /** Let-binding: evaluate `e` ONCE and feed it to `f` as a lambda
+    * variable. Defeats CollapseProject's alias inlining, which would
+    * otherwise duplicate an expensive expression into every use site.
+    */
+  def bind(e: Column)(f: Column => Column): Column =
+    element_at(transform(array(e), f), 1)
 
-  def bandKeysSql(sh: String): String =
+  /** Band keys over each band's two row signatures. The shingle-hash
+    * expression is bound once per row (not inlined 16x).
+    */
+  def bandKeys(hs: Column): Column =
+    bind(hs) { h =>
+      array((0 until LshBands).map { b =>
+        md5(concat_ws(",",
+          minhash(h, 2 * b).cast("string"),
+          minhash(h, 2 * b + 1).cast("string")))
+      }: _*)
+    }
+
+  def bandKeysSql(hs: String): String =
     "[" + (0 until LshBands).map { b =>
-      s"md5(CAST(${minhashSql(sh, 2 * b)} AS VARCHAR) || ',' || " +
-        s"CAST(${minhashSql(sh, 2 * b + 1)} AS VARCHAR))"
+      s"md5(CAST(${minhashSql(hs, 2 * b)} AS VARCHAR) || ',' || " +
+        s"CAST(${minhashSql(hs, 2 * b + 1)} AS VARCHAR))"
     }.mkString(", ") + "]"
 
-  /** Exact Jaccard over two distinct-shingle arrays. */
+  /** Exact Jaccard over two distinct-element arrays: one intersect,
+    * union size derived as |A|+|B|-|A∩B|.
+    */
   def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
-  def jaccardSql(a: String, b: String): String =
-    s"(CAST(len(list_intersect($a, $b)) AS DOUBLE) / " +
-      s"CAST(len(list_distinct($a || $b)) AS DOUBLE))"
+    bind(size(array_intersect(a, b))) { i =>
+      i.cast("double") / (size(a) + size(b) - i).cast("double")
+    }
+  def jaccardSql(a: String, b: String): String = {
+    val i = s"len(list_intersect($a, $b))"
+    s"(CAST($i AS DOUBLE) / CAST(len($a) + len($b) - $i AS DOUBLE))"
+  }
 
   // ---- SimHash (16-bit) ----
 

@@ -48,7 +48,7 @@ object PipelineQueries {
     // banded MinHash-LSH near-dup candidates + exact Jaccard verify
     "p02_minhash_lsh" -> ((s, dir) => {
       val sh = corpus(s, dir)
-        .withColumn("sh", shingles(words(col("text"))))
+        .withColumn("sh", hashedShingles(shingles(words(col("text")))))
         .filter(size(col("sh")) > 0)
         .select("doc_id", "sh")
       val bands = sh.select(col("doc_id"),
@@ -76,20 +76,37 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id"),
         simhash16(words(col("text"))).as("simhash"))),
 
-    // n-gram Jaccard similarity within source buckets (no cross-join)
+    // n-gram Jaccard within source buckets via the scalable
+    // explode-join-aggregate intersection count: pairs never carry
+    // arrays, the shuffle keys on (source, shingle-hash), and the
+    // aggregation combines map-side. Pairs with an empty intersection
+    // have jaccard 0 and are (identically) excluded by the threshold.
     "p04_ngram_jaccard" -> ((s, dir) => {
       val d = docs(s, dir)
-        .withColumn("sh", shingles(words(col("text"))))
+        .withColumn("sh", hashedShingles(shingles(words(col("text")))))
         .filter(size(col("sh")) > 0)
         .select("source", "doc_id", "sh")
-      d.alias("a").join(d.alias("b"),
+      val sizes = d.select(col("doc_id").as("sid"), size(col("sh")).as("n"))
+      val ex = d.select(col("source"), col("doc_id"),
+        explode(col("sh")).as("h"))
+      val inter = ex.alias("a").join(ex.alias("b"),
           col("a.source") === col("b.source") &&
+            col("a.h") === col("b.h") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.source").as("source"),
           col("a.doc_id").as("doc_id_a"),
-          col("b.doc_id").as("doc_id_b"),
-          jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+          col("b.doc_id").as("doc_id_b"))
+        .groupBy("source", "doc_id_a", "doc_id_b")
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.withColumnRenamed("n", "na"),
+          col("doc_id_a") === col("sid")).drop("sid")
+        .join(sizes.withColumnRenamed("n", "nb"),
+          col("doc_id_b") === col("sid")).drop("sid")
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
         .filter(col("jaccard") > 0.05)
+        .select("source", "doc_id_a", "doc_id_b", "jaccard")
     }),
 
     // brute-force cosine top-5 neighbors for a small query set
@@ -205,7 +222,7 @@ object PipelineQueries {
       GROUP BY md5(text)""",
 
     "p02_minhash_lsh" -> {
-      val sh = shinglesSql(wordsSql("text"))
+      val sh = hashedShinglesSql(shinglesSql(wordsSql("text")))
       s"""WITH $corpusSql,
 sh AS (SELECT doc_id, $sh AS sh FROM corpus),
 sh2 AS (SELECT * FROM sh WHERE len(sh) > 0),
@@ -227,7 +244,7 @@ WHERE ${jaccardSql("sa.sh", "sb.sh")} >= 0.5"""
       FROM documents""",
 
     "p04_ngram_jaccard" -> {
-      val sh = shinglesSql(wordsSql("text"))
+      val sh = hashedShinglesSql(shinglesSql(wordsSql("text")))
       s"""WITH sh AS (SELECT source, doc_id, $sh AS sh FROM documents),
 sh2 AS (SELECT * FROM sh WHERE len(sh) > 0)
 SELECT a.source AS source, a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
