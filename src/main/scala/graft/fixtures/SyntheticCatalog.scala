@@ -99,7 +99,12 @@ object SyntheticCatalog {
       (-9L, "PT", "P", "OPERATION", 4, 3, 1, D0,
         0, 0, 0, 0, 0, 5, 32, "Z", gg(2), 77761, 1, 0, D0,
         (0 until 12).map(_ => 10f)))
-    deform ++ p0 ++ pt
+    // grid-less hybrid descriptor (grid 'None' until process_hy)
+    val hy = Seq(
+      (-10L, "HY", "X", "OPERATION", 1, 1, 1, D0,
+        IpCodec.encode(0.3f, 5), 0, 0, 0, 0, 5, 32, "X", 1900, 5, 0, 0,
+        D0, Seq(0.3f)))
+    deform ++ p0 ++ pt ++ hy
   }
 
   private def pick(arr: Seq[Any], idx: org.apache.spark.sql.Column) =

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+import graft.core.{Constants, IpCodec}
+
+/** Encode layer (C4-C11): inverses of the decode transformers
+  * (/root/reference/fstpy/std_enc.py).
+  *
+  * The ip encoder needs a normalization loop, so it is a compact Scala
+  * UDF over the unit-tested [[IpCodec.encode]]; everything else is
+  * native Columns. Correctness is driver-checked via re-encode
+  * round-trips (encode∘decode = identity against the original column).
+  */
+object Encode {
+
+  /** C4/C5: (value, kind) -> new-style ip. */
+  val encodeIp = udf((v: Float, kind: Int) => IpCodec.encode(v, kind))
+
+  /** C6: timestamp -> CMC stamp (inverse of stampToTimestamp). */
+  def stampFromTimestamp(ts: Column): Column = {
+    val secs = ts.cast("long") - lit(RmnEpoch)
+    val t = ((secs - pmod(secs, lit(5L))) / lit(5)).cast("long")
+    (((t - pmod(t, lit(8L))) / lit(8)).cast("long") * lit(10) +
+      pmod(t, lit(8L)) + lit(123200000L)).cast("long")
+  }
+
+  private val RmnEpoch = 315532800L
+
+  /** C7: npas back from forecast seconds and deet. */
+  def npasFromForecast(forecastSeconds: Column, deet: Column): Column =
+    when(deet =!= 0, (forecastSeconds / deet).cast("int")).otherwise(lit(0))
+
+  /** C8: rebuild etiket from parsed pieces (empty pieces drop out). */
+  def etiketFromParts(label: Column, run: Column, implementation: Column,
+                      ensembleMember: Column): Column =
+    concat(coalesce(run, lit("")), label,
+      coalesce(implementation, lit("")), coalesce(ensembleMember, lit("")))
+
+  /** C9: modifier flags -> second typvar char; >1 modification = M
+    * (/root/reference/fstpy/std_enc.py:133-161).
+    */
+  def typvar2FromFlags(zapped: Column, filtered: Column,
+                       interpolated: Column, unitConverted: Column,
+                       bounded: Column, ensembleExtraInfo: Column,
+                       multipleModifications: Column): Column = {
+    val flags = Seq(zapped -> "Z", filtered -> "F", interpolated -> "I",
+      unitConverted -> "U", bounded -> "B", ensembleExtraInfo -> "!",
+      multipleModifications -> "M")
+    val n = flags.map { case (f, _) => when(f, 1).otherwise(0) }
+      .reduce(_ + _)
+    val single = flags.foldLeft(lit(""): Column) { case (acc, (f, c)) =>
+      when(f, lit(c)).otherwise(acc)
+    }
+    when(n > 1, lit("M")).otherwise(single)
+  }
+
+  /** C10: data-type letter -> datyp int. */
+  def datypFromStr(s: Column): Column =
+    Constants.DatypInverse.foldLeft(lit(-1).cast(IntegerType): Column) {
+      case (acc, (letter, code)) => when(s === letter, lit(code))
+        .otherwise(acc)
+    }
+
+  /** C11: plain-hour (ip2, ip3) -> encoded time-interval pair
+    * (high = ip2 hours, low = ip3 hours; coordinate/descriptor records
+    * pass through, /root/reference/fstpy/std_enc.py:163-175).
+    */
+  def encodeTimeInterval(nomvar: Column, ip2: Column, ip3: Column)
+      : (Column, Column) = {
+    val skip = nomvar.isin(">>", "^^", "^>", "!!", "P0", "PT")
+    (when(skip, ip2).otherwise(encodeIp(ip2.cast("float"), lit(10))),
+     when(skip, ip3).otherwise(
+       encodeIp((ip2 - ip3).cast("float"), lit(10))))
+  }
+}

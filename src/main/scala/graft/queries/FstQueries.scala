@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.fixtures.SyntheticCatalog
-import graft.ops.{Decode, IpColumns, Masks, Select, Stats, UnitConvert, VCoord}
+import graft.ops.{Decode, Encode, IpColumns, Masks, Select, Stats, UnitConvert, VCoord}
 import graft.meta.Lookups
 
 /** FST-domain operator queries over the deterministic synthetic record
@@ -208,6 +208,75 @@ object FstQueries {
         .select(col("rid"), col("nomvar"), col("etiket"), col("level"),
           col("ni"), col("nj"), (col("pos") + 1).as("pos"),
           col("col").as("value"))
+    }),
+
+    // C4/C6-C10 encode layer: re-encoding the decoded catalog must
+    // reproduce the original stored columns exactly
+    "f22_encode_roundtrip" -> ((s, dir) => {
+      val d = Decode.decodeMetadata(cat(s, dir)).filter(col("rid") > 0)
+      d.select(col("rid"),
+        Encode.encodeIp(col("level"), col("ip1_kind")).as("ip1_reenc"),
+        Encode.stampFromTimestamp(col("date_of_observation"))
+          .as("dateo_reenc"),
+        Encode.etiketFromParts(col("label"), col("run"),
+          col("implementation"), col("ensemble_member"))
+          .as("etiket_rebuilt"),
+        Encode.datypFromStr(col("data_type_str")).as("datyp_reenc"),
+        Encode.typvar2FromFlags(col("zapped"), col("filtered"),
+          col("interpolated"), col("unit_converted"), col("bounded"),
+          col("ensemble_extra_info"), col("multiple_modifications"))
+          .as("typvar2"),
+        Encode.npasFromForecast(col("forecast_hour"), col("deet"))
+          .as("npas_reenc"))
+    }),
+
+    // C1/C2/C11: encoded time-interval ip2/ip3 decode with v1/v2 swap
+    "f23_interval_decode" -> ((s, dir) => {
+      val ip2Enc = (0 until 5).map(h => graft.core.IpCodec.encode(h * 6f, 10))
+      val ip3Enc = (0 until 5).map(h =>
+        graft.core.IpCodec.encode(math.max(h * 6 - 6, 0).toFloat, 10))
+      val idx = (col("ip2") / 6).cast("int") + 1
+      val base = cat(s, dir).filter(col("rid") > 0)
+        .withColumn("ip3", element_at(array(ip3Enc.map(lit): _*), idx))
+        .withColumn("ip2", element_at(array(ip2Enc.map(lit): _*), idx))
+      Decode.addIpInfo(base).select(
+        "rid", "ip2", "ip3", "ip2_dec", "ip2_kind", "ip3_dec",
+        "ip3_kind", "interval_low", "interval_high", "interval_kind")
+    }),
+
+    // P10/P11: timezone projection + shape struct
+    "f24_shape_timezone" -> ((s, dir) => {
+      val d = Decode.addTimezone(
+        Decode.addShape(Decode.addDecodedDates(cat(s, dir))),
+        "date_of_validity", "America/New_York")
+      d.select(col("rid"), col("shape.ni").as("shape_ni"),
+        col("shape.nj").as("shape_nj"),
+        col("date_of_validity_america_new_york"))
+    }),
+
+    // F1/F2: predicate query + re-attach of accompanying meta records
+    "f25_query_with_meta" -> ((s, dir) => {
+      val g = Decode.addGrid(cat(s, dir))
+      val res = g.filter(col("nomvar") === "GZ")
+      val meta = Select.selectMeta(g)
+      val attached = meta
+        .join(res.select("grid").distinct(), Seq("grid"), "left_semi")
+        .unionByName(meta.filter(col("nomvar") === "HY"))
+        .dropDuplicates("rid")
+      res.unionByName(attached).select("rid", "nomvar", "grid")
+    }),
+
+    // F5/O5: process_hy — singleton HY stamped with the data's grid
+    "f26_process_hy" -> ((s, dir) => {
+      val g = Decode.addGrid(cat(s, dir))
+      val data = g.filter(col("ig1") === 33793 &&
+        !col("nomvar").isin(Select.CleanupMeta: _*))
+      val hy = g.filter(col("nomvar") === "HY").limit(1)
+      val theGrid = data.agg(min("grid").as("stamped_grid"))
+      val hyStamped = hy.drop("grid")
+        .crossJoin(broadcast(theGrid))
+        .withColumn("grid", col("stamped_grid")).drop("stamped_grid")
+      data.unionByName(hyStamped).select("rid", "nomvar", "grid")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -405,5 +474,69 @@ SELECT rid, typvar, CAST(unnest(range(1, len(dd) + 1)) AS INT) AS pos,
         $v1Sql AS level, ni, nj,
         CAST(unnest(range(1, len(d) + 1)) AS INT) AS pos,
         unnest(d) AS value
-      FROM cat WHERE nomvar = 'TT' AND rid > 0"""))
+      FROM cat WHERE nomvar = 'TT' AND rid > 0"""),
+
+    "f22_encode_roundtrip" -> W(
+      """SELECT rid, ip1 AS ip1_reenc, dateo AS dateo_reenc,
+        etiket AS etiket_rebuilt, datyp AS datyp_reenc,
+        CASE WHEN length(typvar) = 2 THEN substring(typvar, 2, 1)
+          ELSE '' END AS typvar2,
+        npas AS npas_reenc
+      FROM cat WHERE rid > 0"""),
+
+    "f23_interval_decode" -> {
+      val ip2l = (0 until 5).map(h => graft.core.IpCodec.encode(h * 6f, 10))
+        .mkString("[", ", ", "]")
+      val ip3l = (0 until 5).map(h =>
+        graft.core.IpCodec.encode(math.max(h * 6 - 6, 0).toFloat, 10))
+        .mkString("[", ", ", "]")
+      val noInt = "('>>', '^^', '^>', '!!', 'HY', 'P0', 'PT')"
+      val k2 = s"(CASE WHEN $RawSql THEN 100 WHEN ip2 >= 32768 " +
+        s"THEN ${IpColumns.decodeKindSql("ip2")} ELSE 10 END)"
+      val v2 = s"(CASE WHEN $RawSql THEN CAST(ip2 AS FLOAT) " +
+        s"ELSE ${IpColumns.decodeValueSql("ip2")} END)"
+      val timeInt = s"(nomvar NOT IN $noInt AND ip3 >= 32768 " +
+        s"AND $k3Sql = $k2)"
+      val heightInt = s"(nomvar NOT IN $noInt AND ip3 >= 32768 " +
+        s"AND NOT ($k3Sql = $k2) AND $k3Sql = $k1Sql)"
+      W(s""", cat2 AS (SELECT rid, nomvar, ip1,
+        CAST(list_extract($ip2l, (ip2 // 6) + 1) AS INT) AS ip2,
+        CAST(list_extract($ip3l, (ip2 // 6) + 1) AS INT) AS ip3
+      FROM cat WHERE rid > 0)
+SELECT rid, ip2, ip3,
+  CASE WHEN $timeInt THEN $v3Sql ELSE $v2 END AS ip2_dec,
+  $k2 AS ip2_kind, $v3Sql AS ip3_dec, $k3Sql AS ip3_kind,
+  CASE WHEN $timeInt THEN $v3Sql
+    WHEN $heightInt THEN $v1Sql END AS interval_low,
+  CASE WHEN $timeInt THEN $v2
+    WHEN $heightInt THEN $v3Sql END AS interval_high,
+  CASE WHEN $timeInt THEN $k2
+    WHEN $heightInt THEN $k1Sql END AS interval_kind
+FROM cat2""")
+    },
+
+    "f24_shape_timezone" -> W(
+      s"""SELECT rid, ni AS shape_ni, nj AS shape_nj,
+        CAST((${IpColumns.stampToTimestampSql("datev")})
+          AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York'
+          AS TIMESTAMP) AS date_of_validity_america_new_york
+      FROM cat"""),
+
+    "f25_query_with_meta" -> W(
+      s""", g AS (SELECT rid, nomvar, ${Decode.gridSql} AS grid FROM cat)
+, res AS (SELECT * FROM g WHERE nomvar = 'GZ')
+, att AS (SELECT DISTINCT rid, nomvar, grid FROM g
+    WHERE nomvar IN ${Select.CleanupMetaSqlList}
+      AND (grid IN (SELECT grid FROM res) OR nomvar = 'HY'))
+SELECT rid, nomvar, grid FROM res
+UNION ALL SELECT rid, nomvar, grid FROM att"""),
+
+    "f26_process_hy" -> W(
+      s""", g AS (SELECT rid, nomvar, ig1, ${Decode.gridSql} AS grid
+    FROM cat)
+, d AS (SELECT * FROM g WHERE ig1 = 33793
+    AND nomvar NOT IN ${Select.CleanupMetaSqlList})
+SELECT rid, nomvar, grid FROM d
+UNION ALL SELECT rid, nomvar, (SELECT min(grid) FROM d) AS grid
+  FROM g WHERE nomvar = 'HY'"""))
 }
