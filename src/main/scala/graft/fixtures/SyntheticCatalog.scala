@@ -11,14 +11,16 @@ import graft.core.{IpCodec, RmnDate}
   * can be driver-verified against a DuckDB oracle at any scale factor.
   *
   * Layout (rid = o_orderkey):
-  *  - three grids, one per vertical-coordinate regime:
+  *  - five grids, one per vertical-coordinate regime:
   *    gid 0 = pressure levels (kind 2, PRESSURE_2001),
   *    gid 1 = sigma levels + P0 (kind 1, SIGMA_1001),
-  *    gid 2 = sigma levels + P0 + PT (kind 1, ETA_1002);
+  *    gid 2 = sigma levels + P0 + PT (kind 1, ETA_1002),
+  *    gid 3 = hybrid levels + P0 + !! vcode 5005 (HYBRID_5005),
+  *    gid 4 = hybrid levels + P0 + HY (kind 5, HYBRID_5001);
   *  - 4 levels, 5 forecast hours, 6 nomvars, 4 typvars, 4 etikets;
   *  - payload d = 4x3 Fortran field, d[k] = (rid%100 + k)/2;
-  *  - 9 literal coordinate/meta rows (>>, ^^ per grid; P0 gid1,2;
-  *    PT gid2) with rid -1..-9.
+  *  - literal coordinate/meta rows (>>, ^^ per grid; P0 gid1-4;
+  *    PT gid2; !! gid3; HY) with negative rids.
   *
   * Schema per FIXTURES.md §1 (= reference BASE_COLUMNS,
   * /root/reference/fstpy/__init__.py:355) plus rid.
@@ -36,11 +38,15 @@ object SyntheticCatalog {
   val Datyps = Seq(5, 1, 133, 134)
   val Nbits = Seq(32, 24, 16, 12)
 
+  /** Level kind per gid: pressure, sigma, sigma(eta), hybrid, hybrid. */
+  val GidKinds: IndexedSeq[Int] = IndexedSeq(2, 1, 1, 5, 5)
+  val NumGrids: Int = GidKinds.length
+
   /** ip1 literal for (gid, lv): index gid*4+lv. */
-  val Ip1: IndexedSeq[Int] = (0 until 3).flatMap { gid =>
+  val Ip1: IndexedSeq[Int] = (0 until NumGrids).flatMap { gid =>
     (0 until 4).map { lv =>
       if (gid == 0) IpCodec.encode(PressureLevels(lv), 2)
-      else IpCodec.encode(SigmaLevels(lv), 1)
+      else IpCodec.encode(SigmaLevels(lv), GidKinds(gid))
     }
   }
 
@@ -81,7 +87,7 @@ object SyntheticCatalog {
       Int, Int, Int, Int, Int, Int, Int, String, Int, Int, Int, Int,
       Long, Seq[Float])] = {
     val gg = (gid: Int) => 33792 + gid
-    val deform = (0 until 3).flatMap { gid =>
+    val deform = (0 until NumGrids).flatMap { gid =>
       Seq(
         (-(gid * 2 + 1).toLong, ">>", "X", "GRID", 4, 1, 1, D0,
           gg(gid), 77761, 0, 0, 0, 5, 32, "E", 900, 0, 43200, 43200, D0,
@@ -90,21 +96,38 @@ object SyntheticCatalog {
           gg(gid), 77761, 0, 0, 0, 5, 32, "E", 900, 0, 43200, 43200, D0,
           Seq(45f, 46f, 47f)))
     }
-    val p0 = (1 to 2).map { gid =>
-      (-(6 + gid).toLong, "P0", "P", "OPERATION", 4, 3, 1, D0,
+    val p0 = (1 to 4).map { gid =>
+      (-(10 + gid).toLong, "P0", "P", "OPERATION", 4, 3, 1, D0,
         0, 0, 0, 0, 0, 5, 32, "Z", gg(gid), 77761, 1, 0, D0,
         (0 until 12).map(k => 1000f + k))
     }
     val pt = Seq(
-      (-9L, "PT", "P", "OPERATION", 4, 3, 1, D0,
+      (-15L, "PT", "P", "OPERATION", 4, 3, 1, D0,
         0, 0, 0, 0, 0, 5, 32, "Z", gg(2), 77761, 1, 0, D0,
         (0 until 12).map(_ => 10f)))
-    // grid-less hybrid descriptor (grid 'None' until process_hy)
+    // !! vcode 5005 for gid 3: payload is the (3 x 6) A/B table —
+    // column j holds (ip1, A, B); slot j=1 carries pref in A
+    // (the reference reads pref = d[1][1] and inner-joins the ip1 row
+    // against the data levels, std_vgrid.py:276-282)
+    val ttFlat: Seq[Float] = {
+      val cols: Seq[(Float, Float, Float)] =
+        Seq((0f, 0f, 0f), (1f, 100000f, 0f)) ++
+          (0 until 4).map { lv =>
+            (Ip1(3 * 4 + lv).toFloat,
+              math.log(SigmaLevels(lv).toDouble * 100000.0).toFloat, 1f)
+          }
+      cols.flatMap { case (a, b, c) => Seq(a, b, c) }
+    }
+    val tt = Seq(
+      (-16L, "!!", "X", "TOCTOC", 3, 6, 1, D0,
+        gg(3), 77761, 0, 0, 0, 5, 32, "X", 5005, 0, 0, 0, D0, ttFlat))
+    // grid-less hybrid descriptor: ptop = d[0] Pa, pref = ig1,
+    // rcoef = ig2/1000 (std_vgrid.py:440-445)
     val hy = Seq(
-      (-10L, "HY", "X", "OPERATION", 1, 1, 1, D0,
-        IpCodec.encode(0.3f, 5), 0, 0, 0, 0, 5, 32, "X", 1900, 5, 0, 0,
-        D0, Seq(0.3f)))
-    deform ++ p0 ++ pt ++ hy
+      (-17L, "HY", "X", "OPERATION", 1, 1, 1, D0,
+        IpCodec.encode(0.3f, 5), 0, 0, 0, 0, 5, 32, "X", 800, 1000, 0,
+        0, D0, Seq(10f)))
+    deform ++ p0 ++ pt ++ tt ++ hy
   }
 
   private def pick(arr: Seq[Any], idx: org.apache.spark.sql.Column) =
@@ -117,7 +140,7 @@ object SyntheticCatalog {
   def catalog(spark: SparkSession, sfDir: String): DataFrame = {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     val rid = col("o_orderkey").cast("long")
-    val gid = pmod(rid, lit(3))
+    val gid = pmod(rid, lit(5))
     val lv = pmod(rid, lit(4))
     val hr = pmod(rid, lit(5)) * 6
     val data = orders.select(
@@ -186,7 +209,7 @@ object SyntheticCatalog {
     list_extract($et, CAST((o_orderkey // 5) % 4 AS INT) + 1) AS etiket,
     4 AS ni, 3 AS nj, 1 AS nk,
     CAST(list_extract($dto, CAST(o_orderkey % 5 AS INT) + 1) AS BIGINT) AS dateo,
-    CAST(list_extract($ip1, CAST((o_orderkey % 3) * 4 + (o_orderkey % 4) AS INT) + 1) AS INT) AS ip1,
+    CAST(list_extract($ip1, CAST((o_orderkey % 5) * 4 + (o_orderkey % 4) AS INT) + 1) AS INT) AS ip1,
     CAST((o_orderkey % 5) * 6 AS INT) AS ip2,
     0 AS ip3,
     300 AS deet,
@@ -194,7 +217,7 @@ object SyntheticCatalog {
     CAST(list_extract($dtp, CAST(o_orderkey % 4 AS INT) + 1) AS INT) AS datyp,
     CAST(list_extract($nbt, CAST(o_orderkey % 4 AS INT) + 1) AS INT) AS nbits,
     'Z' AS grtyp,
-    CAST(33792 + o_orderkey % 3 AS INT) AS ig1,
+    CAST(33792 + o_orderkey % 5 AS INT) AS ig1,
     77761 AS ig2, 1 AS ig3, 0 AS ig4,
     CAST($D0 AS BIGINT) AS datev,
     list_transform(range(0, 12), k -> CAST(CAST(o_orderkey % 100 + k AS DOUBLE) / 2 AS FLOAT)) AS d

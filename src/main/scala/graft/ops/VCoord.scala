@@ -163,6 +163,19 @@ object VCoord {
     val pts = meta.filter(col("nomvar") === "PT").select(
       col("grid").as("t_grid"), col("datev").as("t_datev"),
       col("d").as("pt_d"))
+    // J1: the `!!` A/B table of the grid (column j = (ip1, A, B),
+    // Fortran (3 x nj); pref lives at d[1][1] — std_vgrid.py:276-282)
+    val tts = meta.filter(col("nomvar") === "!!").select(
+      col("grid").as("g_tt"), col("d").as("tt_d"), col("nj").as("tt_nj"))
+    // grid-less HY descriptor: ptop/pref/rcoef (std_vgrid.py:440-445);
+    // the global aggregate always yields one row (nulls when absent)
+    val hyAgg = meta.filter(col("nomvar") === "HY").agg(
+      min(element_at(col("d"), 1)).as("hy_ptop"),
+      min(col("ig1")).as("hy_pref"),
+      min(col("ig2")).as("hy_rc"))
+
+    val HybridToctoc =
+      Seq("HYBRID_5002", "HYBRID_5003", "HYBRID_5004", "HYBRID_5005")
 
     val joined = levels
       .join(reps, Seq("grid", "vctype", "datev"))
@@ -170,13 +183,37 @@ object VCoord {
         col("datev") === col("p_datev"), "left")
       .join(pts, col("grid") === col("t_grid") &&
         col("datev") === col("t_datev"), "left")
+      .join(tts, col("grid") === col("g_tt"), "left")
+      .crossJoin(broadcast(hyAgg))
+      .withColumn("jidx", coalesce(array_position(
+        transform(sequence(lit(0), col("tt_nj") - 1),
+          j => element_at(col("tt_d"), (j * 3 + 1).cast("int"))
+            .cast("int")),
+        col("ip1")), lit(0L)))
       .filter(
         (col("vctype") === "SIGMA_1001" && col("p0_d").isNotNull) ||
         (col("vctype") === "ETA_1002" && col("p0_d").isNotNull &&
           col("pt_d").isNotNull) ||
+        (col("vctype") === "HYBRID_5001" && col("p0_d").isNotNull &&
+          col("hy_pref").isNotNull) ||
+        (col("vctype").isin(HybridToctoc: _*) &&
+          col("p0_d").isNotNull && col("tt_d").isNotNull &&
+          col("jidx") > 0) ||
         (col("vctype") === "PRESSURE_2001"))
 
     val lvlD = col("level").cast("double")
+    // hybrid 5001 coefficients (std_vgrid.py:464-476)
+    val etatop = col("hy_ptop").cast("double") / col("hy_pref")
+    val rcoef = col("hy_rc").cast("double") / lit(1000.0)
+    val bb5001 = pow((lvlD - etatop) / (lit(1.0) - etatop), rcoef)
+    val aa5001 = col("hy_pref") * (lvlD - bb5001)
+    // hybrid 5002-5005 table coefficients (std_vgrid.py:276-295)
+    val aTab = element_at(col("tt_d"),
+      ((col("jidx") - 1) * 3 + 2).cast("int")).cast("double")
+    val bTab = element_at(col("tt_d"),
+      ((col("jidx") - 1) * 3 + 3).cast("int")).cast("double")
+    val prefTab = element_at(col("tt_d"), 5).cast("double")
+
     val dCol =
       if (!standardAtmosphere)
         when(col("vctype") === "SIGMA_1001",
@@ -186,9 +223,21 @@ object VCoord {
           zip_with(col("p0_d"), col("pt_d"), (a, b) =>
             (lvlD * (a.cast("double") - b.cast("double")) +
               b.cast("double")).cast("float")))
+        .when(col("vctype") === "HYBRID_5001",
+          transform(col("p0_d"),
+            x => (aa5001 + bb5001 * x.cast("double")).cast("float")))
+        .when(col("vctype").isin(HybridToctoc: _*),
+          transform(col("p0_d"), x =>
+            (exp(aTab + bTab * log(x.cast("double") * 100 / prefTab))
+              / 100).cast("float")))
         .otherwise(array_repeat(col("level"),
           (col("ni") * col("nj")).cast("int")))
-      else
+      else {
+        val term0 = etatop
+        val term4 = lvlD - term0
+        val term6 = pow(
+          when(term4 < 0, lit(0.0)).otherwise(term4) *
+            (lit(1.0) / (lit(1.0) - term0)), rcoef)
         when(col("vctype") === "SIGMA_1001",
           transform(col("p0_d"),
             _ => (lvlD * lit(StandardAtmosphere)).cast("float")))
@@ -196,8 +245,18 @@ object VCoord {
           zip_with(col("p0_d"), col("pt_d"), (_, b) =>
             (b.cast("double") * (lit(1.0) - lvlD) +
               lvlD * lit(StandardAtmosphere)).cast("float")))
+        .when(col("vctype") === "HYBRID_5001",
+          transform(col("p0_d"), _ =>
+            (col("hy_pref") * (lvlD - term6) +
+              term6 * lit(StandardAtmosphere)).cast("float")))
+        .when(col("vctype").isin(HybridToctoc: _*),
+          transform(col("p0_d"), _ =>
+            (exp(aTab + bTab *
+              log(lit(StandardAtmosphere * 100.0) / prefTab))
+              / 100).cast("float")))
         .otherwise(array_repeat(col("level"),
           (col("ni") * col("nj")).cast("int")))
+      }
 
     joined.select(
       lit(if (standardAtmosphere) "PXSA" else "PX").as("nomvar"),

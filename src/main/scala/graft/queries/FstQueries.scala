@@ -426,30 +426,67 @@ SELECT rid, nomvar, unit, unit_converted,
 , p0 AS (SELECT grid, datev, d AS p0_d, nbits AS p0_nbits,
     datyp AS p0_datyp FROM vmeta WHERE nomvar = 'P0')
 , pt AS (SELECT grid, datev, d AS pt_d FROM vmeta WHERE nomvar = 'PT')
-, px AS (SELECT lv2.grid, lv2.vctype, lv2.datev, lv2.ip1, lv2.level,
-    reps.typvar, reps.dateo, reps.ip2,
-    CASE WHEN lv2.vctype = 'PRESSURE_2001' THEN 5 ELSE p0.p0_datyp END
-      AS datyp,
-    CASE WHEN lv2.vctype = 'PRESSURE_2001' THEN 32 ELSE p0.p0_nbits END
-      AS nbits,
-    CASE WHEN lv2.vctype = 'SIGMA_1001' THEN
-        list_transform(p0.p0_d, x -> CAST(CAST(lv2.level AS DOUBLE)
-          * CAST(x AS DOUBLE) AS FLOAT))
-      WHEN lv2.vctype = 'ETA_1002' THEN
-        list_transform(range(1, len(p0.p0_d) + 1), i ->
-          CAST(CAST(lv2.level AS DOUBLE)
-            * (CAST(p0.p0_d[i] AS DOUBLE) - CAST(pt.pt_d[i] AS DOUBLE))
-            + CAST(pt.pt_d[i] AS DOUBLE) AS FLOAT))
-      ELSE list_transform(range(0, reps.ni * reps.nj), x -> lv2.level)
-    END AS d
+, ttm AS (SELECT grid AS g_tt, d AS tt_d, nj AS tt_nj FROM vmeta
+    WHERE nomvar = '!!')
+, hym AS (SELECT min(d[1]) AS hy_ptop, min(ig1) AS hy_pref,
+    min(ig2) AS hy_rc FROM vmeta WHERE nomvar = 'HY')
+, px0 AS (SELECT lv2.grid, lv2.vctype, lv2.datev, lv2.ip1, lv2.level,
+    reps.typvar, reps.dateo, reps.ip2, reps.ni, reps.nj,
+    p0.p0_d, p0.p0_nbits, p0.p0_datyp, pt.pt_d,
+    ttm.tt_d, ttm.tt_nj, hym.hy_ptop, hym.hy_pref, hym.hy_rc,
+    coalesce(list_position(list_transform(range(0, ttm.tt_nj),
+      j -> CAST(ttm.tt_d[CAST(j * 3 + 1 AS INT)] AS INT)), lv2.ip1),
+      0) AS jidx
   FROM lv2 JOIN reps ON lv2.grid = reps.grid
     AND lv2.vctype = reps.vctype AND lv2.datev = reps.datev
   LEFT JOIN p0 ON lv2.grid = p0.grid AND lv2.datev = p0.datev
   LEFT JOIN pt ON lv2.grid = pt.grid AND lv2.datev = pt.datev
-  WHERE (lv2.vctype = 'SIGMA_1001' AND p0.p0_d IS NOT NULL)
-    OR (lv2.vctype = 'ETA_1002' AND p0.p0_d IS NOT NULL
-      AND pt.pt_d IS NOT NULL)
-    OR lv2.vctype = 'PRESSURE_2001')
+  LEFT JOIN ttm ON lv2.grid = ttm.g_tt
+  CROSS JOIN hym)
+, px AS (SELECT grid, vctype, datev, ip1, level, typvar, dateo, ip2,
+    CASE WHEN vctype = 'PRESSURE_2001' THEN 5 ELSE p0_datyp END
+      AS datyp,
+    CASE WHEN vctype = 'PRESSURE_2001' THEN 32 ELSE p0_nbits END
+      AS nbits,
+    CASE WHEN vctype = 'SIGMA_1001' THEN
+        list_transform(p0_d, x -> CAST(CAST(level AS DOUBLE)
+          * CAST(x AS DOUBLE) AS FLOAT))
+      WHEN vctype = 'ETA_1002' THEN
+        list_transform(range(1, len(p0_d) + 1), i ->
+          CAST(CAST(level AS DOUBLE)
+            * (CAST(p0_d[i] AS DOUBLE) - CAST(pt_d[i] AS DOUBLE))
+            + CAST(pt_d[i] AS DOUBLE) AS FLOAT))
+      WHEN vctype = 'HYBRID_5001' THEN
+        list_transform(p0_d, x -> CAST(
+          hy_pref * (CAST(level AS DOUBLE) -
+            pow((CAST(level AS DOUBLE)
+              - CAST(hy_ptop AS DOUBLE) / hy_pref)
+              / (1.0 - CAST(hy_ptop AS DOUBLE) / hy_pref),
+              CAST(hy_rc AS DOUBLE) / 1000.0))
+          + pow((CAST(level AS DOUBLE)
+              - CAST(hy_ptop AS DOUBLE) / hy_pref)
+              / (1.0 - CAST(hy_ptop AS DOUBLE) / hy_pref),
+              CAST(hy_rc AS DOUBLE) / 1000.0)
+            * CAST(x AS DOUBLE) AS FLOAT))
+      WHEN vctype IN ('HYBRID_5002', 'HYBRID_5003', 'HYBRID_5004',
+          'HYBRID_5005') THEN
+        list_transform(p0_d, x -> CAST(
+          exp(CAST(tt_d[CAST((jidx - 1) * 3 + 2 AS INT)] AS DOUBLE)
+            + CAST(tt_d[CAST((jidx - 1) * 3 + 3 AS INT)] AS DOUBLE)
+              * ln(CAST(x AS DOUBLE) * 100
+                / CAST(tt_d[5] AS DOUBLE))) / 100 AS FLOAT))
+      ELSE list_transform(range(0, ni * nj), x -> level)
+    END AS d
+  FROM px0
+  WHERE (vctype = 'SIGMA_1001' AND p0_d IS NOT NULL)
+    OR (vctype = 'ETA_1002' AND p0_d IS NOT NULL
+      AND pt_d IS NOT NULL)
+    OR (vctype = 'HYBRID_5001' AND p0_d IS NOT NULL
+      AND hy_pref IS NOT NULL)
+    OR (vctype IN ('HYBRID_5002', 'HYBRID_5003', 'HYBRID_5004',
+        'HYBRID_5005') AND p0_d IS NOT NULL AND tt_d IS NOT NULL
+      AND jidx > 0)
+    OR vctype = 'PRESSURE_2001')
 SELECT grid, vctype, datev, ip1, level, typvar, dateo, ip2, datyp,
   nbits, CAST(unnest(range(1, len(d) + 1)) AS INT) AS pos,
   unnest(d) AS value FROM px"""),
