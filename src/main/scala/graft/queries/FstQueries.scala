@@ -277,6 +277,49 @@ object FstQueries {
         .crossJoin(broadcast(theGrid))
         .withColumn("grid", col("stamped_grid")).drop("stamped_grid")
       data.unionByName(hyStamped).select("rid", "nomvar", "grid")
+    }),
+
+    // S1-S5/S8: binary standard-file write -> DataSource V2 read
+    // round-trip (directory-word codec, lazy payload column)
+    "f27_fst_roundtrip" -> ((s, dir) => {
+      val base = cat(s, dir)
+        .filter(col("nomvar") === "UU" && col("rid") > 0)
+        .withColumn("ip3", col("rid").cast("int"))
+      val path =
+        s"/tmp/graft_fst_roundtrip_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      graft.sources.fst.FstWriter.write(base, path, cleanup = false)
+      s.read.format("fstrec").load(path)
+        .select(col("ip3").as("rid"), col("nomvar"), col("typvar"),
+          col("etiket"), col("ni"), col("nj"), col("dateo"),
+          col("datev"), col("ip1"), col("ip2"), col("deet"),
+          col("npas"), col("datyp"), col("nbits"), col("grtyp"),
+          col("ig1"), col("ig2"), col("ig3"), col("ig4"),
+          posexplode(col("d")))
+        .select(col("rid"), col("nomvar"), col("typvar"), col("etiket"),
+          col("ni"), col("nj"), col("dateo"), col("datev"), col("ip1"),
+          col("ip2"), col("deet"), col("npas"), col("datyp"),
+          col("nbits"), col("grtyp"), col("ig1"), col("ig2"),
+          col("ig3"), col("ig4"), (col("pos") + 1).as("pos"),
+          col("col").as("value"))
+    }),
+
+    // F1 pushdown on the binary source: metadata-only projection with
+    // a filter evaluated on directory entries before any payload read
+    "f28_fst_pushdown" -> ((s, dir) => {
+      val path =
+        s"/tmp/graft_fst_roundtrip_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      // reuses the files written by f27 (map ordering guarantees f27
+      // runs first); re-write defensively if absent
+      if (!new java.io.File(path).exists()) {
+        val base = cat(s, dir)
+          .filter(col("nomvar") === "UU" && col("rid") > 0)
+          .withColumn("ip3", col("rid").cast("int"))
+        graft.sources.fst.FstWriter.write(base, path, cleanup = false)
+      }
+      s.read.format("fstrec").load(path)
+        .filter(col("ip2") >= 12 && col("datyp") === 1)
+        .select(col("ip3").as("rid"), col("ip1"), col("ip2"),
+          col("datyp"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -575,5 +618,18 @@ UNION ALL SELECT rid, nomvar, grid FROM att"""),
     AND nomvar NOT IN ${Select.CleanupMetaSqlList})
 SELECT rid, nomvar, grid FROM d
 UNION ALL SELECT rid, nomvar, (SELECT min(grid) FROM d) AS grid
-  FROM g WHERE nomvar = 'HY'"""))
+  FROM g WHERE nomvar = 'HY'"""),
+
+    "f27_fst_roundtrip" -> W(
+      """SELECT CAST(rid AS INT) AS rid, nomvar, typvar, etiket, ni, nj,
+        dateo, datev, ip1, ip2, deet, npas, datyp, nbits, grtyp,
+        ig1, ig2, ig3, ig4,
+        CAST(unnest(range(1, len(d) + 1)) AS INT) AS pos,
+        unnest(d) AS value
+      FROM cat WHERE nomvar = 'UU' AND rid > 0"""),
+
+    "f28_fst_pushdown" -> W(
+      """SELECT CAST(rid AS INT) AS rid, ip1, ip2, datyp
+      FROM cat WHERE nomvar = 'UU' AND rid > 0 AND ip2 >= 12
+        AND datyp = 1"""))
 }

@@ -1,0 +1,238 @@
+package graft.sources.fst
+
+import java.util
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import scala.jdk.CollectionConverters._
+
+/** S1-S5: DataSource V2 for the standard-record binary format.
+  *
+  * `spark.read.format("fstrec").load(dir)` plans one input partition
+  * per file; the reader does a METADATA-ONLY directory scan first
+  * (S2), evaluates pushed filters on directory entries (F1 pushdown,
+  * SupportsPushDownFilters), and decodes payloads only when `d` is in
+  * the required schema (S3/S4 lazy payload via
+  * SupportsPushDownRequiredColumns). `path`/`key` scan columns are
+  * exposed like the reference's transient columns
+  * (/root/reference/fstpy/std_io.py:729,798-810).
+  */
+class FstDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "fstrec"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FstTable.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new FstTable(properties.get("path"))
+}
+
+object FstTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("nomvar", StringType), StructField("typvar", StringType),
+    StructField("etiket", StringType), StructField("ni", IntegerType),
+    StructField("nj", IntegerType), StructField("nk", IntegerType),
+    StructField("dateo", LongType), StructField("ip1", IntegerType),
+    StructField("ip2", IntegerType), StructField("ip3", IntegerType),
+    StructField("deet", IntegerType), StructField("npas", IntegerType),
+    StructField("datyp", IntegerType), StructField("nbits", IntegerType),
+    StructField("grtyp", StringType), StructField("ig1", IntegerType),
+    StructField("ig2", IntegerType), StructField("ig3", IntegerType),
+    StructField("ig4", IntegerType), StructField("datev", LongType),
+    StructField("path", StringType), StructField("key", IntegerType),
+    StructField("d", ArrayType(FloatType))))
+}
+
+class FstTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"fstrec($path)"
+  override def schema(): StructType = FstTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new FstScanBuilder(path)
+}
+
+class FstScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  private var required: StructType = FstTable.Schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // accept metadata-column filters for early evaluation; return all
+    // filters so Spark re-checks them (safe double evaluation)
+    pushed = filters.filter(FstFilters.supported)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new FstScan(path, required, pushed)
+}
+
+class FstScan(path: String, required: StructType,
+              pushed: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val fs = FileSystem.get(new java.net.URI(path),
+      new Configuration())
+    val p = new Path(path)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
+          .filterNot(_.contains("_SUCCESS")).sorted
+      else Array(path)
+    files.map(f => FstInputPartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FstReaderFactory(required, pushed)
+}
+
+case class FstInputPartition(file: String) extends InputPartition
+
+class FstReaderFactory(required: StructType, pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[FstInputPartition].file
+    new FstPartitionReader(file, required, pushed)
+  }
+}
+
+class FstPartitionReader(file: String, required: StructType,
+                         pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val bytes: Array[Byte] = {
+    val fs = FileSystem.get(new java.net.URI(file), new Configuration())
+    val st = fs.getFileStatus(new Path(file))
+    val buf = new Array[Byte](st.getLen.toInt)
+    val in = fs.open(new Path(file))
+    try in.readFully(0, buf) finally in.close()
+    buf
+  }
+
+  private val needPayload = required.fieldNames.contains("d")
+  private val entries = FstFormat.readDirectory(bytes).zipWithIndex
+    .filter { case (m, key) =>
+      pushed.forall(f => FstFilters.eval(f, m, file, key))
+    }.iterator
+  private var current: (FstFormat.Meta, Int) = _
+
+  override def next(): Boolean = {
+    if (entries.hasNext) { current = entries.next(); true } else false
+  }
+
+  override def get(): InternalRow = {
+    val (m, key) = current
+    val values: Array[Any] = required.fieldNames.map {
+      case "nomvar" => UTF8String.fromString(m.nomvar)
+      case "typvar" => UTF8String.fromString(m.typvar)
+      case "etiket" => UTF8String.fromString(m.etiket)
+      case "ni" => m.ni
+      case "nj" => m.nj
+      case "nk" => m.nk
+      case "dateo" => m.dateo
+      case "ip1" => m.ip1
+      case "ip2" => m.ip2
+      case "ip3" => m.ip3
+      case "deet" => m.deet
+      case "npas" => m.npas
+      case "datyp" => m.datyp
+      case "nbits" => m.nbits
+      case "grtyp" => UTF8String.fromString(m.grtyp)
+      case "ig1" => m.ig1
+      case "ig2" => m.ig2
+      case "ig3" => m.ig3
+      case "ig4" => m.ig4
+      case "datev" => m.datev
+      case "path" => UTF8String.fromString(file)
+      case "key" => key << 10 // MAKE_RND_HANDLE-style record handle
+      case "d" =>
+        // payload decoded only on demand (lazy column)
+        ArrayData.toArrayData(FstFormat.readPayload(bytes, m))
+      case other => throw new IllegalArgumentException(other)
+    }
+    InternalRow.fromSeq(values.toSeq)
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Early filter evaluation over directory entries. */
+object FstFilters {
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => metaCol(a)
+    case In(a, _) => metaCol(a)
+    case GreaterThan(a, _) => metaCol(a)
+    case GreaterThanOrEqual(a, _) => metaCol(a)
+    case LessThan(a, _) => metaCol(a)
+    case LessThanOrEqual(a, _) => metaCol(a)
+    case IsNotNull(a) => metaCol(a)
+    case And(l, r) => supported(l) && supported(r)
+    case Or(l, r) => supported(l) && supported(r)
+    case Not(c) => supported(c)
+    case _ => false
+  }
+
+  private def metaCol(a: String): Boolean = a != "d"
+
+  private def value(m: FstFormat.Meta, file: String, key: Int,
+                    a: String): Any = a match {
+    case "nomvar" => m.nomvar
+    case "typvar" => m.typvar
+    case "etiket" => m.etiket
+    case "ni" => m.ni
+    case "nj" => m.nj
+    case "nk" => m.nk
+    case "dateo" => m.dateo
+    case "ip1" => m.ip1
+    case "ip2" => m.ip2
+    case "ip3" => m.ip3
+    case "deet" => m.deet
+    case "npas" => m.npas
+    case "datyp" => m.datyp
+    case "nbits" => m.nbits
+    case "grtyp" => m.grtyp
+    case "ig1" => m.ig1
+    case "ig2" => m.ig2
+    case "ig3" => m.ig3
+    case "ig4" => m.ig4
+    case "datev" => m.datev
+    case "path" => file
+    case "key" => key << 10
+  }
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: Number, y: Number) =>
+      java.lang.Long.compare(x.longValue(), y.longValue())
+    case _ => throw new IllegalArgumentException(s"cmp($a, $b)")
+  }
+
+  def eval(f: Filter, m: FstFormat.Meta, file: String, key: Int)
+      : Boolean = f match {
+    case EqualTo(a, v) => cmp(value(m, file, key, a), v) == 0
+    case In(a, vs) => vs.exists(v => cmp(value(m, file, key, a), v) == 0)
+    case GreaterThan(a, v) => cmp(value(m, file, key, a), v) > 0
+    case GreaterThanOrEqual(a, v) => cmp(value(m, file, key, a), v) >= 0
+    case LessThan(a, v) => cmp(value(m, file, key, a), v) < 0
+    case LessThanOrEqual(a, v) => cmp(value(m, file, key, a), v) <= 0
+    case IsNotNull(_) => true
+    case And(l, r) => eval(l, m, file, key) && eval(r, m, file, key)
+    case Or(l, r) => eval(l, m, file, key) || eval(r, m, file, key)
+    case Not(c) => !eval(c, m, file, key)
+    case _ => true
+  }
+}

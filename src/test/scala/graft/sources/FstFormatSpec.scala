@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.fst.FstFormat
+import graft.sources.fst.FstFormat.Meta
+
+class FstFormatSpec extends AnyFunSuite {
+
+  private val m = Meta("TT", "P", "R1_V710_N", 4, 3, 1, 0L,
+    41394464, 12, 0, 300, 144, 5, 32, "Z", 33792, 77761, 1, 0,
+    442998800L, 0, 0)
+
+  test("directory entry pack/unpack round-trip") {
+    val d = (0 until 12).map(_.toFloat).toArray
+    val img = FstFormat.writeFile(Seq((m, d)))
+    assert(FstFormat.maybeFst(img))
+    val dir = FstFormat.readDirectory(img)
+    assert(dir.size == 1)
+    val got = dir.head
+    assert(got.nomvar == "TT" && got.typvar == "P" &&
+      got.etiket == "R1_V710_N")
+    assert(got.ni == 4 && got.nj == 3 && got.nk == 1)
+    assert(got.ip1 == m.ip1 && got.ip2 == 12 && got.ip3 == 0)
+    assert(got.deet == 300 && got.npas == 144)
+    assert(got.datyp == 5 && got.nbits == 32 && got.grtyp == "Z")
+    assert(got.ig1 == 33792 && got.ig2 == 77761 && got.ig3 == 1 &&
+      got.ig4 == 0)
+    assert(got.datev == 442998800L)
+    // dateo reconstructed: datev - deet*npas seconds (300*144 = 12 h)
+    val expectDateo = graft.core.RmnDate.dateoFromDatev(442998800L, 300, 144)
+    assert(got.dateo == expectDateo)
+    assert(FstFormat.readPayload(img, got).sameElements(d))
+  }
+
+  test("odd-length payload survives the 64-bit-word lng rounding") {
+    val odd = m.copy(nomvar = "^^", ni = 1, nj = 3)
+    val d = Array(45f, 46f, 47f)
+    val img = FstFormat.writeFile(Seq((odd, d)))
+    val got = FstFormat.readDirectory(img).head
+    assert(FstFormat.readPayload(img, got).sameElements(d))
+  }
+
+  test("multiple records with alignment") {
+    val recs = (0 until 5).map { i =>
+      (m.copy(ip3 = i, ni = 1, nj = 3), Array(i.toFloat, 1f, 2f))
+    }
+    val img = FstFormat.writeFile(recs)
+    val dir = FstFormat.readDirectory(img)
+    assert(dir.map(_.ip3) == (0 until 5))
+    dir.zipWithIndex.foreach { case (e, i) =>
+      assert(FstFormat.readPayload(img, e).head == i.toFloat)
+    }
+  }
+
+  test("non-FST bytes are rejected") {
+    assert(!FstFormat.maybeFst(Array.fill[Byte](32)(7)))
+    intercept[IllegalArgumentException] {
+      FstFormat.readDirectory(Array.fill[Byte](32)(7))
+    }
+  }
+
+  test("ig2 is split/reassembled across three directory words") {
+    val big = m.copy(ig2 = 0xABCDEF, ni = 1, nj = 1)
+    val img = FstFormat.writeFile(Seq((big, Array(1f))))
+    assert(FstFormat.readDirectory(img).head.ig2 == 0xABCDEF)
+  }
+}
