@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** G5/§1.5: xarray-style cube assembly — pivot the record catalog into
+  * dense (level, i, j) cubes per (grid, nomvar, ip1_kind)
+  * (/root/reference/fstpy/xarray_utils.py:10-77).
+  *
+  * One representative record per level (minimum rid) feeds
+  * `sort_array(collect_list(struct(level, d)))`; the flattened result
+  * is the Fortran-ordered cube. The collect_list is bounded by
+  * levels-per-variable (tens), not by catalog size — safe at scale.
+  */
+object Cubes {
+
+  def toCube(df: DataFrame): DataFrame = {
+    val g0 = if (df.columns.contains("grid")) df else Decode.addGrid(df)
+    val g = if (g0.columns.contains("level")) g0 else Decode.addIpInfo(g0)
+    val data = g.filter(!col("nomvar").isin(VCoord.VcMeta: _*))
+    val w = Window.partitionBy("grid", "nomvar", "ip1_kind", "level")
+      .orderBy("rid")
+    val picked = data.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    picked.groupBy("grid", "nomvar", "ip1_kind")
+      .agg(sort_array(collect_list(struct(col("level"), col("d"))))
+        .as("layers"))
+      .select(col("grid"), col("nomvar"), col("ip1_kind"),
+        size(col("layers")).as("n_levels"),
+        transform(col("layers"), l => l.getField("level")).as("levels"),
+        flatten(transform(col("layers"), l => l.getField("d")))
+          .as("cube"))
+  }
+}

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Grid/geo kernels.
+  *
+  * M14 (Z-grid path): 2D LA/LO records generated from the grid's
+  * `>>` (longitude axis, ni x 1) and `^^` (latitude axis, 1 x nj)
+  * deformation records (/root/reference/fstpy/std_grid.py:128-203) —
+  * the 2D field is the axis outer product in Fortran order.
+  *
+  * M15: is_global_grid / longitude-repetition classification
+  * (/root/reference/fstpy/std_grid.py:208-270) with the reference's
+  * epsilon comparisons (C16, std_grid.py:272-282).
+  */
+object Grids {
+
+  /** Emit LA and LO records (2D lat/lon) for every grid that has both
+    * deformation records.
+    */
+  def latLon2d(df: DataFrame): DataFrame = {
+    val g = if (df.columns.contains("grid")) df else Decode.addGrid(df)
+    val lon = g.filter(col("nomvar") === ">>").select(
+      col("grid"), col("d").as("lon_ax"), col("ni").as("g_ni"))
+    val lat = g.filter(col("nomvar") === "^^").select(
+      col("grid").as("lat_grid"), col("d").as("lat_ax"),
+      col("nj").as("g_nj"))
+    val joined = lon.join(lat, col("grid") === col("lat_grid"))
+    val ks = sequence(lit(0), col("g_ni") * col("g_nj") - 1)
+    val la = joined.select(col("grid"), lit("LA").as("nomvar"),
+      col("g_ni").as("ni"), col("g_nj").as("nj"),
+      transform(ks, k => element_at(col("lat_ax"),
+        (k / col("g_ni")).cast("int") + 1)).as("d"))
+    val lo = joined.select(col("grid"), lit("LO").as("nomvar"),
+      col("g_ni").as("ni"), col("g_nj").as("nj"),
+      transform(ks, k => element_at(col("lon_ax"),
+        pmod(k, col("g_ni")).cast("int") + 1)).as("d"))
+    la.unionByName(lo)
+  }
+
+  val Epsilon = 0.001
+
+  private def eq(a: Column, b: Column): Column =
+    abs(a - b) <= Epsilon
+  private def ge(a: Column, b: Column): Column =
+    (a > b) || eq(a, b)
+  private def le(a: Column, b: Column): Column =
+    (a < b) || eq(a, b)
+  private def ltS(a: Column, b: Column): Column =
+    (a < b) && !eq(a, b)
+
+  /** (global_grid, repetition) per the reference's rule table. Inputs:
+    * grtyp, ni, dlon (L grids), first/last longitude of the flattened
+    * axis (Z/L grids).
+    */
+  def isGlobalGrid(grtyp: Column, ni: Column, dlon: Column,
+                   lonFirst: Column, lonLast: Column)
+      : (Column, Column) = {
+    val nb = ni.cast("double") * dlon
+    val lFmodNonZero = lit(360.0) % dlon =!= 0.0
+    val global =
+      when(grtyp.isin("A", "G"), lit(true))
+        .when(grtyp === "B", lit(true))
+        .when(grtyp === "Z", eq(lonFirst, lonLast))
+        .when(grtyp === "L" && lFmodNonZero,
+          ge(nb, lit(360.0)) && !le(lonLast, nb + dlon - 360.0) &&
+            ltS(lonLast, lit(360.0)))
+        .when(grtyp === "L", eq(nb, lit(360.0)) ||
+          eq(nb, lit(360.0) + dlon))
+        .otherwise(lit(false))
+    val repetition =
+      when(grtyp === "B", lit(true))
+        .when(grtyp === "Z", eq(lonFirst, lonLast))
+        .when(grtyp === "L" && lFmodNonZero,
+          ge(nb, lit(360.0)) && le(lonLast, nb + dlon - 360.0))
+        .when(grtyp === "L", eq(nb, lit(360.0) + dlon))
+        .otherwise(lit(false))
+    (global, repetition)
+  }
+
+  /** DuckDB twins of [[isGlobalGrid]]. */
+  def isGlobalGridSql(grtyp: String, ni: String, dlon: String,
+                      lonFirst: String, lonLast: String)
+      : (String, String) = {
+    val e = Epsilon
+    def eqs(a: String, b: String) = s"(abs(($a) - ($b)) <= $e)"
+    def ges(a: String, b: String) = s"((($a) > ($b)) OR ${eqs(a, b)})"
+    def les(a: String, b: String) = s"((($a) < ($b)) OR ${eqs(a, b)})"
+    def lts(a: String, b: String) =
+      s"((($a) < ($b)) AND NOT ${eqs(a, b)})"
+    val nb = s"(CAST($ni AS DOUBLE) * $dlon)"
+    val nz = s"(fmod(360.0, $dlon) <> 0.0)"
+    val global =
+      s"""(CASE WHEN $grtyp IN ('A', 'G') THEN TRUE
+        WHEN $grtyp = 'B' THEN TRUE
+        WHEN $grtyp = 'Z' THEN ${eqs(lonFirst, lonLast)}
+        WHEN $grtyp = 'L' AND $nz THEN (${ges(nb, "360.0")}
+          AND NOT ${les(lonLast, s"$nb + $dlon - 360.0")}
+          AND ${lts(lonLast, "360.0")})
+        WHEN $grtyp = 'L' THEN (${eqs(nb, "360.0")}
+          OR ${eqs(nb, s"360.0 + $dlon")})
+        ELSE FALSE END)"""
+    val rep =
+      s"""(CASE WHEN $grtyp = 'B' THEN TRUE
+        WHEN $grtyp = 'Z' THEN ${eqs(lonFirst, lonLast)}
+        WHEN $grtyp = 'L' AND $nz THEN (${ges(nb, "360.0")}
+          AND ${les(lonLast, s"$nb + $dlon - 360.0")})
+        WHEN $grtyp = 'L' THEN ${eqs(nb, s"360.0 + $dlon")}
+        ELSE FALSE END)"""
+    (global, rep)
+  }
+}

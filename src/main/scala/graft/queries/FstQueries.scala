@@ -320,6 +320,41 @@ object FstQueries {
         .filter(col("ip2") >= 12 && col("datyp") === 1)
         .select(col("ip3").as("rid"), col("ip1"), col("ip2"),
           col("datyp"))
+    }),
+
+    // G5/§1.5: xarray-style cube assembly digest
+    "f29_cube_export" -> ((s, dir) => {
+      val c = graft.ops.Cubes.toCube(cat(s, dir))
+      c.select(col("grid"), col("nomvar"), col("ip1_kind"),
+        col("n_levels"), size(col("cube")).as("cube_len"),
+        element_at(col("levels"), 1).as("first_level"),
+        element_at(col("levels"), -1).as("last_level"),
+        aggregate(col("cube"), lit(0.0),
+          (a, x) => a + x.cast("double")).as("cube_sum"))
+    }),
+
+    // M14 (Z-grid path): LA/LO generation from deformation records
+    "f30_latlon_2d" -> ((s, dir) =>
+      graft.ops.Grids.latLon2d(cat(s, dir))
+        .select(col("grid"), col("nomvar"), col("ni"), col("nj"),
+          posexplode(col("d")))
+        .select(col("grid"), col("nomvar"), col("ni"), col("nj"),
+          (col("pos") + 1).as("pos"), col("col").as("value"))),
+
+    // M15/C16: global-grid classification rule table
+    "f31_global_grid" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Seq(
+        ("A", 10, 1.0, 0.0, 350.0), ("B", 10, 1.0, 0.0, 350.0),
+        ("G", 10, 1.0, 0.0, 350.0), ("Z", 4, 1.0, 10.0, 40.0),
+        ("Z", 4, 1.0, 10.0, 10.0), ("L", 360, 1.0, 0.0, 359.0),
+        ("L", 361, 1.0, 0.0, 360.0), ("L", 520, 0.7, 0.0, 3.5),
+        ("L", 520, 0.7, 0.0, 359.0), ("L", 100, 0.7, 0.0, 69.3))
+        .toDF("grtyp", "g_ni", "dlon", "lon_first", "lon_last")
+      val (g, r) = graft.ops.Grids.isGlobalGrid(col("grtyp"),
+        col("g_ni"), col("dlon"), col("lon_first"), col("lon_last"))
+      rows.select(col("grtyp"), col("g_ni"), col("dlon"),
+        col("lon_last"), g.as("global_grid"), r.as("repetition"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -631,5 +666,58 @@ UNION ALL SELECT rid, nomvar, (SELECT min(grid) FROM d) AS grid
     "f28_fst_pushdown" -> W(
       """SELECT CAST(rid AS INT) AS rid, ip1, ip2, datyp
       FROM cat WHERE nomvar = 'UU' AND rid > 0 AND ip2 >= 12
-        AND datyp = 1"""))
+        AND datyp = 1"""),
+
+    "f29_cube_export" -> W(
+      s""", g AS (SELECT *, ${Decode.gridSql} AS grid,
+        $k1Sql AS ip1_kind, $v1Sql AS level FROM cat)
+, dd AS (SELECT * FROM g WHERE nomvar NOT IN
+    ${VCoord.VcMeta.map(x => s"'$x'").mkString("(", ", ", ")")})
+, picked AS (SELECT * FROM (SELECT *, row_number() OVER
+    (PARTITION BY grid, nomvar, ip1_kind, level ORDER BY rid) AS rn
+    FROM dd) t WHERE rn = 1)
+SELECT grid, nomvar, ip1_kind,
+  CAST(count(*) AS INT) AS n_levels,
+  CAST(len(flatten(list(d ORDER BY level))) AS INT) AS cube_len,
+  min(level) AS first_level, max(level) AS last_level,
+  list_reduce(list_transform(flatten(list(d ORDER BY level)),
+    x -> CAST(x AS DOUBLE)), (a, b) -> a + b) AS cube_sum
+FROM picked GROUP BY 1, 2, 3"""),
+
+    "f30_latlon_2d" -> W(
+      """, lon AS (SELECT CAST(ip1 AS VARCHAR) || CAST(ip2 AS VARCHAR)
+      AS grid, d AS lon_ax, ni AS g_ni FROM cat WHERE nomvar = '>>')
+, lat AS (SELECT CAST(ip1 AS VARCHAR) || CAST(ip2 AS VARCHAR)
+      AS grid2, d AS lat_ax, nj AS g_nj FROM cat WHERE nomvar = '^^')
+, r AS (
+  SELECT grid, 'LA' AS nomvar, g_ni AS ni, g_nj AS nj,
+    list_transform(range(0, g_ni * g_nj),
+      k -> lat_ax[CAST(k // g_ni + 1 AS INT)]) AS d
+  FROM lon JOIN lat ON grid = grid2
+  UNION ALL
+  SELECT grid, 'LO' AS nomvar, g_ni AS ni, g_nj AS nj,
+    list_transform(range(0, g_ni * g_nj),
+      k -> lon_ax[CAST(k % g_ni + 1 AS INT)]) AS d
+  FROM lon JOIN lat ON grid = grid2)
+SELECT grid, nomvar, ni, nj,
+  CAST(unnest(range(1, len(d) + 1)) AS INT) AS pos,
+  unnest(d) AS value FROM r"""),
+
+    "f31_global_grid" -> {
+      val rows = Seq(
+        ("A", 10, 1.0, 0.0, 350.0), ("B", 10, 1.0, 0.0, 350.0),
+        ("G", 10, 1.0, 0.0, 350.0), ("Z", 4, 1.0, 10.0, 40.0),
+        ("Z", 4, 1.0, 10.0, 10.0), ("L", 360, 1.0, 0.0, 359.0),
+        ("L", 361, 1.0, 0.0, 360.0), ("L", 520, 0.7, 0.0, 3.5),
+        ("L", 520, 0.7, 0.0, 359.0), ("L", 100, 0.7, 0.0, 69.3))
+        .map { case (t, n, dl, lf, ll) =>
+          s"('$t', $n, $dl, $lf, $ll)"
+        }.mkString(", ")
+      val (g, r) = graft.ops.Grids.isGlobalGridSql("grtyp", "g_ni",
+        "dlon", "lon_first", "lon_last")
+      s"""SELECT grtyp, g_ni, dlon, lon_last,
+        $g AS global_grid, $r AS repetition
+      FROM (VALUES $rows)
+        AS t(grtyp, g_ni, dlon, lon_first, lon_last)"""
+    })
 }
