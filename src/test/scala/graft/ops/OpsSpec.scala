@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.IpCodec
+
+/** Spark-level operator tests on a tiny in-memory catalog (the driver
+  * oracle covers these at scale; these pin semantics in `sbt test`).
+  */
+class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", 2)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def mkCatalog(): DataFrame = {
+    import spark.implicits._
+    val ipSigma = IpCodec.encode(0.5f, 1)
+    val ipSfc = IpCodec.encode(1.0f, 1)
+    Seq(
+      // rid, nomvar, typvar, etiket, ni, nj, ip1, ig1, d
+      (1L, "TT", "P", "R1_V710_N", 2, 2, ipSigma, 100,
+        Seq(1f, 2f, 3f, 4f)),
+      (2L, "TT", "P", "R1_V710_N", 2, 2, ipSfc, 100,
+        Seq(5f, 6f, 7f, 8f)),
+      (3L, "P0", "P", "R1_V710_N", 2, 2, 0, 100,
+        Seq(1000f, 1001f, 1002f, 1003f)),
+      (4L, ">>", "X", "GRID", 2, 1, 100, 900, Seq(10f, 20f)),
+      (5L, "^^", "X", "GRID", 1, 2, 100, 900, Seq(45f, 46f)))
+      .toDF("rid", "nomvar", "typvar", "etiket", "ni", "nj", "ip1",
+        "ig1", "d")
+      .withColumn("nk", lit(1))
+      .withColumn("dateo", lit(442998800L))
+      .withColumn("datev", lit(442998800L))
+      .withColumn("ip2", when(col("nomvar") === ">>", 200)
+        .when(col("nomvar") === "^^", 200).otherwise(0))
+      .withColumn("ip3", lit(0))
+      .withColumn("deet", lit(0)).withColumn("npas", lit(0))
+      .withColumn("datyp", lit(5)).withColumn("nbits", lit(32))
+      .withColumn("grtyp", when(col("nomvar").isin(">>", "^^"), "E")
+        .otherwise("Z"))
+      .withColumn("ig2", lit(200))
+      .withColumn("ig3", lit(0)).withColumn("ig4", lit(0))
+      // data rows grid = ig1..ig2 = "100200"; coord rows ip1,ip2 ->
+      // ">>" has ip1=100, ip2=200 -> "100200" too
+      .withColumn("ip1", when(col("nomvar").isin(">>", "^^"), 100)
+        .otherwise(col("ip1")))
+  }
+
+  test("decodeMetadata widens the catalog with decoded columns") {
+    val d = Decode.decodeMetadata(mkCatalog())
+    val tt = d.filter(col("rid") === 1).head()
+    assert(tt.getAs[String]("unit") == "celsius")
+    assert(math.abs(tt.getAs[Float]("level") - 0.5f) < 1e-6)
+    assert(tt.getAs[Int]("ip1_kind") == 1)
+    assert(tt.getAs[String]("label") == "_V710_")
+    assert(tt.getAs[String]("grid") == "100200")
+    assert(d.filter(col("rid") === 4).head()
+      .getAs[Int]("ip1_kind") == 100)
+  }
+
+  test("selectWithMeta keeps data + justified meta only") {
+    val out = Select.selectWithMeta(mkCatalog(), Seq("TT"))
+    val names = out.select("nomvar").collect().map(_.getString(0))
+    assert(names.count(_ == "TT") == 2)
+    assert(names.contains(">>") && names.contains("^^"))
+    assert(names.contains("P0")) // sigma levels justify P0
+  }
+
+  test("vctype classification: sigma grid with P0 -> SIGMA_1001") {
+    val vc = VCoord.setVerticalCoordinateType(mkCatalog())
+    val types = vc.filter(col("nomvar") === "TT")
+      .select("vctype").distinct().collect().map(_.getString(0))
+    assert(types.sameElements(Array("SIGMA_1001")))
+  }
+
+  test("quickPressure sigma: p = level * P0") {
+    val px = VCoord.quickPressure(mkCatalog())
+    val rows = px.filter(col("nomvar") === "PX").collect()
+    assert(rows.length == 2) // two sigma levels
+    val half = rows.find(r =>
+      math.abs(r.getAs[Float]("level") - 0.5f) < 1e-6).get
+    assert(half.getSeq[Float](half.fieldIndex("d")) == Seq(500f, 500.5f, 501f, 501.5f))
+  }
+
+  test("applyMask/recoverMask round-trip") {
+    val base = mkCatalog().filter(col("nomvar") === "TT")
+    val vars = base.withColumn("typvar", lit("P@"))
+    val masks = base.withColumn("typvar", lit("@@"))
+      .withColumn("d", typedLit(Seq(1f, 0f, 1f, 0f)))
+    val rec = Masks.recoverMask(Masks.applyMask(
+      Decode.addGrid(vars.unionByName(masks))))
+    val dataRow = rec.filter(col("typvar") === "P@" && col("rid") === 1)
+      .head()
+    assert(dataRow.getSeq[Float](dataRow.fieldIndex("d"))
+      == Seq(1f, 0f, 3f, 0f)) // masked positions zeroed
+    val maskRow = rec.filter(col("typvar") === "@@" && col("rid") === 1)
+      .head()
+    assert(maskRow.getSeq[Float](maskRow.fieldIndex("d"))
+      == Seq(1f, 0f, 1f, 0f))
+  }
+
+  test("unitConvert celsius -> kelvin adds 273.15 and flags rows") {
+    val out = UnitConvert.unitConvert(mkCatalog(), "kelvin")
+    val tt = out.filter(col("rid") === 1).head()
+    assert(tt.getAs[String]("unit") == "kelvin")
+    assert(tt.getAs[Boolean]("unit_converted"))
+    assert(math.abs(tt.getSeq[Float](tt.fieldIndex("d")).head - 274.15f) < 1e-4)
+    // P0 (millibar family) untouched by a temperature target
+    val p0 = out.filter(col("rid") === 3).head()
+    assert(p0.getAs[String]("unit") == "millibar")
+    assert(!p0.getAs[Boolean]("unit_converted"))
+  }
+
+  test("fststat positions are 1-based Fortran (i,j)") {
+    val st = Stats.fststat(mkCatalog().filter(col("rid") === 1)).head()
+    // d = [1,2,3,4] on (2,2): min at flat 0 -> (1,1); max flat 3 -> (2,2)
+    assert(st.getAs[Int]("min_pos_i") == 1 &&
+      st.getAs[Int]("min_pos_j") == 1)
+    assert(st.getAs[Int]("max_pos_i") == 2 &&
+      st.getAs[Int]("max_pos_j") == 2)
+    assert(st.getAs[Float]("min") == 1f && st.getAs[Float]("max") == 4f)
+    assert(math.abs(st.getAs[Double]("mean") - 2.5) < 1e-12)
+  }
+
+  test("cube assembly sorts levels and flattens Fortran payloads") {
+    val cube = Cubes.toCube(mkCatalog())
+      .filter(col("nomvar") === "TT").head()
+    assert(cube.getAs[Int]("n_levels") == 2)
+    assert(cube.getSeq[Float](cube.fieldIndex("levels")) == Seq(0.5f, 1.0f))
+    assert(cube.getSeq[Float](cube.fieldIndex("cube")) ==
+      Seq(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming record-catalog smoke test: CSV record files arrive, the
+  * decoded catalog streams through windowed aggregation and dedup.
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", 2)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val header = "nomvar,typvar,etiket,dateo,datev,ip1,ip2,ip3," +
+    "deet,npas,datyp,nbits,grtyp,ig1,ig2,ig3,ig4,d"
+
+  private def row(nomvar: String, datev: Long, ip1: Int): String =
+    s"""$nomvar,P,STREAM,$datev,$datev,$ip1,0,0,0,0,5,32,Z,1,2,0,0,"1,2;3,4""""
+
+  test("streamed record files aggregate into validity windows") {
+    val dir = Files.createTempDirectory("graft_stream").toFile
+    val ckpt = Files.createTempDirectory("graft_ckpt").toFile
+    val d0 = 442998800L // 2020-07-14T12:00
+    val lines = Seq(header,
+      row("TT", d0, 500), row("TT", d0, 850),
+      row("UU", d0, 500),
+      row("TT", d0, 500)) // duplicate identity
+    Files.write(new java.io.File(dir, "batch1.csv").toPath,
+      lines.mkString("\n").getBytes)
+
+    val records = StreamingRecords.readStream(spark, dir.getAbsolutePath)
+    assert(records.isStreaming)
+
+    val q = StreamingRecords.windowedCounts(records).writeStream
+      .format("memory").queryName("win_counts")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt.getAbsolutePath + "/a")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val out = spark.table("win_counts").collect()
+      .map(r => r.getAs[String]("nomvar") -> r.getAs[Long]("n_records"))
+      .toMap
+    assert(out("TT") == 3 && out("UU") == 1)
+
+    val q2 = StreamingRecords.dedup(records).writeStream
+      .format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.getAbsolutePath + "/b")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    // duplicate TT@500 collapses: 3 distinct identities remain
+    assert(spark.table("dedup_out").count() == 3)
+  }
+}
