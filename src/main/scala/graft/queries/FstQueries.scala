@@ -355,7 +355,31 @@ object FstQueries {
         col("g_ni"), col("dlon"), col("lon_first"), col("lon_last"))
       rows.select(col("grtyp"), col("g_ni"), col("dlon"),
         col("lon_last"), g.as("global_grid"), r.as("repetition"))
-    }))
+    }),
+
+    // S11: re-scan source files for the coordinate records of the
+    // catalog's grids (second scan + left-semi join on grid)
+    "f32_grid_metadata_rescan" -> ((s, dir) => {
+      val path =
+        s"/tmp/graft_fst_meta_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      val full = cat(s, dir)
+      val toWrite = full.filter(col("rid") < 0 ||
+        (col("nomvar") === "VV" && col("ig1") === 33793))
+      graft.sources.fst.FstWriter.write(toWrite, path, cleanup = false)
+      val all = s.read.format("fstrec").load(path)
+      val meta = Decode.addGrid(all.filter(
+        col("nomvar").isin(graft.core.Constants.MetaNomvars: _*)))
+      val dataGrids = Decode.addGrid(
+        all.filter(col("nomvar") === "VV"))
+        .select("grid").distinct()
+      meta.join(dataGrids, Seq("grid"), "left_semi")
+        .dropDuplicates(Select.MetaSubset)
+        .select("nomvar", "grid", "ni", "nj", "ip1", "ip2")
+    }),
+
+    // S12 create_empty_dataframe defaults
+    "f33_create_empty" -> ((s, dir) =>
+      graft.ops.Catalogs.createEmpty(s, 7).drop("d")))
 
   val oracles: Map[String, String] = Map(
     "f01_grid_column" -> W(
@@ -719,5 +743,22 @@ SELECT grid, nomvar, ni, nj,
         $g AS global_grid, $r AS repetition
       FROM (VALUES $rows)
         AS t(grtyp, g_ni, dlon, lon_first, lon_last)"""
-    })
+    },
+
+    "f32_grid_metadata_rescan" -> W(
+      s"""SELECT nomvar, ${Decode.gridSql} AS grid, ni, nj, ip1, ip2
+      FROM cat
+      WHERE rid < 0
+        AND nomvar IN ('^>', '>>', '^^', '!!', '!!SF', 'HY', 'P0',
+          'PT', 'E1')
+        AND ${Decode.gridSql} = '3379377761'"""),
+
+    "f33_create_empty" ->
+      """SELECT CAST(range AS BIGINT) AS rid, ' ' AS nomvar,
+        'P' AS typvar, ' ' AS etiket, 1 AS ni, 1 AS nj, 1 AS nk,
+        CAST(0 AS BIGINT) AS dateo, 0 AS ip1, 0 AS ip2, 0 AS ip3,
+        0 AS deet, 0 AS npas, 133 AS datyp, 16 AS nbits,
+        'G' AS grtyp, 0 AS ig1, 0 AS ig2, 0 AS ig3, 0 AS ig4,
+        CAST(0 AS BIGINT) AS datev
+      FROM range(7)""")
 }
