@@ -1,0 +1,26 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** C17 `vectorize` memoizer analog
+  * (/root/reference/fstpy/utils.py:254-286): the reference dedups the
+  * input tuples of an expensive scalar function, evaluates once per
+  * distinct tuple, and maps results back. The Spark-native analog is
+  * distinct -> compute -> broadcast join: for an expensive
+  * (non-codegen) function over low-cardinality keys, the function
+  * runs |distinct| times instead of |rows| times and rejoins at
+  * broadcast-hash cost.
+  */
+object Memoize {
+
+  /** Evaluate `compute` (a function of the key columns) once per
+    * distinct key combination and join the result back as `outName`.
+    */
+  def viaDistinctJoin(df: DataFrame, keyCols: Seq[String],
+                      compute: Column, outName: String): DataFrame = {
+    val distinctKeys = df.select(keyCols.map(col): _*).distinct()
+      .withColumn(outName, compute)
+    df.join(broadcast(distinctKeys), keyCols)
+  }
+}

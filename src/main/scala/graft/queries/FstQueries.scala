@@ -213,9 +213,14 @@ object FstQueries {
     // C4/C6-C10 encode layer: re-encoding the decoded catalog must
     // reproduce the original stored columns exactly
     "f22_encode_roundtrip" -> ((s, dir) => {
-      val d = Decode.decodeMetadata(cat(s, dir)).filter(col("rid") > 0)
+      val d0 = Decode.decodeMetadata(cat(s, dir)).filter(col("rid") > 0)
+      // C17 memoizer analog: the UDF encoder runs once per distinct
+      // (level, kind) pair and broadcast-joins back
+      val d = graft.ops.Memoize.viaDistinctJoin(d0,
+        Seq("level", "ip1_kind"),
+        Encode.encodeIp(col("level"), col("ip1_kind")), "ip1_reenc")
       d.select(col("rid"),
-        Encode.encodeIp(col("level"), col("ip1_kind")).as("ip1_reenc"),
+        col("ip1_reenc"),
         Encode.stampFromTimestamp(col("date_of_observation"))
           .as("dateo_reenc"),
         Encode.etiketFromParts(col("label"), col("run"),
