@@ -71,6 +71,17 @@ object IpCodec {
     (((kind & 31) << 24) | (iexp << 20) | field.toInt)
   }
 
+  /** C5 printable-kind letters accepted by ip_from_value_and_kind
+    * (/root/reference/fstpy/utils.py:79-108).
+    */
+  val PrintableKinds: Map[String, Int] = Map(
+    "m" -> 0, "sg" -> 1, "mb" -> 2, "M" -> 4, "hy" -> 5, "th" -> 6,
+    "H" -> 10, "mp" -> 21)
+
+  /** C5: encode an ip from a value and a printable kind letter. */
+  def ipFromValueAndKind(value: Float, pkind: String): Int =
+    encode(value, PrintableKinds(pkind.trim))
+
   /** Full three-ip decode with the reference's special-casing
     * (decode_ip123, /root/reference/fstpy/std_io.py:814-872):
     *  - coordinate records (>>,^^,^>,!!): raw values, kind 100;

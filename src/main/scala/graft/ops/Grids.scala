@@ -110,4 +110,35 @@ object Grids {
         ELSE FALSE END)"""
     (global, rep)
   }
+
+  /** M12 get_df_from_grid (/root/reference/fstpy/std_grid.py:13-44):
+    * record constructors from horizontal grid-definition params — Z/Y
+    * grids emit a `>>` (ni x 1 longitude axis) and a `^^` (1 x nj
+    * latitude axis) record; U grids emit one `^>` record holding the
+    * packed axes. Input: one row per grid with columns grtyp, ni, nj,
+    * ig1, ig2 (the grid link, stored as ip1/ip2 of the coordinate
+    * records), grref, ig1ref..ig4ref, ax, ay, axy.
+    */
+  def dfFromGrid(params: DataFrame): DataFrame = {
+    def rec(nomvar: String, ni: Column, nj: Column, d: Column) = Seq(
+      lit(nomvar).as("nomvar"), lit("X").as("typvar"),
+      lit("").as("etiket"),
+      ni.cast("int").as("ni"), nj.cast("int").as("nj"), lit(1).as("nk"),
+      lit(0L).as("dateo"),
+      col("ig1").cast("int").as("ip1"), col("ig2").cast("int").as("ip2"),
+      lit(0).as("ip3"), lit(0).as("deet"), lit(0).as("npas"),
+      lit(5).as("datyp"), lit(32).as("nbits"),
+      col("grref").as("grtyp"),
+      col("ig1ref").cast("int").as("ig1"),
+      col("ig2ref").cast("int").as("ig2"),
+      col("ig3ref").cast("int").as("ig3"),
+      col("ig4ref").cast("int").as("ig4"),
+      lit(0L).as("datev"), d.as("d"))
+    val zy = params.filter(col("grtyp").isin("Z", "Y"))
+    val xx = zy.select(rec(">>", col("ni"), lit(1), col("ax")): _*)
+    val yy = zy.select(rec("^^", lit(1), col("nj"), col("ay")): _*)
+    val u = params.filter(col("grtyp") === "U")
+      .select(rec("^>", size(col("axy")), lit(1), col("axy")): _*)
+    xx.unionByName(yy).unionByName(u)
+  }
 }

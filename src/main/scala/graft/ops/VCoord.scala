@@ -271,4 +271,22 @@ object VCoord {
       col("datev"), col("grid"), col("vctype"), col("level"),
       dCol.as("d"))
   }
+
+  /** M16 get_df_from_vgrid (/root/reference/fstpy/std_vgrid.py:749-791):
+    * one `!!` record per vertical-grid descriptor row. Input columns:
+    * kind, version, ni, nj, vtbl (the flattened A/B table payload),
+    * ip1, ip2. The toctoc link is ig1 = kind*1000 + version (the
+    * reference's zero-padded string concat).
+    */
+  def dfFromVgrid(desc: DataFrame): DataFrame =
+    desc.select(
+      lit("!!").as("nomvar"), lit("X").as("typvar"), lit("").as("etiket"),
+      col("ni").cast("int").as("ni"), col("nj").cast("int").as("nj"),
+      lit(1).as("nk"), lit(0L).as("dateo"),
+      col("ip1").cast("int").as("ip1"), col("ip2").cast("int").as("ip2"),
+      lit(0).as("ip3"), lit(0).as("deet"), lit(0).as("npas"),
+      lit(5).as("datyp"), lit(64).as("nbits"), lit("X").as("grtyp"),
+      (col("kind") * 1000 + col("version")).cast("int").as("ig1"),
+      lit(0).as("ig2"), lit(0).as("ig3"), lit(0).as("ig4"),
+      lit(0L).as("datev"), col("vtbl").as("d"))
 }

@@ -384,7 +384,91 @@ object FstQueries {
 
     // S12 create_empty_dataframe defaults
     "f33_create_empty" -> ((s, dir) =>
-      graft.ops.Catalogs.createEmpty(s, 7).drop("d")))
+      graft.ops.Catalogs.createEmpty(s, 7).drop("d")),
+
+    // M12: record constructors from grid-definition params (>> + ^^
+    // rows per Z grid, params re-derived from the catalog's own
+    // deformation records)
+    "f34_df_from_grid" -> ((s, dir) => {
+      val g = Decode.addGrid(cat(s, dir))
+      val dims = g.filter(!col("nomvar").isin(Select.CleanupMeta: _*))
+        .groupBy("grid").agg(max("ni").as("ni"), max("nj").as("nj"))
+      val ax = g.filter(col("nomvar") === ">>").select(
+        col("grid"), col("ip1").as("ig1"), col("ip2").as("ig2"),
+        col("grtyp").as("grref"), col("ig1").as("ig1ref"),
+        col("ig2").as("ig2ref"), col("ig3").as("ig3ref"),
+        col("ig4").as("ig4ref"), col("d").as("ax"))
+      val ay = g.filter(col("nomvar") === "^^")
+        .select(col("grid"), col("d").as("ay"))
+      val params = dims.join(ax, "grid").join(ay, "grid")
+        .withColumn("grtyp", lit("Z"))
+        .withColumn("axy", lit(null).cast("array<float>"))
+      graft.ops.Grids.dfFromGrid(params)
+        .select(col("nomvar"), col("ni"), col("nj"), col("ip1"),
+          col("ip2"), col("grtyp"), col("ig1"), col("ig2"), col("ig3"),
+          col("ig4"), posexplode(col("d")))
+        .select(col("nomvar"), col("ni"), col("nj"), col("ip1"),
+          col("ip2"), col("grtyp"), col("ig1"), col("ig2"), col("ig3"),
+          col("ig4"), (col("pos") + 1).as("pos"), col("col").as("value"))
+    }),
+
+    // M16: vgrid descriptor -> !! record round-trip (descriptor parsed
+    // back out of the catalog's own !! record)
+    "f35_df_from_vgrid" -> ((s, dir) => {
+      val desc = cat(s, dir).filter(col("nomvar") === "!!").select(
+        floor(col("ig1") / 1000).as("kind"),
+        pmod(col("ig1"), lit(1000)).as("version"),
+        col("ni"), col("nj"), col("d").as("vtbl"), col("ip1"),
+        col("ip2"))
+      VCoord.dfFromVgrid(desc)
+        .select(col("nomvar"), col("typvar"), col("ni"), col("nj"),
+          col("ip1"), col("ip2"), col("datyp"), col("nbits"),
+          col("grtyp"), col("ig1"), posexplode(col("d")))
+        .select(col("nomvar"), col("typvar"), col("ni"), col("nj"),
+          col("ip1"), col("ip2"), col("datyp"), col("nbits"),
+          col("grtyp"), col("ig1"), (col("pos") + 1).as("pos"),
+          col("col").as("value"))
+    }),
+
+    // A4: writer duplicate check (rewrite flag) on the raw catalog vs
+    // its write-identity dedup
+    "f36_set_rewrite" -> ((s, dir) => {
+      val c = cat(s, dir)
+      graft.ops.Precision.setRewrite(c)
+        .withColumn("which", lit("raw"))
+        .unionByName(graft.ops.Precision.setRewrite(
+          c.dropDuplicates(graft.ops.Precision.RewriteIdentity))
+          .withColumn("which", lit("deduped")))
+    }),
+
+    // C14: per-variable precision ranking max over (datyp, nbits)
+    "f37_precision_max" -> ((s, dir) =>
+      graft.ops.Precision.precisionMax(cat(s, dir), Seq("nomvar"))),
+
+    // C13: (datyp, nbits) -> payload element dtype
+    "f38_field_dtype" -> ((s, dir) =>
+      cat(s, dir).select("datyp", "nbits").distinct()
+        .withColumn("dtype", graft.ops.Precision.fieldDtype(
+          col("datyp"), col("nbits")))),
+
+    // S8 update mode: metadata-only in-place rewrite, payloads intact
+    "f39_fst_update" -> ((s, dir) => {
+      val base = cat(s, dir)
+        .filter(col("nomvar") === "GZ" && col("rid") > 0)
+        .withColumn("ip3", col("rid").cast("int"))
+      val path =
+        s"/tmp/graft_fst_update_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      graft.sources.fst.FstWriter.write(base, path, cleanup = false)
+      val patched = s.read.format("fstrec").load(path)
+        .withColumn("etiket", lit("UPDATED"))
+        .withColumn("ip2", col("ip2") + 100)
+      graft.sources.fst.FstWriter.update(patched)
+      s.read.format("fstrec").load(path)
+        .select(col("ip3").as("rid"), col("nomvar"), col("etiket"),
+          col("ip1"), col("ip2"), col("dateo"), col("datev"),
+          aggregate(col("d"), lit(0.0),
+            (a, x) => a + x.cast("double")).as("payload_sum"))
+    }))
 
   val oracles: Map[String, String] = Map(
     "f01_grid_column" -> W(
@@ -765,5 +849,60 @@ SELECT grid, nomvar, ni, nj,
         0 AS deet, 0 AS npas, 133 AS datyp, 16 AS nbits,
         'G' AS grtyp, 0 AS ig1, 0 AS ig2, 0 AS ig3, 0 AS ig4,
         CAST(0 AS BIGINT) AS datev
-      FROM range(7)""")
+      FROM range(7)""",
+
+    "f34_df_from_grid" -> W(
+      s""", g AS (SELECT *, ${Decode.gridSql} AS grid FROM cat)
+, dims AS (SELECT grid, max(ni) AS ni, max(nj) AS nj FROM g
+    WHERE nomvar NOT IN ${Select.CleanupMetaSqlList} GROUP BY grid)
+, ax AS (SELECT grid, ip1 AS lig1, ip2 AS lig2, grtyp AS grref,
+    ig1 AS ig1ref, ig2 AS ig2ref, ig3 AS ig3ref, ig4 AS ig4ref,
+    d AS ax FROM g WHERE nomvar = '>>')
+, ay AS (SELECT grid, d AS ay FROM g WHERE nomvar = '^^')
+, params AS (SELECT * FROM dims JOIN ax USING (grid)
+    JOIN ay USING (grid))
+, recs AS (
+  SELECT '>>' AS nomvar, ni, 1 AS nj, lig1 AS ip1, lig2 AS ip2,
+    grref AS grtyp, ig1ref AS ig1, ig2ref AS ig2, ig3ref AS ig3,
+    ig4ref AS ig4, ax AS d FROM params
+  UNION ALL
+  SELECT '^^', 1, nj, lig1, lig2, grref, ig1ref, ig2ref, ig3ref,
+    ig4ref, ay FROM params)
+SELECT nomvar, ni, nj, ip1, ip2, grtyp, ig1, ig2, ig3, ig4,
+  CAST(unnest(range(1, len(d) + 1)) AS INT) AS pos,
+  unnest(d) AS value FROM recs"""),
+
+    "f35_df_from_vgrid" -> W(
+      """SELECT nomvar, typvar, ni, nj, ip1, ip2, datyp,
+        CAST(64 AS INT) AS nbits, grtyp, ig1,
+        CAST(unnest(range(1, len(d) + 1)) AS INT) AS pos,
+        unnest(d) AS value
+      FROM cat WHERE nomvar = '!!'"""),
+
+    "f36_set_rewrite" -> W(
+      s"""SELECT 'raw' AS which, * FROM (${graft.ops.Precision
+        .setRewriteSql("cat")})
+      UNION ALL
+      SELECT 'deduped', * FROM (${graft.ops.Precision.setRewriteSql(
+        s"(SELECT DISTINCT ${graft.ops.Precision.RewriteIdentity
+          .mkString(", ")} FROM cat)")})"""),
+
+    "f37_precision_max" -> W(
+      s"""SELECT nomvar,
+        max(${graft.ops.Precision.datypPrioritySql("datyp")})
+          AS datyp_priority,
+        max(nbits) AS max_nbits
+      FROM cat GROUP BY nomvar"""),
+
+    "f38_field_dtype" -> W(
+      s"""SELECT DISTINCT datyp, nbits,
+        ${graft.ops.Precision.fieldDtypeSql("datyp", "nbits")} AS dtype
+      FROM cat"""),
+
+    "f39_fst_update" -> W(
+      """SELECT CAST(rid AS INT) AS rid, nomvar, 'UPDATED' AS etiket,
+        ip1, ip2 + 100 AS ip2, dateo, datev,
+        list_reduce(list_transform(d, x -> CAST(x AS DOUBLE)),
+          (a, x) -> a + x) AS payload_sum
+      FROM cat WHERE nomvar = 'GZ' AND rid > 0"""))
 }

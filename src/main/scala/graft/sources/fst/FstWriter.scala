@@ -55,4 +55,63 @@ object FstWriter {
         }
     }
   }
+
+  /** S8 `update` mode (/root/reference/fstpy/std_writer.py:102-131):
+    * metadata-only rewrite in place. Rows must carry the `path`/`key`
+    * scan columns of the source they were read from; each record's
+    * directory entry is re-packed with the row's metadata while the
+    * payload words (and their addr/length/nbits directory fields) stay
+    * untouched. datev is recomputed from the new dateo + deet*npas
+    * (fst_edit_dir keep_dateo=False semantics). Partitioning on `path`
+    * guarantees each file is patched by exactly one task — no file is
+    * opened for write by two executors.
+    */
+  def update(df: DataFrame): Unit = {
+    val cols = Seq("path", "key", "nomvar", "typvar", "etiket", "ni",
+      "nj", "nk", "dateo", "ip1", "ip2", "ip3", "deet", "npas", "datyp",
+      "grtyp", "ig1", "ig2", "ig3", "ig4")
+    val prepared = df.select(
+      cols.map(c => col(c).cast(FstTable.Schema(c).dataType)): _*)
+    prepared.repartition(col("path")).foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.toSeq.groupBy(_.getString(0)).foreach { case (file, rows) =>
+          val fs = FileSystem.get(new java.net.URI(file),
+            new Configuration())
+          val p = new Path(file)
+          val len = fs.getFileStatus(p).getLen.toInt
+          val bytes = new Array[Byte](len)
+          val in = fs.open(p)
+          try in.readFully(0, bytes) finally in.close()
+          val buf = java.nio.ByteBuffer.wrap(bytes)
+          buf.position(16)
+          val nrecs = buf.getInt
+          val dirOffset = buf.getInt
+          rows.foreach { r =>
+            val idx = r.getInt(1) >> 10
+            require(idx >= 0 && idx < nrecs,
+              s"record handle ${r.getInt(1)} out of range for $file")
+            val at = dirOffset + idx * 18 * 4
+            buf.position(at)
+            val w = new Array[Int](18)
+            (0 until 18).foreach(i => w(i) = buf.getInt)
+            val old = FstFormat.unpackEntry(w)
+            val deet = r.getInt(12); val npas = r.getInt(13)
+            val datev = FstFormat.rawToStamp(
+              FstFormat.stampToRaw(r.getLong(8)) + deet.toLong * npas / 5)
+            val m = old.copy(nomvar = r.getString(2),
+              typvar = r.getString(3), etiket = r.getString(4),
+              ni = r.getInt(5), nj = r.getInt(6), nk = r.getInt(7),
+              dateo = r.getLong(8), ip1 = r.getInt(9), ip2 = r.getInt(10),
+              ip3 = r.getInt(11), deet = deet, npas = npas,
+              datyp = r.getInt(14), grtyp = r.getString(15),
+              ig1 = r.getInt(16), ig2 = r.getInt(17), ig3 = r.getInt(18),
+              ig4 = r.getInt(19), datev = datev)
+            buf.position(at)
+            FstFormat.packEntry(m).foreach(buf.putInt)
+          }
+          val out = fs.create(p, true)
+          try out.write(bytes) finally out.close()
+        }
+    }
+  }
 }

@@ -64,4 +64,22 @@ class FstFormatSpec extends AnyFunSuite {
     val img = FstFormat.writeFile(Seq((big, Array(1f))))
     assert(FstFormat.readDirectory(img).head.ig2 == 0xABCDEF)
   }
+
+  test("in-place directory patch keeps payload address and words") {
+    val img = FstFormat.writeFile(Seq(
+      (m.copy(ni = 1, nj = 3), Array(7f, 8f, 9f))))
+    val buf = java.nio.ByteBuffer.wrap(img)
+    buf.position(20)
+    val dirOffset = buf.getInt
+    val entry = FstFormat.readDirectory(img).head
+    // fst_edit_dir-style metadata patch: same addr/lng, new identity
+    val patched = entry.copy(etiket = "UPDATED", ip2 = entry.ip2 + 100)
+    buf.position(dirOffset)
+    FstFormat.packEntry(patched).foreach(buf.putInt)
+    val after = FstFormat.readDirectory(img).head
+    assert(after.etiket == "UPDATED")
+    assert(after.ip2 == entry.ip2 + 100)
+    assert(after.addrWords == entry.addrWords)
+    assert(FstFormat.readPayload(img, after).toSeq == Seq(7f, 8f, 9f))
+  }
 }
