@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast,
+  Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  ExprCode}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, FloatType, IntegerType}
+import graft.core.IpCodec
+
+/** Native Catalyst expression for the convip encode codec (C4/C5,
+  * /root/reference/fstpy/std_enc.py:68-118). The encode needs a
+  * mantissa-normalization loop, so it can't be a pure Column formula —
+  * but as a codegen'd static call it stays inside whole-stage codegen
+  * with primitive (unboxed) arguments, unlike a Scala UDF which costs
+  * an Any-boxed function dispatch plus null-handling wrappers per row.
+  *
+  * Inputs must already be (FloatType, IntegerType); the registered
+  * builder ([[GraftFunctions.install]]) inserts casts.
+  */
+case class EncodeIpExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_encode_ip"
+
+  override protected def nullSafeEval(v: Any, k: Any): Any =
+    IpCodec.encode(v.asInstanceOf[Float], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, k) => s"graft.core.IpCodec.encode($v, $k)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): EncodeIpExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration of graft's native expressions into a session's
+  * function registry — works on any session, including one built by a
+  * host application without graft's involvement.
+  */
+object GraftFunctions {
+
+  def install(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_encode_ip",
+      exprs => EncodeIpExpr(
+        Cast(exprs.head, FloatType), Cast(exprs(1), IntegerType)),
+      "scala_udf")
+
+  /** (value, kind) -> new-style ip as a Column, via the native
+    * expression (installs it on the active session on first use).
+    */
+  def encodeIp(value: Column, kind: Column): Column = {
+    SparkSession.getActiveSession.foreach(install)
+    call_function("graft_encode_ip", value, kind)
+  }
+}

@@ -9,14 +9,18 @@ import graft.core.{Constants, IpCodec}
   * (/root/reference/fstpy/std_enc.py).
   *
   * The ip encoder needs a normalization loop, so it is a compact Scala
-  * UDF over the unit-tested [[IpCodec.encode]]; everything else is
+  * native expression over the unit-tested [[IpCodec.encode]]
+  * ([[graft.functions.EncodeIpExpr]]); everything else is
   * native Columns. Correctness is driver-checked via re-encode
   * round-trips (encode∘decode = identity against the original column).
   */
 object Encode {
 
-  /** C4/C5: (value, kind) -> new-style ip. */
-  val encodeIp = udf((v: Float, kind: Int) => IpCodec.encode(v, kind))
+  /** C4/C5: (value, kind) -> new-style ip, as the native codegen'd
+    * [[graft.functions.EncodeIpExpr]] expression.
+    */
+  def encodeIp(value: Column, kind: Column): Column =
+    graft.functions.GraftFunctions.encodeIp(value, kind)
 
   /** C6: timestamp -> CMC stamp (inverse of stampToTimestamp). */
   def stampFromTimestamp(ts: Column): Column = {

@@ -31,8 +31,6 @@ object CsvRecords {
     "ip1", "ip2", "ip3", "deet", "npas", "datyp", "nbits", "grtyp",
     "ig1", "ig2", "ig3", "ig4", "level", "d")
 
-  private val encodeIp1Kind3 = udf((l: Float) => IpCodec.encode(l, 3))
-
   private def checkLen(c: Column, lo: Int, hi: Int, name: String): Column =
     when(length(c).between(lo, hi), c)
       .otherwise(raise_error(concat(lit(s"invalid $name length: "), c)))
@@ -78,7 +76,8 @@ object CsvRecords {
     // level -> encoded ip1 (kind 3, CONVIP_ENCODE)
     if (cols.contains("level")) {
       df = df.withColumn("ip1",
-        if (encodeIp1) encodeIp1Kind3(col("level").cast("float"))
+        if (encodeIp1) graft.functions.GraftFunctions.encodeIp(
+          col("level").cast("float"), lit(3))
         else col("level").cast("float").cast("int"))
         .drop("level")
     }
