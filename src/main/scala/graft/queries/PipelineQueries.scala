@@ -195,6 +195,28 @@ object PipelineQueries {
         size(sh).as("n_shingles"))
     }),
 
+    // embedding-cosine near-dup dedup: perturbed copies collapse back
+    // onto their originals via bucketed candidate pairs (no all-pairs)
+    "p12_embedding_dedup" -> ((s, dir) => {
+      val base = emb(s, dir).select("vec_id", "embedding")
+      val near = base.select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          x => (x + lit(0.01f)).cast("float")).as("embedding"))
+      val e = base.unionByName(near)
+        .withColumn("bucket", argmaxBucket(col("embedding")))
+      val a = e.select(col("vec_id").as("a"),
+        col("embedding").as("va"), col("bucket"))
+      val b = e.select(col("vec_id").as("b"),
+        col("embedding").as("vb"), col("bucket"))
+      a.join(b, Seq("bucket"))
+        .filter(col("a") < col("b"))
+        .withColumn("cos", cosine(col("va"), col("vb")))
+        .filter(col("cos") >= 0.99)
+        .groupBy(col("b").as("vec_id"))
+        .agg(min("a").as("canonical_id"), count(lit(1)).as("n_cands"))
+    }),
+
     // multimodal plumbing: opaque binary payload + scalar features
     "p11_multimodal" -> ((s, dir) =>
       graft.pipeline.Multimodal.features(
@@ -320,5 +342,20 @@ SELECT query_id, vec_id, bucket, rank, cos FROM r WHERE rank <= 5""",
       list_reduce(list_transform(range(1, length(text) + 1, 16),
         i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT)),
         (a, b) -> a + b) AS cp_sum
-      FROM documents""")
+      FROM documents""",
+
+    "p12_embedding_dedup" ->
+      s"""WITH e AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id,
+      list_transform(embedding, x -> CAST(x + CAST(0.01 AS FLOAT)
+        AS FLOAT)) AS embedding
+    FROM embeddings),
+eb AS (SELECT *, ${argmaxBucketSql("embedding")} AS bucket FROM e),
+pairs AS (SELECT a.vec_id AS a, b.vec_id AS b,
+    ${cosineSql("a.embedding", "b.embedding")} AS cos
+  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT b AS vec_id, min(a) AS canonical_id, count(*) AS n_cands
+FROM pairs WHERE cos >= 0.99 GROUP BY b""")
 }
