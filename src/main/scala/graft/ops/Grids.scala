@@ -111,6 +111,42 @@ object Grids {
     (global, rep)
   }
 
+  /** M13/M14 (regular-grid path): LA/LO generation for cylindrical
+    * grids from their public definitions — 'A' (global, cell-centered
+    * latitudes: dlat = 180/nj, lat_1 = -90 + dlat/2, lon_1 = 0),
+    * 'B' (global, pole-to-pole inclusive: dlat = 180/(nj-1),
+    * lat_1 = -90, repeated longitude), 'L' (lat0/lon0/dlat/dlon given
+    * — the IG packing decode is the external librmn cigaxg kernel, so
+    * params arrive decoded). Input: one row per grid with columns
+    * grid, grtyp, ni, nj, lat0, lon0, dlat, dlon (ignored for A/B).
+    * Output: LA + LO records, Fortran-flat like [[latLon2d]].
+    */
+  def latLonRegular(params: DataFrame): DataFrame = {
+    val niD = col("ni").cast("double")
+    val njD = col("nj").cast("double")
+    val dlat = when(col("grtyp") === "A", lit(180.0) / njD)
+      .when(col("grtyp") === "B", lit(180.0) / (njD - 1))
+      .otherwise(col("dlat"))
+    val dlon = when(col("grtyp") === "A", lit(360.0) / niD)
+      .when(col("grtyp") === "B", lit(360.0) / (niD - 1))
+      .otherwise(col("dlon"))
+    val lat0 = when(col("grtyp") === "A", lit(-90.0) + lit(90.0) / njD)
+      .when(col("grtyp") === "B", lit(-90.0))
+      .otherwise(col("lat0"))
+    val lon0 = when(col("grtyp").isin("A", "B"), lit(0.0))
+      .otherwise(col("lon0"))
+    val ks = sequence(lit(0), col("ni") * col("nj") - 1)
+    val la = params.select(col("grid"), lit("LA").as("nomvar"),
+      col("ni"), col("nj"),
+      transform(ks, k =>
+        (lat0 + floor(k / col("ni")) * dlat).cast("float")).as("d"))
+    val lo = params.select(col("grid"), lit("LO").as("nomvar"),
+      col("ni"), col("nj"),
+      transform(ks, k =>
+        (lon0 + pmod(k, col("ni")) * dlon).cast("float")).as("d"))
+    la.unionByName(lo)
+  }
+
   /** M12 get_df_from_grid (/root/reference/fstpy/std_grid.py:13-44):
     * record constructors from horizontal grid-definition params — Z/Y
     * grids emit a `>>` (ni x 1 longitude axis) and a `^^` (1 x nj

@@ -148,7 +148,22 @@ object Select {
     * data side filtered by `dataFilter` (select_with_meta semantics:
     * meta candidates come from the unfiltered catalog).
     */
-  def cleanupSql(dataFilter: String): String = {
+  def cleanupSql(dataFilter: String): String =
+    s"""${cleanupCtesSql(dataFilter)}
+SELECT rid, nomvar, grid FROM g WHERE $keptPredicateSql"""
+
+  /** The kept-row predicate over the [[cleanupCtesSql]] CTEs. */
+  val keptPredicateSql: String =
+    """rid IN (SELECT rid FROM nometa)
+  OR rid IN (SELECT rid FROM deform) OR rid IN (SELECT rid FROM p0r)
+  OR rid IN (SELECT rid FROM ptr) OR rid IN (SELECT rid FROM hyr)
+  OR rid IN (SELECT rid FROM ttr)"""
+
+  /** The cleanup CTE chain alone (g/nometa/meta/kg/dims/grp/cand/
+    * deform/p0r/ptr/hyr/ttr) so composite oracles can select their
+    * own projection of the kept rows.
+    */
+  def cleanupCtesSql(dataFilter: String): String = {
     val k = IpColumns.decodeKindSql("ip1")
     val hv = graft.meta.Lookups.HybridVcodes.mkString("(", ", ", ")")
     val sv = graft.meta.Lookups.SigmaVcodes.mkString("(", ", ", ")")
@@ -188,10 +203,6 @@ object Select {
   WHERE m.nomvar = '!!' AND (
     (kg.has_hybrid AND m.ig1 IN $hv) OR
     (kg.has_sigma AND m.ig1 IN $sv) OR
-    (kg.has_pressure AND m.ig1 IN $pv)))
-SELECT rid, nomvar, grid FROM g WHERE rid IN (SELECT rid FROM nometa)
-  OR rid IN (SELECT rid FROM deform) OR rid IN (SELECT rid FROM p0r)
-  OR rid IN (SELECT rid FROM ptr) OR rid IN (SELECT rid FROM hyr)
-  OR rid IN (SELECT rid FROM ttr)"""
+    (kg.has_pressure AND m.ig1 IN $pv)))"""
   }
 }

@@ -451,6 +451,45 @@ object FstQueries {
         .withColumn("dtype", graft.ops.Precision.fieldDtype(
           col("datyp"), col("nbits")))),
 
+    // README walkthrough acceptance chain
+    // (/root/reference/README.md:66-84): read -> select_with_meta ->
+    // write standard file -> re-read -> voir/fststat digest
+    "f41_readme_walkthrough" -> ((s, dir) => {
+      val records = cat(s, dir)
+      val sel = Select.selectWithMeta(records, Seq("TT", "UU"))
+        .withColumn("ip3",
+          when(col("rid") > 0, col("rid"))
+            .otherwise(lit(1000000) - col("rid")).cast("int"))
+      val path =
+        s"/tmp/graft_walkthrough_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      graft.sources.fst.FstWriter.write(sel, path, cleanup = false)
+      val back = s.read.format("fstrec").load(path)
+        .withColumn("rid",
+          when(col("ip3") >= 1000000, lit(1000000L) - col("ip3"))
+            .otherwise(col("ip3")).cast("long"))
+      Stats.fststat(Decode.addGrid(back)).select(
+        col("rid"), col("nomvar"), col("grid"), col("ni"), col("nj"),
+        col("min"), col("max"), col("mean"), col("std"),
+        col("min_pos_i"), col("min_pos_j"), col("max_pos_i"),
+        col("max_pos_j"))
+    }),
+
+    // M13/M14 regular-grid path: LA/LO generation for A/B/L grids
+    "f40_latlon_regular" -> ((s, dir) => {
+      import s.implicits._
+      val params = Seq(
+        ("gA", "A", 8, 4, 0.0, 0.0, 0.0, 0.0),
+        ("gB", "B", 9, 5, 0.0, 0.0, 0.0, 0.0),
+        ("gL", "L", 6, 3, 10.0, 240.0, 0.5, 0.5))
+        .toDF("grid", "grtyp", "ni", "nj", "lat0", "lon0", "dlat",
+          "dlon")
+      graft.ops.Grids.latLonRegular(params)
+        .select(col("grid"), col("nomvar"), col("ni"), col("nj"),
+          posexplode(col("d")))
+        .select(col("grid"), col("nomvar"), col("ni"), col("nj"),
+          (col("pos") + 1).as("pos"), col("col").as("value"))
+    }),
+
     // S8 update mode: metadata-only in-place rewrite, payloads intact
     "f39_fst_update" -> ((s, dir) => {
       val base = cat(s, dir)
@@ -904,5 +943,39 @@ SELECT nomvar, ni, nj, ip1, ip2, grtyp, ig1, ig2, ig3, ig4,
         ip1, ip2 + 100 AS ip2, dateo, datev,
         list_reduce(list_transform(d, x -> CAST(x AS DOUBLE)),
           (a, x) -> a + x) AS payload_sum
-      FROM cat WHERE nomvar = 'GZ' AND rid > 0"""))
+      FROM cat WHERE nomvar = 'GZ' AND rid > 0"""),
+
+    "f40_latlon_regular" ->
+      """WITH params AS (SELECT * FROM (VALUES
+    ('gA', 'A', 8, 4, 0.0, 0.0, 0.0, 0.0),
+    ('gB', 'B', 9, 5, 0.0, 0.0, 0.0, 0.0),
+    ('gL', 'L', 6, 3, 10.0, 240.0, 0.5, 0.5))
+    AS p(grid, grtyp, ni, nj, lat0, lon0, dlat, dlon)),
+g AS (SELECT *,
+    CASE WHEN grtyp = 'A' THEN 180.0 / nj
+      WHEN grtyp = 'B' THEN 180.0 / (nj - 1) ELSE dlat END AS rdlat,
+    CASE WHEN grtyp = 'A' THEN 360.0 / ni
+      WHEN grtyp = 'B' THEN 360.0 / (ni - 1) ELSE dlon END AS rdlon,
+    CASE WHEN grtyp = 'A' THEN -90.0 + 90.0 / nj
+      WHEN grtyp = 'B' THEN -90.0 ELSE lat0 END AS rlat0,
+    CASE WHEN grtyp IN ('A', 'B') THEN 0.0 ELSE lon0 END AS rlon0
+  FROM params),
+recs AS (
+  SELECT grid, 'LA' AS nomvar, ni, nj,
+    list_transform(range(0, ni * nj), k ->
+      CAST(rlat0 + (k // ni) * rdlat AS FLOAT)) AS d FROM g
+  UNION ALL
+  SELECT grid, 'LO', ni, nj,
+    list_transform(range(0, ni * nj), k ->
+      CAST(rlon0 + (k % ni) * rdlon AS FLOAT)) AS d FROM g)
+SELECT grid, nomvar, ni, nj,
+  CAST(unnest(range(1, len(d) + 1)) AS INT) AS pos,
+  unnest(d) AS value FROM recs""",
+
+    "f41_readme_walkthrough" -> W(
+      s"""${Select.cleanupCtesSql("nomvar IN ('TT', 'UU')")}
+, sel AS (SELECT g.* FROM g WHERE ${Select.keptPredicateSql})
+SELECT rid, nomvar, grid, ni, nj,
+  ${Stats.fststatSql.map { case (e, a) => s"$e AS $a" }.mkString(",\n  ")}
+FROM sel"""))
 }
