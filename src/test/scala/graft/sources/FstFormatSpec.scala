@@ -65,6 +65,52 @@ class FstFormatSpec extends AnyFunSuite {
     assert(FstFormat.readDirectory(img).head.ig2 == 0xABCDEF)
   }
 
+  test("directory entry pack/unpack round-trip on generated metas") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val charset = Gen.oneOf(('A' to 'Z') ++ ('0' to '9') :+ '_')
+    def str(n: Int) = Gen.choose(1, n)
+      .flatMap(len => Gen.listOfN(len, charset).map(_.mkString))
+    val metaGen = for {
+      nomvar <- str(4); typvar <- str(2); etiket <- str(12)
+      ni <- Gen.choose(1, 1 << 20); nj <- Gen.choose(1, 1 << 20)
+      nk <- Gen.choose(1, 1 << 10)
+      ip1 <- Gen.choose(0, (1 << 28) - 1)
+      ip2 <- Gen.choose(0, (1 << 28) - 1)
+      ip3 <- Gen.choose(0, (1 << 28) - 1)
+      deet <- Gen.choose(0, (1 << 24) - 1)
+      npas <- Gen.choose(0, (1 << 24) - 1)
+      datyp <- Gen.oneOf(0, 1, 2, 4, 5, 6, 130, 133, 134)
+      nbits <- Gen.choose(1, 64)
+      grtyp <- Gen.oneOf("A", "B", "E", "G", "L", "N", "X", "Y", "Z")
+      ig1 <- Gen.choose(0, (1 << 22) - 1)
+      ig2 <- Gen.choose(0, (1 << 22) - 1)
+      ig3 <- Gen.choose(0, (1 << 22) - 1)
+      ig4 <- Gen.choose(0, (1 << 22) - 1)
+      // valid stamps: value 123200000 + 10*t1 + t2 (t2 < 8) like
+      // real 5-second-tick CMC stamps
+      t <- Gen.choose(0L, 400000000L)
+    } yield FstFormat.Meta(nomvar, typvar, etiket, ni, nj, nk, 0L,
+      ip1, ip2, ip3, deet, npas, datyp, nbits, grtyp, ig1, ig2, ig3,
+      ig4, (t / 8) * 10 + (t % 8) + 123200000L, 0, 0)
+    val metas = (0 until 300).flatMap(i =>
+      metaGen.apply(Gen.Parameters.default, Seed(7L + i)))
+    metas.foreach { meta =>
+      val out = FstFormat.unpackEntry(FstFormat.packEntry(meta))
+      assert(out.nomvar == meta.nomvar && out.typvar == meta.typvar
+        && out.etiket == meta.etiket, s"names: $meta -> $out")
+      assert(out.ni == meta.ni && out.nj == meta.nj && out.nk == meta.nk)
+      assert(out.ip1 == meta.ip1 && out.ip2 == meta.ip2
+        && out.ip3 == meta.ip3)
+      assert(out.deet == meta.deet && out.npas == meta.npas)
+      assert(out.datyp == meta.datyp && out.nbits == meta.nbits)
+      assert(out.grtyp == meta.grtyp)
+      assert(out.ig1 == meta.ig1 && out.ig2 == meta.ig2
+        && out.ig3 == meta.ig3 && out.ig4 == meta.ig4)
+      assert(out.datev == meta.datev, s"datev: $meta -> $out")
+    }
+  }
+
   test("in-place directory patch keeps payload address and words") {
     val img = FstFormat.writeFile(Seq(
       (m.copy(ni = 1, nj = 3), Array(7f, 8f, 9f))))
