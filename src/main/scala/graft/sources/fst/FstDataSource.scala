@@ -114,21 +114,51 @@ class FstPartitionReader(file: String, required: StructType,
                          pushed: Array[Filter])
     extends PartitionReader[InternalRow] {
 
-  private val bytes: Array[Byte] = {
+  // Streamed access (S2 semantics at scale): only the 24-byte header
+  // and the nrecs x 72-byte directory block are read up front; a
+  // metadata-only scan never touches payload bytes no matter how
+  // large the file is. Payloads are seek-read per record on demand —
+  // directory order is write (key) order, so demand reads advance
+  // sequentially through the file.
+  private val in = {
     val fs = FileSystem.get(new java.net.URI(file), new Configuration())
-    val st = fs.getFileStatus(new Path(file))
-    val buf = new Array[Byte](st.getLen.toInt)
-    val in = fs.open(new Path(file))
-    try in.readFully(0, buf) finally in.close()
-    buf
+    fs.open(new Path(file))
   }
 
-  private val needPayload = required.fieldNames.contains("d")
-  private val entries = FstFormat.readDirectory(bytes).zipWithIndex
+  private val entriesList: Seq[(FstFormat.Meta, Int)] = {
+    val hdr = new Array[Byte](FstFormat.HeaderBytes)
+    in.readFully(0, hdr)
+    require(FstFormat.maybeFst(hdr),
+      s"not a standard file (missing STDR magic): $file")
+    val hb = java.nio.ByteBuffer.wrap(hdr)
+    hb.position(16)
+    val nrecs = hb.getInt
+    val dirOffset = hb.getInt
+    val dirBytes = new Array[Byte](nrecs * 18 * 4)
+    in.readFully(dirOffset, dirBytes)
+    val db = java.nio.ByteBuffer.wrap(dirBytes)
+    (0 until nrecs).map { r =>
+      val w = new Array[Int](18)
+      (0 until 18).foreach(i => w(i) = db.getInt(r * 18 * 4 + i * 4))
+      (FstFormat.unpackEntry(w), r)
+    }
+  }
+
+  private val entries = entriesList.iterator
     .filter { case (m, key) =>
       pushed.forall(f => FstFilters.eval(f, m, file, key))
-    }.iterator
+    }
   private var current: (FstFormat.Meta, Int) = _
+
+  private def readPayload(m: FstFormat.Meta): Array[Float] = {
+    val n = m.ni * math.max(m.nj, 1) * math.max(m.nk, 1)
+    val buf = new Array[Byte](n * 4)
+    in.readFully(m.addrWords.toLong * 8, buf)
+    val bb = java.nio.ByteBuffer.wrap(buf)
+    val out = new Array[Float](n)
+    (0 until n).foreach(i => out(i) = bb.getFloat(i * 4))
+    out
+  }
 
   override def next(): Boolean = {
     if (entries.hasNext) { current = entries.next(); true } else false
@@ -161,13 +191,13 @@ class FstPartitionReader(file: String, required: StructType,
       case "key" => key << 10 // MAKE_RND_HANDLE-style record handle
       case "d" =>
         // payload decoded only on demand (lazy column)
-        ArrayData.toArrayData(FstFormat.readPayload(bytes, m))
+        ArrayData.toArrayData(readPayload(m))
       case other => throw new IllegalArgumentException(other)
     }
     InternalRow.fromSeq(values.toSeq)
   }
 
-  override def close(): Unit = ()
+  override def close(): Unit = in.close()
 }
 
 /** Early filter evaluation over directory entries. */
