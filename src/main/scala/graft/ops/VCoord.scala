@@ -31,6 +31,15 @@ object VCoord {
     * are tagged UNKNOWN.
     */
   def setVerticalCoordinateType(df: DataFrame): DataFrame = {
+    // NaN-repair path (std_vgrid.py:638-646): when a vctype column is
+    // already present, re-classify only the rows where it is missing
+    // and pass the correctly-tagged rows through.
+    if (df.columns.contains("vctype")) {
+      val missing = df.filter(col("vctype").isNull).drop("vctype")
+      val correct = df.filter(col("vctype").isNotNull)
+      return setVerticalCoordinateType(missing)
+        .unionByName(correct, allowMissingColumns = true)
+    }
     val g0 = if (df.columns.contains("grid")) df else Decode.addGrid(df)
     val g = if (g0.columns.contains("ip1_kind")) g0
             else g0.withColumn("ip1_kind", ip1KindCol)

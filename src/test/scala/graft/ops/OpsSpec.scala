@@ -81,6 +81,17 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(types.sameElements(Array("SIGMA_1001")))
   }
 
+  test("vctype NaN repair re-classifies only missing rows") {
+    val tagged = mkCatalog().withColumn("vctype",
+      when(col("rid") === 2L, lit("PRESET")))
+    val vc = VCoord.setVerticalCoordinateType(tagged)
+    val byRid = vc.filter(col("nomvar") === "TT")
+      .select("rid", "vctype").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byRid(2L) == "PRESET")      // untouched
+    assert(byRid(1L) == "SIGMA_1001")  // re-classified
+  }
+
   test("quickPressure sigma: p = level * P0") {
     val px = VCoord.quickPressure(mkCatalog())
     val rows = px.filter(col("nomvar") === "PX").collect()
