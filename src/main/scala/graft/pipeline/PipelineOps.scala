@@ -142,8 +142,9 @@ object PipelineOps {
     s"list_reduce(list_transform(range(1, len($a) + 1), i -> " +
       s"CAST($a[CAST(i AS INT)] AS DOUBLE) * " +
       s"CAST($b[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y)"
+  def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
   def cosineSql(a: String, b: String): String =
-    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+    s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
 
   /** IVF-lite bucket id: index (1-based) of the max-|x| component —
     * a deterministic, engine-portable coarse quantizer.

@@ -45,12 +45,17 @@ object PipelineQueries {
         .agg(min("doc_id").as("doc_id"), count(lit(1)).as("copies"))
     }),
 
-    // banded MinHash-LSH near-dup candidates + exact Jaccard verify
+    // banded MinHash-LSH near-dup candidates + exact Jaccard verify.
+    // The hashed-shingle set is the expensive per-row computation and
+    // feeds four plan branches (band explode x2, verify join x2) —
+    // persist it once instead of recomputing per branch; at cluster
+    // scale the same reuse is a checkpoint of the signature table.
     "p02_minhash_lsh" -> ((s, dir) => {
       val sh = corpus(s, dir)
         .withColumn("sh", hashedShingles(shingles(words(col("text")))))
         .filter(size(col("sh")) > 0)
         .select("doc_id", "sh")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bands = sh.select(col("doc_id"),
         posexplode(bandKeys(col("sh"))).as(Seq("band", "bkey")))
       val cand = bands.alias("a")
@@ -86,6 +91,7 @@ object PipelineQueries {
         .withColumn("sh", hashedShingles(shingles(words(col("text")))))
         .filter(size(col("sh")) > 0)
         .select("source", "doc_id", "sh")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = d.select(col("doc_id").as("sid"), size(col("sh")).as("n"))
       val ex = d.select(col("source"), col("doc_id"),
         explode(col("sh")).as("h"))
@@ -109,15 +115,20 @@ object PipelineQueries {
         .select("source", "doc_id_a", "doc_id_b", "jaccard")
     }),
 
-    // brute-force cosine top-5 neighbors for a small query set
+    // brute-force cosine top-5 neighbors for a small query set.
+    // Norms are factored out of the pair loop: computed once per
+    // vector (same expression, bit-identical values), so each pair
+    // costs one dot product instead of three.
     "p05_cosine_topk" -> ((s, dir) => {
-      val e = emb(s, dir)
+      val e = emb(s, dir).withColumn("nrm", norm(col("embedding")))
       val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("nrm").as("qn"))
       val rn = row_number().over(Window.partitionBy("query_id")
         .orderBy(col("cos").desc, col("vec_id").asc))
       broadcast(q).join(e, col("vec_id") =!= col("query_id"))
-        .withColumn("cos", cosine(col("qv"), col("embedding")))
+        .withColumn("cos",
+          dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")))
         .withColumn("rank", rn)
         .filter(col("rank") <= 5)
         .select("query_id", "vec_id", "rank", "cos")
@@ -127,15 +138,17 @@ object PipelineQueries {
     "p06_cosine_ann" -> ((s, dir) => {
       val e = emb(s, dir)
         .withColumn("bucket", argmaxBucket(col("embedding")))
+        .withColumn("nrm", norm(col("embedding")))
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-          col("bucket"))
+          col("bucket"), col("nrm").as("qn"))
       val rn = row_number().over(Window.partitionBy("query_id")
         .orderBy(col("cos").desc, col("vec_id").asc))
       broadcast(q).join(e.withColumnRenamed("bucket", "cbucket"),
           col("cbucket") === col("bucket") &&
             col("vec_id") =!= col("query_id"))
-        .withColumn("cos", cosine(col("qv"), col("embedding")))
+        .withColumn("cos",
+          dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")))
         .withColumn("rank", rn)
         .filter(col("rank") <= 5)
         .select("query_id", "vec_id", "bucket", "rank", "cos")
@@ -205,13 +218,16 @@ object PipelineQueries {
           x => (x + lit(0.01f)).cast("float")).as("embedding"))
       val e = base.unionByName(near)
         .withColumn("bucket", argmaxBucket(col("embedding")))
+        .withColumn("nrm", norm(col("embedding")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = e.select(col("vec_id").as("a"),
-        col("embedding").as("va"), col("bucket"))
+        col("embedding").as("va"), col("bucket"), col("nrm").as("na_"))
       val b = e.select(col("vec_id").as("b"),
-        col("embedding").as("vb"), col("bucket"))
+        col("embedding").as("vb"), col("bucket"), col("nrm").as("nb_"))
       a.join(b, Seq("bucket"))
         .filter(col("a") < col("b"))
-        .withColumn("cos", cosine(col("va"), col("vb")))
+        .withColumn("cos",
+          dot(col("va"), col("vb")) / (col("na_") * col("nb_")))
         .filter(col("cos") >= 0.99)
         .groupBy(col("b").as("vec_id"))
         .agg(min("a").as("canonical_id"), count(lit(1)).as("n_cands"))
