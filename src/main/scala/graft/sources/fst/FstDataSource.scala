@@ -89,43 +89,81 @@ class FstScan(path: String, required: StructType,
     val p = new Path(path)
     val files =
       if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
-          .filterNot(_.contains("_SUCCESS")).sorted
-      else Array(path)
-    files.map(f => FstInputPartition(f): InputPartition)
+        fs.listStatus(p).filter(_.isFile)
+          .filterNot(_.getPath.getName.contains("_SUCCESS"))
+          .map(s => (s.getPath.toString, s.getLen))
+          .sortBy(_._1)
+      else Array((path, fs.getFileStatus(p).getLen))
+
+    // Bin-pack small files into partitions (the FileSourceScan
+    // recipe): per-file cost = size + openCost, target partition size
+    // bounded by maxPartitionBytes and sized so the scan still fills
+    // the cluster's default parallelism. One giant directory of tiny
+    // record files becomes ~parallelism tasks instead of one task per
+    // file; a directory of large files stays one file per task.
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val maxBytes = conf.filesMaxPartitionBytes
+    val parallelism =
+      org.apache.spark.sql.SparkSession.active.sparkContext
+        .defaultParallelism
+    val total = files.map(_._2 + openCost).sum
+    val target =
+      math.max(openCost, math.min(maxBytes, total / parallelism + 1))
+
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[String]
+    var curBytes = 0L
+    files.foreach { case (f, len) =>
+      val cost = len + openCost
+      if (curBytes + cost > target && cur.nonEmpty) {
+        parts += cur.toSeq; cur.clear(); curBytes = 0L
+      }
+      cur += f; curBytes += cost
+    }
+    if (cur.nonEmpty) parts += cur.toSeq
+    parts.map(fs => FstInputPartition(fs): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FstReaderFactory(required, pushed)
 }
 
-case class FstInputPartition(file: String) extends InputPartition
+case class FstInputPartition(files: Seq[String]) extends InputPartition
 
 class FstReaderFactory(required: StructType, pushed: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[FstInputPartition].file
-    new FstPartitionReader(file, required, pushed)
+    val files = partition.asInstanceOf[FstInputPartition].files
+    new FstPartitionReader(files, required, pushed)
   }
 }
 
-class FstPartitionReader(file: String, required: StructType,
+class FstPartitionReader(files: Seq[String], required: StructType,
                          pushed: Array[Filter])
     extends PartitionReader[InternalRow] {
 
-  // Streamed access (S2 semantics at scale): only the 24-byte header
-  // and the nrecs x 72-byte directory block are read up front; a
-  // metadata-only scan never touches payload bytes no matter how
-  // large the file is. Payloads are seek-read per record on demand —
-  // directory order is write (key) order, so demand reads advance
-  // sequentially through the file.
-  private val in = {
-    val fs = FileSystem.get(new java.net.URI(file), new Configuration())
-    fs.open(new Path(file))
-  }
+  // Streamed access (S2 semantics at scale): per file, only the
+  // 24-byte header and the nrecs x 72-byte directory block are read
+  // up front; a metadata-only scan never touches payload bytes no
+  // matter how large the file is. Payloads are seek-read per record
+  // on demand — directory order is write (key) order, so demand reads
+  // advance sequentially through the file. Files in the partition are
+  // opened one at a time, in order.
+  private val hconf = new Configuration()
+  private val remaining = files.iterator
+  private var in: org.apache.hadoop.fs.FSDataInputStream = _
+  private var file: String = _
+  private var entries: Iterator[(FstFormat.Meta, Int)] = Iterator.empty
+  private var current: (FstFormat.Meta, Int) = _
 
-  private val entriesList: Seq[(FstFormat.Meta, Int)] = {
+  private def openNext(): Boolean = {
+    if (in != null) { in.close(); in = null }
+    if (!remaining.hasNext) return false
+    file = remaining.next()
+    val fs = FileSystem.get(new java.net.URI(file), hconf)
+    in = fs.open(new Path(file))
     val hdr = new Array[Byte](FstFormat.HeaderBytes)
     in.readFully(0, hdr)
     require(FstFormat.maybeFst(hdr),
@@ -137,18 +175,15 @@ class FstPartitionReader(file: String, required: StructType,
     val dirBytes = new Array[Byte](nrecs * 18 * 4)
     in.readFully(dirOffset, dirBytes)
     val db = java.nio.ByteBuffer.wrap(dirBytes)
-    (0 until nrecs).map { r =>
+    entries = (0 until nrecs).iterator.map { r =>
       val w = new Array[Int](18)
       (0 until 18).foreach(i => w(i) = db.getInt(r * 18 * 4 + i * 4))
       (FstFormat.unpackEntry(w), r)
-    }
-  }
-
-  private val entries = entriesList.iterator
-    .filter { case (m, key) =>
+    }.filter { case (m, key) =>
       pushed.forall(f => FstFilters.eval(f, m, file, key))
     }
-  private var current: (FstFormat.Meta, Int) = _
+    true
+  }
 
   private def readPayload(m: FstFormat.Meta): Array[Float] = {
     val n = m.ni * math.max(m.nj, 1) * math.max(m.nk, 1)
@@ -161,7 +196,8 @@ class FstPartitionReader(file: String, required: StructType,
   }
 
   override def next(): Boolean = {
-    if (entries.hasNext) { current = entries.next(); true } else false
+    while (!entries.hasNext) if (!openNext()) return false
+    current = entries.next(); true
   }
 
   override def get(): InternalRow = {
@@ -197,7 +233,7 @@ class FstPartitionReader(file: String, required: StructType,
     InternalRow.fromSeq(values.toSeq)
   }
 
-  override def close(): Unit = in.close()
+  override def close(): Unit = if (in != null) in.close()
 }
 
 /** Early filter evaluation over directory entries. */
