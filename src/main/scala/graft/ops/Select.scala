@@ -66,26 +66,42 @@ object Select {
     val g = ensureGrid(df)
     val cols = g.columns
     val noMeta = antiMeta(g)
+    // The meta side is tiny by construction (coordinate/descriptor
+    // records only) but feeds five kept-set branches — cache it so the
+    // catalog is not re-scanned per branch.
     val metaDf = selectMeta(g)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // ONE aggregation pass over the (large) data side produces a tiny
+    // per-(grid, output-time) summary; every per-grid/global summary
+    // below derives from it. The summary is persisted — its size is
+    // bounded by grids x output times, never by record count — so the
+    // heavy scan + partial aggregation runs once, not once per
+    // consumer (column pruning makes the consumers' subplans differ,
+    // which defeats ReuseExchange).
+    val summary = noMeta
+      .withColumn("k", IpColumns.decodeKind(col("ip1")))
+      .groupBy("grid", "dateo", "deet", "npas").agg(
+        max(col("k") === 1).as("s_sigma"),
+        max(col("k") === 5).as("s_hybrid"),
+        max(col("k") === 2).as("s_pressure"),
+        min("ni").as("sni"), min("nj").as("snj"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // per-grid vertical-kind flags from decoded ip1 (A5 bucketing)
-    val kindFlags = noMeta
-      .withColumn("k", IpColumns.decodeKind(col("ip1")))
-      .groupBy("grid").agg(
-        max(col("k") === 1).as("has_sigma"),
-        max(col("k") === 5).as("has_hybrid"),
-        max(col("k") === 2).as("has_pressure"))
+    val kindFlags = summary.groupBy("grid").agg(
+      max("s_sigma").as("has_sigma"),
+      max("s_hybrid").as("has_hybrid"),
+      max("s_pressure").as("has_pressure"))
 
     // per-grid field dims (reference takes the first row's ni/nj,
     // dataframe_utils.py:404-406; grids are dimensionally homogeneous)
-    val dims = noMeta.groupBy("grid").agg(
-      min("ni").as("gni"), min("nj").as("gnj"))
+    val dims = summary.groupBy("grid").agg(
+      min("sni").as("gni"), min("snj").as("gnj"))
 
     // J3: 3-tier fallback match of deformation records to data groups
-    val groups = noMeta.select("grid", "dateo", "deet", "npas").distinct()
-      .withColumnRenamed("dateo", "gdateo")
-      .withColumnRenamed("deet", "gdeet")
-      .withColumnRenamed("npas", "gnpas")
+    val groups = summary.select(col("grid"), col("dateo").as("gdateo"),
+      col("deet").as("gdeet"), col("npas").as("gnpas"))
     val coord = metaDf.filter(col("nomvar").isin("^^", ">>", "^>"))
     val tier =
       when(col("dateo") === col("gdateo") && col("deet") === col("gdeet")
@@ -117,8 +133,7 @@ object Select {
     val pt = surfaceFields("PT", col("has_sigma"))
 
     // HY kept iff hybrid levels exist anywhere (HY is grid-less)
-    val hybridAny = noMeta
-      .agg(max(IpColumns.decodeKind(col("ip1")) === 5).as("any_hybrid"))
+    val hybridAny = summary.agg(max("s_hybrid").as("any_hybrid"))
     val hy = metaDf.filter(col("nomvar") === "HY")
       .crossJoin(broadcast(hybridAny))
       .filter(col("any_hybrid"))
