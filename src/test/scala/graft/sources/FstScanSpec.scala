@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spark-level scan tests for the fstrec source: file bin-packing and
+  * row fidelity across many small files.
+  */
+class FstScanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def writeSmallFiles(path: String, rows: Int,
+                              perFile: Int): Unit = {
+    import spark.implicits._
+    val df = (1 to rows).toDF("i").select(
+      lit("TT").as("nomvar"), lit("P").as("typvar"),
+      lit("TEST").as("etiket"), lit(2).as("ni"), lit(2).as("nj"),
+      lit(1).as("nk"), lit(442998800L).as("dateo"),
+      col("i").as("ip1"), lit(0).as("ip2"), lit(0).as("ip3"),
+      lit(0).as("deet"), lit(0).as("npas"), lit(5).as("datyp"),
+      lit(32).as("nbits"), lit("X").as("grtyp"), lit(0).as("ig1"),
+      lit(0).as("ig2"), lit(0).as("ig3"), lit(0).as("ig4"),
+      lit(442998800L).as("datev"),
+      array(col("i").cast("float"), lit(1f), lit(2f), lit(3f)).as("d"))
+    graft.sources.fst.FstWriter.write(df, path,
+      maxRecordsPerFile = perFile, cleanup = false)
+  }
+
+  test("many small files pack into few partitions, all rows read") {
+    val path = "/tmp/graft_scan_spec_pack"
+    writeSmallFiles(path, rows = 400, perFile = 8)
+    val fileCount = new java.io.File(path).listFiles().count(_.isFile)
+    assert(fileCount >= 50, s"expected many files, got $fileCount")
+    val back = spark.read.format("fstrec").load(path)
+    assert(back.count() == 400)
+    val parts = back.rdd.getNumPartitions
+    assert(parts < fileCount,
+      s"expected packed partitions, got $parts for $fileCount files")
+    // row fidelity: every ip1 exactly once, payload head matches ip1
+    val ok = back.select(col("ip1"), element_at(col("d"), 1).as("h"))
+      .filter(col("h") === col("ip1").cast("float"))
+    assert(ok.count() == 400)
+    assert(back.select("ip1").distinct().count() == 400)
+  }
+
+  test("metadata-only projection still prunes payload reads") {
+    val path = "/tmp/graft_scan_spec_meta"
+    writeSmallFiles(path, rows = 64, perFile = 16)
+    val back = spark.read.format("fstrec").load(path)
+      .select("nomvar", "ip1")
+    assert(back.count() == 64)
+    assert(back.schema.fieldNames.toSeq == Seq("nomvar", "ip1"))
+  }
+
+  test("pushed filter drops records before payload decode") {
+    val path = "/tmp/graft_scan_spec_filter"
+    writeSmallFiles(path, rows = 100, perFile = 10)
+    val back = spark.read.format("fstrec").load(path)
+      .filter(col("ip1") <= 10)
+    assert(back.count() == 10)
+  }
+}
