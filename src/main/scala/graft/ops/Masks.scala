@@ -61,24 +61,29 @@ object Masks {
 
     val w = Window.partitionBy(PairCols.map(col): _*)
     val withN = masked.withColumn("pair_n", count(lit(1)).over(w))
-    val complete = withN.filter(col("pair_n") === 2)
-      .select(cols.map(col): _*)
-    val singles = withN.filter(col("pair_n") === 1)
 
     val one = lit(if (keepValue == 1) 1f else 0f)
     val zero = lit(if (keepValue == 1) 0f else 1f)
-    val dataRows = singles
-      .withColumn("d", transform(col("d"), x => coalesce(x, lit(0f))))
-      .select(cols.map(col): _*)
-    val maskRows = singles
-      .withColumn("typvar", lit(maskTypvar))
-      .withColumn("datyp", lit(2))
-      .withColumn("nbits", lit(1))
-      .withColumn("d",
-        transform(col("d"), x => when(x.isNotNull, one).otherwise(zero)))
-      .select(cols.map(col): _*)
+    // One pass over the windowed rows: complete pairs pass through as
+    // themselves; singles expand to (filled data row, synthesized mask
+    // row). Fusing the three consumers means the payload-bearing
+    // window shuffle executes once, not three times.
+    def mk(over: Map[String, org.apache.spark.sql.Column]) =
+      struct(cols.map(c => over.getOrElse(c, col(c)).as(c)): _*)
+    val pass = mk(Map.empty)
+    val dataRow = mk(Map(
+      "d" -> transform(col("d"), x => coalesce(x, lit(0f)))))
+    val maskRow = mk(Map(
+      "typvar" -> lit(maskTypvar).cast("string"),
+      "datyp" -> lit(2), "nbits" -> lit(1),
+      "d" -> transform(col("d"),
+        x => when(x.isNotNull, one).otherwise(zero))))
+    val expanded = withN
+      .select(explode(
+        when(col("pair_n") === 2, array(pass))
+          .otherwise(array(dataRow, maskRow))).as("r"))
+      .select(cols.map(c => col(s"r.$c").as(c)): _*)
 
-    meta.unionByName(notMasked).unionByName(complete)
-      .unionByName(dataRows).unionByName(maskRows)
+    meta.unionByName(notMasked).unionByName(expanded)
   }
 }

@@ -150,19 +150,32 @@ object VCoord {
   def quickPressure(df: DataFrame,
                     standardAtmosphere: Boolean = false): DataFrame = {
     val vc = setVerticalCoordinateType(df)
+    // The meta subset is small (coordinate/descriptor records) but
+    // feeds four lookups below; persisting it keeps the classification
+    // joins + full-catalog scan from re-running per lookup.
     val meta = vc.filter(col("nomvar").isin(VcMeta: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val data = vc.filter(!col("nomvar").isin(VcMeta: _*))
       .filter(col("ip1") =!= 0 && col("vctype") =!= "UNKNOWN" &&
         !col("nomvar").isin("PX", "PXSA"))
 
     val repCols = Seq("typvar", "ni", "nj", "nk", "dateo", "ip2", "ip3",
       "deet", "npas", "grtyp", "ig1", "ig2", "ig3", "ig4")
-    val reps = data.groupBy("grid", "vctype", "datev").agg(
-      min_by(struct(repCols.map(col): _*), col("rid")).as("rep"))
+    // ONE aggregation pass over the (large) data side: one row per
+    // distinct level group, carrying that group's min-rid metadata
+    // clone. Both `reps` and `levels` derive from this tiny persisted
+    // table, so payload-bearing rows are scanned once, not twice.
+    val perLevel = data
+      .groupBy("grid", "vctype", "datev", "ip1").agg(
+        min("rid").as("lrid"),
+        min_by(struct(repCols.map(col): _*), col("rid")).as("lrep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = perLevel.groupBy("grid", "vctype", "datev").agg(
+      min_by(col("lrep"), col("lrid")).as("rep"))
       .select(col("grid"), col("vctype"), col("datev"),
         col("rep.*"))
 
-    val levels = data.select("grid", "vctype", "datev", "ip1").distinct()
+    val levels = perLevel.select("grid", "vctype", "datev", "ip1")
       .withColumn("level", IpColumns.decodeValue(col("ip1")))
 
     val p0s = meta.filter(col("nomvar") === "P0").select(
