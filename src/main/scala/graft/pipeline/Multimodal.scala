@@ -68,4 +68,48 @@ object Multimodal {
       else slice.map(i => (payload(i) & 0xFF).toFloat).sum / slice.size
     }
   }
+
+  /** Frame sampling: one row per sampled "frame" of the payload —
+    * the Spark shape for video frame extraction (explode, one output
+    * row per frame, frame index + offset carried as metadata). The
+    * frame boundaries here are a deterministic byte stride standing in
+    * for container parsing: frame k covers payload bytes
+    * [k*frameBytes, (k+1)*frameBytes). Every sampled frame keeps its
+    * index so downstream per-frame decode can re-group to the source.
+    * Expression-only (substring on binary is codegen'd); the explode
+    * multiplies rows, never payload copies across a shuffle.
+    */
+  def frameSample(df: DataFrame, frameBytes: Int = 64,
+                  everyNth: Int = 4): DataFrame =
+    df.select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0),
+          greatest(ceil(octet_length(col("payload")).cast("double")
+            / frameBytes).cast("int") - 1, lit(0)),
+          lit(everyNth))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * frameBytes).as("frame_offset"),
+        substring(col("payload"), col("frame_idx") * frameBytes + 1,
+          lit(frameBytes)).as("frame_payload"))
+
+  /** Resize: fixed-target downsample of the payload — the Spark shape
+    * for image resizing (payload in, smaller payload out, target size
+    * in metadata; per-row expression work, no shuffle). STUB geometry:
+    * keeps every ceil(len/targetBytes)-th byte via a strided gather —
+    * replace with a real scaler when codec libraries are available.
+    */
+  def resizeStub(df: DataFrame, targetBytes: Int = 32): DataFrame = {
+    val len = octet_length(col("payload"))
+    val stride = greatest(ceil(len.cast("double") / targetBytes)
+      .cast("int"), lit(1))
+    df.withColumn("resized",
+        when(len === 0, col("payload")).otherwise(
+          array_join(transform(
+            sequence(lit(1), len, stride),
+            i => substring(col("payload").cast("string"), i, lit(1))), "")
+            .cast("binary")))
+      .withColumn("resize_meta", struct(
+        lit(targetBytes).as("target_bytes"),
+        octet_length(col("resized")).as("actual_bytes"),
+        stride.as("stride")))
+  }
 }

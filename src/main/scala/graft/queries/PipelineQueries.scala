@@ -237,7 +237,24 @@ object PipelineQueries {
     "p11_multimodal" -> ((s, dir) =>
       graft.pipeline.Multimodal.features(
         graft.pipeline.Multimodal.toBinaryRecords(docs(s, dir)))
-        .select("doc_id", "byte_len", "digest", "head_cp", "cp_sum")))
+        .select("doc_id", "byte_len", "digest", "head_cp", "cp_sum")),
+
+    // multimodal frame sampling: one row per strided frame (the video
+    // frame-extract shape: explode to per-frame rows with index +
+    // offset metadata)
+    "p13_frame_sample" -> ((s, dir) =>
+      graft.pipeline.Multimodal.frameSample(
+        graft.pipeline.Multimodal.toBinaryRecords(docs(s, dir)))
+        .select(col("doc_id"), col("frame_idx"), col("frame_offset"),
+          col("frame_payload").cast("string").as("frame_text"))),
+
+    // multimodal resize: fixed-target strided downsample of payloads
+    "p14_resize" -> ((s, dir) =>
+      graft.pipeline.Multimodal.resizeStub(
+        graft.pipeline.Multimodal.toBinaryRecords(docs(s, dir)))
+        .select(col("doc_id"), col("resized").cast("string")
+          .as("resized_text"), col("resize_meta.actual_bytes")
+          .as("actual_bytes"), col("resize_meta.stride").as("stride"))))
 
   private def predSql: String = {
     val scores = Stopwords.map { case (l, _) =>
@@ -359,6 +376,28 @@ SELECT query_id, vec_id, bucket, rank, cos FROM r WHERE rank <= 5""",
         i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT)),
         (a, b) -> a + b) AS cp_sum
       FROM documents""",
+
+    "p13_frame_sample" ->
+      """SELECT doc_id, CAST(f AS INT) AS frame_idx,
+      CAST(f * 64 AS INT) AS frame_offset,
+      substring(text, CAST(f * 64 + 1 AS INT), 64) AS frame_text
+      FROM documents,
+      LATERAL unnest(range(0, greatest(CAST(ceil(strlen(text) / 64.0)
+        AS INT) - 1, 0) + 1, 4)) AS t(f)""",
+
+    "p14_resize" -> {
+      val stride =
+        "greatest(CAST(ceil(strlen(text) / 32.0) AS INT), 1)"
+      s"""SELECT doc_id,
+      list_aggregate(list_transform(
+        range(1, strlen(text) + 1, $stride),
+        i -> substring(text, CAST(i AS INT), 1)), 'string_agg', '')
+        AS resized_text,
+      CAST(len(range(1, strlen(text) + 1, $stride)) AS INT)
+        AS actual_bytes,
+      CAST($stride AS INT) AS stride
+      FROM documents"""
+    },
 
     "p12_embedding_dedup" ->
       s"""WITH e AS (
