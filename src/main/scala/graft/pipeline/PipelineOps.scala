@@ -146,6 +146,37 @@ object PipelineOps {
   def cosineSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
 
+  // ---- random-hyperplane LSH (signed projections) ----
+
+  /** Deterministic hyperplane components in [-1, 1]: Knuth MMIX LCG
+    * from a fixed seed. Computed once in Scala and embedded as
+    * LITERALS in both the Spark plan and the SQL twin, so the two
+    * engines agree bit-for-bit without portable hashing tricks.
+    */
+  def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    var x = 0x9E3779B97F4A7C15L
+    def next(): Double = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (((x >>> 33) % 2001) - 1000) / 1000.0
+    }
+    Seq.fill(nPlanes)(Seq.fill(dim)(next()))
+  }
+
+  /** Bucket signature: bit p set iff the embedding's projection onto
+    * plane p is non-negative. 2^nPlanes buckets.
+    */
+  def hyperplaneSig(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (pl, p) =>
+      when(dot(v, array(pl.map(lit): _*)) >= 0, lit(1 << p))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+
+  def hyperplaneSigSql(v: String, planes: Seq[Seq[Double]]): String =
+    planes.zipWithIndex.map { case (pl, p) =>
+      val lst = pl.mkString("[", ", ", "]")
+      s"(CASE WHEN ${dotSql(v, lst)} >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   /** IVF-lite bucket id: index (1-based) of the max-|x| component —
     * a deterministic, engine-portable coarse quantizer.
     */

@@ -233,6 +233,28 @@ object PipelineQueries {
         .agg(min("a").as("canonical_id"), count(lit(1)).as("n_cands"))
     }),
 
+    // random-hyperplane LSH ANN: search only the query's sign-bucket
+    // (the LSH-bucketed scale path next to p06's IVF-lite variant)
+    "p15_cosine_lsh" -> ((s, dir) => {
+      val planes = hyperplanes(4, 64)
+      val e = emb(s, dir)
+        .withColumn("sig", hyperplaneSig(col("embedding"), planes))
+        .withColumn("nrm", norm(col("embedding")))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("sig").as("qsig"), col("nrm").as("qn"))
+      val rn = row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("vec_id").asc))
+      broadcast(q).join(e,
+          col("sig") === col("qsig") && col("vec_id") =!= col("query_id"))
+        .withColumn("cos",
+          dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")))
+        .withColumn("rank", rn)
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id"), col("sig").as("bucket"),
+          col("rank"), col("cos"))
+    }),
+
     // multimodal plumbing: opaque binary payload + scalar features
     "p11_multimodal" -> ((s, dir) =>
       graft.pipeline.Multimodal.features(
@@ -376,6 +398,20 @@ SELECT query_id, vec_id, bucket, rank, cos FROM r WHERE rank <= 5""",
         i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT)),
         (a, b) -> a + b) AS cp_sum
       FROM documents""",
+
+    "p15_cosine_lsh" -> {
+      val planes = hyperplanes(4, 64)
+      s"""WITH e AS (SELECT vec_id, embedding,
+    ${hyperplaneSigSql("embedding", planes)} AS sig,
+    ${normSql("embedding")} AS nrm FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, sig AS qsig, nrm AS qn
+    FROM e WHERE vec_id < 10),
+c AS (SELECT q.query_id, e.vec_id, e.sig AS bucket,
+    (${dotSql("q.qv", "e.embedding")} / (q.qn * e.nrm)) AS cos
+  FROM q JOIN e ON e.sig = q.qsig AND e.vec_id <> q.query_id),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
+SELECT query_id, vec_id, bucket, rank, cos FROM r WHERE rank <= 5""" },
 
     "p13_frame_sample" ->
       """SELECT doc_id, CAST(f AS INT) AS frame_idx,
