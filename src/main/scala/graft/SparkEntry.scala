@@ -13,9 +13,13 @@ import graft.queries._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. QuickPressure is the showpiece domain computation:
+    * vertical-coordinate classification + per-level PX pressure fields
+    * derived from the catalog's own P0/PT/HY/!! descriptors.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("f19_quick_pressure")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++
