@@ -54,10 +54,11 @@ object PipelineQueries {
       val sh = corpus(s, dir)
         .withColumn("sh", hashedShingles(shingles(words(col("text")))))
         .filter(size(col("sh")) > 0)
-        .select("doc_id", "sh")
+        .withColumn("bks", bandKeys(col("sh")))
+        .select("doc_id", "sh", "bks")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bands = sh.select(col("doc_id"),
-        posexplode(bandKeys(col("sh"))).as(Seq("band", "bkey")))
+        posexplode(col("bks")).as(Seq("band", "bkey")))
       val cand = bands.alias("a")
         .join(bands.alias("b"),
           col("a.band") === col("b.band") &&

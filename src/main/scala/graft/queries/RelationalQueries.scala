@@ -59,8 +59,12 @@ object RelationalQueries {
     "q03_top_orders" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val o = Tables.orders(s, d)
+      // revenue accumulates in DECIMAL so the sum is exact and
+      // order-independent — double summation order differs between
+      // engines and flips round()-boundary cases at larger SFs
       li.groupBy(col("l_orderkey"))
-        .agg(r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 3).as("revenue"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")), 3).cast("double").as("revenue"))
         .join(o, col("l_orderkey") === o("o_orderkey"))
         .select(col("o_orderkey"), col("revenue"), col("o_orderpriority"))
         .orderBy(col("revenue").desc, col("o_orderkey").asc)
@@ -210,7 +214,8 @@ object RelationalQueries {
          GROUP BY r_name, n_name""",
     "q03_top_orders" ->
       """SELECT o_orderkey, revenue, o_orderpriority FROM (
-           SELECT l_orderkey, round(sum(l_extendedprice*(1-l_discount)),3) AS revenue
+           SELECT l_orderkey, CAST(round(sum(CAST(l_extendedprice*(1-l_discount)
+             AS DECIMAL(18,6))),3) AS DOUBLE) AS revenue
            FROM lineitem GROUP BY l_orderkey) rev
          JOIN orders ON l_orderkey = o_orderkey
          ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
