@@ -25,6 +25,18 @@ object RelationalQueries {
   /** Round a double column to `s` decimals — mirrored in the oracle SQL. */
   private def r(c: Column, s: Int): Column = round(c, s)
 
+  /** Exact, order-independent sum of a double measure: accumulate in
+    * DECIMAL (so partial-aggregation order cannot shift the value),
+    * round, return DOUBLE. Mirrored in each oracle as
+    * `CAST(round(sum(CAST(x AS DECIMAL(18,6))), s) AS DOUBLE)`.
+    */
+  private def dsum(c: Column, s: Int): Column =
+    round(sum(c.cast("decimal(18,6)")), s).cast("double")
+
+  /** Exact-sum average: decimal sum, double division by count. */
+  private def davg(c: Column, s: Int): Column =
+    round(sum(c.cast("decimal(18,6)")).cast("double") / count(lit(1)), s)
+
   val queries: Map[String, Q] = Map(
     // TPC-H Q1 shape: scan-heavy groupBy with partial aggregation.
     "q01_pricing_summary" -> ((s, d) => {
@@ -32,12 +44,12 @@ object RelationalQueries {
         .filter(col("l_shipdate") <= lit("1999-12-31").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          r(sum("l_quantity"), 3).as("sum_qty"),
-          r(sum("l_extendedprice"), 3).as("sum_base_price"),
-          r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 3).as("sum_disc_price"),
-          r(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 3).as("sum_charge"),
-          r(sum("l_quantity") / count(lit(1)), 4).as("avg_qty"),
-          r(sum("l_discount") / count(lit(1)), 6).as("avg_disc"),
+          dsum(col("l_quantity"), 3).as("sum_qty"),
+          dsum(col("l_extendedprice"), 3).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 3).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 3).as("sum_charge"),
+          davg(col("l_quantity"), 4).as("avg_qty"),
+          davg(col("l_discount"), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -51,7 +63,7 @@ object RelationalQueries {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(rg), n("n_regionkey") === rg("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(r(sum("o_totalprice"), 3).as("revenue"),
+        .agg(dsum(col("o_totalprice"), 3).as("revenue"),
              count(lit(1)).as("n_orders"))
     }),
 
@@ -80,7 +92,7 @@ object RelationalQueries {
         .filter(col("rn") <= 3)
         .groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n_recent"),
-             r(sum("o_totalprice"), 2).as("recent_total"))
+             dsum(col("o_totalprice"), 2).as("recent_total"))
     }),
 
     // Selective filter + narrow projection: raw rows, exact values.
@@ -126,7 +138,7 @@ object RelationalQueries {
       c.unionByName(sup)
         .groupBy(col("nationkey"))
         .agg(count(lit(1)).as("n_accounts"),
-             r(sum("acctbal"), 2).as("total_bal"))
+             dsum(col("acctbal"), 2).as("total_bal"))
     }),
 
     // Order-by + limit with unique tiebreak.
@@ -144,7 +156,7 @@ object RelationalQueries {
         .groupBy(col("event_type"))
         .agg(
           count(lit(1)).as("n"),
-          r(sum("value"), 3).as("total_value"),
+          dsum(col("value"), 3).as("total_value"),
           sum(when(col("value") > 100, 1).otherwise(0)).as("n_large"),
           countDistinct(col("user_id")).as("n_users"))
     }),
@@ -153,7 +165,7 @@ object RelationalQueries {
     "q12_hourly_events" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
-        .agg(count(lit(1)).as("n"), r(sum("value"), 3).as("v"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 3).as("v"))
     }),
 
     // Window lag: inter-event gap per user in whole seconds.
@@ -195,17 +207,18 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         round(sum(l_quantity),3) AS sum_qty,
-         round(sum(l_extendedprice),3) AS sum_base_price,
-         round(sum(l_extendedprice*(1-l_discount)),3) AS sum_disc_price,
-         round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),3) AS sum_charge,
-         round(sum(l_quantity)/count(*),4) AS avg_qty,
-         round(sum(l_discount)/count(*),6) AS avg_disc,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))),3) AS DOUBLE) AS sum_qty,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))),3) AS DOUBLE) AS sum_base_price,
+         CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))),3) AS DOUBLE) AS sum_disc_price,
+         CAST(round(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))),3) AS DOUBLE) AS sum_charge,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)/count(*),4) AS avg_qty,
+         round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)/count(*),6) AS avg_disc,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-31'
          GROUP BY l_returnflag, l_linestatus""",
     "q02_revenue_by_nation" ->
-      """SELECT r_name, n_name, round(sum(o_totalprice),3) AS revenue,
+      """SELECT r_name, n_name,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))),3) AS DOUBLE) AS revenue,
          count(*) AS n_orders
          FROM orders
          JOIN customer ON o_custkey = c_custkey
@@ -221,7 +234,7 @@ object RelationalQueries {
          ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
     "q04_recent_orders_per_customer" ->
       """SELECT o_custkey, count(*) AS n_recent,
-         round(sum(o_totalprice),2) AS recent_total
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))),2) AS DOUBLE) AS recent_total
          FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) t
          WHERE rn <= 3 GROUP BY o_custkey""",
@@ -242,7 +255,7 @@ object RelationalQueries {
            WHERE o_custkey = c_custkey AND o_totalprice > 350000)""",
     "q09_account_holders_by_nation" ->
       """SELECT nationkey, count(*) AS n_accounts,
-         round(sum(acctbal),2) AS total_bal FROM (
+         CAST(round(sum(CAST(acctbal AS DECIMAL(18,6))),2) AS DOUBLE) AS total_bal FROM (
            SELECT CAST(c_nationkey AS INT) AS nationkey,
                   round(c_acctbal,2) AS acctbal FROM customer
            UNION ALL
@@ -253,13 +266,15 @@ object RelationalQueries {
       """SELECT p_partkey, p_name, round(p_retailprice,2) AS retail
          FROM part ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 20""",
     "q11_event_type_stats" ->
-      """SELECT event_type, count(*) AS n, round(sum(value),3) AS total_value,
+      """SELECT event_type, count(*) AS n,
+         CAST(round(sum(CAST(value AS DECIMAL(18,6))),3) AS DOUBLE) AS total_value,
          CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
          count(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type""",
     "q12_hourly_events" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
-         count(*) AS n, round(sum(value),3) AS v
+         count(*) AS n,
+         CAST(round(sum(CAST(value AS DECIMAL(18,6))),3) AS DOUBLE) AS v
          FROM events GROUP BY 1""",
     "q13_user_event_gaps" ->
       """SELECT user_id, count(*) AS n_gaps,
