@@ -6,6 +6,23 @@ import org.apache.spark.sql.functions._
 /** Catalog constructors and documentation helpers. */
 object Catalogs {
 
+  /** Truncate plan lineage at an operator-chain boundary.
+    *
+    * Catalog operators (decode -> select_with_meta -> unit_convert ->
+    * quick_pressure) each reference their input DataFrame several
+    * times (data/meta splits, summary joins), so composing many of
+    * them in one lazy plan grows the logical tree multiplicatively —
+    * driver-side planning slows down and can exhaust the heap long
+    * before any data moves. The pandas reference sidesteps this by
+    * materializing at EVERY step; in Spark the idiomatic fix is
+    * lineage truncation at the boundaries the user chooses.
+    * `stage` does that with an eager localCheckpoint (executor-local
+    * MEMORY_AND_DISK blocks — no HDFS round-trip; at cluster scale
+    * prefer staging the small post-selection catalog, not the raw
+    * scan).
+    */
+  def stage(df: DataFrame): DataFrame = df.localCheckpoint()
+
   /** S12 create_empty_dataframe
     * (/root/reference/fstpy/dataframe.py:675-700): n default records.
     */

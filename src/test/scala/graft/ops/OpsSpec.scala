@@ -141,6 +141,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(st.getAs[Double]("mean") - 2.5) < 1e-12)
   }
 
+  test("README walkthrough chain composes end-to-end") {
+    // read -> decode -> select_with_meta -> unit_convert ->
+    // quick_pressure -> write -> re-read (SURVEY.md §5 item 4;
+    // reference README.md:66-84 acceptance shape). Catalogs.stage
+    // truncates lineage between operators — without it the composed
+    // plan grows multiplicatively (each operator re-references its
+    // input) and driver-side planning OOMs.
+    val selected = Catalogs.stage(Select.selectWithMeta(
+      Decode.decodeMetadata(mkCatalog()), Seq("TT")))
+    val converted = Catalogs.stage(
+      UnitConvert.unitConvert(selected, "kelvin"))
+    val px = VCoord.quickPressure(converted)
+    assert(px.filter(col("nomvar") === "PX").count() == 2)
+    val out = converted.select(
+      col("nomvar"), col("typvar"), col("etiket"), col("ni"), col("nj"),
+      col("nk"), col("dateo"), col("ip1"), col("ip2"),
+      col("rid").cast("int").as("ip3"), col("deet"), col("npas"),
+      col("datyp"), col("nbits"), col("grtyp"), col("ig1"), col("ig2"),
+      col("ig3"), col("ig4"), col("datev"), col("d"))
+    val path = "/tmp/graft_opsspec_walkthrough"
+    graft.sources.fst.FstWriter.write(out, path, cleanup = false)
+    val back = spark.read.format("fstrec").load(path)
+    assert(back.count() == out.count())
+    // payload fidelity through write + re-read: converted TT (rid 1)
+    val tt = back.filter(col("nomvar") === "TT" && col("ip3") === 1)
+      .head()
+    assert(math.abs(tt.getSeq[Float](tt.fieldIndex("d")).head
+      - 274.15f) < 1e-4)
+    val st = Stats.fststat(Decode.addGrid(back))
+    assert(st.count() == back.count())
+  }
+
   test("cube assembly sorts levels and flattens Fortran payloads") {
     val cube = Cubes.toCube(mkCatalog())
       .filter(col("nomvar") === "TT").head()
