@@ -43,7 +43,11 @@ object VCoord {
     val g0 = if (df.columns.contains("grid")) df else Decode.addGrid(df)
     val g = if (g0.columns.contains("ip1_kind")) g0
             else g0.withColumn("ip1_kind", ip1KindCol)
+    // meta subset is small by construction and feeds three branches
+    // (flags, vcodes, output union): cache it so the input catalog is
+    // not re-scanned per branch and the composed plan stays shallow
     val meta = g.filter(col("nomvar").isin(VcMeta: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val noMeta = g.filter(!col("nomvar").isin(VcMeta: _*))
 
     val flags = meta.groupBy("grid").agg(
