@@ -163,9 +163,13 @@ object FstQueries {
     // M2-M5 QuickPressure: PX fields for sigma/eta/pressure coords
     "f19_quick_pressure" -> ((s, dir) => {
       val px = VCoord.quickPressure(cat(s, dir))
+      // posexplode_outer: d is non-empty by construction, and the
+      // _outer variant skips the implicit size>0/isnotnull predicates
+      // that would otherwise duplicate the (large) pressure-formula
+      // expression into the join condition
       px.select(col("grid"), col("vctype"), col("datev"), col("ip1"),
           col("level"), col("typvar"), col("dateo"), col("ip2"),
-          col("datyp"), col("nbits"), posexplode(col("d")))
+          col("datyp"), col("nbits"), posexplode_outer(col("d")))
         .select(col("grid"), col("vctype"), col("datev"), col("ip1"),
           col("level"), col("typvar"), col("dateo"), col("ip2"),
           col("datyp"), col("nbits"), (col("pos") + 1).as("pos"),
