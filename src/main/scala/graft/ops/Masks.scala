@@ -26,6 +26,8 @@ object Masks {
     */
   def applyMask(df: DataFrame, maskTypvar: String = "@@",
                 keepValue: Int = 1): DataFrame = {
+    graft.core.Checks.requireColumns(df, "apply_mask", "nomvar",
+      "typvar", "d")
     val g = if (df.columns.contains("grid")) df else Decode.addGrid(df)
     val cols = g.columns
     val meta = g.filter(col("nomvar").isin(VCoord.VcMeta: _*))
@@ -52,6 +54,8 @@ object Masks {
     */
   def recoverMask(df: DataFrame, maskTypvar: String = "@@",
                   keepValue: Int = 1): DataFrame = {
+    graft.core.Checks.requireColumns(df, "recover_mask", "nomvar",
+      "typvar", "d")
     val g = if (df.columns.contains("grid")) df else Decode.addGrid(df)
     val cols = g.columns
     val meta = g.filter(col("nomvar").isin(VCoord.VcMeta: _*))

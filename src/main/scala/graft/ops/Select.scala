@@ -51,6 +51,8 @@ object Select {
     * minimal and consistent.
     */
   def selectWithMeta(df: DataFrame, nomvars: Seq[String]): DataFrame = {
+    graft.core.Checks.requireColumns(df, "select_with_meta", "nomvar",
+      "ip1", "ip2", "ig1", "ig2", "ni", "nj", "dateo", "deet", "npas")
     val g = ensureGrid(df)
     metadataCleanup(
       g.filter(col("nomvar").isin(nomvars: _*)).unionByName(selectMeta(g)))
@@ -63,6 +65,8 @@ object Select {
     * data records present.
     */
   def metadataCleanup(df: DataFrame): DataFrame = {
+    graft.core.Checks.requireColumns(df, "metadata_cleanup", "nomvar",
+      "ip1", "ip2", "ig1", "ig2", "ni", "nj", "dateo", "deet", "npas")
     val g = ensureGrid(df)
     val cols = g.columns
     val noMeta = antiMeta(g)

@@ -24,6 +24,7 @@ object Stats {
 
   /** A1/M17 fststat: min/max/mean/std + (i,j) extrema positions. */
   def fststat(df: DataFrame): DataFrame = {
+    graft.core.Checks.requireColumns(df, "fststat", "d", "ni", "nj")
     val d = col("d")
     val n = size(d).cast("double")
     val mean = foldSum(d) / n

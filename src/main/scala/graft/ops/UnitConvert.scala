@@ -77,6 +77,7 @@ object UnitConvert {
     * total).
     */
   def unitConvert(df: DataFrame, toUnit: String): DataFrame = {
+    graft.core.Checks.requireColumns(df, "unit_convert", "nomvar", "d")
     val (toName, _, toExpr, _, toFactor) =
       Lookups.Units.find(_._1 == toUnit).getOrElse(
         throw new IllegalArgumentException(s"unknown unit $toUnit"))

@@ -31,6 +31,8 @@ object VCoord {
     * are tagged UNKNOWN.
     */
   def setVerticalCoordinateType(df: DataFrame): DataFrame = {
+    graft.core.Checks.requireColumns(df, "set_vertical_coordinate_type",
+      "nomvar", "ip1", "ip2", "ig1", "ig2")
     // NaN-repair path (std_vgrid.py:638-646): when a vctype column is
     // already present, re-classify only the rows where it is missing
     // and pass the correctly-tagged rows through.
@@ -153,7 +155,18 @@ object VCoord {
     */
   def quickPressure(df: DataFrame,
                     standardAtmosphere: Boolean = false): DataFrame = {
-    val vc = setVerticalCoordinateType(df)
+    graft.core.Checks.requireColumns(df, "quick_pressure", "nomvar",
+      "ip1", "datev", "d", "ni", "nj", "nbits", "datyp")
+    // deterministic clone tiebreak: rid if present, else the FST
+    // source's record handle (key), else a catalog without either
+    // gets a named error
+    val df0 =
+      if (df.columns.contains("rid")) df
+      else {
+        graft.core.Checks.requireColumns(df, "quick_pressure", "key")
+        df.withColumn("rid", col("key").cast("long"))
+      }
+    val vc = setVerticalCoordinateType(df0)
     // The meta subset is small (coordinate/descriptor records) but
     // feeds four lookups below; persisting it keeps the classification
     // joins + full-catalog scan from re-running per lookup.

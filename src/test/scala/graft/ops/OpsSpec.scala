@@ -173,6 +173,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st.count() == back.count())
   }
 
+  test("operators fail fast with named missing-column errors") {
+    import spark.implicits._
+    val bad = Seq((1L, "TT")).toDF("rid", "nomvar")
+    val e = intercept[graft.core.Checks.MissingColumnsError] {
+      Select.selectWithMeta(bad, Seq("TT"))
+    }
+    assert(e.getMessage.contains("select_with_meta"))
+    assert(e.getMessage.contains("ip1"))
+    intercept[graft.core.Checks.MissingColumnsError] {
+      Masks.applyMask(bad)
+    }
+    intercept[graft.core.Checks.MissingColumnsError] {
+      Stats.fststat(bad)
+    }
+  }
+
   test("cube assembly sorts levels and flattens Fortran payloads") {
     val cube = Cubes.toCube(mkCatalog())
       .filter(col("nomvar") === "TT").head()
