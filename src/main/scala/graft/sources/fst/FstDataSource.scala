@@ -54,7 +54,8 @@ class FstTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"fstrec($path)"
   override def schema(): StructType = FstTable.Schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new FstScanBuilder(path)
 }
@@ -123,6 +124,76 @@ class FstScan(path: String, required: StructType,
     }
     if (cur.nonEmpty) parts += cur.toSeq
     parts.map(fs => FstInputPartition(fs): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FstReaderFactory(required, pushed)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new FstMicroBatchStream(path, required, pushed)
+}
+
+/** Streaming offset = the sorted set of record files seen so far.
+  * Self-contained in the offset JSON, so restart re-planning needs no
+  * side state; a production variant at very large file counts would
+  * keep a compacted file log in the checkpoint directory instead
+  * (the FileStreamSource recipe).
+  */
+case class FstOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json: String = files.map { f =>
+    "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  }.mkString("[", ",", "]")
+}
+
+object FstOffset {
+  def fromJson(json: String): FstOffset = {
+    val t = json.trim
+    require(t.startsWith("[") && t.endsWith("]"), s"bad offset: $json")
+    val body = t.substring(1, t.length - 1).trim
+    if (body.isEmpty) FstOffset(Nil)
+    else FstOffset(body.split("\",\\s*\"").toSeq
+      .map(_.stripPrefix("\"").stripSuffix("\"")
+        .replace("\\\"", "\"").replace("\\\\", "\\")))
+  }
+}
+
+/** Micro-batch tail of a directory of record files: each batch reads
+  * the files that appeared since the previous offset (records are
+  * immutable once written — the writer never appends to a published
+  * file). Pushdown and payload pruning apply per batch exactly as in
+  * the batch scan.
+  */
+class FstMicroBatchStream(path: String, required: StructType,
+                          pushed: Array[Filter])
+    extends org.apache.spark.sql.connector.read.streaming
+      .MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def listFiles(): Seq[String] = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    val p = new Path(path)
+    if (!fs.exists(p)) Nil
+    else if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).filter(_.isFile)
+        .map(_.getPath.toString)
+        .filterNot(_.contains("_SUCCESS")).sorted.toSeq
+    else Seq(path)
+  }
+
+  override def initialOffset(): Offset = FstOffset(Nil)
+  override def latestOffset(): Offset = FstOffset(listFiles())
+  override def deserializeOffset(json: String): Offset =
+    FstOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val seen = start.asInstanceOf[FstOffset].files.toSet
+    val fresh = end.asInstanceOf[FstOffset].files.filterNot(seen)
+    fresh.map(f => FstInputPartition(Seq(f)): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

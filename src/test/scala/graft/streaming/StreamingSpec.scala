@@ -61,4 +61,59 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // duplicate TT@500 collapses: 3 distinct identities remain
     assert(spark.table("dedup_out").count() == 3)
   }
+
+  test("binary fstrec source streams arriving files in micro-batches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_fst_stream").toFile
+    val ckpt = Files.createTempDirectory("graft_fst_ckpt").toFile
+
+    def writeBatch(sub: String, ip3Base: Int, n: Int): Unit = {
+      val df = (1 to n).toDF("i").select(
+        lit("TT").as("nomvar"), lit("P").as("typvar"),
+        lit("STREAM").as("etiket"), lit(2).as("ni"), lit(2).as("nj"),
+        lit(1).as("nk"), lit(442998800L).as("dateo"),
+        lit(500).as("ip1"), lit(0).as("ip2"),
+        (col("i") + ip3Base).as("ip3"), lit(0).as("deet"),
+        lit(0).as("npas"), lit(5).as("datyp"), lit(32).as("nbits"),
+        lit("X").as("grtyp"), lit(0).as("ig1"), lit(0).as("ig2"),
+        lit(0).as("ig3"), lit(0).as("ig4"), lit(442998800L).as("datev"),
+        array(lit(1f), lit(2f), lit(3f), lit(4f)).as("d"))
+      val tmp = new java.io.File(dir.getParentFile, s"stage_$sub")
+      graft.sources.fst.FstWriter.write(df, tmp.getAbsolutePath,
+        cleanup = false)
+      // publish atomically into the watched directory
+      tmp.listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("."))
+        .zipWithIndex.foreach {
+        case (f, i) =>
+          Files.move(f.toPath,
+            new java.io.File(dir, s"$sub-$i.fst").toPath)
+      }
+    }
+
+    writeBatch("b1", 0, 5)
+    val outDir = Files.createTempDirectory("graft_fst_sink").toFile
+    val stream = spark.readStream.format("fstrec")
+      .load(dir.getAbsolutePath)
+    assert(stream.isStreaming)
+    def runOnce(): Unit = {
+      val q = stream.select("nomvar", "ip1", "ip3").writeStream
+        .format("parquet").option("path", outDir.getAbsolutePath)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    runOnce()
+    assert(spark.read.parquet(outDir.getAbsolutePath).count() == 5)
+
+    // second batch of files -> restart from checkpoint, only the new
+    // records arrive
+    writeBatch("b2", 100, 3)
+    runOnce()
+    val out = spark.read.parquet(outDir.getAbsolutePath)
+    assert(out.count() == 8)
+    assert(out.filter(col("ip3") > 100).count() == 3)
+  }
 }
