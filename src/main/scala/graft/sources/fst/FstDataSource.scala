@@ -29,9 +29,12 @@ class FstDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "fstrec"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     FstTable.Schema
+  // writes pass the query's own schema through (the writer maps the
+  // record columns by name); reads always use the inferred schema
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new FstTable(properties.get("path"))
+    new FstTable(properties.get("path"), Option(schema))
 }
 
 object FstTable {
@@ -50,14 +53,23 @@ object FstTable {
     StructField("d", ArrayType(FloatType))))
 }
 
-class FstTable(path: String) extends Table with SupportsRead {
+class FstTable(path: String, givenSchema: Option[StructType] = None)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"fstrec($path)"
-  override def schema(): StructType = FstTable.Schema
+  override def schema(): StructType =
+    givenSchema.filter(_.nonEmpty).getOrElse(FstTable.Schema)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ).asJava
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new FstScanBuilder(path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new FstWriteBuilder(path, info.schema())
 }
 
 class FstScanBuilder(path: String) extends ScanBuilder

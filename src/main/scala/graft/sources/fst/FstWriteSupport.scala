@@ -1,0 +1,143 @@
+package graft.sources.fst
+
+import java.util.UUID
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+
+/** DataSource V2 write path: `df.write.format("fstrec").save(dir)`.
+  *
+  * Each task writes its rows into standalone record files of at most
+  * [[FstBatchWrite.MaxRecordsPerFile]] records (the reference's
+  * materialize batch, /root/reference/fstpy/std_writer.py:127-155) and
+  * reports the file names in its commit message; a failed task (or
+  * job) deletes exactly the files it created, so concurrent retries
+  * never corrupt published data. `mode("overwrite")` maps to TRUNCATE
+  * (existing record files removed at job setup on the driver).
+  *
+  * The query schema passes through by name: the 21 record columns are
+  * required with their catalog types; extra columns are rejected with
+  * a named error (use [[FstWriter.write]] for the convenience path
+  * that selects/casts for you).
+  */
+class FstWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new FstBatchWrite(path, schema, doTruncate)
+  }
+}
+
+object FstBatchWrite {
+  val MaxRecordsPerFile = 128
+
+  /** (name, expected type) of every writable record column. */
+  val Fields: Seq[(String, DataType)] = Seq(
+    "nomvar" -> StringType, "typvar" -> StringType,
+    "etiket" -> StringType, "ni" -> IntegerType, "nj" -> IntegerType,
+    "nk" -> IntegerType, "dateo" -> LongType, "ip1" -> IntegerType,
+    "ip2" -> IntegerType, "ip3" -> IntegerType, "deet" -> IntegerType,
+    "npas" -> IntegerType, "datyp" -> IntegerType,
+    "nbits" -> IntegerType, "grtyp" -> StringType,
+    "ig1" -> IntegerType, "ig2" -> IntegerType, "ig3" -> IntegerType,
+    "ig4" -> IntegerType, "datev" -> LongType,
+    "d" -> ArrayType(FloatType))
+}
+
+class FstBatchWrite(path: String, schema: StructType, truncate: Boolean)
+    extends BatchWrite {
+
+  // resolve (and validate) the column ordinals once, on the driver
+  private val ordinals: Array[Int] = FstBatchWrite.Fields.map {
+    case (name, tpe) =>
+      val idx = schema.fieldNames.indexOf(name)
+      require(idx >= 0, s"fstrec write: missing required column $name " +
+        s"(present: ${schema.fieldNames.sorted.mkString(", ")})")
+      val actual = schema(idx).dataType
+      require(DataType.equalsIgnoreNullability(actual, tpe),
+        s"fstrec write: column $name has type ${actual.simpleString}, " +
+          s"expected ${tpe.simpleString}")
+      idx
+  }.toArray
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    val dir = new Path(path)
+    if (truncate && fs.exists(dir)) fs.delete(dir, true)
+    fs.mkdirs(dir)
+    new FstDataWriterFactory(path, ordinals)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    messages.collect { case m: FstCommitMessage => m.files }
+      .flatten.foreach(f => fs.delete(new Path(f), false))
+  }
+}
+
+case class FstCommitMessage(files: Seq[String])
+  extends WriterCommitMessage
+
+class FstDataWriterFactory(path: String, ordinals: Array[Int])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new FstDataWriter(path, ordinals, partitionId, taskId)
+}
+
+class FstDataWriter(path: String, ordinals: Array[Int],
+                    partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val fs =
+    FileSystem.get(new java.net.URI(path), new Configuration())
+  private val uid = UUID.randomUUID().toString.take(8)
+  private var fileNo = 0
+  private val written = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val batch =
+    scala.collection.mutable.ArrayBuffer.empty[(FstFormat.Meta, Array[Float])]
+
+  override def write(row: InternalRow): Unit = {
+    val o = ordinals
+    val meta = FstFormat.Meta(
+      row.getUTF8String(o(0)).toString, row.getUTF8String(o(1)).toString,
+      row.getUTF8String(o(2)).toString, row.getInt(o(3)),
+      row.getInt(o(4)), row.getInt(o(5)), row.getLong(o(6)),
+      row.getInt(o(7)), row.getInt(o(8)), row.getInt(o(9)),
+      row.getInt(o(10)), row.getInt(o(11)), row.getInt(o(12)),
+      row.getInt(o(13)), row.getUTF8String(o(14)).toString,
+      row.getInt(o(15)), row.getInt(o(16)), row.getInt(o(17)),
+      row.getInt(o(18)), row.getLong(o(19)), 0, 0)
+    batch += ((meta, row.getArray(o(20)).toFloatArray()))
+    if (batch.size >= FstBatchWrite.MaxRecordsPerFile) flush()
+  }
+
+  private def flush(): Unit = if (batch.nonEmpty) {
+    val name =
+      s"part-$partitionId-$taskId-$uid-$fileNo.fst"
+    val p = new Path(path, name)
+    val out = fs.create(p)
+    try out.write(FstFormat.writeFile(batch.toSeq))
+    finally out.close()
+    written += p.toString
+    fileNo += 1
+    batch.clear()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush()
+    FstCommitMessage(written.toSeq)
+  }
+
+  override def abort(): Unit =
+    written.foreach(f => fs.delete(new Path(f), false))
+
+  override def close(): Unit = ()
+}

@@ -61,6 +61,36 @@ class FstScanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.schema.fieldNames.toSeq == Seq("nomvar", "ip1"))
   }
 
+  test("DSv2 write path: save/overwrite/append with task-file commit") {
+    import spark.implicits._
+    val path = "/tmp/graft_scan_spec_dsv2_write"
+    def df(base: Int, n: Int) = (1 to n).toDF("i").select(
+      lit("GZ").as("nomvar"), lit("P").as("typvar"),
+      lit("DSV2").as("etiket"), lit(1).as("ni"), lit(2).as("nj"),
+      lit(1).as("nk"), lit(442998800L).as("dateo"),
+      (col("i") + base).as("ip1"), lit(0).as("ip2"), lit(0).as("ip3"),
+      lit(0).as("deet"), lit(0).as("npas"), lit(5).as("datyp"),
+      lit(32).as("nbits"), lit("X").as("grtyp"), lit(0).as("ig1"),
+      lit(0).as("ig2"), lit(0).as("ig3"), lit(0).as("ig4"),
+      lit(442998800L).as("datev"),
+      array(col("i").cast("float"), lit(9f)).as("d"))
+    df(0, 300).write.format("fstrec").mode("overwrite").save(path)
+    assert(spark.read.format("fstrec").load(path).count() == 300)
+    df(1000, 50).write.format("fstrec").mode("append").save(path)
+    val back = spark.read.format("fstrec").load(path)
+    assert(back.count() == 350)
+    assert(back.filter(col("ip1") > 1000).count() == 50)
+    // overwrite truncates
+    df(0, 10).write.format("fstrec").mode("overwrite").save(path)
+    assert(spark.read.format("fstrec").load(path).count() == 10)
+    // missing columns fail with a named error
+    val e = intercept[Exception] {
+      Seq(1).toDF("i").write.format("fstrec").mode("append").save(path)
+    }
+    assert(e.getMessage.contains("nomvar") ||
+      Option(e.getCause).exists(_.getMessage.contains("nomvar")))
+  }
+
   test("pushed filter drops records before payload decode") {
     val path = "/tmp/graft_scan_spec_filter"
     writeSmallFiles(path, rows = 100, perFile = 10)
