@@ -69,7 +69,9 @@ class FstTable(path: String, givenSchema: Option[StructType] = None)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new FstWriteBuilder(path, info.schema())
+    new FstWriteBuilder(path, info.schema(),
+      info.options().getInt("maxRecordsPerFile",
+        FstBatchWrite.MaxRecordsPerFile))
 }
 
 class FstScanBuilder(path: String) extends ScanBuilder

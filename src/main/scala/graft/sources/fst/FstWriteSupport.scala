@@ -22,13 +22,14 @@ import org.apache.spark.sql.types._
   * a named error (use [[FstWriter.write]] for the convenience path
   * that selects/casts for you).
   */
-class FstWriteBuilder(path: String, schema: StructType)
+class FstWriteBuilder(path: String, schema: StructType,
+                      maxRecordsPerFile: Int)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new FstBatchWrite(path, schema, doTruncate)
+      new FstBatchWrite(path, schema, doTruncate, maxRecordsPerFile)
   }
 }
 
@@ -48,7 +49,8 @@ object FstBatchWrite {
     "d" -> ArrayType(FloatType))
 }
 
-class FstBatchWrite(path: String, schema: StructType, truncate: Boolean)
+class FstBatchWrite(path: String, schema: StructType,
+                    truncate: Boolean, maxRecordsPerFile: Int)
     extends BatchWrite {
 
   // resolve (and validate) the column ordinals once, on the driver
@@ -70,7 +72,7 @@ class FstBatchWrite(path: String, schema: StructType, truncate: Boolean)
     val dir = new Path(path)
     if (truncate && fs.exists(dir)) fs.delete(dir, true)
     fs.mkdirs(dir)
-    new FstDataWriterFactory(path, ordinals)
+    new FstDataWriterFactory(path, ordinals, maxRecordsPerFile)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -85,15 +87,18 @@ class FstBatchWrite(path: String, schema: StructType, truncate: Boolean)
 case class FstCommitMessage(files: Seq[String])
   extends WriterCommitMessage
 
-class FstDataWriterFactory(path: String, ordinals: Array[Int])
+class FstDataWriterFactory(path: String, ordinals: Array[Int],
+                           maxRecordsPerFile: Int)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
-    new FstDataWriter(path, ordinals, partitionId, taskId)
+    new FstDataWriter(path, ordinals, partitionId, taskId,
+      maxRecordsPerFile)
 }
 
 class FstDataWriter(path: String, ordinals: Array[Int],
-                    partitionId: Int, taskId: Long)
+                    partitionId: Int, taskId: Long,
+                    maxRecordsPerFile: Int)
     extends DataWriter[InternalRow] {
 
   private val fs =
@@ -116,7 +121,7 @@ class FstDataWriter(path: String, ordinals: Array[Int],
       row.getInt(o(15)), row.getInt(o(16)), row.getInt(o(17)),
       row.getInt(o(18)), row.getLong(o(19)), 0, 0)
     batch += ((meta, row.getArray(o(20)).toFloatArray()))
-    if (batch.size >= FstBatchWrite.MaxRecordsPerFile) flush()
+    if (batch.size >= maxRecordsPerFile) flush()
   }
 
   private def flush(): Unit = if (batch.nonEmpty) {
