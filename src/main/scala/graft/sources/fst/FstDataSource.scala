@@ -63,6 +63,7 @@ class FstTable(path: String, givenSchema: Option[StructType] = None)
     Set(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new FstScanBuilder(path)

@@ -30,6 +30,39 @@ class FstWriteBuilder(path: String, schema: StructType,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new FstBatchWrite(path, schema, doTruncate, maxRecordsPerFile)
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new FstStreamingWrite(path, schema, maxRecordsPerFile)
+  }
+}
+
+/** Streaming sink: each epoch's tasks write files named
+  * `part-e<epoch>-p<partition>-<n>.fst` — deterministic per (epoch,
+  * partition), so an epoch replayed after failure overwrites its own
+  * files instead of duplicating records (idempotent micro-batch
+  * commit).
+  */
+class FstStreamingWrite(path: String, schema: StructType,
+                        maxRecordsPerFile: Int)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private val ordinals = FstBatchWrite.resolveOrdinals(schema)
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    fs.mkdirs(new Path(path))
+    new FstStreamingWriterFactory(path, ordinals, maxRecordsPerFile)
+  }
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    messages.collect { case m: FstCommitMessage => m.files }
+      .flatten.foreach(f => fs.delete(new Path(f), false))
   }
 }
 
@@ -47,14 +80,12 @@ object FstBatchWrite {
     "ig1" -> IntegerType, "ig2" -> IntegerType, "ig3" -> IntegerType,
     "ig4" -> IntegerType, "datev" -> LongType,
     "d" -> ArrayType(FloatType))
-}
 
-class FstBatchWrite(path: String, schema: StructType,
-                    truncate: Boolean, maxRecordsPerFile: Int)
-    extends BatchWrite {
-
-  // resolve (and validate) the column ordinals once, on the driver
-  private val ordinals: Array[Int] = FstBatchWrite.Fields.map {
+  /** Resolve (and validate) the record-column ordinals in `schema`,
+    * failing with a named error on a missing column or a type
+    * mismatch.
+    */
+  def resolveOrdinals(schema: StructType): Array[Int] = Fields.map {
     case (name, tpe) =>
       val idx = schema.fieldNames.indexOf(name)
       require(idx >= 0, s"fstrec write: missing required column $name " +
@@ -65,6 +96,14 @@ class FstBatchWrite(path: String, schema: StructType,
           s"expected ${tpe.simpleString}")
       idx
   }.toArray
+}
+
+class FstBatchWrite(path: String, schema: StructType,
+                    truncate: Boolean, maxRecordsPerFile: Int)
+    extends BatchWrite {
+
+  // resolve (and validate) the column ordinals once, on the driver
+  private val ordinals: Array[Int] = FstBatchWrite.resolveOrdinals(schema)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = {
@@ -87,6 +126,18 @@ class FstBatchWrite(path: String, schema: StructType,
 case class FstCommitMessage(files: Seq[String])
   extends WriterCommitMessage
 
+class FstStreamingWriterFactory(path: String, ordinals: Array[Int],
+                                maxRecordsPerFile: Int)
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory with Serializable {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new FstDataWriter(path, ordinals, partitionId, taskId,
+      maxRecordsPerFile,
+      namePrefix = s"part-e$epochId-p$partitionId",
+      overwrite = true)
+}
+
 class FstDataWriterFactory(path: String, ordinals: Array[Int],
                            maxRecordsPerFile: Int)
     extends DataWriterFactory {
@@ -98,12 +149,16 @@ class FstDataWriterFactory(path: String, ordinals: Array[Int],
 
 class FstDataWriter(path: String, ordinals: Array[Int],
                     partitionId: Int, taskId: Long,
-                    maxRecordsPerFile: Int)
+                    maxRecordsPerFile: Int,
+                    namePrefix: String = null,
+                    overwrite: Boolean = false)
     extends DataWriter[InternalRow] {
 
   private val fs =
     FileSystem.get(new java.net.URI(path), new Configuration())
   private val uid = UUID.randomUUID().toString.take(8)
+  private val prefix = Option(namePrefix)
+    .getOrElse(s"part-$partitionId-$taskId-$uid")
   private var fileNo = 0
   private val written = scala.collection.mutable.ArrayBuffer.empty[String]
   private val batch =
@@ -125,10 +180,8 @@ class FstDataWriter(path: String, ordinals: Array[Int],
   }
 
   private def flush(): Unit = if (batch.nonEmpty) {
-    val name =
-      s"part-$partitionId-$taskId-$uid-$fileNo.fst"
-    val p = new Path(path, name)
-    val out = fs.create(p)
+    val p = new Path(path, s"$prefix-$fileNo.fst")
+    val out = fs.create(p, overwrite)
     try out.write(FstFormat.writeFile(batch.toSeq))
     finally out.close()
     written += p.toString

@@ -97,22 +97,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val stream = spark.readStream.format("fstrec")
       .load(dir.getAbsolutePath)
     assert(stream.isStreaming)
+    // stream records straight into another record directory
+    // (fstrec -> fstrec): STREAMING_WRITE with epoch-deterministic
+    // file names
     def runOnce(): Unit = {
-      val q = stream.select("nomvar", "ip1", "ip3").writeStream
-        .format("parquet").option("path", outDir.getAbsolutePath)
+      val q = stream
+        .select("nomvar", "typvar", "etiket", "ni", "nj", "nk",
+          "dateo", "ip1", "ip2", "ip3", "deet", "npas", "datyp",
+          "nbits", "grtyp", "ig1", "ig2", "ig3", "ig4", "datev", "d")
+        .writeStream
+        .format("fstrec").option("path", outDir.getAbsolutePath)
         .outputMode("append")
         .option("checkpointLocation", ckpt.getAbsolutePath)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination(60000)
     }
     runOnce()
-    assert(spark.read.parquet(outDir.getAbsolutePath).count() == 5)
+    assert(spark.read.format("fstrec").load(outDir.getAbsolutePath)
+      .count() == 5)
 
     // second batch of files -> restart from checkpoint, only the new
     // records arrive
     writeBatch("b2", 100, 3)
     runOnce()
-    val out = spark.read.parquet(outDir.getAbsolutePath)
+    val out = spark.read.format("fstrec").load(outDir.getAbsolutePath)
     assert(out.count() == 8)
     assert(out.filter(col("ip3") > 100).count() == 3)
   }
