@@ -163,14 +163,34 @@ case class FstOffset(files: Seq[String])
 }
 
 object FstOffset {
+  /** Parse the JSON string array. Hand-rolled tokenizer (no JSON lib
+    * on the classpath) that honors escapes, so paths containing
+    * quotes/commas round-trip exactly.
+    */
   def fromJson(json: String): FstOffset = {
     val t = json.trim
     require(t.startsWith("[") && t.endsWith("]"), s"bad offset: $json")
-    val body = t.substring(1, t.length - 1).trim
-    if (body.isEmpty) FstOffset(Nil)
-    else FstOffset(body.split("\",\\s*\"").toSeq
-      .map(_.stripPrefix("\"").stripSuffix("\"")
-        .replace("\\\"", "\"").replace("\\\\", "\\")))
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var i = 1
+    var inString = false
+    while (i < t.length - 1) {
+      val c = t.charAt(i)
+      if (!inString) {
+        if (c == '"') { inString = true; sb.clear() }
+        else require(c == ',' || c.isWhitespace, s"bad offset: $json")
+      } else c match {
+        case '\\' =>
+          i += 1
+          require(i < t.length - 1, s"bad offset: $json")
+          sb.append(t.charAt(i))
+        case '"' => inString = false; out += sb.toString
+        case other => sb.append(other)
+      }
+      i += 1
+    }
+    require(!inString, s"bad offset: $json")
+    FstOffset(out.toSeq)
   }
 }
 

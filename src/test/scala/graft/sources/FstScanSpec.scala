@@ -91,6 +91,19 @@ class FstScanSpec extends AnyFunSuite with BeforeAndAfterAll {
       Option(e.getCause).exists(_.getMessage.contains("nomvar")))
   }
 
+  test("streaming offsets round-trip through JSON, incl. odd paths") {
+    import graft.sources.fst.FstOffset
+    val cases = Seq(
+      Nil,
+      Seq("file:/tmp/a.fst"),
+      Seq("file:/tmp/a.fst", "file:/tmp/b.fst"),
+      Seq("""file:/tmp/we"ird","x.fst""", "file:/tmp/back\\slash.fst"))
+    cases.foreach { files =>
+      val off = FstOffset(files)
+      assert(FstOffset.fromJson(off.json) == off, off.json)
+    }
+  }
+
   test("pushed filter drops records before payload decode") {
     val path = "/tmp/graft_scan_spec_filter"
     writeSmallFiles(path, rows = 100, perFile = 10)
