@@ -70,6 +70,14 @@ object UnitConvert {
     s"('$n', '$e', $f)"
   }.mkString(", ")
 
+  /** Units rows with bias (name, expression, bias, factor), doubles
+    * forced so the oracle arithmetic runs in DOUBLE like the engine's.
+    */
+  def unitsFullValuesSql: String = Lookups.Units.map {
+    case (n, _, e, b, f) =>
+      s"('$n', '$e', CAST($b AS DOUBLE), CAST($f AS DOUBLE))"
+  }.mkString(", ")
+
   /** Convert all convertible records to `toUnit`. Records whose unit is
     * the target, 'scalar', or a different SI family pass through
     * unchanged (strict mode raises on family mismatch in the reference;
@@ -109,5 +117,55 @@ object UnitConvert {
     converted.unionByName(
       meta.withColumn("unit_converted", lit(false)),
       allowMissingColumns = true)
+  }
+
+  /** `standard_unit=True` mode (/root/reference/fstpy/unit.py:258-313):
+    * each record converts back to ITS OWN dictionary unit (STDVAR
+    * lookup by nomvar), so a previously-converted catalog returns to
+    * standard-file units. The per-row target makes the generic affine
+    * form the natural formula: every unit in the table is
+    * `base = (v + bias) * factor`, so
+    * `out = ((v + from_bias) * from_factor) / to_factor - to_bias`
+    * covers temperatures and linear families uniformly.
+    */
+  def unitConvertStandard(df: DataFrame): DataFrame = {
+    graft.core.Checks.requireColumns(df, "unit_convert_standard",
+      "nomvar", "d")
+    val g = if (df.columns.contains("unit")) df
+            else Decode.addUnitAndDescription(df)
+    val meta = g.filter(col("nomvar").isin(VCoord.VcMeta: _*))
+    val data = g.filter(!col("nomvar").isin(VCoord.VcMeta: _*))
+
+    def u(prefix: String) = broadcast(
+      Lookups.unitsDf(g.sparkSession).select(
+        col("unit_name").as(s"${prefix}_name"),
+        col("unit_expression").as(s"${prefix}_expr"),
+        col("unit_bias").as(s"${prefix}_bias"),
+        col("unit_factor").as(s"${prefix}_factor")))
+    val std = broadcast(Lookups.stdvarDf(g.sparkSession).select(
+      col("nomvar").as("sv_nomvar"), col("unit").as("sv_unit")))
+
+    val joined = data
+      .join(u("fu"), col("unit") === col("fu_name"), "left")
+      .join(std, col("nomvar") === col("sv_nomvar"), "left")
+      .join(u("tu"), col("sv_unit") === col("tu_name"), "left")
+    val convertible = col("fu_name").isNotNull &&
+      col("tu_name").isNotNull && col("unit") =!= col("tu_name") &&
+      col("unit") =!= "scalar" && col("tu_name") =!= "scalar" &&
+      col("fu_expr") === col("tu_expr")
+    joined
+      .withColumn("d",
+        when(convertible, transform(col("d"), x =>
+          (((x.cast("double") + col("fu_bias")) * col("fu_factor"))
+            / col("tu_factor") - col("tu_bias")).cast("float")))
+          .otherwise(col("d")))
+      .withColumn("unit_converted", convertible)
+      .withColumn("unit",
+        when(convertible, col("tu_name")).otherwise(col("unit")))
+      .drop("fu_name", "fu_expr", "fu_bias", "fu_factor",
+        "sv_nomvar", "sv_unit",
+        "tu_name", "tu_expr", "tu_bias", "tu_factor")
+      .unionByName(meta.withColumn("unit_converted", lit(false)),
+        allowMissingColumns = true)
   }
 }

@@ -160,6 +160,23 @@ object FstQueries {
           col("col").as("value"))
     }),
 
+    // M1 standard_unit mode: per-nomvar dictionary-unit targets
+    "f42_unit_std" -> ((s, dir) => {
+      val base = cat(s, dir).withColumn("unit",
+        when(col("nomvar") === "TT", "kelvin")
+          .when(col("nomvar") === "GZ", "meter")
+          .when(col("nomvar") === "ES", "fahrenheit")
+          .when(col("nomvar") === "HU", "gram_per_kilogram")
+          .otherwise("scalar"))
+      UnitConvert.unitConvertStandard(base)
+        .filter(!col("nomvar").isin(VCoord.VcMeta: _*))
+        .select(col("rid"), col("nomvar"), col("unit"),
+          col("unit_converted"), posexplode_outer(col("d")))
+        .select(col("rid"), col("nomvar"), col("unit"),
+          col("unit_converted"), (col("pos") + 1).as("pos"),
+          col("col").as("value"))
+    }),
+
     // M2-M5 QuickPressure: PX fields for sigma/eta/pressure coords
     "f19_quick_pressure" -> ((s, dir) => {
       val px = VCoord.quickPressure(cat(s, dir))
@@ -638,6 +655,39 @@ object FstQueries {
     conv AS unit_converted,
     CASE WHEN conv THEN list_transform(d, x ->
       CAST(${UnitConvert.formulaSql("x", "kelvin", 1.0)} AS FLOAT))
+      ELSE d END AS dd
+    FROM cv)
+SELECT rid, nomvar, unit, unit_converted,
+  CAST(unnest(range(1, len(dd) + 1)) AS INT) AS pos,
+  unnest(dd) AS value FROM cv2"""),
+
+    "f42_unit_std" -> W(
+      s""", ub AS (SELECT * FROM (VALUES ${UnitConvert.unitsFullValuesSql})
+      AS u(un, ue, ubias, ufac))
+, base AS (SELECT cat.*,
+    CASE WHEN nomvar = 'TT' THEN 'kelvin'
+      WHEN nomvar = 'GZ' THEN 'meter'
+      WHEN nomvar = 'ES' THEN 'fahrenheit'
+      WHEN nomvar = 'HU' THEN 'gram_per_kilogram'
+      ELSE 'scalar' END AS unit0
+    FROM cat WHERE nomvar NOT IN ${VCoord.VcMeta.map(s => s"'$s'")
+        .mkString("(", ", ", ")")})
+, j AS (SELECT base.*, fu.un AS fun, fu.ue AS fue, fu.ubias AS fub,
+    fu.ufac AS fuf, tu.un AS tun, tu.ue AS tue, tu.ubias AS tub,
+    tu.ufac AS tuf
+  FROM base
+  LEFT JOIN (VALUES $stdvarValuesSql)
+    AS sv(sn, su, sd) ON base.nomvar = sv.sn
+  LEFT JOIN ub fu ON base.unit0 = fu.un
+  LEFT JOIN ub tu ON sv.su = tu.un)
+, cv AS (SELECT *, (fun IS NOT NULL AND tun IS NOT NULL
+    AND unit0 <> tun AND unit0 <> 'scalar' AND tun <> 'scalar'
+    AND fue = tue) AS conv FROM j)
+, cv2 AS (SELECT rid, nomvar,
+    CASE WHEN conv THEN tun ELSE unit0 END AS unit,
+    conv AS unit_converted,
+    CASE WHEN conv THEN list_transform(d, x ->
+      CAST(((CAST(x AS DOUBLE) + fub) * fuf / tuf - tub) AS FLOAT))
       ELSE d END AS dd
     FROM cv)
 SELECT rid, nomvar, unit, unit_converted,
