@@ -66,6 +66,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getAs[Int]("ip1_kind") == 100)
   }
 
+  test("grid identifier goldens (std_dec.py:254-256)") {
+    import spark.implicits._
+    // get_grid_identifier('TT', 94733000, 6, 33792, 77761)
+    //   -> '3379277761' (ig1||ig2 for data records)
+    val rows = Seq(
+      ("TT", 94733000, 6, 33792, 77761),
+      (">>", 94733000, 6, 33792, 77761), // coord record: ip1||ip2
+      ("HY", 94733000, 6, 33792, 77761)) // grid-less: None
+      .toDF("nomvar", "ip1", "ip2", "ig1", "ig2")
+    val got = Decode.addGrid(rows).select("nomvar", "grid").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("TT") == "3379277761")
+    assert(got(">>") == "947330006")
+    assert(got("HY") == "None")
+  }
+
   test("selectWithMeta keeps data + justified meta only") {
     val out = Select.selectWithMeta(mkCatalog(), Seq("TT"))
     val names = out.select("nomvar").collect().map(_.getString(0))
