@@ -41,14 +41,18 @@ object Bench {
         val secs = (System.nanoTime() - t0) / 1e9
         name -> (secs, err)
     }
+    // keep the JSON line SHORT (3-decimal seconds): the driver captures
+    // a bounded stdout tail, and a multi-KB line gets cut mid-JSON and
+    // fails to parse (this happened in round 2)
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
     val qs = results.map { case (k, (v, err)) =>
       err match {
-        case None => s""""$k":$v"""
-        case Some(m) => s""""$k":{"sec":$v,"err":"${esc(m)}"}"""
+        case None => s""""$k":${f3(v)}"""
+        case Some(m) => s""""$k":{"sec":${f3(v)},"err":"${esc(m)}"}"""
       }
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$failures}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$failures}""")
     spark.stop()
     if (failures > 0) sys.exit(1)
   }

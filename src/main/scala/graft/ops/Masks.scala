@@ -82,9 +82,13 @@ object Masks {
       "datyp" -> lit(2), "nbits" -> lit(1),
       "d" -> transform(col("d"),
         x => when(x.isNotNull, one).otherwise(zero))))
+    // pair_n >= 2: the identity group already carries its mask row(s);
+    // pass every row through unchanged (the reference only synthesizes
+    // a mask for true singles — duplicate-identity catalogs must not
+    // multiply output, see recover_mask.py:52-65).
     val expanded = withN
       .select(explode(
-        when(col("pair_n") === 2, array(pass))
+        when(col("pair_n") >= 2, array(pass))
           .otherwise(array(dataRow, maskRow))).as("r"))
       .select(cols.map(c => col(s"r.$c").as(c)): _*)
 

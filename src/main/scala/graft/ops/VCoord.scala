@@ -33,18 +33,21 @@ object VCoord {
   def setVerticalCoordinateType(df: DataFrame): DataFrame = {
     graft.core.Checks.requireColumns(df, "set_vertical_coordinate_type",
       "nomvar", "ip1", "ip2", "ig1", "ig2")
+    // Enrich grid/ip1_kind on the WHOLE input up front so the
+    // NaN-repair split below carries identical columns on both
+    // branches (pass-through rows must not end up with null grid).
+    val g0 = if (df.columns.contains("grid")) df else Decode.addGrid(df)
+    val g1 = if (g0.columns.contains("ip1_kind")) g0
+             else g0.withColumn("ip1_kind", ip1KindCol)
     // NaN-repair path (std_vgrid.py:638-646): when a vctype column is
     // already present, re-classify only the rows where it is missing
     // and pass the correctly-tagged rows through.
-    if (df.columns.contains("vctype")) {
-      val missing = df.filter(col("vctype").isNull).drop("vctype")
-      val correct = df.filter(col("vctype").isNotNull)
-      return setVerticalCoordinateType(missing)
-        .unionByName(correct, allowMissingColumns = true)
+    if (g1.columns.contains("vctype")) {
+      val missing = g1.filter(col("vctype").isNull).drop("vctype")
+      val correct = g1.filter(col("vctype").isNotNull)
+      return setVerticalCoordinateType(missing).unionByName(correct)
     }
-    val g0 = if (df.columns.contains("grid")) df else Decode.addGrid(df)
-    val g = if (g0.columns.contains("ip1_kind")) g0
-            else g0.withColumn("ip1_kind", ip1KindCol)
+    val g = g1
     // meta subset is small by construction and feeds three branches
     // (flags, vcodes, output union): cache it so the input catalog is
     // not re-scanned per branch and the composed plan stays shallow
@@ -158,13 +161,17 @@ object VCoord {
     graft.core.Checks.requireColumns(df, "quick_pressure", "nomvar",
       "ip1", "datev", "d", "ni", "nj", "nbits", "datyp")
     // deterministic clone tiebreak: rid if present, else the FST
-    // source's record handle (key), else a catalog without either
-    // gets a named error
+    // source's (path, key) pair — key alone is only unique within one
+    // file, so a multi-file catalog needs the path in the ordering.
+    // A catalog without either gets a named error.
     val df0 =
       if (df.columns.contains("rid")) df
       else {
         graft.core.Checks.requireColumns(df, "quick_pressure", "key")
-        df.withColumn("rid", col("key").cast("long"))
+        if (df.columns.contains("path"))
+          df.withColumn("rid",
+            struct(col("path"), col("key").cast("long")))
+        else df.withColumn("rid", col("key").cast("long"))
       }
     val vc = setVerticalCoordinateType(df0)
     // The meta subset is small (coordinate/descriptor records) but

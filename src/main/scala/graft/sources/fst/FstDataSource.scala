@@ -94,6 +94,15 @@ class FstScanBuilder(path: String) extends ScanBuilder
   override def build(): Scan = new FstScan(path, required, pushed)
 }
 
+object FstScan {
+  /** Uncommitted task output (`.`-prefixed temp names) and job markers
+    * (`_SUCCESS`) are invisible to scans — only files renamed to their
+    * final names by a job commit count as data.
+    */
+  def hidden(name: String): Boolean =
+    name.startsWith(".") || name.startsWith("_")
+}
+
 class FstScan(path: String, required: StructType,
               pushed: Array[Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
@@ -106,7 +115,7 @@ class FstScan(path: String, required: StructType,
     val files =
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).filter(_.isFile)
-          .filterNot(_.getPath.getName.contains("_SUCCESS"))
+          .filterNot(s => FstScan.hidden(s.getPath.getName))
           .map(s => (s.getPath.toString, s.getLen))
           .sortBy(_._1)
       else Array((path, fs.getFileStatus(p).getLen))
@@ -212,8 +221,8 @@ class FstMicroBatchStream(path: String, required: StructType,
     if (!fs.exists(p)) Nil
     else if (fs.getFileStatus(p).isDirectory)
       fs.listStatus(p).filter(_.isFile)
-        .map(_.getPath.toString)
-        .filterNot(_.contains("_SUCCESS")).sorted.toSeq
+        .filterNot(s => FstScan.hidden(s.getPath.getName))
+        .map(_.getPath.toString).sorted.toSeq
     else Seq(path)
   }
 

@@ -11,11 +11,15 @@ import org.apache.spark.sql.types._
   *
   * Each task writes its rows into standalone record files of at most
   * [[FstBatchWrite.MaxRecordsPerFile]] records (the reference's
-  * materialize batch, /root/reference/fstpy/std_writer.py:127-155) and
-  * reports the file names in its commit message; a failed task (or
-  * job) deletes exactly the files it created, so concurrent retries
-  * never corrupt published data. `mode("overwrite")` maps to TRUNCATE
-  * (existing record files removed at job setup on the driver).
+  * materialize batch, /root/reference/fstpy/std_writer.py:127-155).
+  * Task output lands under `.`-prefixed TEMPORARY names (invisible to
+  * scans, [[FstScan.hidden]]); the job-level `commit()` renames every
+  * temp file reported in the task commit messages to its final name.
+  * A lost executor can therefore never leave half-published data: its
+  * temp files were never renamed, and scans ignore them. Task/job
+  * `abort()` additionally deletes temp files best-effort.
+  * `mode("overwrite")` maps to TRUNCATE (existing record files removed
+  * at job setup on the driver).
   *
   * The query schema passes through by name: the 21 record columns are
   * required with their catalog types; extra columns are rejected with
@@ -57,13 +61,11 @@ class FstStreamingWrite(path: String, schema: StructType,
   }
 
   override def commit(epochId: Long,
-                      messages: Array[WriterCommitMessage]): Unit = ()
+                      messages: Array[WriterCommitMessage]): Unit =
+    FstBatchWrite.publish(path, messages)
   override def abort(epochId: Long,
-                     messages: Array[WriterCommitMessage]): Unit = {
-    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
-    messages.collect { case m: FstCommitMessage => m.files }
-      .flatten.foreach(f => fs.delete(new Path(f), false))
-  }
+                     messages: Array[WriterCommitMessage]): Unit =
+    FstBatchWrite.discard(path, messages)
 }
 
 object FstBatchWrite {
@@ -96,6 +98,34 @@ object FstBatchWrite {
           s"expected ${tpe.simpleString}")
       idx
   }.toArray
+
+  /** Job commit: rename every (temp, final) pair reported by the
+    * tasks. Replayed streaming epochs re-commit the same deterministic
+    * final names, so an existing final file is replaced, not
+    * duplicated.
+    */
+  def publish(path: String,
+              messages: Array[WriterCommitMessage]): Unit = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    messages.collect { case m: FstCommitMessage => m.renames }
+      .flatten.foreach { case (tmp, fin) =>
+        val dst = new Path(fin)
+        if (fs.exists(dst)) fs.delete(dst, false)
+        if (!fs.rename(new Path(tmp), dst))
+          throw new java.io.IOException(
+            s"fstrec commit: rename $tmp -> $fin failed")
+      }
+  }
+
+  /** Job abort: best-effort delete of uncommitted temp files. */
+  def discard(path: String,
+              messages: Array[WriterCommitMessage]): Unit = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    messages.collect { case m: FstCommitMessage => m.renames }
+      .flatten.foreach { case (tmp, _) =>
+        fs.delete(new Path(tmp), false)
+      }
+  }
 }
 
 class FstBatchWrite(path: String, schema: StructType,
@@ -114,16 +144,15 @@ class FstBatchWrite(path: String, schema: StructType,
     new FstDataWriterFactory(path, ordinals, maxRecordsPerFile)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    FstBatchWrite.publish(path, messages)
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
-    messages.collect { case m: FstCommitMessage => m.files }
-      .flatten.foreach(f => fs.delete(new Path(f), false))
-  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    FstBatchWrite.discard(path, messages)
 }
 
-case class FstCommitMessage(files: Seq[String])
+/** (temp name, final name) per file the task wrote. */
+case class FstCommitMessage(renames: Seq[(String, String)])
   extends WriterCommitMessage
 
 class FstStreamingWriterFactory(path: String, ordinals: Array[Int],
@@ -134,8 +163,7 @@ class FstStreamingWriterFactory(path: String, ordinals: Array[Int],
                             epochId: Long): DataWriter[InternalRow] =
     new FstDataWriter(path, ordinals, partitionId, taskId,
       maxRecordsPerFile,
-      namePrefix = s"part-e$epochId-p$partitionId",
-      overwrite = true)
+      namePrefix = s"part-e$epochId-p$partitionId")
 }
 
 class FstDataWriterFactory(path: String, ordinals: Array[Int],
@@ -150,8 +178,7 @@ class FstDataWriterFactory(path: String, ordinals: Array[Int],
 class FstDataWriter(path: String, ordinals: Array[Int],
                     partitionId: Int, taskId: Long,
                     maxRecordsPerFile: Int,
-                    namePrefix: String = null,
-                    overwrite: Boolean = false)
+                    namePrefix: String = null)
     extends DataWriter[InternalRow] {
 
   private val fs =
@@ -160,7 +187,9 @@ class FstDataWriter(path: String, ordinals: Array[Int],
   private val prefix = Option(namePrefix)
     .getOrElse(s"part-$partitionId-$taskId-$uid")
   private var fileNo = 0
-  private val written = scala.collection.mutable.ArrayBuffer.empty[String]
+  // (temp, final) per flushed file; finals appear only at job commit
+  private val written =
+    scala.collection.mutable.ArrayBuffer.empty[(String, String)]
   private val batch =
     scala.collection.mutable.ArrayBuffer.empty[(FstFormat.Meta, Array[Float])]
 
@@ -180,11 +209,12 @@ class FstDataWriter(path: String, ordinals: Array[Int],
   }
 
   private def flush(): Unit = if (batch.nonEmpty) {
-    val p = new Path(path, s"$prefix-$fileNo.fst")
-    val out = fs.create(p, overwrite)
+    val fin = new Path(path, s"$prefix-$fileNo.fst")
+    val tmp = new Path(path, s".$prefix-$fileNo.fst.inprogress")
+    val out = fs.create(tmp, true)
     try out.write(FstFormat.writeFile(batch.toSeq))
     finally out.close()
-    written += p.toString
+    written += ((tmp.toString, fin.toString))
     fileNo += 1
     batch.clear()
   }
@@ -195,7 +225,7 @@ class FstDataWriter(path: String, ordinals: Array[Int],
   }
 
   override def abort(): Unit =
-    written.foreach(f => fs.delete(new Path(f), false))
+    written.foreach { case (tmp, _) => fs.delete(new Path(tmp), false) }
 
   override def close(): Unit = ()
 }

@@ -87,8 +87,17 @@ object FstWriter {
             buf.position(at)
             FstFormat.packEntry(m).foreach(buf.putInt)
           }
-          val out = fs.create(p, true)
+          // Never truncate-then-rewrite the original in place: a crash
+          // mid-write would destroy the file's payload data. Write the
+          // patched image to a temp file in the same directory and
+          // atomically rename it over the original.
+          val tmp = new Path(p.getParent,
+            s".${p.getName}.${java.util.UUID.randomUUID.toString.take(8)}.updating")
+          val out = fs.create(tmp, true)
           try out.write(bytes) finally out.close()
+          org.apache.hadoop.fs.FileContext
+            .getFileContext(new java.net.URI(file), new Configuration())
+            .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
         }
     }
   }

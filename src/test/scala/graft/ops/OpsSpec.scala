@@ -106,6 +106,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(byRid(2L) == "PRESET")      // untouched
     assert(byRid(1L) == "SIGMA_1001")  // re-classified
+    // pass-through rows must carry the same enrichment as the
+    // re-classified rows: grid/ip1_kind may not be null on either
+    // branch (downstream groupBy(grid) would silently misgroup)
+    assert(vc.filter(col("grid").isNull || col("ip1_kind").isNull)
+      .count() == 0)
+  }
+
+  test("recoverMask passes >2-row identity groups through unchanged") {
+    val base = mkCatalog().filter(col("rid") === 1)
+    val vars = base.withColumn("typvar", lit("P@"))
+    val masks = base.withColumn("typvar", lit("@@"))
+      .withColumn("datyp", lit(2)).withColumn("nbits", lit(1))
+      .withColumn("d", typedLit(Seq(1f, 0f, 1f, 0f)))
+    // duplicate-identity catalog: 2 data rows + 1 mask = pair_n 3
+    val trip = vars.unionByName(vars).unionByName(masks)
+    val rec = Masks.recoverMask(Decode.addGrid(trip))
+    // no multiplication: 3 in, 3 out, rows unchanged
+    assert(rec.count() == 3)
+    assert(rec.filter(col("typvar") === "@@").count() == 1)
+    assert(rec.filter(col("typvar") === "P@").count() == 2)
   }
 
   test("quickPressure sigma: p = level * P0") {

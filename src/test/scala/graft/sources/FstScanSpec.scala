@@ -83,6 +83,12 @@ class FstScanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // overwrite truncates
     df(0, 10).write.format("fstrec").mode("overwrite").save(path)
     assert(spark.read.format("fstrec").load(path).count() == 10)
+    // commit renamed every temp file: no in-progress names remain
+    // (Hadoop's .crc checksum sidecars are expected and scan-hidden)
+    val names = new java.io.File(path).listFiles().map(_.getName)
+    assert(names.forall(n => !n.contains(".inprogress")),
+      names.mkString(", "))
+    assert(names.count(n => !n.startsWith(".")) > 0)
     // missing columns fail with a named error
     val e = intercept[Exception] {
       Seq(1).toDF("i").write.format("fstrec").mode("append").save(path)
