@@ -99,6 +99,28 @@ object FstBatchWrite {
       idx
   }.toArray
 
+  /** Rename `tmp` over `fin`, replacing it if present. Local paths use
+    * java.nio (atomic, microseconds); other filesystems fall back to
+    * delete+rename through the Hadoop API.
+    */
+  def renameOverwrite(fs: FileSystem, tmp: String, fin: String): Unit = {
+    val tmpP = new Path(tmp); val finP = new Path(fin)
+    if (Option(tmpP.toUri.getScheme).forall(_ == "file")) {
+      val src = java.nio.file.Paths.get(tmpP.toUri.getPath)
+      val dst = java.nio.file.Paths.get(finP.toUri.getPath)
+      // drop any stale checksum sidecar from an older Hadoop-API write
+      java.nio.file.Files.deleteIfExists(
+        dst.resolveSibling(s".${dst.getFileName}.crc"))
+      java.nio.file.Files.move(src, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      if (fs.exists(finP)) fs.delete(finP, false)
+      if (!fs.rename(tmpP, finP))
+        throw new java.io.IOException(
+          s"fstrec commit: rename $tmp -> $fin failed")
+    }
+  }
+
   /** Job commit: rename every (temp, final) pair reported by the
     * tasks. Replayed streaming epochs re-commit the same deterministic
     * final names, so an existing final file is replaced, not
@@ -108,13 +130,7 @@ object FstBatchWrite {
               messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     messages.collect { case m: FstCommitMessage => m.renames }
-      .flatten.foreach { case (tmp, fin) =>
-        val dst = new Path(fin)
-        if (fs.exists(dst)) fs.delete(dst, false)
-        if (!fs.rename(new Path(tmp), dst))
-          throw new java.io.IOException(
-            s"fstrec commit: rename $tmp -> $fin failed")
-      }
+      .flatten.foreach { case (tmp, fin) => renameOverwrite(fs, tmp, fin) }
   }
 
   /** Job abort: best-effort delete of uncommitted temp files. */
@@ -181,8 +197,16 @@ class FstDataWriter(path: String, ordinals: Array[Int],
                     namePrefix: String = null)
     extends DataWriter[InternalRow] {
 
-  private val fs =
-    FileSystem.get(new java.net.URI(path), new Configuration())
+  // own (non-cached) FS instance so checksum sidecars can be disabled
+  // for this writer without mutating the JVM-shared cached instance:
+  // the record format carries its own magic + directory structure, and
+  // skipping .crc files halves the small-file create/rename syscalls
+  private val fs = {
+    val f = FileSystem.newInstance(new java.net.URI(path),
+      new Configuration())
+    f.setWriteChecksum(false)
+    f
+  }
   private val uid = UUID.randomUUID().toString.take(8)
   private val prefix = Option(namePrefix)
     .getOrElse(s"part-$partitionId-$taskId-$uid")
@@ -227,5 +251,5 @@ class FstDataWriter(path: String, ordinals: Array[Int],
   override def abort(): Unit =
     written.foreach { case (tmp, _) => fs.delete(new Path(tmp), false) }
 
-  override def close(): Unit = ()
+  override def close(): Unit = fs.close()
 }

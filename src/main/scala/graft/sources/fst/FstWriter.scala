@@ -52,9 +52,21 @@ object FstWriter {
       cols.map(c => col(c).cast(FstTable.Schema(c).dataType)): _*)
     prepared.repartition(col("path")).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
-        it.toSeq.groupBy(_.getString(0)).foreach { case (file, rows) =>
-          val fs = FileSystem.get(new java.net.URI(file),
-            new Configuration())
+        val conf = new Configuration()
+        // FileSystem construction is expensive: one per partition
+        // (keyed by scheme), not one per patched file. Own instances
+        // so write checksums can be disabled (no .crc sidecars).
+        val fsCache =
+          scala.collection.mutable.Map.empty[String, FileSystem]
+        val files = it.toSeq.groupBy(_.getString(0))
+        try files.foreach { case (file, rows) =>
+          val uri = new java.net.URI(file)
+          val scheme = Option(uri.getScheme).getOrElse("file")
+          val fs = fsCache.getOrElseUpdate(scheme, {
+            val f = FileSystem.newInstance(uri, conf)
+            f.setWriteChecksum(false)
+            f
+          })
           val p = new Path(file)
           val len = fs.getFileStatus(p).getLen.toInt
           val bytes = new Array[Byte](len)
@@ -95,10 +107,8 @@ object FstWriter {
             s".${p.getName}.${java.util.UUID.randomUUID.toString.take(8)}.updating")
           val out = fs.create(tmp, true)
           try out.write(bytes) finally out.close()
-          org.apache.hadoop.fs.FileContext
-            .getFileContext(new java.net.URI(file), new Configuration())
-            .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-        }
+          FstBatchWrite.renameOverwrite(fs, tmp.toString, file)
+        } finally fsCache.values.foreach(_.close())
     }
   }
 }
