@@ -511,6 +511,37 @@ object FstQueries {
           (col("pos") + 1).as("pos"), col("col").as("value"))
     }),
 
+    // §2.10 streaming: the fstrec micro-batch source through a grouped
+    // aggregation (memory sink, Trigger.AvailableNow) — the streaming
+    // plan must converge to the batch aggregation's exact result, so
+    // the same DuckDB oracle checks it. Payload sums accumulate in
+    // DECIMAL so micro-batch order cannot shift the value.
+    "f43_stream_agg" -> ((s, dir) => {
+      val base = cat(s, dir)
+        .filter(col("rid") > 0 && col("nomvar").isin("TT", "UU", "VV"))
+        .withColumn("ip3", col("rid").cast("int"))
+      val path =
+        s"/tmp/graft_stream_agg_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      graft.sources.fst.FstWriter.write(base, path, cleanup = false)
+      val qn = "stream_agg_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = s.readStream.format("fstrec").load(path)
+        .groupBy("nomvar")
+        .agg(count(lit(1)).as("n_records"),
+          sum(col("ip2").cast("long")).as("sum_ip2"),
+          round(sum(aggregate(col("d"), lit(0.0),
+            (a, x) => a + x.cast("double")).cast("decimal(18,6)")), 3)
+            .cast("double").as("payload_sum"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete")
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft_stream_ck").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      s.table(qn)
+    }),
+
     // S8 update mode: metadata-only in-place rewrite, payloads intact
     "f39_fst_update" -> ((s, dir) => {
       val base = cat(s, dir)
@@ -991,6 +1022,15 @@ SELECT nomvar, ni, nj, ip1, ip2, grtyp, ig1, ig2, ig3, ig4,
       s"""SELECT DISTINCT datyp, nbits,
         ${graft.ops.Precision.fieldDtypeSql("datyp", "nbits")} AS dtype
       FROM cat"""),
+
+    "f43_stream_agg" -> W(
+      """SELECT nomvar, CAST(count(*) AS BIGINT) AS n_records,
+        CAST(sum(ip2) AS BIGINT) AS sum_ip2,
+        CAST(round(sum(CAST(list_reduce(list_transform(d,
+          x -> CAST(x AS DOUBLE)), (a, b) -> a + b) AS DECIMAL(18,6))),
+          3) AS DOUBLE) AS payload_sum
+      FROM cat WHERE rid > 0 AND nomvar IN ('TT', 'UU', 'VV')
+      GROUP BY nomvar"""),
 
     "f39_fst_update" -> W(
       """SELECT CAST(rid AS INT) AS rid, nomvar, 'UPDATED' AS etiket,

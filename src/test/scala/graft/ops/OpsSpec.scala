@@ -137,6 +137,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(half.getSeq[Float](half.fieldIndex("d")) == Seq(500f, 500.5f, 501f, 501.5f))
   }
 
+  test("quickPressure rid fallback is unique across files (path, key)") {
+    // two files whose record handles (key) collide: the clone
+    // tiebreak must still be deterministic and globally unique
+    val base = mkCatalog().withColumnRenamed("rid", "key")
+      .withColumn("key", col("key").cast("int"))
+    // second file re-uses the same record handles for its data rows
+    // (keys collide across files by construction)
+    val twoFiles = base.withColumn("path", lit("/data/a.fst"))
+      .unionByName(base.filter(col("nomvar") === "TT")
+        .withColumn("path", lit("/data/b.fst")))
+    val px = VCoord.quickPressure(twoFiles)
+      .filter(col("nomvar") === "PX")
+    // same grids/levels/datev in both files -> still 2 distinct PX
+    // rows (one per level), derived deterministically
+    assert(px.count() == 2)
+  }
+
   test("applyMask/recoverMask round-trip") {
     val base = mkCatalog().filter(col("nomvar") === "TT")
     val vars = base.withColumn("typvar", lit("P@"))
