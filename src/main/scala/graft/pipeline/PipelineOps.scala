@@ -64,6 +64,15 @@ object PipelineOps {
   val MinHashFns = 16
   val LshBands = 8 // 2 rows per band
 
+  /** Degenerate-bucket guard: a band bucket larger than this is
+    * skipped before the candidate self-join. Boilerplate-heavy corpora
+    * put thousands of near-identical docs in one bucket, and the
+    * bucket self-join is quadratic in bucket size; capping bounds the
+    * worst bucket at Cap² pairs while near-dup recall survives via the
+    * other B-1 bands (exact duplicates belong to exact dedup, p01).
+    */
+  val LshBucketCap = 64
+
   /** i-th MinHash from the 48-bit base hashes via an odd-multiplier
     * affine mix — products stay < 2^54, so the arithmetic is exact and
     * overflow-free in both the JVM and DuckDB.

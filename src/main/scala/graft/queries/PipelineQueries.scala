@@ -57,8 +57,14 @@ object PipelineQueries {
         .withColumn("bks", bandKeys(col("sh")))
         .select("doc_id", "sh", "bks")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bands = sh.select(col("doc_id"),
+      val bands0 = sh.select(col("doc_id"),
         posexplode(col("bks")).as(Seq("band", "bkey")))
+      // degenerate-bucket guard (LshBucketCap): the bucket self-join
+      // below is quadratic in bucket size — skip pathological buckets
+      val okBuckets = bands0.groupBy("band", "bkey")
+        .agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= lit(LshBucketCap)).drop("bn")
+      val bands = bands0.join(okBuckets, Seq("band", "bkey"))
       val cand = bands.alias("a")
         .join(bands.alias("b"),
           col("a.band") === col("b.band") &&
@@ -304,9 +310,12 @@ object PipelineQueries {
       s"""WITH $corpusSql,
 sh AS (SELECT doc_id, $sh AS sh FROM corpus),
 sh2 AS (SELECT * FROM sh WHERE len(sh) > 0),
-bands AS (SELECT doc_id,
+bands0 AS (SELECT doc_id,
   CAST(unnest(range(0, $LshBands)) AS INT) AS band,
   unnest(${bandKeysSql("sh")}) AS bkey FROM sh2),
+bsz AS (SELECT band, bkey FROM bands0 GROUP BY band, bkey
+  HAVING count(*) <= $LshBucketCap),
+bands AS (SELECT bands0.* FROM bands0 JOIN bsz USING (band, bkey)),
 cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
     AND a.doc_id < b.doc_id)
