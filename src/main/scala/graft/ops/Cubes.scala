@@ -32,4 +32,23 @@ object Cubes {
         flatten(transform(col("layers"), l => l.getField("d")))
           .as("cube"))
   }
+
+  /** §1.5 with coordinates: the cube plus the grid's lon (`>>`) and
+    * lat (`^^`) axis arrays, like the reference's labeled-DataArray
+    * export pulls them per grid
+    * (/root/reference/fstpy/xarray_utils.py:140-203). One axis record
+    * per grid is chosen deterministically (minimum rid); the
+    * coordinate side is tiny (one row per grid) and broadcast-joins
+    * into the cube table.
+    */
+  def toCubeWithCoords(df: DataFrame): DataFrame = {
+    val g = if (df.columns.contains("grid")) df else Decode.addGrid(df)
+    val lon = g.filter(col("nomvar") === ">>")
+      .groupBy("grid").agg(min_by(col("d"), col("rid")).as("lon"))
+    val lat = g.filter(col("nomvar") === "^^")
+      .groupBy("grid").agg(min_by(col("d"), col("rid")).as("lat"))
+    toCube(g)
+      .join(broadcast(lon), Seq("grid"), "left")
+      .join(broadcast(lat), Seq("grid"), "left")
+  }
 }

@@ -359,6 +359,20 @@ object FstQueries {
           (a, x) => a + x.cast("double")).as("cube_sum"))
     }),
 
+    // §1.5 cube export with coordinate axes: lon/lat pulled from the
+    // grid's >>/^^ records (the labeled-DataArray shape)
+    "f44_cube_coords" -> ((s, dir) => {
+      val c = graft.ops.Cubes.toCubeWithCoords(
+        Decode.addGrid(cat(s, dir)))
+      c.select(col("grid"), col("nomvar"), col("ip1_kind"),
+        col("n_levels"),
+        size(col("lon")).as("lon_n"), size(col("lat")).as("lat_n"),
+        element_at(col("lon"), 1).as("lon_first"),
+        element_at(col("lon"), -1).as("lon_last"),
+        element_at(col("lat"), 1).as("lat_first"),
+        element_at(col("lat"), -1).as("lat_last"))
+    }),
+
     // M14 (Z-grid path): LA/LO generation from deformation records
     "f30_latlon_2d" -> ((s, dir) =>
       graft.ops.Grids.latLon2d(cat(s, dir))
@@ -920,6 +934,27 @@ SELECT grid, nomvar, ip1_kind,
   list_reduce(list_transform(flatten(list(d ORDER BY level)),
     x -> CAST(x AS DOUBLE)), (a, b) -> a + b) AS cube_sum
 FROM picked GROUP BY 1, 2, 3"""),
+
+    "f44_cube_coords" -> W(
+      s""", g AS (SELECT *, ${Decode.gridSql} AS grid,
+        $k1Sql AS ip1_kind, $v1Sql AS level FROM cat)
+, dd AS (SELECT * FROM g WHERE nomvar NOT IN
+    ${VCoord.VcMeta.map(x => s"'$x'").mkString("(", ", ", ")")})
+, picked AS (SELECT * FROM (SELECT *, row_number() OVER
+    (PARTITION BY grid, nomvar, ip1_kind, level ORDER BY rid) AS rn
+    FROM dd) t WHERE rn = 1)
+, cubes AS (SELECT grid, nomvar, ip1_kind,
+    CAST(count(*) AS INT) AS n_levels FROM picked GROUP BY 1, 2, 3)
+, lonx AS (SELECT grid, arg_min(d, rid) AS lon FROM g
+    WHERE nomvar = '>>' GROUP BY grid)
+, latx AS (SELECT grid, arg_min(d, rid) AS lat FROM g
+    WHERE nomvar = '^^' GROUP BY grid)
+SELECT c.grid, c.nomvar, c.ip1_kind, c.n_levels,
+  CAST(len(l.lon) AS INT) AS lon_n, CAST(len(t.lat) AS INT) AS lat_n,
+  l.lon[1] AS lon_first, l.lon[-1] AS lon_last,
+  t.lat[1] AS lat_first, t.lat[-1] AS lat_last
+FROM cubes c LEFT JOIN lonx l ON c.grid = l.grid
+LEFT JOIN latx t ON c.grid = t.grid"""),
 
     "f30_latlon_2d" -> W(
       """, lon AS (SELECT CAST(ip1 AS VARCHAR) || CAST(ip2 AS VARCHAR)
