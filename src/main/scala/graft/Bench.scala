@@ -28,7 +28,14 @@ object Bench {
     try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
     catch { case _: Throwable => () }
     var failures = 0
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // optional comma-separated query-name filter for local profiling
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         val err: Option[String] =

@@ -48,28 +48,33 @@ object Select {
     df.filter(!col("nomvar").isin(CleanupMeta: _*))
 
   /** F4 select_with_meta: chosen nomvars + their coordinate records,
-    * minimal and consistent.
+    * minimal and consistent. Implemented as metadata_cleanup with a
+    * data-side predicate (exactly the oracle's shape) rather than
+    * union-then-clean: the union form would put TWO catalog scans under
+    * every downstream evaluation (the data branch and the meta branch
+    * each scan the source), doubling the I/O of the whole cleanup.
     */
   def selectWithMeta(df: DataFrame, nomvars: Seq[String]): DataFrame = {
     graft.core.Checks.requireColumns(df, "select_with_meta", "nomvar",
       "ip1", "ip2", "ig1", "ig2", "ni", "nj", "dateo", "deet", "npas")
-    val g = ensureGrid(df)
-    metadataCleanup(
-      g.filter(col("nomvar").isin(nomvars: _*)).unionByName(selectMeta(g)))
+    metadataCleanup(df, col("nomvar").isin(nomvars: _*))
   }
 
   private def ensureGrid(df: DataFrame): DataFrame =
     if (df.columns.contains("grid")) df else Decode.addGrid(df)
 
   /** M18 metadata_cleanup: keep only the meta records justified by the
-    * data records present.
+    * data records present. `dataPredicate` restricts the data side
+    * only (select_with_meta semantics: meta candidates always come
+    * from the full catalog).
     */
-  def metadataCleanup(df: DataFrame): DataFrame = {
+  def metadataCleanup(df: DataFrame,
+                      dataPredicate: Column = lit(true)): DataFrame = {
     graft.core.Checks.requireColumns(df, "metadata_cleanup", "nomvar",
       "ip1", "ip2", "ig1", "ig2", "ni", "nj", "dateo", "deet", "npas")
     val g = ensureGrid(df)
     val cols = g.columns
-    val noMeta = antiMeta(g)
+    val noMeta = antiMeta(g).filter(dataPredicate)
     // The meta side is tiny by construction (coordinate/descriptor
     // records only) but feeds five kept-set branches — cache it so the
     // catalog is not re-scanned per branch.
@@ -92,15 +97,14 @@ object Select {
         min("ni").as("sni"), min("nj").as("snj"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // per-grid vertical-kind flags from decoded ip1 (A5 bucketing)
-    val kindFlags = summary.groupBy("grid").agg(
+    // ONE per-grid roll-up carrying both the vertical-kind flags (A5
+    // bucketing) and the field dims (reference takes the first row's
+    // ni/nj, dataframe_utils.py:404-406; grids are dimensionally
+    // homogeneous) — one aggregation instead of two plus a join.
+    val perGrid = summary.groupBy("grid").agg(
       max("s_sigma").as("has_sigma"),
       max("s_hybrid").as("has_hybrid"),
-      max("s_pressure").as("has_pressure"))
-
-    // per-grid field dims (reference takes the first row's ni/nj,
-    // dataframe_utils.py:404-406; grids are dimensionally homogeneous)
-    val dims = summary.groupBy("grid").agg(
+      max("s_pressure").as("has_pressure"),
       min("sni").as("gni"), min("snj").as("gnj"))
 
     // J3: 3-tier fallback match of deformation records to data groups
@@ -125,8 +129,7 @@ object Select {
     // J6: P0/PT records matching grid and dims of model-level grids
     def surfaceFields(nomvar: String, flag: Column): DataFrame =
       metaDf.filter(col("nomvar") === nomvar)
-        .join(broadcast(dims
-          .join(kindFlags.filter(flag), Seq("grid"))
+        .join(broadcast(perGrid.filter(flag)
           .select(col("grid").as("sgrid"), col("gni"), col("gnj"))),
           col("grid") === col("sgrid") && col("ni") === col("gni")
             && col("nj") === col("gnj"))
@@ -146,7 +149,8 @@ object Select {
 
     // !! filtered per vcode family of the grid's level kinds
     val toctoc = metaDf.filter(col("nomvar") === "!!")
-      .join(broadcast(kindFlags), Seq("grid"))
+      .join(broadcast(perGrid.select(
+        "grid", "has_sigma", "has_hybrid", "has_pressure")), Seq("grid"))
       .filter(
         (col("has_hybrid") &&
           col("ig1").isin(graft.meta.Lookups.HybridVcodes: _*)) ||

@@ -497,7 +497,10 @@ object FstQueries {
             .otherwise(lit(1000000) - col("rid")).cast("int"))
       val path =
         s"/tmp/graft_walkthrough_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
-      graft.sources.fst.FstWriter.write(sel, path, cleanup = false)
+      // large record files for the staging write (the reference-default
+      // 128-record batching layout is pinned by f27)
+      graft.sources.fst.FstWriter.write(sel, path, cleanup = false,
+        maxRecordsPerFile = 4096)
       val back = s.read.format("fstrec").load(path)
         .withColumn("rid",
           when(col("ip3") >= 1000000, lit(1000000L) - col("ip3"))
@@ -536,23 +539,32 @@ object FstQueries {
         .withColumn("ip3", col("rid").cast("int"))
       val path =
         s"/tmp/graft_stream_agg_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
-      graft.sources.fst.FstWriter.write(base, path, cleanup = false)
+      // stage with large record files — the streaming scan bin-packs,
+      // but fewer files also means a cheaper staging write
+      graft.sources.fst.FstWriter.write(base, path, cleanup = false,
+        maxRecordsPerFile = 4096)
       val qn = "stream_agg_" +
         java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = s.readStream.format("fstrec").load(path)
-        .groupBy("nomvar")
-        .agg(count(lit(1)).as("n_records"),
-          sum(col("ip2").cast("long")).as("sum_ip2"),
-          round(sum(aggregate(col("d"), lit(0.0),
-            (a, x) => a + x.cast("double")).cast("decimal(18,6)")), 3)
-            .cast("double").as("payload_sum"))
-        .writeStream.format("memory").queryName(qn)
-        .outputMode("complete")
-        .option("checkpointLocation", java.nio.file.Files
-          .createTempDirectory("graft_stream_ck").toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination(300000)
+      // 3 output groups: a handful of state-store partitions is
+      // plenty, and each HDFS-backed store costs checkpoint files
+      val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = s.readStream.format("fstrec").load(path)
+          .groupBy("nomvar")
+          .agg(count(lit(1)).as("n_records"),
+            sum(col("ip2").cast("long")).as("sum_ip2"),
+            round(sum(aggregate(col("d"), lit(0.0),
+              (a, x) => a + x.cast("double")).cast("decimal(18,6)")), 3)
+              .cast("double").as("payload_sum"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("complete")
+          .option("checkpointLocation", java.nio.file.Files
+            .createTempDirectory("graft_stream_ck").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(300000)
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
       s.table(qn)
     }),
 

@@ -101,31 +101,16 @@ object FstScan {
     */
   def hidden(name: String): Boolean =
     name.startsWith(".") || name.startsWith("_")
-}
 
-class FstScan(path: String, required: StructType,
-              pushed: Array[Filter]) extends Scan with Batch {
-  override def readSchema(): StructType = required
-  override def toBatch: Batch = this
-
-  override def planInputPartitions(): Array[InputPartition] = {
-    val fs = FileSystem.get(new java.net.URI(path),
-      new Configuration())
-    val p = new Path(path)
-    val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(_.isFile)
-          .filterNot(s => FstScan.hidden(s.getPath.getName))
-          .map(s => (s.getPath.toString, s.getLen))
-          .sortBy(_._1)
-      else Array((path, fs.getFileStatus(p).getLen))
-
-    // Bin-pack small files into partitions (the FileSourceScan
-    // recipe): per-file cost = size + openCost, target partition size
-    // bounded by maxPartitionBytes and sized so the scan still fills
-    // the cluster's default parallelism. One giant directory of tiny
-    // record files becomes ~parallelism tasks instead of one task per
-    // file; a directory of large files stays one file per task.
+  /** Bin-pack (file, length) pairs into read partitions (the
+    * FileSourceScan recipe): per-file cost = size + openCost, target
+    * partition size bounded by maxPartitionBytes and sized so the scan
+    * still fills the cluster's default parallelism. One giant
+    * directory of tiny record files becomes ~parallelism tasks instead
+    * of one task per file; a directory of large files stays one file
+    * per task. Used by both the batch scan and the micro-batch stream.
+    */
+  def packPartitions(files: Seq[(String, Long)]): Array[InputPartition] = {
     val conf = org.apache.spark.sql.SparkSession.active.sessionState.conf
     val openCost = conf.filesOpenCostInBytes
     val maxBytes = conf.filesMaxPartitionBytes
@@ -148,6 +133,27 @@ class FstScan(path: String, required: StructType,
     }
     if (cur.nonEmpty) parts += cur.toSeq
     parts.map(fs => FstInputPartition(fs): InputPartition).toArray
+  }
+}
+
+class FstScan(path: String, required: StructType,
+              pushed: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val fs = FileSystem.get(new java.net.URI(path),
+      new Configuration())
+    val p = new Path(path)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(_.isFile)
+          .filterNot(s => FstScan.hidden(s.getPath.getName))
+          .map(s => (s.getPath.toString, s.getLen))
+          .sortBy(_._1)
+      else Array((path, fs.getFileStatus(p).getLen))
+
+    FstScan.packPartitions(files.toSeq)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -208,12 +214,22 @@ object FstOffset {
   * immutable once written — the writer never appends to a published
   * file). Pushdown and payload pruning apply per batch exactly as in
   * the batch scan.
+  *
+  * Supports Trigger.AvailableNow natively: `prepareForTriggerAvailableNow`
+  * snapshots the directory listing once, and every subsequent
+  * `latestOffset(start, limit)` is capped at that snapshot — so an
+  * availability-bounded run drains exactly the files present at start,
+  * including any uncommitted batch from a previous run, then stops.
   */
 class FstMicroBatchStream(path: String, required: StructType,
                           pushed: Array[Filter])
     extends org.apache.spark.sql.connector.read.streaming
-      .MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+      .MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  @volatile private var availableNowCap: Option[Seq[String]] = None
 
   private def listFiles(): Seq[String] = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
@@ -228,6 +244,12 @@ class FstMicroBatchStream(path: String, required: StructType,
 
   override def initialOffset(): Offset = FstOffset(Nil)
   override def latestOffset(): Offset = FstOffset(listFiles())
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(listFiles())
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    FstOffset(availableNowCap.getOrElse(listFiles()))
+  override def reportLatestOffset(): Offset = FstOffset(listFiles())
   override def deserializeOffset(json: String): Offset =
     FstOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()
@@ -237,7 +259,11 @@ class FstMicroBatchStream(path: String, required: StructType,
       : Array[InputPartition] = {
     val seen = start.asInstanceOf[FstOffset].files.toSet
     val fresh = end.asInstanceOf[FstOffset].files.filterNot(seen)
-    fresh.map(f => FstInputPartition(Seq(f)): InputPartition).toArray
+    // Bin-pack like the batch scan: a micro-batch admitting thousands
+    // of small record files must not become thousands of tasks.
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    FstScan.packPartitions(
+      fresh.map(f => (f, fs.getFileStatus(new Path(f)).getLen)))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
