@@ -44,12 +44,17 @@ case class EncodeIpExpr(left: Expression, right: Expression)
   */
 object GraftFunctions {
 
+  /** Builder shared by per-session [[install]] and the
+    * [[GraftExtensions]] injection path.
+    */
+  private[functions] val encodeIpBuilder
+      : Seq[Expression] => Expression =
+    exprs => EncodeIpExpr(
+      Cast(exprs.head, FloatType), Cast(exprs(1), IntegerType))
+
   def install(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_encode_ip",
-      exprs => EncodeIpExpr(
-        Cast(exprs.head, FloatType), Cast(exprs(1), IntegerType)),
-      "scala_udf")
+      "graft_encode_ip", encodeIpBuilder, "scala_udf")
 
   /** (value, kind) -> new-style ip as a Column, via the native
     * expression (installs it on the active session on first use).
@@ -58,4 +63,23 @@ object GraftFunctions {
     SparkSession.getActiveSession.foreach(install)
     call_function("graft_encode_ip", value, kind)
   }
+}
+
+/** Config-only enablement: a host application sets
+  * `spark.sql.extensions=graft.functions.GraftExtensions` and every
+  * session of the application gets graft's native functions injected
+  * at build time — no code call into graft required. (The programmatic
+  * [[GraftFunctions.install]] stays available for sessions built
+  * without the config.)
+  */
+class GraftExtensions
+    extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(
+      ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(
+        "graft_encode_ip"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[EncodeIpExpr].getName, "graft_encode_ip"),
+      GraftFunctions.encodeIpBuilder))
 }

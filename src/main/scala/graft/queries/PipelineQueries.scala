@@ -36,6 +36,48 @@ object PipelineQueries {
     UNION ALL SELECT doc_id + 1000000 AS doc_id,
       text || ' zzz extra tail qq' AS text FROM documents)"""
 
+  /** Shared by p02/p16: the persisted shingled corpus and the banded
+    * MinHash-LSH near-dup pair set with exact-Jaccard verification.
+    * The hashed-shingle set is the expensive per-row computation and
+    * feeds four plan branches (band explode x2, verify join x2) —
+    * persist it once instead of recomputing per branch; at cluster
+    * scale the same reuse is a checkpoint of the signature table.
+    */
+  private def lshPairs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val sh = corpus(s, dir)
+      .withColumn("sh", hashedShingles(shingles(words(col("text")))))
+      .filter(size(col("sh")) > 0)
+      .withColumn("bks", bandKeys(col("sh")))
+      .select("doc_id", "sh", "bks")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands0 = sh.select(col("doc_id"),
+      posexplode(col("bks")).as(Seq("band", "bkey")))
+    // degenerate-bucket guard (LshBucketCap): the bucket self-join
+    // below is quadratic in bucket size — skip pathological buckets
+    val okBuckets = bands0.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= lit(LshBucketCap)).drop("bn")
+    val bands = bands0.join(okBuckets, Seq("band", "bkey"))
+    val cand = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_a"),
+        col("b.doc_id").as("doc_id_b"))
+      .distinct()
+    val pairs = cand
+      .join(sh.select(col("doc_id").as("doc_id_a"),
+        col("sh").as("sh_a")), Seq("doc_id_a"))
+      .join(sh.select(col("doc_id").as("doc_id_b"),
+        col("sh").as("sh_b")), Seq("doc_id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+    (sh, pairs)
+  }
+
   val queries: Map[String, Q] = Map(
     // exact dedup by content hash (input doubled to prove collapse)
     "p01_exact_dedup" -> ((s, dir) => {
@@ -45,42 +87,18 @@ object PipelineQueries {
         .agg(min("doc_id").as("doc_id"), count(lit(1)).as("copies"))
     }),
 
-    // banded MinHash-LSH near-dup candidates + exact Jaccard verify.
-    // The hashed-shingle set is the expensive per-row computation and
-    // feeds four plan branches (band explode x2, verify join x2) —
-    // persist it once instead of recomputing per branch; at cluster
-    // scale the same reuse is a checkpoint of the signature table.
-    "p02_minhash_lsh" -> ((s, dir) => {
-      val sh = corpus(s, dir)
-        .withColumn("sh", hashedShingles(shingles(words(col("text")))))
-        .filter(size(col("sh")) > 0)
-        .withColumn("bks", bandKeys(col("sh")))
-        .select("doc_id", "sh", "bks")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bands0 = sh.select(col("doc_id"),
-        posexplode(col("bks")).as(Seq("band", "bkey")))
-      // degenerate-bucket guard (LshBucketCap): the bucket self-join
-      // below is quadratic in bucket size — skip pathological buckets
-      val okBuckets = bands0.groupBy("band", "bkey")
-        .agg(count(lit(1)).as("bn"))
-        .filter(col("bn") <= lit(LshBucketCap)).drop("bn")
-      val bands = bands0.join(okBuckets, Seq("band", "bkey"))
-      val cand = bands.alias("a")
-        .join(bands.alias("b"),
-          col("a.band") === col("b.band") &&
-            col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_id_a"),
-          col("b.doc_id").as("doc_id_b"))
-        .distinct()
-      cand
-        .join(sh.select(col("doc_id").as("doc_id_a"),
-          col("sh").as("sh_a")), Seq("doc_id_a"))
-        .join(sh.select(col("doc_id").as("doc_id_b"),
-          col("sh").as("sh_b")), Seq("doc_id_b"))
-        .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-        .filter(col("jaccard") >= 0.5)
-        .select("doc_id_a", "doc_id_b", "jaccard")
+    // banded MinHash-LSH near-dup candidates + exact Jaccard verify
+    "p02_minhash_lsh" -> ((s, dir) => lshPairs(s, dir)._2),
+
+    // duplicate clusters: connected components over the LSH pair set
+    // (iterative min-label propagation, O(log diameter) rounds); every
+    // shingled doc maps to the canonical minimum id of its dup group
+    "p16_dup_clusters" -> ((s, dir) => {
+      val (sh, pairs) = lshPairs(s, dir)
+      graft.pipeline.Clusters.connectedComponents(
+        sh.select(col("doc_id").as("id")),
+        pairs.select(col("doc_id_a").as("a"), col("doc_id_b").as("b")))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
     }),
 
     // SimHash document signatures
@@ -285,6 +303,31 @@ object PipelineQueries {
           .as("resized_text"), col("resize_meta.actual_bytes")
           .as("actual_bytes"), col("resize_meta.stride").as("stride"))))
 
+  /** CTE chain producing `sh2` (shingled corpus) and `lshpairs`
+    * (verified near-dup pairs) — the SQL twin of [[lshPairs]], shared
+    * by the p02 and p16 oracles.
+    */
+  private def lshPairsCtes: String = {
+    val sh = hashedShinglesSql(shinglesSql(wordsSql("text")))
+    s"""$corpusSql,
+sh AS (SELECT doc_id, $sh AS sh FROM corpus),
+sh2 AS (SELECT * FROM sh WHERE len(sh) > 0),
+bands0 AS (SELECT doc_id,
+  CAST(unnest(range(0, $LshBands)) AS INT) AS band,
+  unnest(${bandKeysSql("sh")}) AS bkey FROM sh2),
+bsz AS (SELECT band, bkey FROM bands0 GROUP BY band, bkey
+  HAVING count(*) <= $LshBucketCap),
+bands AS (SELECT bands0.* FROM bands0 JOIN bsz USING (band, bkey)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+    AND a.doc_id < b.doc_id),
+lshpairs AS (SELECT doc_id_a, doc_id_b,
+  ${jaccardSql("sa.sh", "sb.sh")} AS jaccard
+FROM cand JOIN sh2 sa ON sa.doc_id = doc_id_a
+  JOIN sh2 sb ON sb.doc_id = doc_id_b
+WHERE ${jaccardSql("sa.sh", "sb.sh")} >= 0.5)"""
+  }
+
   private def predSql: String = {
     val scores = Stopwords.map { case (l, _) =>
       l -> stopRatioSql(wordsSql("text"), l)
@@ -305,26 +348,21 @@ object PipelineQueries {
       FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
       GROUP BY md5(text)""",
 
-    "p02_minhash_lsh" -> {
-      val sh = hashedShinglesSql(shinglesSql(wordsSql("text")))
-      s"""WITH $corpusSql,
-sh AS (SELECT doc_id, $sh AS sh FROM corpus),
-sh2 AS (SELECT * FROM sh WHERE len(sh) > 0),
-bands0 AS (SELECT doc_id,
-  CAST(unnest(range(0, $LshBands)) AS INT) AS band,
-  unnest(${bandKeysSql("sh")}) AS bkey FROM sh2),
-bsz AS (SELECT band, bkey FROM bands0 GROUP BY band, bkey
-  HAVING count(*) <= $LshBucketCap),
-bands AS (SELECT bands0.* FROM bands0 JOIN bsz USING (band, bkey)),
-cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
-    AND a.doc_id < b.doc_id)
-SELECT doc_id_a, doc_id_b,
-  ${jaccardSql("sa.sh", "sb.sh")} AS jaccard
-FROM cand JOIN sh2 sa ON sa.doc_id = doc_id_a
-  JOIN sh2 sb ON sb.doc_id = doc_id_b
-WHERE ${jaccardSql("sa.sh", "sb.sh")} >= 0.5"""
-    },
+    "p02_minhash_lsh" ->
+      s"""WITH $lshPairsCtes
+SELECT doc_id_a, doc_id_b, jaccard FROM lshpairs""",
+
+    // transitive closure of the LSH pair set: cluster id = min
+    // reachable doc id (recursive CTE; UNION dedups to a fixpoint)
+    "p16_dup_clusters" ->
+      s"""WITH RECURSIVE $lshPairsCtes,
+dedges AS (SELECT doc_id_a AS a, doc_id_b AS b FROM lshpairs
+  UNION ALL SELECT doc_id_b AS a, doc_id_a AS b FROM lshpairs),
+reach(v, l) AS (
+  SELECT doc_id, doc_id FROM sh2
+  UNION
+  SELECT e.a, r.l FROM dedges e JOIN reach r ON r.v = e.b)
+SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v""",
 
     "p03_simhash" ->
       s"""SELECT doc_id, ${simhash16Sql(wordsSql("text"))} AS simhash

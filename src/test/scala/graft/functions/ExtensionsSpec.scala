@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.IpCodec
+
+/** Config-only enablement: a session built with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` must expose
+  * graft's native functions without any programmatic install call.
+  * Suites run sequentially in the forked test JVM, so it is safe to
+  * stop any session a previous suite left behind and build a fresh one
+  * here (extensions only apply at session construction).
+  */
+class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", 2)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("graft_encode_ip resolves through spark.sql.extensions alone") {
+    val got = spark.sql(
+      "SELECT graft_encode_ip(0.85, 1) AS ip").collect()(0).getInt(0)
+    assert(got === IpCodec.encode(0.85f, 1))
+  }
+
+  test("injected function casts arguments like the programmatic path") {
+    // double/int literals go through the Cast-inserting builder
+    val got = spark.sql(
+      "SELECT graft_encode_ip(500.0D, 2) AS ip").collect()(0).getInt(0)
+    assert(got === IpCodec.encode(500f, 2))
+  }
+}

@@ -112,4 +112,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       argmaxBucket(col("b")).as("bb")).collect()(0)
     assert(r.getInt(0) == r.getInt(1) && r.getInt(0) == 2)
   }
+
+  test("connected components labels a chain, a pair and a singleton") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4: forces multi-round convergence),
+    // pair 10-11, singleton 20
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 20L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("a", "b")
+    val got = Clusters.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("connected components is direction-agnostic on pair order") {
+    import spark.implicits._
+    // edges given with the larger id first must cluster identically
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val pairs = Seq((3L, 2L), (2L, 1L)).toDF("a", "b")
+    val got = Clusters.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }
