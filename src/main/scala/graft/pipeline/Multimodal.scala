@@ -61,11 +61,17 @@ object Multimodal {
   }
 
   private def fakeFeatures(payload: Array[Byte]): Seq[Float] = {
-    // deterministic stand-in: strided byte averages
+    // deterministic stand-in: strided byte averages. The sum is exact
+    // (Long) and rounds once via a double divide, so any engine
+    // computing sum/count in integer+double arithmetic agrees
+    // bit-for-bit with the emitted float.
     (0 until FeatureDim).map { k =>
       val slice = payload.indices.filter(_ % FeatureDim == k)
       if (slice.isEmpty) 0f
-      else slice.map(i => (payload(i) & 0xFF).toFloat).sum / slice.size
+      else {
+        val s = slice.map(i => (payload(i) & 0xFF).toLong).sum
+        (s.toDouble / slice.size).toFloat
+      }
     }
   }
 

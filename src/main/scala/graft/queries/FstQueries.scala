@@ -568,6 +568,39 @@ object FstQueries {
       s.table(qn)
     }),
 
+    // §2.10 streaming dedup: the staged input holds every record
+    // TWICE; the streaming query drops duplicates on the 19-column
+    // record identity (A2) while draining, and the collapsed set must
+    // equal the batch-distinct oracle. The memory-sink table is
+    // batch-aggregated down to a compact order-insensitive digest.
+    "f45_stream_dedup" -> ((s, dir) => {
+      val base = cat(s, dir)
+        .filter(col("rid") > 0 && col("nomvar").isin("GZ", "HU"))
+        .withColumn("ip3", col("rid").cast("int"))
+      val path =
+        s"/tmp/graft_stream_dedup_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      graft.sources.fst.FstWriter.write(base.unionByName(base), path,
+        cleanup = false, maxRecordsPerFile = 4096)
+      val qn = "stream_dedup_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = s.readStream.format("fstrec").load(path)
+          .dropDuplicates(graft.core.Constants.DedupColumns)
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("append")
+          .option("checkpointLocation", java.nio.file.Files
+            .createTempDirectory("graft_stream_dd").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(300000)
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
+      s.table(qn).groupBy("nomvar")
+        .agg(count(lit(1)).as("n_records"),
+          sum(col("ip3").cast("long")).as("sum_ip3"))
+    }),
+
     // S8 update mode: metadata-only in-place rewrite, payloads intact
     "f39_fst_update" -> ((s, dir) => {
       val base = cat(s, dir)
@@ -1077,6 +1110,14 @@ SELECT nomvar, ni, nj, ip1, ip2, grtyp, ig1, ig2, ig3, ig4,
           x -> CAST(x AS DOUBLE)), (a, b) -> a + b) AS DECIMAL(18,6))),
           3) AS DOUBLE) AS payload_sum
       FROM cat WHERE rid > 0 AND nomvar IN ('TT', 'UU', 'VV')
+      GROUP BY nomvar"""),
+
+    // the staged stream holds every record twice; the collapsed set
+    // must equal the plain (undoubled) base per-nomvar digest
+    "f45_stream_dedup" -> W(
+      """SELECT nomvar, CAST(count(*) AS BIGINT) AS n_records,
+        CAST(sum(rid) AS BIGINT) AS sum_ip3
+      FROM cat WHERE rid > 0 AND nomvar IN ('GZ', 'HU')
       GROUP BY nomvar"""),
 
     "f39_fst_update" -> W(

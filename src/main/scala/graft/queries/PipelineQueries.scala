@@ -301,7 +301,18 @@ object PipelineQueries {
         graft.pipeline.Multimodal.toBinaryRecords(docs(s, dir)))
         .select(col("doc_id"), col("resized").cast("string")
           .as("resized_text"), col("resize_meta.actual_bytes")
-          .as("actual_bytes"), col("resize_meta.stride").as("stride"))))
+          .as("actual_bytes"), col("resize_meta.stride").as("stride"))),
+
+    // multimodal per-partition batch decode (the imperative codec
+    // boundary: mapPartitions over binary payloads, one codec init per
+    // partition) — driver-checked so the RDD-boundary path provably
+    // matches the declarative engines bit-for-bit
+    "p17_decode_batch" -> ((s, dir) =>
+      graft.pipeline.Multimodal.decodeStub(
+        graft.pipeline.Multimodal.toBinaryRecords(docs(s, dir)))
+        .select(col("doc_id"), posexplode(col("features")))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"),
+          col("col").as("feature"))))
 
   /** CTE chain producing `sh2` (shingled corpus) and `lshpairs`
     * (verified near-dup pairs) — the SQL twin of [[lshPairs]], shared
@@ -481,6 +492,18 @@ SELECT query_id, vec_id, bucket, rank, cos FROM r WHERE rank <= 5""" },
         AS actual_bytes,
       CAST($stride AS INT) AS stride
       FROM documents"""
+    },
+
+    "p17_decode_batch" -> {
+      val fd = graft.pipeline.Multimodal.FeatureDim
+      s"""SELECT doc_id, CAST(k AS INT) AS pos,
+  CASE WHEN len(ps) = 0 THEN CAST(0 AS FLOAT)
+  ELSE CAST(CAST(list_sum(list_transform(ps,
+    i -> ascii(substring(text, CAST(i AS INT), 1)))) AS DOUBLE)
+    / len(ps) AS FLOAT) END AS feature
+FROM (SELECT doc_id, text, k,
+    range(CAST(k + 1 AS INT), strlen(text) + 1, $fd) AS ps
+  FROM documents, LATERAL unnest(range(0, $fd)) AS t(k))"""
     },
 
     "p12_embedding_dedup" ->
