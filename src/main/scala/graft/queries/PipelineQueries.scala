@@ -280,6 +280,35 @@ object PipelineQueries {
           col("rank"), col("cos"))
     }),
 
+    // multi-probe hyperplane LSH ANN: search the query's sign-bucket
+    // PLUS every bucket at Hamming distance 1 (flip each plane bit) —
+    // the standard recall-improving probe expansion; candidate volume
+    // grows by (nPlanes+1)x while staying bucket-bounded (no all-pairs)
+    "p18_cosine_multiprobe" -> ((s, dir) => {
+      val nPlanes = 4
+      val planes = hyperplanes(nPlanes, 64)
+      val e = emb(s, dir)
+        .withColumn("sig", hyperplaneSig(col("embedding"), planes))
+        .withColumn("nrm", norm(col("embedding")))
+      val probes = array((lit(0) +: (0 until nPlanes)
+        .map(p => lit(1 << p))): _*)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("sig").as("qsig"), col("nrm").as("qn"))
+        .withColumn("probe",
+          explode(transform(probes, m => col("qsig").bitwiseXOR(m))))
+      val rn = row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("vec_id").asc))
+      broadcast(q).join(e,
+          col("sig") === col("probe") && col("vec_id") =!= col("query_id"))
+        .withColumn("cos",
+          dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")))
+        .withColumn("rank", rn)
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id"), col("sig").as("bucket"),
+          col("rank"), col("cos"))
+    }),
+
     // multimodal plumbing: opaque binary payload + scalar features
     "p11_multimodal" -> ((s, dir) =>
       graft.pipeline.Multimodal.features(
@@ -492,6 +521,26 @@ SELECT query_id, vec_id, bucket, rank, cos FROM r WHERE rank <= 5""" },
         AS actual_bytes,
       CAST($stride AS INT) AS stride
       FROM documents"""
+    },
+
+    "p18_cosine_multiprobe" -> {
+      val nPlanes = 4
+      val planes = hyperplanes(nPlanes, 64)
+      val masks = (0 +: (0 until nPlanes).map(1 << _))
+        .mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, embedding,
+    ${hyperplaneSigSql("embedding", planes)} AS sig,
+    ${normSql("embedding")} AS nrm FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, sig AS qsig,
+    nrm AS qn FROM e WHERE vec_id < 10),
+qp AS (SELECT query_id, qv, qn, xor(qsig, m) AS probe
+  FROM q, LATERAL unnest($masks) AS t(m)),
+c AS (SELECT qp.query_id, e.vec_id, e.sig AS bucket,
+    (${dotSql("qp.qv", "e.embedding")} / (qp.qn * e.nrm)) AS cos
+  FROM qp JOIN e ON e.sig = qp.probe AND e.vec_id <> qp.query_id),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
+SELECT query_id, vec_id, bucket, rank, cos FROM r WHERE rank <= 5"""
     },
 
     "p17_decode_batch" -> {
