@@ -359,13 +359,14 @@ object FstQueries {
           (a, x) => a + x.cast("double")).as("cube_sum"))
     }),
 
-    // §1.5 cube export with coordinate axes: lon/lat pulled from the
-    // grid's >>/^^ records (the labeled-DataArray shape)
+    // §1.5 cube export with coordinate axes and attrs: lon/lat pulled
+    // from the grid's >>/^^ records, unit/description from the STDVAR
+    // dictionary (the labeled-DataArray shape incl. attrs)
     "f44_cube_coords" -> ((s, dir) => {
-      val c = graft.ops.Cubes.toCubeWithCoords(
-        Decode.addGrid(cat(s, dir)))
+      val c = Decode.addUnitAndDescription(
+        graft.ops.Cubes.toCubeWithCoords(Decode.addGrid(cat(s, dir))))
       c.select(col("grid"), col("nomvar"), col("ip1_kind"),
-        col("n_levels"),
+        col("n_levels"), col("unit"), col("description"),
         size(col("lon")).as("lon_n"), size(col("lat")).as("lat_n"),
         element_at(col("lon"), 1).as("lon_first"),
         element_at(col("lon"), -1).as("lon_last"),
@@ -995,11 +996,15 @@ FROM picked GROUP BY 1, 2, 3"""),
 , latx AS (SELECT grid, arg_min(d, rid) AS lat FROM g
     WHERE nomvar = '^^' GROUP BY grid)
 SELECT c.grid, c.nomvar, c.ip1_kind, c.n_levels,
+  coalesce(sv.unit, 'scalar') AS unit,
+  coalesce(sv.description, '') AS description,
   CAST(len(l.lon) AS INT) AS lon_n, CAST(len(t.lat) AS INT) AS lat_n,
   l.lon[1] AS lon_first, l.lon[-1] AS lon_last,
   t.lat[1] AS lat_first, t.lat[-1] AS lat_last
 FROM cubes c LEFT JOIN lonx l ON c.grid = l.grid
-LEFT JOIN latx t ON c.grid = t.grid"""),
+LEFT JOIN latx t ON c.grid = t.grid
+LEFT JOIN (VALUES $stdvarValuesSql)
+  AS sv(nomvar, unit, description) ON c.nomvar = sv.nomvar"""),
 
     "f30_latlon_2d" -> W(
       """, lon AS (SELECT CAST(ip1 AS VARCHAR) || CAST(ip2 AS VARCHAR)
