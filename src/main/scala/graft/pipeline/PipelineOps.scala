@@ -73,6 +73,16 @@ object PipelineOps {
     */
   val LshBucketCap = 64
 
+  /** Hot-shingle guard for the explode-join intersection counter: a
+    * shingle hash appearing in more than this many documents of one
+    * source is dropped before the pair join (the classic stop-shingle
+    * rule). An ultra-common shingle — boilerplate, licence headers —
+    * is a skewed join key producing df² pairs on one shuffle
+    * partition; capping bounds the hottest key at Cap² while leaving
+    * discriminative shingles (the ones that define similarity) intact.
+    */
+  val ShingleDfCap = 64
+
   /** i-th MinHash from the 48-bit base hashes via an odd-multiplier
     * affine mix — products stay < 2^54, so the arithmetic is exact and
     * overflow-free in both the JVM and DuckDB.

@@ -118,8 +118,14 @@ object PipelineQueries {
         .select("source", "doc_id", "sh")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = d.select(col("doc_id").as("sid"), size(col("sh")).as("n"))
-      val ex = d.select(col("source"), col("doc_id"),
+      val ex0 = d.select(col("source"), col("doc_id"),
         explode(col("sh")).as("h"))
+      // hot-shingle guard (ShingleDfCap): drop join keys whose
+      // document frequency makes the pair join quadratic in one key
+      val okShingles = ex0.groupBy("source", "h")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= lit(ShingleDfCap)).drop("df")
+      val ex = ex0.join(okShingles, Seq("source", "h"))
       val inter = ex.alias("a").join(ex.alias("b"),
           col("a.source") === col("b.source") &&
             col("a.h") === col("b.h") &&
@@ -411,11 +417,23 @@ SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v""",
     "p04_ngram_jaccard" -> {
       val sh = hashedShinglesSql(shinglesSql(wordsSql("text")))
       s"""WITH sh AS (SELECT source, doc_id, $sh AS sh FROM documents),
-sh2 AS (SELECT * FROM sh WHERE len(sh) > 0)
-SELECT a.source AS source, a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-  ${jaccardSql("a.sh", "b.sh")} AS jaccard
-FROM sh2 a JOIN sh2 b ON a.source = b.source AND a.doc_id < b.doc_id
-WHERE ${jaccardSql("a.sh", "b.sh")} > 0.05"""
+sh2 AS (SELECT * FROM sh WHERE len(sh) > 0),
+ex0 AS (SELECT source, doc_id, unnest(sh) AS h FROM sh2),
+okh AS (SELECT source, h FROM ex0 GROUP BY source, h
+  HAVING count(*) <= $ShingleDfCap),
+ex AS (SELECT ex0.* FROM ex0 JOIN okh USING (source, h)),
+inter AS (SELECT a.source, a.doc_id AS doc_id_a,
+    b.doc_id AS doc_id_b, count(*) AS i
+  FROM ex a JOIN ex b ON a.source = b.source AND a.h = b.h
+    AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3)
+SELECT inter.source AS source, doc_id_a, doc_id_b,
+  (CAST(i AS DOUBLE) / CAST(len(sa.sh) + len(sb.sh) - i AS DOUBLE))
+    AS jaccard
+FROM inter JOIN sh2 sa ON sa.doc_id = doc_id_a
+  JOIN sh2 sb ON sb.doc_id = doc_id_b
+WHERE (CAST(i AS DOUBLE) / CAST(len(sa.sh) + len(sb.sh) - i AS DOUBLE))
+  > 0.05"""
     },
 
     "p05_cosine_topk" ->

@@ -137,24 +137,47 @@ object FstScan {
 }
 
 class FstScan(path: String, required: StructType,
-              pushed: Array[Filter]) extends Scan with Batch {
+              pushed: Array[Filter]) extends Scan with Batch
+    with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  private def listWithSizes(): Seq[(String, Long)] = {
     val fs = FileSystem.get(new java.net.URI(path),
       new Configuration())
     val p = new Path(path)
-    val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(_.isFile)
-          .filterNot(s => FstScan.hidden(s.getPath.getName))
-          .map(s => (s.getPath.toString, s.getLen))
-          .sortBy(_._1)
-      else Array((path, fs.getFileStatus(p).getLen))
-
-    FstScan.packPartitions(files.toSeq)
+    if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).filter(_.isFile)
+        .filterNot(s => FstScan.hidden(s.getPath.getName))
+        .map(s => (s.getPath.toString, s.getLen))
+        .sortBy(_._1).toSeq
+    else Seq((path, fs.getFileStatus(p).getLen))
   }
+
+  /** Size statistics from the directory listing, scaled by the read
+    * schema's share of the record width: a metadata-only projection
+    * (no `d`) reports only the 72-byte directory entries, so joins
+    * against pruned record catalogs qualify for automatic broadcast /
+    * AQE re-planning instead of defaulting to a shuffle join.
+    */
+  override def estimateStatistics(): Statistics = {
+    val files = listWithSizes()
+    val raw = files.map(_._2).sum
+    val rows = math.max(raw / FstFormat.EntryBytesEstimate, 1L)
+    val bytes =
+      if (required.fieldNames.contains("d")) raw
+      else files.size * FstFormat.HeaderBytes.toLong +
+        rows * FstFormat.DirEntryBytes
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(bytes, 1L))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty() // unknown without a dir read
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    FstScan.packPartitions(listWithSizes())
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FstReaderFactory(required, pushed)

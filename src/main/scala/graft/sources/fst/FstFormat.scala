@@ -27,6 +27,17 @@ object FstFormat {
   val Magic: Array[Byte] = "STDR".getBytes("ASCII")
   val HeaderBytes = 24
 
+  /** One packed directory entry: 18 words of 4 bytes. */
+  val DirEntryBytes = 18 * 4
+
+  /** Crude per-record size guess (dir entry + a small payload) used
+    * ONLY for scan statistics. Deliberately errs toward overcounting
+    * records — the derived metadata-only size estimate then errs
+    * large, which can only make the planner more conservative about
+    * broadcasting.
+    */
+  val EntryBytesEstimate: Long = DirEntryBytes + 48L
+
   final case class Meta(nomvar: String, typvar: String, etiket: String,
                         ni: Int, nj: Int, nk: Int, dateo: Long, ip1: Int,
                         ip2: Int, ip3: Int, deet: Int, npas: Int,

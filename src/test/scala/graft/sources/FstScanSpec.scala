@@ -117,4 +117,29 @@ class FstScanSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("ip1") <= 10)
     assert(back.count() == 10)
   }
+
+  test("scan statistics shrink under metadata-only projection") {
+    import graft.sources.fst.{FstScanBuilder, FstScan}
+    import org.apache.spark.sql.types.StructType
+    val path = "/tmp/graft_scan_spec_stats"
+    writeSmallFiles(path, rows = 200, perFile = 50)
+    def stats(fields: Seq[String]): Long = {
+      val b = new FstScanBuilder(path)
+      b.pruneColumns(StructType(
+        graft.sources.fst.FstTable.Schema.filter(f =>
+          fields.contains(f.name))))
+      b.build().asInstanceOf[FstScan].estimateStatistics()
+        .sizeInBytes().getAsLong
+    }
+    val full = stats(Seq("nomvar", "ip1", "d"))
+    val metaOnly = stats(Seq("nomvar", "ip1"))
+    assert(metaOnly < full,
+      s"metadata-only estimate $metaOnly !< full $full")
+    // full estimate equals the on-disk byte count
+    val disk = new java.io.File(path).listFiles().filter(_.isFile)
+      .filterNot(f => f.getName.startsWith(".") ||
+        f.getName.startsWith("_"))
+      .map(_.length()).sum
+    assert(full == disk, s"full estimate $full != disk $disk")
+  }
 }
