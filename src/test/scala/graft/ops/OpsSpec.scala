@@ -250,4 +250,16 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cube.getSeq[Float](cube.fieldIndex("cube")) ==
       Seq(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f))
   }
+
+  test("cube export attaches the grid's lon/lat coordinate axes") {
+    val cube = Cubes.toCubeWithCoords(mkCatalog())
+      .filter(col("nomvar") === "TT").head()
+    assert(cube.getSeq[Float](cube.fieldIndex("lon")) == Seq(10f, 20f))
+    assert(cube.getSeq[Float](cube.fieldIndex("lat")) == Seq(45f, 46f))
+    // a grid without deformation records still exports (null axes)
+    val noCoords = Cubes.toCubeWithCoords(
+      mkCatalog().filter(!col("nomvar").isin(">>", "^^")))
+      .filter(col("nomvar") === "TT").head()
+    assert(noCoords.isNullAt(noCoords.fieldIndex("lon")))
+  }
 }
