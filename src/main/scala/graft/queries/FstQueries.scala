@@ -193,6 +193,20 @@ object FstQueries {
           col("col").as("value"))
     }),
 
+    // M2-M5 standard-atmosphere mode: PXSA payloads from the
+    // constant-pressure formulas
+    "f46_quick_pressure_sa" -> ((s, dir) => {
+      val px = VCoord.quickPressure(cat(s, dir),
+        standardAtmosphere = true)
+      px.select(col("grid"), col("vctype"), col("datev"), col("ip1"),
+          col("level"), col("typvar"), col("dateo"), col("ip2"),
+          col("datyp"), col("nbits"), posexplode_outer(col("d")))
+        .select(col("grid"), col("vctype"), col("datev"), col("ip1"),
+          col("level"), col("typvar"), col("dateo"), col("ip2"),
+          col("datyp"), col("nbits"), (col("pos") + 1).as("pos"),
+          col("col").as("value"))
+    }),
+
     // M10/M11 ApplyMask -> RecoverMask round-trip on synthesized pairs
     "f20_mask_roundtrip" -> ((s, dir) => {
       val base = Decode.addGrid(cat(s, dir))
@@ -621,6 +635,113 @@ object FstQueries {
             (a, x) => a + x.cast("double")).as("payload_sum"))
     }))
 
+  /** Shared quick-pressure oracle: vctype classification + level/meta
+    * CTEs (through px0), with the payload formula CASE chosen by mode
+    * (normal PX vs standard-atmosphere PXSA). Formula text mirrors
+    * [[VCoord.quickPressure]]'s Column expressions operation-for-
+    * operation so the float rounding agrees bit-for-bit.
+    */
+  private def quickPressureOracle(stdAtm: Boolean): String = {
+    val t0 = "(CAST(hy_ptop AS DOUBLE) / hy_pref)"
+    val rc = "(CAST(hy_rc AS DOUBLE) / 1000.0)"
+    val t6n = s"pow((CAST(level AS DOUBLE) - $t0) / (1.0 - $t0), $rc)"
+    val t6s = s"pow(greatest(CAST(level AS DOUBLE) - $t0, 0.0)" +
+      s" * (1.0 / (1.0 - $t0)), $rc)"
+    val aTab = "CAST(tt_d[CAST((jidx - 1) * 3 + 2 AS INT)] AS DOUBLE)"
+    val bTab = "CAST(tt_d[CAST((jidx - 1) * 3 + 3 AS INT)] AS DOUBLE)"
+    val pref = "CAST(tt_d[5] AS DOUBLE)"
+    val dCase =
+      if (!stdAtm)
+        s"""CASE WHEN vctype = 'SIGMA_1001' THEN
+        list_transform(p0_d, x -> CAST(CAST(level AS DOUBLE)
+          * CAST(x AS DOUBLE) AS FLOAT))
+      WHEN vctype = 'ETA_1002' THEN
+        list_transform(range(1, len(p0_d) + 1), i ->
+          CAST(CAST(level AS DOUBLE)
+            * (CAST(p0_d[i] AS DOUBLE) - CAST(pt_d[i] AS DOUBLE))
+            + CAST(pt_d[i] AS DOUBLE) AS FLOAT))
+      WHEN vctype = 'HYBRID_5001' THEN
+        list_transform(p0_d, x -> CAST(
+          hy_pref * (CAST(level AS DOUBLE) - $t6n)
+          + $t6n * CAST(x AS DOUBLE) AS FLOAT))
+      WHEN vctype IN ('HYBRID_5002', 'HYBRID_5003', 'HYBRID_5004',
+          'HYBRID_5005') THEN
+        list_transform(p0_d, x -> CAST(
+          exp($aTab + $bTab * ln(CAST(x AS DOUBLE) * 100 / $pref))
+            / 100 AS FLOAT))
+      ELSE list_transform(range(0, ni * nj), x -> level)
+    END"""
+      else
+        s"""CASE WHEN vctype = 'SIGMA_1001' THEN
+        list_transform(p0_d, x -> CAST(CAST(level AS DOUBLE)
+          * 1013.25 AS FLOAT))
+      WHEN vctype = 'ETA_1002' THEN
+        list_transform(range(1, len(p0_d) + 1), i ->
+          CAST(CAST(pt_d[i] AS DOUBLE) * (1.0 - CAST(level AS DOUBLE))
+            + CAST(level AS DOUBLE) * 1013.25 AS FLOAT))
+      WHEN vctype = 'HYBRID_5001' THEN
+        list_transform(p0_d, x -> CAST(
+          hy_pref * (CAST(level AS DOUBLE) - $t6s)
+          + $t6s * 1013.25 AS FLOAT))
+      WHEN vctype IN ('HYBRID_5002', 'HYBRID_5003', 'HYBRID_5004',
+          'HYBRID_5005') THEN
+        list_transform(p0_d, x -> CAST(
+          exp($aTab + $bTab * ln(101325.0 / $pref)) / 100 AS FLOAT))
+      ELSE list_transform(range(0, ni * nj), x -> level)
+    END"""
+    W(VCoord.vctypeSql + s"""
+, qd AS (SELECT vdata.*, vclass.vctype FROM vdata
+    JOIN vclass ON vdata.grid = vclass.grid
+      AND vdata.ip1_kind = vclass.ip1_kind
+    WHERE vdata.ip1 <> 0 AND vclass.vctype <> 'UNKNOWN'
+      AND vdata.nomvar NOT IN ('PX', 'PXSA'))
+, reps AS (SELECT grid, vctype, datev,
+    arg_min(typvar, rid) AS typvar, arg_min(dateo, rid) AS dateo,
+    arg_min(ip2, rid) AS ip2, arg_min(ni, rid) AS ni,
+    arg_min(nj, rid) AS nj FROM qd GROUP BY 1, 2, 3)
+, lv AS (SELECT DISTINCT grid, vctype, datev, ip1 FROM qd)
+, lv2 AS (SELECT *, ${IpColumns.decodeValueSql("ip1")} AS level FROM lv)
+, p0 AS (SELECT grid, datev, d AS p0_d, nbits AS p0_nbits,
+    datyp AS p0_datyp FROM vmeta WHERE nomvar = 'P0')
+, pt AS (SELECT grid, datev, d AS pt_d FROM vmeta WHERE nomvar = 'PT')
+, ttm AS (SELECT grid AS g_tt, d AS tt_d, nj AS tt_nj FROM vmeta
+    WHERE nomvar = '!!')
+, hym AS (SELECT min(d[1]) AS hy_ptop, min(ig1) AS hy_pref,
+    min(ig2) AS hy_rc FROM vmeta WHERE nomvar = 'HY')
+, px0 AS (SELECT lv2.grid, lv2.vctype, lv2.datev, lv2.ip1, lv2.level,
+    reps.typvar, reps.dateo, reps.ip2, reps.ni, reps.nj,
+    p0.p0_d, p0.p0_nbits, p0.p0_datyp, pt.pt_d,
+    ttm.tt_d, ttm.tt_nj, hym.hy_ptop, hym.hy_pref, hym.hy_rc,
+    coalesce(list_position(list_transform(range(0, ttm.tt_nj),
+      j -> CAST(ttm.tt_d[CAST(j * 3 + 1 AS INT)] AS INT)), lv2.ip1),
+      0) AS jidx
+  FROM lv2 JOIN reps ON lv2.grid = reps.grid
+    AND lv2.vctype = reps.vctype AND lv2.datev = reps.datev
+  LEFT JOIN p0 ON lv2.grid = p0.grid AND lv2.datev = p0.datev
+  LEFT JOIN pt ON lv2.grid = pt.grid AND lv2.datev = pt.datev
+  LEFT JOIN ttm ON lv2.grid = ttm.g_tt
+  CROSS JOIN hym)
+, px AS (SELECT grid, vctype, datev, ip1, level, typvar, dateo, ip2,
+    CASE WHEN vctype = 'PRESSURE_2001' THEN 5 ELSE p0_datyp END
+      AS datyp,
+    CASE WHEN vctype = 'PRESSURE_2001' THEN 32 ELSE p0_nbits END
+      AS nbits,
+    $dCase AS d
+  FROM px0
+  WHERE (vctype = 'SIGMA_1001' AND p0_d IS NOT NULL)
+    OR (vctype = 'ETA_1002' AND p0_d IS NOT NULL
+      AND pt_d IS NOT NULL)
+    OR (vctype = 'HYBRID_5001' AND p0_d IS NOT NULL
+      AND hy_pref IS NOT NULL)
+    OR (vctype IN ('HYBRID_5002', 'HYBRID_5003', 'HYBRID_5004',
+        'HYBRID_5005') AND p0_d IS NOT NULL AND tt_d IS NOT NULL
+      AND jidx > 0)
+    OR vctype = 'PRESSURE_2001')
+SELECT grid, vctype, datev, ip1, level, typvar, dateo, ip2, datyp,
+  nbits, CAST(unnest(range(1, len(d) + 1)) AS INT) AS pos,
+  unnest(d) AS value FROM px""")
+  }
+
   val oracles: Map[String, String] = Map(
     "f01_grid_column" -> W(
       s"SELECT rid, nomvar, ${Decode.gridSql} AS grid FROM cat"),
@@ -785,86 +906,11 @@ SELECT rid, nomvar, unit, unit_converted,
   CAST(unnest(range(1, len(dd) + 1)) AS INT) AS pos,
   unnest(dd) AS value FROM cv2"""),
 
-    "f19_quick_pressure" -> W(VCoord.vctypeSql +
-      s"""
-, qd AS (SELECT vdata.*, vclass.vctype FROM vdata
-    JOIN vclass ON vdata.grid = vclass.grid
-      AND vdata.ip1_kind = vclass.ip1_kind
-    WHERE vdata.ip1 <> 0 AND vclass.vctype <> 'UNKNOWN'
-      AND vdata.nomvar NOT IN ('PX', 'PXSA'))
-, reps AS (SELECT grid, vctype, datev,
-    arg_min(typvar, rid) AS typvar, arg_min(dateo, rid) AS dateo,
-    arg_min(ip2, rid) AS ip2, arg_min(ni, rid) AS ni,
-    arg_min(nj, rid) AS nj FROM qd GROUP BY 1, 2, 3)
-, lv AS (SELECT DISTINCT grid, vctype, datev, ip1 FROM qd)
-, lv2 AS (SELECT *, ${IpColumns.decodeValueSql("ip1")} AS level FROM lv)
-, p0 AS (SELECT grid, datev, d AS p0_d, nbits AS p0_nbits,
-    datyp AS p0_datyp FROM vmeta WHERE nomvar = 'P0')
-, pt AS (SELECT grid, datev, d AS pt_d FROM vmeta WHERE nomvar = 'PT')
-, ttm AS (SELECT grid AS g_tt, d AS tt_d, nj AS tt_nj FROM vmeta
-    WHERE nomvar = '!!')
-, hym AS (SELECT min(d[1]) AS hy_ptop, min(ig1) AS hy_pref,
-    min(ig2) AS hy_rc FROM vmeta WHERE nomvar = 'HY')
-, px0 AS (SELECT lv2.grid, lv2.vctype, lv2.datev, lv2.ip1, lv2.level,
-    reps.typvar, reps.dateo, reps.ip2, reps.ni, reps.nj,
-    p0.p0_d, p0.p0_nbits, p0.p0_datyp, pt.pt_d,
-    ttm.tt_d, ttm.tt_nj, hym.hy_ptop, hym.hy_pref, hym.hy_rc,
-    coalesce(list_position(list_transform(range(0, ttm.tt_nj),
-      j -> CAST(ttm.tt_d[CAST(j * 3 + 1 AS INT)] AS INT)), lv2.ip1),
-      0) AS jidx
-  FROM lv2 JOIN reps ON lv2.grid = reps.grid
-    AND lv2.vctype = reps.vctype AND lv2.datev = reps.datev
-  LEFT JOIN p0 ON lv2.grid = p0.grid AND lv2.datev = p0.datev
-  LEFT JOIN pt ON lv2.grid = pt.grid AND lv2.datev = pt.datev
-  LEFT JOIN ttm ON lv2.grid = ttm.g_tt
-  CROSS JOIN hym)
-, px AS (SELECT grid, vctype, datev, ip1, level, typvar, dateo, ip2,
-    CASE WHEN vctype = 'PRESSURE_2001' THEN 5 ELSE p0_datyp END
-      AS datyp,
-    CASE WHEN vctype = 'PRESSURE_2001' THEN 32 ELSE p0_nbits END
-      AS nbits,
-    CASE WHEN vctype = 'SIGMA_1001' THEN
-        list_transform(p0_d, x -> CAST(CAST(level AS DOUBLE)
-          * CAST(x AS DOUBLE) AS FLOAT))
-      WHEN vctype = 'ETA_1002' THEN
-        list_transform(range(1, len(p0_d) + 1), i ->
-          CAST(CAST(level AS DOUBLE)
-            * (CAST(p0_d[i] AS DOUBLE) - CAST(pt_d[i] AS DOUBLE))
-            + CAST(pt_d[i] AS DOUBLE) AS FLOAT))
-      WHEN vctype = 'HYBRID_5001' THEN
-        list_transform(p0_d, x -> CAST(
-          hy_pref * (CAST(level AS DOUBLE) -
-            pow((CAST(level AS DOUBLE)
-              - CAST(hy_ptop AS DOUBLE) / hy_pref)
-              / (1.0 - CAST(hy_ptop AS DOUBLE) / hy_pref),
-              CAST(hy_rc AS DOUBLE) / 1000.0))
-          + pow((CAST(level AS DOUBLE)
-              - CAST(hy_ptop AS DOUBLE) / hy_pref)
-              / (1.0 - CAST(hy_ptop AS DOUBLE) / hy_pref),
-              CAST(hy_rc AS DOUBLE) / 1000.0)
-            * CAST(x AS DOUBLE) AS FLOAT))
-      WHEN vctype IN ('HYBRID_5002', 'HYBRID_5003', 'HYBRID_5004',
-          'HYBRID_5005') THEN
-        list_transform(p0_d, x -> CAST(
-          exp(CAST(tt_d[CAST((jidx - 1) * 3 + 2 AS INT)] AS DOUBLE)
-            + CAST(tt_d[CAST((jidx - 1) * 3 + 3 AS INT)] AS DOUBLE)
-              * ln(CAST(x AS DOUBLE) * 100
-                / CAST(tt_d[5] AS DOUBLE))) / 100 AS FLOAT))
-      ELSE list_transform(range(0, ni * nj), x -> level)
-    END AS d
-  FROM px0
-  WHERE (vctype = 'SIGMA_1001' AND p0_d IS NOT NULL)
-    OR (vctype = 'ETA_1002' AND p0_d IS NOT NULL
-      AND pt_d IS NOT NULL)
-    OR (vctype = 'HYBRID_5001' AND p0_d IS NOT NULL
-      AND hy_pref IS NOT NULL)
-    OR (vctype IN ('HYBRID_5002', 'HYBRID_5003', 'HYBRID_5004',
-        'HYBRID_5005') AND p0_d IS NOT NULL AND tt_d IS NOT NULL
-      AND jidx > 0)
-    OR vctype = 'PRESSURE_2001')
-SELECT grid, vctype, datev, ip1, level, typvar, dateo, ip2, datyp,
-  nbits, CAST(unnest(range(1, len(d) + 1)) AS INT) AS pos,
-  unnest(d) AS value FROM px"""),
+    "f19_quick_pressure" -> quickPressureOracle(stdAtm = false),
+
+    // M2-M5 standard-atmosphere mode: PXSA payloads from the
+    // constant-pressure formulas (quick_pressure.py PXSA branch)
+    "f46_quick_pressure_sa" -> quickPressureOracle(stdAtm = true),
 
     "f20_mask_roundtrip" -> W(
       s""", tt AS (SELECT rid, d FROM cat
