@@ -42,6 +42,8 @@ object Cubes {
     * into the cube table.
     */
   def toCubeWithCoords(df: DataFrame): DataFrame = {
+    graft.core.Checks.requireColumns(df, "to_cube_with_coords",
+      "nomvar", "rid", "d")
     val g = if (df.columns.contains("grid")) df else Decode.addGrid(df)
     val lon = g.filter(col("nomvar") === ">>")
       .groupBy("grid").agg(min_by(col("d"), col("rid")).as("lon"))

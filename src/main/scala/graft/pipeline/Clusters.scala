@@ -33,8 +33,16 @@ object Clusters {
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("a"), col("b"))
-      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+    graft.core.Checks.requireColumns(nodes, "connected_components", "id")
+    graft.core.Checks.requireColumns(pairs, "connected_components",
+      "a", "b")
+    // the symmetrized edge view scans `pairs` twice (a->b and b->a):
+    // persist the pair set so an expensive upstream pair generator
+    // (LSH candidate join + verify) runs once, not twice
+    val p = pairs.select(col("a"), col("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = p
+      .unionByName(p.select(col("b").as("a"), col("a").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var labels = nodes.select(col("id"), col("id").as("label"))
@@ -66,6 +74,7 @@ object Clusters {
       labels = next
       iter += 1
     }
+    p.unpersist()
     edges.unpersist()
     labels
   }
