@@ -207,6 +207,29 @@ object FstQueries {
           col("col").as("value"))
     }),
 
+    // S8/S6 partitioned directory layout: write with a nomvar=... dir
+    // per variable, read back through the pruned scan (the pushed
+    // isin skips non-matching directory branches entirely) — digest
+    // must equal the batch filter over the source catalog
+    "f47_partitioned_roundtrip" -> ((s, dir) => {
+      val base = cat(s, dir)
+        .filter(col("rid") > 0 &&
+          col("nomvar").isin("TT", "UU", "VV", "GZ"))
+        .withColumn("ip3", col("rid").cast("int"))
+      val path =
+        s"/tmp/graft_partitioned_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      graft.sources.fst.FstWriter.write(base, path, cleanup = false,
+        maxRecordsPerFile = 4096, partitionBy = Seq("nomvar"))
+      s.read.format("fstrec").load(path)
+        .filter(col("nomvar").isin("TT", "GZ"))
+        .groupBy("nomvar")
+        .agg(count(lit(1)).as("n_records"),
+          sum(col("ip3").cast("long")).as("sum_ip3"),
+          round(sum(aggregate(col("d"), lit(0.0),
+            (a, x) => a + x.cast("double")).cast("decimal(18,6)")), 3)
+            .cast("double").as("payload_sum"))
+    }),
+
     // M10/M11 ApplyMask -> RecoverMask round-trip on synthesized pairs
     "f20_mask_roundtrip" -> ((s, dir) => {
       val base = Decode.addGrid(cat(s, dir))
@@ -1161,6 +1184,15 @@ SELECT nomvar, ni, nj, ip1, ip2, grtyp, ig1, ig2, ig3, ig4,
           x -> CAST(x AS DOUBLE)), (a, b) -> a + b) AS DECIMAL(18,6))),
           3) AS DOUBLE) AS payload_sum
       FROM cat WHERE rid > 0 AND nomvar IN ('TT', 'UU', 'VV')
+      GROUP BY nomvar"""),
+
+    "f47_partitioned_roundtrip" -> W(
+      """SELECT nomvar, CAST(count(*) AS BIGINT) AS n_records,
+        CAST(sum(rid) AS BIGINT) AS sum_ip3,
+        CAST(round(sum(CAST(list_reduce(list_transform(d,
+          x -> CAST(x AS DOUBLE)), (a, b) -> a + b) AS DECIMAL(18,6))),
+          3) AS DOUBLE) AS payload_sum
+      FROM cat WHERE rid > 0 AND nomvar IN ('TT', 'GZ')
       GROUP BY nomvar"""),
 
     // the staged stream holds every record twice; the collapsed set

@@ -72,7 +72,9 @@ class FstTable(path: String, givenSchema: Option[StructType] = None)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new FstWriteBuilder(path, info.schema(),
       info.options().getInt("maxRecordsPerFile",
-        FstBatchWrite.MaxRecordsPerFile))
+        FstBatchWrite.MaxRecordsPerFile),
+      Option(info.options().get("partitionBy")).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
 }
 
 class FstScanBuilder(path: String) extends ScanBuilder
@@ -134,6 +136,67 @@ object FstScan {
     if (cur.nonEmpty) parts += cur.toSeq
     parts.map(fs => FstInputPartition(fs): InputPartition).toArray
   }
+
+  /** Recursive listing of record files under `root`, skipping any
+    * `name=value` partition-directory branch whose accumulated values
+    * cannot satisfy `pushed` (conservative: unknown shapes pass).
+    */
+  def listPruned(fs: FileSystem, root: Path,
+                 pushed: Array[Filter]): Seq[(String, Long)] = {
+    def walk(p: Path, vals: Map[String, String]): Seq[(String, Long)] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (hidden(name)) Nil
+        else if (st.isDirectory) {
+          val kv = name.split("=", 2)
+          val v2 =
+            if (kv.length == 2)
+              vals + (kv(0) -> java.net.URLDecoder.decode(kv(1), "UTF-8"))
+            else vals
+          if (pushed.forall(f => partitionMightMatch(f, v2)))
+            walk(st.getPath, v2)
+          else Nil
+        } else Seq((st.getPath.toString, st.getLen))
+      }
+    walk(root, Map.empty)
+  }
+
+  /** Can a file under partition values `vals` possibly satisfy `f`?
+    * Comparisons parse the directory value to the filter constant's
+    * numeric type; parse failures and unhandled shapes return true
+    * (never prune on uncertainty — record-level filters still apply).
+    */
+  def partitionMightMatch(f: Filter, vals: Map[String, String])
+      : Boolean = {
+    def cmp(a: String, v: Any): Option[Int] = v match {
+      case s: String => Some(a.compareTo(s))
+      case n: Number =>
+        try Some(java.lang.Long.compare(a.toLong, n.longValue()))
+        catch { case _: NumberFormatException => None }
+      case _ => None
+    }
+    f match {
+      case EqualTo(a, v) if vals.contains(a) =>
+        cmp(vals(a), v).forall(_ == 0)
+      case In(a, vs) if vals.contains(a) =>
+        vs.exists(v => cmp(vals(a), v).forall(_ == 0))
+      case GreaterThan(a, v) if vals.contains(a) =>
+        cmp(vals(a), v).forall(_ > 0)
+      case GreaterThanOrEqual(a, v) if vals.contains(a) =>
+        cmp(vals(a), v).forall(_ >= 0)
+      case LessThan(a, v) if vals.contains(a) =>
+        cmp(vals(a), v).forall(_ < 0)
+      case LessThanOrEqual(a, v) if vals.contains(a) =>
+        cmp(vals(a), v).forall(_ <= 0)
+      case Not(EqualTo(a, v)) if vals.contains(a) =>
+        cmp(vals(a), v).forall(_ != 0)
+      case And(l, r) =>
+        partitionMightMatch(l, vals) && partitionMightMatch(r, vals)
+      case Or(l, r) =>
+        partitionMightMatch(l, vals) || partitionMightMatch(r, vals)
+      case _ => true
+    }
+  }
 }
 
 class FstScan(path: String, required: StructType,
@@ -142,15 +205,18 @@ class FstScan(path: String, required: StructType,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** Recursive listing with partition-directory pruning: a
+    * `name=value` directory level whose value cannot satisfy the
+    * pushed filters is skipped WITHOUT listing its subtree — at
+    * 100 TB, an equality filter on the layout key turns a full-corpus
+    * listing into one directory branch.
+    */
   private def listWithSizes(): Seq[(String, Long)] = {
     val fs = FileSystem.get(new java.net.URI(path),
       new Configuration())
     val p = new Path(path)
     if (fs.getFileStatus(p).isDirectory)
-      fs.listStatus(p).filter(_.isFile)
-        .filterNot(s => FstScan.hidden(s.getPath.getName))
-        .map(s => (s.getPath.toString, s.getLen))
-        .sortBy(_._1).toSeq
+      FstScan.listPruned(fs, p, pushed).sortBy(_._1)
     else Seq((path, fs.getFileStatus(p).getLen))
   }
 
@@ -259,9 +325,7 @@ class FstMicroBatchStream(path: String, required: StructType,
     val p = new Path(path)
     if (!fs.exists(p)) Nil
     else if (fs.getFileStatus(p).isDirectory)
-      fs.listStatus(p).filter(_.isFile)
-        .filterNot(s => FstScan.hidden(s.getPath.getName))
-        .map(_.getPath.toString).sorted.toSeq
+      FstScan.listPruned(fs, p, pushed).map(_._1).sorted
     else Seq(path)
   }
 

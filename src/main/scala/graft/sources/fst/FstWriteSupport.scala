@@ -27,16 +27,19 @@ import org.apache.spark.sql.types._
   * that selects/casts for you).
   */
 class FstWriteBuilder(path: String, schema: StructType,
-                      maxRecordsPerFile: Int)
+                      maxRecordsPerFile: Int,
+                      partitionBy: Seq[String] = Nil)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new FstBatchWrite(path, schema, doTruncate, maxRecordsPerFile)
+      new FstBatchWrite(path, schema, doTruncate, maxRecordsPerFile,
+        partitionBy)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new FstStreamingWrite(path, schema, maxRecordsPerFile)
+      new FstStreamingWrite(path, schema, maxRecordsPerFile,
+        partitionBy)
   }
 }
 
@@ -47,17 +50,21 @@ class FstWriteBuilder(path: String, schema: StructType,
   * commit).
   */
 class FstStreamingWrite(path: String, schema: StructType,
-                        maxRecordsPerFile: Int)
+                        maxRecordsPerFile: Int,
+                        partitionBy: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
   private val ordinals = FstBatchWrite.resolveOrdinals(schema)
+  private val partSpec = FstBatchWrite.resolvePartitionSpec(
+    schema, partitionBy)
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     fs.mkdirs(new Path(path))
-    new FstStreamingWriterFactory(path, ordinals, maxRecordsPerFile)
+    new FstStreamingWriterFactory(path, ordinals, maxRecordsPerFile,
+      partSpec)
   }
 
   override def commit(epochId: Long,
@@ -98,6 +105,22 @@ object FstBatchWrite {
           s"expected ${tpe.simpleString}")
       idx
   }.toArray
+
+  /** Resolve the partition-layout columns (name, schema ordinal,
+    * type). Partition columns must be scalar metadata columns; the
+    * values stay IN the records (the directory layout is a pruning
+    * index, not a column-stripping scheme), so a partitioned directory
+    * reads back identically to a flat one.
+    */
+  def resolvePartitionSpec(schema: StructType, partitionBy: Seq[String])
+      : Seq[(String, Int, DataType)] = partitionBy.map { name =>
+    require(name != "d", "fstrec write: cannot partition by payload d")
+    val idx = schema.fieldNames.indexOf(name)
+    require(idx >= 0,
+      s"fstrec write: unknown partitionBy column $name " +
+        s"(present: ${schema.fieldNames.sorted.mkString(", ")})")
+    (name, idx, schema(idx).dataType)
+  }
 
   /** Rename `tmp` over `fin`, replacing it if present. Local paths use
     * java.nio (atomic, microseconds); other filesystems fall back to
@@ -145,11 +168,14 @@ object FstBatchWrite {
 }
 
 class FstBatchWrite(path: String, schema: StructType,
-                    truncate: Boolean, maxRecordsPerFile: Int)
+                    truncate: Boolean, maxRecordsPerFile: Int,
+                    partitionBy: Seq[String] = Nil)
     extends BatchWrite {
 
   // resolve (and validate) the column ordinals once, on the driver
   private val ordinals: Array[Int] = FstBatchWrite.resolveOrdinals(schema)
+  private val partSpec = FstBatchWrite.resolvePartitionSpec(
+    schema, partitionBy)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = {
@@ -157,7 +183,7 @@ class FstBatchWrite(path: String, schema: StructType,
     val dir = new Path(path)
     if (truncate && fs.exists(dir)) fs.delete(dir, true)
     fs.mkdirs(dir)
-    new FstDataWriterFactory(path, ordinals, maxRecordsPerFile)
+    new FstDataWriterFactory(path, ordinals, maxRecordsPerFile, partSpec)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
@@ -172,29 +198,34 @@ case class FstCommitMessage(renames: Seq[(String, String)])
   extends WriterCommitMessage
 
 class FstStreamingWriterFactory(path: String, ordinals: Array[Int],
-                                maxRecordsPerFile: Int)
+                                maxRecordsPerFile: Int,
+                                partSpec: Seq[(String, Int, DataType)]
+                                  = Nil)
     extends org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory with Serializable {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new FstDataWriter(path, ordinals, partitionId, taskId,
       maxRecordsPerFile,
-      namePrefix = s"part-e$epochId-p$partitionId")
+      namePrefix = s"part-e$epochId-p$partitionId",
+      partSpec = partSpec)
 }
 
 class FstDataWriterFactory(path: String, ordinals: Array[Int],
-                           maxRecordsPerFile: Int)
+                           maxRecordsPerFile: Int,
+                           partSpec: Seq[(String, Int, DataType)] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new FstDataWriter(path, ordinals, partitionId, taskId,
-      maxRecordsPerFile)
+      maxRecordsPerFile, partSpec = partSpec)
 }
 
 class FstDataWriter(path: String, ordinals: Array[Int],
                     partitionId: Int, taskId: Long,
                     maxRecordsPerFile: Int,
-                    namePrefix: String = null)
+                    namePrefix: String = null,
+                    partSpec: Seq[(String, Int, DataType)] = Nil)
     extends DataWriter[InternalRow] {
 
   // own (non-cached) FS instance so checksum sidecars can be disabled
@@ -214,8 +245,26 @@ class FstDataWriter(path: String, ordinals: Array[Int],
   // (temp, final) per flushed file; finals appear only at job commit
   private val written =
     scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-  private val batch =
-    scala.collection.mutable.ArrayBuffer.empty[(FstFormat.Meta, Array[Float])]
+  // one open batch per partition-layout directory ("" when unpartitioned)
+  private val batches = scala.collection.mutable.LinkedHashMap
+    .empty[String, scala.collection.mutable
+      .ArrayBuffer[(FstFormat.Meta, Array[Float])]]
+  private val madeDirs = scala.collection.mutable.Set.empty[String]
+
+  /** `name=value/...` relative directory for the row's partition
+    * values (URL-encoded so separators in string values stay safe).
+    */
+  private def partDir(row: InternalRow): String =
+    partSpec.map { case (name, idx, tpe) =>
+      val v = tpe match {
+        case StringType => row.getUTF8String(idx).toString
+        case LongType => row.getLong(idx).toString
+        case IntegerType => row.getInt(idx).toString
+        case other => throw new IllegalArgumentException(
+          s"fstrec write: unsupported partition column type $other")
+      }
+      name + "=" + java.net.URLEncoder.encode(v, "UTF-8")
+    }.mkString("/")
 
   override def write(row: InternalRow): Unit = {
     val o = ordinals
@@ -228,13 +277,20 @@ class FstDataWriter(path: String, ordinals: Array[Int],
       row.getInt(o(13)), row.getUTF8String(o(14)).toString,
       row.getInt(o(15)), row.getInt(o(16)), row.getInt(o(17)),
       row.getInt(o(18)), row.getLong(o(19)), 0, 0)
+    val key = if (partSpec.isEmpty) "" else partDir(row)
+    val batch = batches.getOrElseUpdate(key,
+      scala.collection.mutable.ArrayBuffer.empty)
     batch += ((meta, row.getArray(o(20)).toFloatArray()))
-    if (batch.size >= maxRecordsPerFile) flush()
+    if (batch.size >= maxRecordsPerFile) flush(key)
   }
 
-  private def flush(): Unit = if (batch.nonEmpty) {
-    val fin = new Path(path, s"$prefix-$fileNo.fst")
-    val tmp = new Path(path, s".$prefix-$fileNo.fst.inprogress")
+  private def flush(key: String): Unit = {
+    val batch = batches.getOrElse(key, return)
+    if (batch.isEmpty) return
+    val dir = if (key.isEmpty) new Path(path) else new Path(path, key)
+    if (key.nonEmpty && madeDirs.add(key)) fs.mkdirs(dir)
+    val fin = new Path(dir, s"$prefix-$fileNo.fst")
+    val tmp = new Path(dir, s".$prefix-$fileNo.fst.inprogress")
     val out = fs.create(tmp, true)
     try out.write(FstFormat.writeFile(batch.toSeq))
     finally out.close()
@@ -244,7 +300,7 @@ class FstDataWriter(path: String, ordinals: Array[Int],
   }
 
   override def commit(): WriterCommitMessage = {
-    flush()
+    batches.keys.toSeq.foreach(flush)
     FstCommitMessage(written.toSeq)
   }
 

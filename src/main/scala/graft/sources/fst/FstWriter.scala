@@ -24,13 +24,15 @@ object FstWriter {
     * overwrite-truncate.
     */
   def write(df: DataFrame, path: String, maxRecordsPerFile: Int = 128,
-            cleanup: Boolean = true): Unit = {
+            cleanup: Boolean = true,
+            partitionBy: Seq[String] = Nil): Unit = {
     val prepared0 = if (cleanup) graft.ops.Select.metadataCleanup(df) else df
     val prepared = prepared0.select(
       Columns.map(c => col(c).cast(FstTable.Schema(c).dataType)): _*)
     prepared.write.format("fstrec")
       .mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
+      .option("partitionBy", partitionBy.mkString(","))
       .save(path)
   }
 

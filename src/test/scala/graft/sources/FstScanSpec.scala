@@ -118,6 +118,45 @@ class FstScanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.count() == 10)
   }
 
+  test("partitioned layout prunes directories and reads back whole") {
+    import org.apache.spark.sql.sources.{EqualTo, Filter}
+    import graft.sources.fst.{FstScanBuilder, FstScan, FstInputPartition}
+    import spark.implicits._
+    val path = "/tmp/graft_scan_spec_partitioned"
+    val df = (1 to 90).toDF("i").select(
+      element_at(array(lit("TT"), lit("UU"), lit("GZ")),
+        pmod(col("i"), lit(3)).cast("int") + 1).as("nomvar"),
+      lit("P").as("typvar"), lit("PART").as("etiket"),
+      lit(1).as("ni"), lit(1).as("nj"), lit(1).as("nk"),
+      lit(442998800L).as("dateo"), col("i").as("ip1"),
+      lit(0).as("ip2"), lit(0).as("ip3"), lit(0).as("deet"),
+      lit(0).as("npas"), lit(5).as("datyp"), lit(32).as("nbits"),
+      lit("X").as("grtyp"), lit(0).as("ig1"), lit(0).as("ig2"),
+      lit(0).as("ig3"), lit(0).as("ig4"), lit(442998800L).as("datev"),
+      array(col("i").cast("float")).as("d"))
+    graft.sources.fst.FstWriter.write(df, path, cleanup = false,
+      partitionBy = Seq("nomvar"))
+    // layout: one name=value directory per nomvar, records intact
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted
+    assert(dirs.toSeq == Seq("nomvar=GZ", "nomvar=TT", "nomvar=UU"))
+    val back = spark.read.format("fstrec").load(path)
+    assert(back.count() == 90)
+    assert(back.filter(col("nomvar") === "TT").count() == 30)
+    // pushed equality lists ONLY the matching directory branch
+    def plannedFiles(filters: Array[Filter]): Seq[String] = {
+      val b = new FstScanBuilder(path)
+      b.pushFilters(filters)
+      b.build().asInstanceOf[FstScan].planInputPartitions()
+        .flatMap(_.asInstanceOf[FstInputPartition].files).toSeq
+    }
+    val pruned = plannedFiles(Array(EqualTo("nomvar", "TT")))
+    assert(pruned.nonEmpty &&
+      pruned.forall(_.contains("nomvar=TT")), pruned.mkString(", "))
+    val all = plannedFiles(Array.empty)
+    assert(all.exists(_.contains("nomvar=GZ")))
+  }
+
   test("scan statistics shrink under metadata-only projection") {
     import graft.sources.fst.{FstScanBuilder, FstScan}
     import org.apache.spark.sql.types.StructType
