@@ -200,10 +200,29 @@ object FstScan {
 }
 
 class FstScan(path: String, required: StructType,
-              pushed: Array[Filter]) extends Scan with Batch
-    with SupportsReportStatistics {
+              pushedInit: Array[Filter]) extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  // compile-time pushdown plus any join-driven runtime filters (the
+  // DSv2 dynamic-pruning hook): runtime filters arrive before
+  // planInputPartitions, so they prune partition directories and whole
+  // directory entries exactly like compile-time filters
+  @volatile private var pushed: Array[Filter] = pushedInit
+
+  // only columns present in the (pruned) read schema: Spark resolves
+  // these references against the scan's output, so advertising a
+  // pruned-away column fails analysis
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fieldNames.filter(_ != "d")
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val usable = filters.filter(FstFilters.supported)
+    if (usable.nonEmpty) pushed = pushed ++ usable
+  }
 
   /** Recursive listing with partition-directory pruning: a
     * `name=value` directory level whose value cannot satisfy the

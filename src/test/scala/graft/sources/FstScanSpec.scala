@@ -155,6 +155,15 @@ class FstScanSpec extends AnyFunSuite with BeforeAndAfterAll {
       pruned.forall(_.contains("nomvar=TT")), pruned.mkString(", "))
     val all = plannedFiles(Array.empty)
     assert(all.exists(_.contains("nomvar=GZ")))
+    // join-driven runtime filters prune identically (the DSv2
+    // dynamic-pruning hook delivers them before partition planning)
+    val b2 = new FstScanBuilder(path)
+    val scan2 = b2.build().asInstanceOf[FstScan]
+    scan2.filter(Array[Filter](EqualTo("nomvar", "UU")))
+    val rt = scan2.planInputPartitions()
+      .flatMap(_.asInstanceOf[FstInputPartition].files).toSeq
+    assert(rt.nonEmpty && rt.forall(_.contains("nomvar=UU")),
+      rt.mkString(", "))
   }
 
   test("scan statistics shrink under metadata-only projection") {
