@@ -201,6 +201,38 @@ object RelationalQueries {
         .filter(col("rnk") <= 2)
         .select(col("p_brand"), col("rnk"), col("p_partkey"),
           r(col("p_retailprice"), 2).as("retail"))
+    }),
+
+    // As-of join (union + running-last window; one keyed shuffle):
+    // each click matched to the latest same-or-earlier view per user.
+    "q16_asof_click_view" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"))
+        .groupBy("user_id", "ts_us")
+        .agg(max("event_id").as("view_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      graft.ops.Temporal.asofJoin(clicks, views, Seq("user_id"),
+        "ts_us", Seq("view_id"))
+    }),
+
+    // Range join (bin-bucketed equi-join, never an inequality nested
+    // loop): clicks inside each purchase's 10-minute follow window.
+    "q17_range_click_windows" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      val intervals = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("interval_id"), col("user_id"),
+          unix_micros(col("ts")).as("start_us"),
+          (unix_micros(col("ts")) + lit(600000000L)).as("end_us"))
+      graft.ops.Temporal.rangeJoin(clicks, intervals, Seq("user_id"),
+        "ts_us", "start_us", "end_us", binWidth = 600000000L)
+        .select("interval_id", "click_id", "user_id", "ts_us")
     })
   )
 
@@ -294,6 +326,30 @@ object RelationalQueries {
       """SELECT p_brand, rnk, p_partkey, round(p_retailprice,2) AS retail
          FROM (SELECT *, row_number() OVER (PARTITION BY p_brand
                ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk FROM part) t
-         WHERE rnk <= 2"""
+         WHERE rnk <= 2""",
+    // ts -> micros mirrors Tables.events's floor(ns/1000) conversion
+    "q16_asof_click_view" ->
+      """WITH v0 AS (SELECT user_id,
+             CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us,
+             max(event_id) AS view_id
+           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         c AS (SELECT event_id, user_id,
+             CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us
+           FROM events WHERE event_type = 'click')
+         SELECT c.event_id, c.user_id, c.ts_us,
+           v.ts_us AS asof_ts_us, v.view_id AS asof_view_id
+         FROM c ASOF LEFT JOIN v0 v
+           ON c.user_id = v.user_id AND v.ts_us <= c.ts_us""",
+    "q17_range_click_windows" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id,
+             CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us
+           FROM events WHERE event_type = 'click'),
+         i AS (SELECT event_id AS interval_id, user_id,
+             CAST(epoch_ns(ts) // 1000 AS BIGINT) AS start_us,
+             CAST(epoch_ns(ts) // 1000 + 600000000 AS BIGINT) AS end_us
+           FROM events WHERE event_type = 'purchase')
+         SELECT i.interval_id, c.click_id, c.user_id, c.ts_us
+         FROM c JOIN i ON c.user_id = i.user_id
+           AND c.ts_us >= i.start_us AND c.ts_us < i.end_us"""
   )
 }

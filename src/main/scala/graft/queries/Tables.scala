@@ -29,8 +29,11 @@ object Tables {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
     val df = table(s, d, "events")
+    // integer `div`, NOT `/`: double division loses precision above
+    // 2^53, and nanosecond epochs (~1.7e18) are far beyond it — the
+    // double path lands ±hundreds of ns off the exact truncation
     if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
