@@ -251,6 +251,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f))
   }
 
+  test("asof join matches same-instant rows and nulls with no prior") {
+    import spark.implicits._
+    val clicks = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 102L))
+      .toDF("user_id", "ts_us", "click_id")
+    val views = Seq((1L, 10L, 900L), (1L, 15L, 901L), (3L, 1L, 902L))
+      .toDF("user_id", "ts_us", "view_id")
+    val got = Temporal.asofJoin(clicks, views, Seq("user_id"),
+      "ts_us", Seq("view_id")).collect()
+      .map(r => (r.getLong(2),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    // click@10 ties view@10 (<= matches); click@20 takes view@15;
+    // user 2 has no views at all -> null
+    assert(got == Map(100L -> 900L, 101L -> 901L, 102L -> -1L))
+  }
+
+  test("range join start is inclusive and end exclusive") {
+    import spark.implicits._
+    val rows = Seq((1L, 100L, 1L), (1L, 199L, 2L), (1L, 200L, 3L),
+      (1L, 99L, 4L)).toDF("user_id", "ts_us", "click_id")
+    val iv = Seq((1L, 100L, 200L, 7L))
+      .toDF("user_id", "start_us", "end_us", "interval_id")
+    val got = Temporal.rangeJoin(rows, iv, Seq("user_id"), "ts_us",
+      "start_us", "end_us", binWidth = 50L)
+      .select("click_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L)) // 200 excluded (end), 99 before start
+  }
+
   test("cube export attaches the grid's lon/lat coordinate axes") {
     val cube = Cubes.toCubeWithCoords(mkCatalog())
       .filter(col("nomvar") === "TT").head()
