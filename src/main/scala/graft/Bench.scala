@@ -46,6 +46,10 @@ object Bench {
               .take(120))
           }
         val secs = (System.nanoTime() - t0) / 1e9
+        // drop per-query persisted intermediates (outside the timed
+        // section): 80+ queries in one JVM otherwise accumulate
+        // storage-memory pressure that inflates later queries
+        spark.catalog.clearCache()
         name -> (secs, err)
     }
     // keep the JSON line SHORT (3-decimal seconds): the driver captures

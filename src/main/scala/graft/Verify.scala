@@ -24,6 +24,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // operators persist provably-small intermediates (LSH signature
+      // tables, meta subsets); drop them between queries so 80+ runs
+      // in one JVM don't accumulate storage-memory pressure
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

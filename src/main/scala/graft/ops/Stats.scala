@@ -65,6 +65,43 @@ object Stats {
       s"CAST(($posMax - 1) // ni + 1 AS INT)" -> "max_pos_j")
   }
 
+  /** Catalog comparison (the fstcomp workflow shape): full-outer join
+    * of two record catalogs on an identity key set + per-record payload
+    * diff statistics. One keyed shuffle; the element math is per-row
+    * higher-order functions in DOUBLE (left fold — deterministic and
+    * oracle-reproducible), so payloads never cross an exchange twice.
+    * Records present on one side only are reported with status
+    * `only_a`/`only_b` and null stats.
+    */
+  def catalogDiff(a: DataFrame, b: DataFrame,
+                  keys: Seq[String], eps: Double = 1e-9): DataFrame = {
+    graft.core.Checks.requireColumns(a, "catalog_diff", keys :+ "d": _*)
+    graft.core.Checks.requireColumns(b, "catalog_diff", keys :+ "d": _*)
+    val la = a.select((keys.map(col) :+ col("d").as("d_a")): _*)
+    val lb = b.select((keys.map(col) :+ col("d").as("d_b")): _*)
+    val diff = zip_with(col("d_a"), col("d_b"),
+      (x, y) => abs(x.cast("double") - y.cast("double")))
+    val signed = zip_with(col("d_a"), col("d_b"),
+      (x, y) => x.cast("double") - y.cast("double"))
+    val n = size(col("d_a")).cast("double")
+    val both = col("d_a").isNotNull && col("d_b").isNotNull
+    la.join(lb, keys, "full_outer")
+      .withColumn("status",
+        when(both, "both").when(col("d_a").isNotNull, "only_a")
+          .otherwise("only_b"))
+      .withColumn("n_elems",
+        when(both, size(col("d_a"))).cast("int"))
+      .withColumn("n_diff", when(both,
+        size(filter(diff, x => x > lit(eps)))).cast("int"))
+      .withColumn("max_abs_diff",
+        when(both, round(array_max(diff), 6)))
+      .withColumn("mean_abs_diff",
+        when(both, round(aggregate(diff, lit(0.0), _ + _) / n, 6)))
+      .withColumn("bias",
+        when(both, round(aggregate(signed, lit(0.0), _ + _) / n, 6)))
+      .drop("d_a", "d_b")
+  }
+
   /** M19/O2 voir: decoded listing sorted by (nomvar asc, level desc). */
   def voir(df: DataFrame): DataFrame = {
     val decoded = Decode.addIpInfo(Decode.addDataTypeStr(df))

@@ -230,6 +230,22 @@ object FstQueries {
             .cast("double").as("payload_sum"))
     }),
 
+    // Catalog comparison (fstcomp workflow shape): full-outer join on
+    // the record identity + per-record payload diff stats; catalog B
+    // is A with one element perturbed (rid%7), rows dropped (rid%11)
+    // and rows added (rid%13 clones) to exercise all three statuses
+    "f48_catalog_diff" -> ((s, dir) => {
+      val a = cat(s, dir).filter(col("rid") > 0)
+      val b0 = a.filter(col("rid") % 11 =!= 0)
+        .withColumn("d", when(col("rid") % 7 === 0,
+          transform(col("d"), (x, i) =>
+            when(i === 2, x + lit(0.5f)).otherwise(x)))
+          .otherwise(col("d")))
+      val b = b0.unionByName(a.filter(col("rid") % 13 === 0)
+        .withColumn("rid", col("rid") + 1000000L))
+      graft.ops.Stats.catalogDiff(a, b, Seq("rid"))
+    }),
+
     // M10/M11 ApplyMask -> RecoverMask round-trip on synthesized pairs
     "f20_mask_roundtrip" -> ((s, dir) => {
       val base = Decode.addGrid(cat(s, dir))
@@ -1194,6 +1210,40 @@ SELECT nomvar, ni, nj, ip1, ip2, grtyp, ig1, ig2, ig3, ig4,
           3) AS DOUBLE) AS payload_sum
       FROM cat WHERE rid > 0 AND nomvar IN ('TT', 'GZ')
       GROUP BY nomvar"""),
+
+    "f48_catalog_diff" -> W(
+      """, a AS (SELECT rid, d FROM cat WHERE rid > 0)
+, b0 AS (SELECT rid, CASE WHEN rid % 7 = 0 THEN
+    list_transform(range(1, len(d) + 1), i -> CASE WHEN i = 3
+      THEN CAST(d[CAST(i AS INT)] + 0.5 AS FLOAT)
+      ELSE d[CAST(i AS INT)] END)
+    ELSE d END AS d
+  FROM a WHERE rid % 11 <> 0)
+, b AS (SELECT * FROM b0 UNION ALL
+    SELECT rid + 1000000 AS rid, d FROM a WHERE rid % 13 = 0)
+, j AS (SELECT coalesce(a.rid, b.rid) AS rid, a.d AS d_a, b.d AS d_b
+  FROM a FULL OUTER JOIN b ON a.rid = b.rid)
+, st AS (SELECT rid, d_a, d_b,
+    (d_a IS NOT NULL AND d_b IS NOT NULL) AS in_both,
+    list_transform(range(1, len(d_a) + 1), i ->
+      abs(CAST(d_a[CAST(i AS INT)] AS DOUBLE) -
+          CAST(d_b[CAST(i AS INT)] AS DOUBLE))) AS adiff,
+    list_transform(range(1, len(d_a) + 1), i ->
+      CAST(d_a[CAST(i AS INT)] AS DOUBLE) -
+      CAST(d_b[CAST(i AS INT)] AS DOUBLE)) AS sdiff
+  FROM j)
+SELECT rid,
+  CASE WHEN in_both THEN 'both' WHEN d_a IS NOT NULL THEN 'only_a'
+    ELSE 'only_b' END AS status,
+  CASE WHEN in_both THEN CAST(len(d_a) AS INT) END AS n_elems,
+  CASE WHEN in_both THEN
+    CAST(len(list_filter(adiff, x -> x > 1e-9)) AS INT) END AS n_diff,
+  CASE WHEN in_both THEN round(list_max(adiff), 6) END AS max_abs_diff,
+  CASE WHEN in_both THEN round(list_reduce(adiff, (x, y) -> x + y)
+    / CAST(len(d_a) AS DOUBLE), 6) END AS mean_abs_diff,
+  CASE WHEN in_both THEN round(list_reduce(sdiff, (x, y) -> x + y)
+    / CAST(len(d_a) AS DOUBLE), 6) END AS bias
+FROM st"""),
 
     // the staged stream holds every record twice; the collapsed set
     // must equal the plain (undoubled) base per-nomvar digest

@@ -36,6 +36,9 @@ object PipelineQueries {
     UNION ALL SELECT doc_id + 1000000 AS doc_id,
       text || ' zzz extra tail qq' AS text FROM documents)"""
 
+  /** Fixed keyword set for the BM25 search query (p19). */
+  private val BM25Terms = Seq("spark", "merge", "window")
+
   /** Shared by p02/p16: the persisted shingled corpus and the banded
     * MinHash-LSH near-dup pair set with exact-Jaccard verification.
     * The hashed-shingle set is the expensive per-row computation and
@@ -347,7 +350,78 @@ object PipelineQueries {
         graft.pipeline.Multimodal.toBinaryRecords(docs(s, dir)))
         .select(col("doc_id"), posexplode(col("features")))
         .select(col("doc_id"), col("pos").cast("int").as("pos"),
-          col("col").as("feature"))))
+          col("col").as("feature"))),
+
+    // BM25 keyword search: inverted-index shape (explode terms →
+    // per-(doc, term) tf, per-term df) with the corpus scalars
+    // (N, avgdl) broadcast. Per-doc scores accumulate in DECIMAL so
+    // term order cannot shift the double sum; top-20 via window.
+    // At 100 TB the explode/groupBy shuffles key on terms — linear
+    // in corpus tokens, never pairwise.
+    "p19_bm25_search" -> ((s, dir) => {
+      val terms = BM25Terms
+      val base = docs(s, dir).select(col("doc_id"),
+        size(words(col("text"))).as("dl"),
+        words(col("text")).as("ws"))
+      val stats = base.agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") /
+          count(lit(1)).cast("double")).as("avgdl"))
+      val tf = base.select(col("doc_id"), col("dl"),
+          explode(col("ws")).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy("doc_id", "dl", "term")
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val df = tf.groupBy("term")
+        .agg(count(lit(1)).cast("double").as("df"))
+      val k1 = lit(1.2)
+      val b = lit(0.75)
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      val score = idf * (col("tf") * (k1 + lit(1.0))) /
+        (col("tf") + k1 * (lit(1.0) - b + b * (col("dl") / col("avgdl"))))
+      val rn = row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc))
+      tf.join(broadcast(df), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("tscore", round(score, 9).cast("decimal(28,9)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("bigint").as("n_terms"),
+          round(sum(col("tscore")), 6).cast("double").as("score"))
+        // top-k FIRST (TakeOrderedAndProject — no global window over
+        // the full match set), then rank the 20 survivors
+        .orderBy(col("score").desc, col("doc_id").asc).limit(20)
+        .withColumn("rank", rn.cast("bigint"))
+        .select("rank", "doc_id", "n_terms", "score")
+    }),
+
+    // deterministic stratified train/val/test split: a content-hash
+    // bucket (h64 mod 100) routes each doc 80/10/10; per-(lang, split)
+    // corpus accounting. Pure map work + one partial aggregation —
+    // at 100 TB this is scan-bandwidth, and the assignment is stable
+    // under re-runs and re-partitioning (content-derived, not random).
+    "p20_stratified_split" -> ((s, dir) => {
+      val bucket = h64(col("text"), 13) % 100
+      val split = when(bucket < 80, "train")
+        .when(bucket < 90, "val").otherwise("test")
+      docs(s, dir)
+        .withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+    }),
+
+    // corpus length profile: exact interpolated quantiles of doc
+    // length per language (one partial-agg shuffle on lang; the
+    // percentile state is bounded per group, not corpus-sized)
+    "p21_length_quantiles" -> ((s, dir) =>
+      docs(s, dir).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          percentile(col("n_chars"), lit(0.25)).as("p25"),
+          percentile(col("n_chars"), lit(0.5)).as("p50"),
+          percentile(col("n_chars"), lit(0.9)).as("p90"))))
 
   /** CTE chain producing `sh2` (shingled corpus) and `lshpairs`
     * (verified near-dup pairs) — the SQL twin of [[lshPairs]], shared
@@ -572,6 +646,48 @@ FROM (SELECT doc_id, text, k,
     range(CAST(k + 1 AS INT), strlen(text) + 1, $fd) AS ps
   FROM documents, LATERAL unnest(range(0, $fd)) AS t(k))"""
     },
+
+    "p19_bm25_search" -> {
+      val w = wordsSql("text")
+      val termList = BM25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+      s"""WITH base AS (SELECT doc_id,
+    CAST(len($w) AS INT) AS dl, $w AS ws FROM documents),
+stats AS (SELECT count(*) AS n_docs,
+    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM base),
+tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, dl, unnest(ws) AS term FROM base)
+  WHERE term IN $termList GROUP BY doc_id, dl, term),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+sc AS (SELECT doc_id, CAST(round(
+    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0))
+      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl))), 9)
+    AS DECIMAL(28,9)) AS tscore
+  FROM tf JOIN df USING (term), stats),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+    CAST(round(sum(tscore), 6) AS DOUBLE) AS score
+  FROM sc GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+    AS BIGINT) AS rank, doc_id, n_terms, score
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT 20"""
+    },
+
+    "p20_stratified_split" ->
+      """WITH b AS (SELECT *,
+    CAST('0x' || substring(md5('13' || '|' || text), 1, 12) AS BIGINT)
+      % 100 AS bucket FROM documents)
+SELECT lang, CASE WHEN bucket < 80 THEN 'train'
+    WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM b GROUP BY 1, 2""",
+
+    "p21_length_quantiles" ->
+      """SELECT lang, count(*) AS n_docs,
+  quantile_cont(n_chars, 0.25) AS p25,
+  quantile_cont(n_chars, 0.5) AS p50,
+  quantile_cont(n_chars, 0.9) AS p90
+FROM documents GROUP BY lang""",
 
     "p12_embedding_dedup" ->
       s"""WITH e AS (

@@ -233,6 +233,31 @@ object RelationalQueries {
       graft.ops.Temporal.rangeJoin(clicks, intervals, Seq("user_id"),
         "ts_us", "start_us", "end_us", binWidth = 600000000L)
         .select("interval_id", "click_id", "user_id", "ts_us")
+    }),
+
+    // Sessionization: split each user's event stream at >30-minute
+    // gaps (lag + running sum of session starts — ONE keyed shuffle,
+    // two window passes over the same partitioning, no self-join).
+    // Per-session value sums accumulate in DECIMAL so intra-session
+    // aggregation order cannot shift the double result.
+    "q18_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .withColumn("is_new",
+          when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum(col("is_new")).over(run))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"),
+          round(sum(col("value").cast("decimal(18,6)")), 3)
+            .cast("double").as("total_value"))
     })
   )
 
@@ -350,6 +375,23 @@ object RelationalQueries {
            FROM events WHERE event_type = 'purchase')
          SELECT i.interval_id, c.click_id, c.user_id, c.ts_us
          FROM c JOIN i ON c.user_id = i.user_id
-           AND c.ts_us >= i.start_us AND c.ts_us < i.end_us"""
+           AND c.ts_us >= i.start_us AND c.ts_us < i.end_us""",
+    "q18_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id,
+             CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us, value
+           FROM events),
+         g AS (SELECT *, ts_us - lag(ts_us) OVER
+             (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)
+             AS gap_us FROM e),
+         s AS (SELECT *, sum(CASE WHEN gap_us IS NULL
+               OR gap_us > 1800000000 THEN 1 ELSE 0 END) OVER
+             (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+              ROWS UNBOUNDED PRECEDING) AS session_idx FROM g)
+         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           count(*) AS n_events, min(ts_us) AS start_us,
+           max(ts_us) AS end_us,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))),3) AS DOUBLE)
+             AS total_value
+         FROM s GROUP BY user_id, session_idx"""
   )
 }

@@ -278,6 +278,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(1L, 2L)) // 200 excluded (end), 99 before start
   }
 
+  test("catalogDiff reports statuses and per-record payload stats") {
+    import spark.implicits._
+    val a = Seq((1L, Seq(1f, 2f, 3f, 4f)), (2L, Seq(5f, 6f, 7f, 8f)),
+      (3L, Seq(9f, 9f, 9f, 9f))).toDF("rid", "d")
+    val b = Seq((1L, Seq(1f, 2f, 3f, 4f)), // identical
+      (2L, Seq(5f, 6.5f, 7f, 7f)),          // two elements differ
+      (4L, Seq(0f, 0f, 0f, 0f)))            // only in b
+      .toDF("rid", "d")
+    val out = Stats.catalogDiff(a, b, Seq("rid"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "both" && out(1L).getInt(3) == 0 &&
+      out(1L).getDouble(4) == 0.0)
+    assert(out(2L).getInt(3) == 2 && out(2L).getDouble(4) == 1.0 &&
+      out(2L).getDouble(5) == 0.375 && out(2L).getDouble(6) == 0.125)
+    assert(out(3L).getString(1) == "only_a" && out(3L).isNullAt(3))
+    assert(out(4L).getString(1) == "only_b" && out(4L).isNullAt(3))
+  }
+
   test("cube export attaches the grid's lon/lat coordinate axes") {
     val cube = Cubes.toCubeWithCoords(mkCatalog())
       .filter(col("nomvar") === "TT").head()
