@@ -70,4 +70,70 @@ object StreamingRecords {
       .withWatermark("date_of_validity", "2 hours")
       .dropDuplicatesWithinWatermark(
         graft.core.Constants.DedupColumns :+ "date_of_validity")
+
+  /** A session closed by [[sessions]]. */
+  case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
+                           n_events: Long)
+
+  /** Stateful streaming sessionization — the custom-state shape
+    * (`flatMapGroupsWithState` + event-time timeout) and the streaming
+    * twin of the batch q18 operator. Input needs `user_id` and a
+    * timestamp column `ts`; a session closes (and is emitted) when a
+    * same-user event arrives more than `gapUs` after it, or when the
+    * watermark passes its end by the gap (timeout path).
+    *
+    * State per key is ONE open session (three longs) — bounded by
+    * distinct active users, not event volume; the watermark timeout
+    * guarantees eviction, so at 100 TB/day the state store holds only
+    * the active-user working set.
+    */
+  def sessions(events: DataFrame, gapUs: Long,
+               watermarkDelay: String = "10 seconds")
+      : org.apache.spark.sql.Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val session = events.sparkSession
+    import session.implicits._
+    val typed = events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, java.sql.Timestamp, Long)]
+    // state = (start_us, end_us, n) for the single open session
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid, rows, state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (st, en, n) = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid, st, en, n))
+          } else {
+            // per-(key, micro-batch) rows are unordered; the sort is
+            // bounded by one user's batch volume, not the stream
+            val ts = rows.map(_._3).toArray.sorted
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some((st, en, n)) if t - en > gapUs =>
+                  closed ::= ClosedSession(uid, st, en, n)
+                  cur = Some((t, t, 1L))
+                case Some((st, en, n)) =>
+                  cur = Some((st, math.max(en, t), n + 1))
+                case None =>
+                  cur = Some((t, t, 1L))
+              }
+            }
+            cur.foreach { case (st, en, n) =>
+              state.update((st, en, n))
+              // never set a timeout at/behind the current watermark
+              state.setTimeoutTimestamp(math.max(
+                en / 1000L + gapUs / 1000L,
+                state.getCurrentWatermarkMs + 1000L))
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
 }

@@ -124,4 +124,58 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count() == 8)
     assert(out.filter(col("ip3") > 100).count() == 3)
   }
+
+  test("stateful sessionization closes on gap and on watermark timeout") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val ckpt = Files.createTempDirectory("graft_sess_ckpt").toFile
+    val input = MemoryStream[(Long, Long)] // (user_id, epoch micros)
+    val base = 1000000000L // keep event times clear of the initial watermark
+    val events = input.toDF().toDF("user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val q = StreamingRecords.sessions(events, gapUs = 10000000L)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .start()
+    def closed(): Set[(Long, Long, Long, Long)] =
+      spark.table("sessions_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+
+    // batch 1: user 1 events at 0/2/4 s, user 2 at 0 s — one open
+    // session each, nothing closed
+    input.addData((1L, base), (1L, base + 2000000L),
+      (1L, base + 4000000L), (2L, base))
+    q.processAllAvailable()
+    assert(closed().isEmpty)
+
+    // batch 2: user 1 jumps to +100 s (> 10 s gap) — the 0-4 s session
+    // closes on arrival; user 2's single-event session may also close
+    // via timeout once the watermark passes its end + gap
+    input.addData((1L, base + 100000000L))
+    q.processAllAvailable()
+    assert(closed().contains((1L, base, base + 4000000L, 3L)))
+
+    // batch 3: watermark has passed user 2's timeout — its 0 s
+    // session must be closed by now (timeout path, no user-2 arrival
+    // needed); the new event opens a fresh session
+    input.addData((2L, base + 200000000L))
+    q.processAllAvailable()
+    assert(closed().contains((2L, base, base, 1L)))
+
+    // batch 4: advance the watermark further — user 1's 100 s session
+    // (timeout 110 s < new watermark 190 s) closes via the TIMEOUT
+    // path with no user-1 data in the batch
+    input.addData((2L, base + 400000000L))
+    q.processAllAvailable()
+    assert(closed().contains(
+      (1L, base + 100000000L, base + 100000000L, 1L)))
+    assert(closed().size == 4 ||
+      closed().contains((2L, base + 200000000L, base + 200000000L, 1L)))
+    q.stop()
+  }
 }
