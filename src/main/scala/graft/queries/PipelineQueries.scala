@@ -421,7 +421,31 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"),
           percentile(col("n_chars"), lit(0.25)).as("p25"),
           percentile(col("n_chars"), lit(0.5)).as("p50"),
-          percentile(col("n_chars"), lit(0.9)).as("p90"))))
+          percentile(col("n_chars"), lit(0.9)).as("p90"))),
+
+    // deterministic weighted sampling (A-Res): priority u^(1/w) from a
+    // content-hash uniform, weight = doc length; top-20 per language.
+    // Scale-safe two-phase top-k: a salted per-(lang, salt) window
+    // prunes to 20xS candidates BEFORE the per-lang window, so no
+    // stratum ever collects on one partition (the salted top-20s
+    // provably contain the global top-20).
+    "p22_weighted_sample" -> ((s, dir) => {
+      val u = (pmod(h64(col("text"), 21), lit(1000000))
+        .cast("double") + lit(0.5)) / lit(1000000.0)
+      val key = pow(u, lit(1.0) / col("n_chars").cast("double"))
+      val base = docs(s, dir).select(col("lang"), col("doc_id"),
+        col("n_chars"), key.as("k"),
+        pmod(col("doc_id"), lit(32)).as("salt"))
+      val w1 = Window.partitionBy("lang", "salt")
+        .orderBy(col("k").desc, col("doc_id").asc)
+      val w2 = Window.partitionBy("lang")
+        .orderBy(col("k").desc, col("doc_id").asc)
+      base.withColumn("r1", row_number().over(w1))
+        .filter(col("r1") <= 20)
+        .withColumn("rank", row_number().over(w2).cast("bigint"))
+        .filter(col("rank") <= 20)
+        .select("lang", "rank", "doc_id", "n_chars")
+    }))
 
   /** CTE chain producing `sh2` (shingled corpus) and `lshpairs`
     * (verified near-dup pairs) — the SQL twin of [[lshPairs]], shared
@@ -688,6 +712,17 @@ FROM b GROUP BY 1, 2""",
   quantile_cont(n_chars, 0.5) AS p50,
   quantile_cont(n_chars, 0.9) AS p90
 FROM documents GROUP BY lang""",
+
+    "p22_weighted_sample" ->
+      """WITH b AS (SELECT lang, doc_id, n_chars,
+    pow((CAST('0x' || substring(md5('21' || '|' || text), 1, 12)
+        AS BIGINT) % 1000000 + 0.5) / 1000000.0,
+      1.0 / CAST(n_chars AS DOUBLE)) AS k
+  FROM documents),
+r AS (SELECT lang, CAST(row_number() OVER (PARTITION BY lang
+    ORDER BY k DESC, doc_id ASC) AS BIGINT) AS rank, doc_id, n_chars
+  FROM b)
+SELECT lang, rank, doc_id, n_chars FROM r WHERE rank <= 20""",
 
     "p12_embedding_dedup" ->
       s"""WITH e AS (
