@@ -33,6 +33,31 @@ object Cubes {
           .as("cube"))
   }
 
+  /** §1.5 timeseries mode (/root/reference/fstpy/xarray_utils.py:
+    * 56-58,120-129): stack each variable's records along
+    * date_of_validity instead of level. One representative record per
+    * (grid, nomvar, ip1_kind, level, datev) — minimum rid; the
+    * collect_list is bounded by output times (tens), not catalog size.
+    */
+  def toCubeTimeseries(df: DataFrame): DataFrame = {
+    val g0 = if (df.columns.contains("grid")) df else Decode.addGrid(df)
+    val g = if (g0.columns.contains("level")) g0 else Decode.addIpInfo(g0)
+    val data = g.filter(!col("nomvar").isin(VCoord.VcMeta: _*))
+    val w = Window
+      .partitionBy("grid", "nomvar", "ip1_kind", "level", "datev")
+      .orderBy("rid")
+    val picked = data.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    picked.groupBy("grid", "nomvar", "ip1_kind", "level")
+      .agg(sort_array(collect_list(struct(col("datev"), col("d"))))
+        .as("frames"))
+      .select(col("grid"), col("nomvar"), col("ip1_kind"), col("level"),
+        size(col("frames")).as("n_times"),
+        transform(col("frames"), f => f.getField("datev")).as("times"),
+        flatten(transform(col("frames"), f => f.getField("d")))
+          .as("cube"))
+  }
+
   /** §1.5 with coordinates: the cube plus the grid's lon (`>>`) and
     * lat (`^^`) axis arrays, like the reference's labeled-DataArray
     * export pulls them per grid

@@ -427,6 +427,23 @@ object FstQueries {
         element_at(col("lat"), -1).as("lat_last"))
     }),
 
+    // §1.5 timeseries cube: stack along date_of_validity (the
+    // xarray timeseries=True branch). The fixture's datev is constant,
+    // so the query first spreads it (deterministically, rid-derived)
+    // to give each variable a real time axis.
+    "f49_cube_timeseries" -> ((s, dir) => {
+      val c = cat(s, dir).withColumn("datev",
+        col("datev") + pmod(expr("rid div 5"), lit(4)) * 100)
+      graft.ops.Cubes.toCubeTimeseries(c)
+        .select(col("grid"), col("nomvar"), col("ip1_kind"),
+          col("level"), col("n_times"),
+          element_at(col("times"), 1).as("t_first"),
+          element_at(col("times"), -1).as("t_last"),
+          size(col("cube")).as("cube_len"),
+          aggregate(col("cube"), lit(0.0),
+            (a, x) => a + x.cast("double")).as("cube_sum"))
+    }),
+
     // M14 (Z-grid path): LA/LO generation from deformation records
     "f30_latlon_2d" -> ((s, dir) =>
       graft.ops.Grids.latLon2d(cat(s, dir))
@@ -1065,6 +1082,24 @@ SELECT grid, nomvar, ip1_kind,
   list_reduce(list_transform(flatten(list(d ORDER BY level)),
     x -> CAST(x AS DOUBLE)), (a, b) -> a + b) AS cube_sum
 FROM picked GROUP BY 1, 2, 3"""),
+
+    "f49_cube_timeseries" -> W(
+      s""", c2 AS (SELECT * REPLACE (datev + (rid // 5 % 4) * 100
+      AS datev) FROM cat)
+, g AS (SELECT *, ${Decode.gridSql} AS grid,
+    $k1Sql AS ip1_kind, $v1Sql AS level FROM c2)
+, dd AS (SELECT * FROM g WHERE nomvar NOT IN
+    ${VCoord.VcMeta.map(x => s"'$x'").mkString("(", ", ", ")")})
+, picked AS (SELECT * FROM (SELECT *, row_number() OVER
+    (PARTITION BY grid, nomvar, ip1_kind, level, datev ORDER BY rid)
+    AS rn FROM dd) t WHERE rn = 1)
+SELECT grid, nomvar, ip1_kind, level,
+  CAST(count(*) AS INT) AS n_times,
+  min(datev) AS t_first, max(datev) AS t_last,
+  CAST(len(flatten(list(d ORDER BY datev))) AS INT) AS cube_len,
+  list_reduce(list_transform(flatten(list(d ORDER BY datev)),
+    x -> CAST(x AS DOUBLE)), (a, b) -> a + b) AS cube_sum
+FROM picked GROUP BY 1, 2, 3, 4"""),
 
     "f44_cube_coords" -> W(
       s""", g AS (SELECT *, ${Decode.gridSql} AS grid,
