@@ -258,6 +258,53 @@ object RelationalQueries {
           max(col("ts_us")).as("end_us"),
           round(sum(col("value").cast("decimal(18,6)")), 3)
             .cast("double").as("total_value"))
+    }),
+
+    // Stateful-streaming sessionization end-to-end: the events table
+    // staged as CSV, drained through flatMapGroupsWithState
+    // (StreamingRecords.sessions) with Trigger.AvailableNow. Every
+    // session except each user's final (still-open) one closes on
+    // arrival, so the oracle is batch sessionization minus the last
+    // session per user.
+    "q19_stream_sessions" -> ((s, d) => {
+      val path = s"/tmp/graft_stream_sessions_${
+        d.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      // ONE staged file => ONE micro-batch: with several files the
+      // source could order a later batch before earlier event times
+      // and the watermark would drop them (the oracle assumes none)
+      Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(path)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts_us",
+          org.apache.spark.sql.types.LongType)))
+      val stream = s.readStream.schema(schema)
+        .option("header", "true").csv(path)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+      val qn = "stream_sessions_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        // huge watermark delay: the timeout-close path depends on the
+        // drain's final watermark (not oracle-expressible), so this
+        // query pins the arrival-close path only — timeouts are
+        // covered by StreamingSpec
+        val q = graft.streaming.StreamingRecords
+          .sessions(stream, gapUs = 1800000000L,
+            watermarkDelay = "36500 days")
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("append")
+          .option("checkpointLocation", java.nio.file.Files
+            .createTempDirectory("graft_sess_ck").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(300000)
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
+      s.table(qn)
     })
   )
 
@@ -392,6 +439,26 @@ object RelationalQueries {
            max(ts_us) AS end_us,
            CAST(round(sum(CAST(value AS DECIMAL(18,6))),3) AS DOUBLE)
              AS total_value
-         FROM s GROUP BY user_id, session_idx"""
+         FROM s GROUP BY user_id, session_idx""",
+    // batch sessionization minus each user's final (open) session
+    "q19_stream_sessions" ->
+      """WITH e AS (SELECT user_id, event_id,
+             CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us
+           FROM events),
+         g AS (SELECT *, ts_us - lag(ts_us) OVER
+             (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)
+             AS gap_us FROM e),
+         s AS (SELECT *, sum(CASE WHEN gap_us IS NULL
+               OR gap_us > 1800000000 THEN 1 ELSE 0 END) OVER
+             (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+              ROWS UNBOUNDED PRECEDING) AS session_idx FROM g),
+         agg AS (SELECT user_id, session_idx, count(*) AS n_events,
+             min(ts_us) AS start_us, max(ts_us) AS end_us
+           FROM s GROUP BY user_id, session_idx),
+         mx AS (SELECT user_id, max(session_idx) AS mxs FROM agg
+           GROUP BY user_id)
+         SELECT a.user_id, a.start_us, a.end_us, a.n_events
+         FROM agg a JOIN mx ON a.user_id = mx.user_id
+           AND a.session_idx < mx.mxs"""
   )
 }
