@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One-call facade mirroring the reference's entry-point ergonomics
+  * (`StandardFileReader(filenames, decode_metadata, query).to_pandas()`,
+  * /root/reference/fstpy/std_reader.py:26-112, and
+  * `StandardFileWriter`, std_writer.py:30): read record files into a
+  * catalog DataFrame, optionally decode metadata and filter, always
+  * drop duplicate records — each step delegating to the operator
+  * library, so the composed plan keeps pushdown/pruning intact.
+  */
+object Api {
+
+  /** Read one or more record files/directories.
+    *
+    * @param query Spark SQL predicate over the catalog columns (the
+    *              analog of the reference's pandas `query` string —
+    *              e.g. `"nomvar == 'TT'"`); evaluated in the scan via
+    *              filter pushdown where possible.
+    */
+  def read(spark: SparkSession, paths: Seq[String],
+           decodeMetadata: Boolean = false,
+           query: Option[String] = None): DataFrame = {
+    val base = spark.read.format("fstrec").load(paths: _*)
+    val filtered = query.fold(base)(base.filter)
+    val decoded =
+      if (decodeMetadata) ops.Decode.decodeMetadata(filtered)
+      else filtered
+    decoded.dropDuplicates(core.Constants.DedupColumns)
+  }
+
+  /** Write a catalog back as record files (metadata cleanup + record
+    * batching are handled by the sink).
+    */
+  def write(df: DataFrame, path: String): Unit =
+    sources.fst.FstWriter.write(df, path)
+
+  /** Labeled-cube export (the reference's `to_cmc_xarray`):
+    * level-stacked by default, validity-time-stacked with
+    * `timeseries = true`.
+    */
+  def toCube(df: DataFrame, timeseries: Boolean = false,
+             coords: Boolean = true): DataFrame =
+    if (timeseries) ops.Cubes.toCubeTimeseries(df)
+    else if (coords) ops.Cubes.toCubeWithCoords(df)
+    else ops.Cubes.toCube(df)
+}

@@ -33,8 +33,18 @@ class FstDataSource extends TableProvider with DataSourceRegister {
   // record columns by name); reads always use the inferred schema
   override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new FstTable(properties.get("path"), Option(schema))
+                        properties: util.Map[String, String]): Table = {
+    // load(a, b, ...) arrives as a JSON string array under "paths"
+    // (the DSv2 convention); single load(path) under "path". The
+    // streaming-offset tokenizer doubles as the JSON-array parser.
+    val paths: Seq[String] = Option(properties.get("paths")) match {
+      case Some(json) => FstOffset.fromJson(json).files
+      case None => Seq(Option(properties.get("path")).getOrElse(
+        throw new IllegalArgumentException(
+          "fstrec: a path is required (load(path) or option(\"path\", ...))")))
+    }
+    new FstTable(paths, Option(schema))
+  }
 }
 
 object FstTable {
@@ -53,10 +63,10 @@ object FstTable {
     StructField("d", ArrayType(FloatType))))
 }
 
-class FstTable(path: String, givenSchema: Option[StructType] = None)
+class FstTable(paths: Seq[String], givenSchema: Option[StructType] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
-  override def name(): String = s"fstrec($path)"
+  override def name(): String = s"fstrec(${paths.mkString(",")})"
   override def schema(): StructType =
     givenSchema.filter(_.nonEmpty).getOrElse(FstTable.Schema)
   override def capabilities(): util.Set[TableCapability] =
@@ -66,18 +76,21 @@ class FstTable(path: String, givenSchema: Option[StructType] = None)
       TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new FstScanBuilder(path)
+      : ScanBuilder = new FstScanBuilder(paths)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
-    new FstWriteBuilder(path, info.schema(),
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(paths.size == 1,
+      "fstrec write requires exactly one destination path")
+    new FstWriteBuilder(paths.head, info.schema(),
       info.options().getInt("maxRecordsPerFile",
         FstBatchWrite.MaxRecordsPerFile),
       Option(info.options().get("partitionBy")).toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+  }
 }
 
-class FstScanBuilder(path: String) extends ScanBuilder
+class FstScanBuilder(paths: Seq[String]) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = FstTable.Schema
   private var pushed: Array[Filter] = Array.empty
@@ -93,7 +106,7 @@ class FstScanBuilder(path: String) extends ScanBuilder
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new FstScan(path, required, pushed)
+  override def build(): Scan = new FstScan(paths, required, pushed)
 }
 
 object FstScan {
@@ -199,7 +212,7 @@ object FstScan {
   }
 }
 
-class FstScan(path: String, required: StructType,
+class FstScan(paths: Seq[String], required: StructType,
               pushedInit: Array[Filter]) extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -230,14 +243,15 @@ class FstScan(path: String, required: StructType,
     * 100 TB, an equality filter on the layout key turns a full-corpus
     * listing into one directory branch.
     */
-  private def listWithSizes(): Seq[(String, Long)] = {
-    val fs = FileSystem.get(new java.net.URI(path),
-      new Configuration())
-    val p = new Path(path)
-    if (fs.getFileStatus(p).isDirectory)
-      FstScan.listPruned(fs, p, pushed).sortBy(_._1)
-    else Seq((path, fs.getFileStatus(p).getLen))
-  }
+  private def listWithSizes(): Seq[(String, Long)] =
+    paths.flatMap { path =>
+      val fs = FileSystem.get(new java.net.URI(path),
+        new Configuration())
+      val p = new Path(path)
+      if (fs.getFileStatus(p).isDirectory)
+        FstScan.listPruned(fs, p, pushed).sortBy(_._1)
+      else Seq((path, fs.getFileStatus(p).getLen))
+    }
 
   /** Size statistics from the directory listing, scaled by the read
     * schema's share of the record width: a metadata-only projection
@@ -268,8 +282,11 @@ class FstScan(path: String, required: StructType,
     new FstReaderFactory(required, pushed)
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new FstMicroBatchStream(path, required, pushed)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(paths.size == 1,
+      "fstrec streaming requires exactly one source directory")
+    new FstMicroBatchStream(paths.head, required, pushed)
+  }
 }
 
 /** Streaming offset = the sorted set of record files seen so far.

@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The one-call read facade: fstrec scan + query + decode + dedup. */
+class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", 2)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("Api.read reads, filters, decodes, and deduplicates") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_api").toFile
+    val base = (1 to 10).toDF("i").select(
+      when(col("i") % 2 === 0, "TT").otherwise("UU").as("nomvar"),
+      lit("P").as("typvar"), lit("R1_V710_N").as("etiket"),
+      lit(2).as("ni"), lit(2).as("nj"), lit(1).as("nk"),
+      lit(442998800L).as("dateo"), lit(500).as("ip1"),
+      lit(0).as("ip2"), (col("i") % 5).cast("int").as("ip3"),
+      lit(0).as("deet"), lit(0).as("npas"), lit(5).as("datyp"),
+      lit(32).as("nbits"), lit("X").as("grtyp"), lit(0).as("ig1"),
+      lit(0).as("ig2"), lit(0).as("ig3"), lit(0).as("ig4"),
+      lit(442998800L).as("datev"),
+      array(lit(1f), lit(2f), lit(3f), lit(4f)).as("d"))
+    // i and i+5 share (nomvar, ip3) => 19-column duplicates
+    sources.fst.FstWriter.write(base, dir.getAbsolutePath,
+      cleanup = false)
+
+    val tt = Api.read(spark, Seq(dir.getAbsolutePath),
+      decodeMetadata = true, query = Some("nomvar == 'TT'"))
+    assert(tt.columns.contains("level") &&
+      tt.columns.contains("unit") && tt.columns.contains("label"))
+    // 5 TT records, pairwise duplicate identities => 3 survive? No:
+    // ip3 of TT rows (i=2,4,6,8,10) = 2,4,1,3,0 — all distinct => 5
+    assert(tt.count() == 5)
+    assert(tt.select("nomvar").distinct().as[String].collect()
+      .toSeq == Seq("TT"))
+
+    // duplicate records collapse: doubling the input changes nothing
+    sources.fst.FstWriter.write(base, dir.getAbsolutePath + "_b",
+      cleanup = false)
+    val both = Api.read(spark,
+      Seq(dir.getAbsolutePath, dir.getAbsolutePath + "_b"),
+      query = Some("nomvar == 'TT'"))
+    assert(both.count() == 5)
+  }
+}

@@ -145,7 +145,7 @@ class FstScanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.filter(col("nomvar") === "TT").count() == 30)
     // pushed equality lists ONLY the matching directory branch
     def plannedFiles(filters: Array[Filter]): Seq[String] = {
-      val b = new FstScanBuilder(path)
+      val b = new FstScanBuilder(Seq(path))
       b.pushFilters(filters)
       b.build().asInstanceOf[FstScan].planInputPartitions()
         .flatMap(_.asInstanceOf[FstInputPartition].files).toSeq
@@ -157,7 +157,7 @@ class FstScanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.exists(_.contains("nomvar=GZ")))
     // join-driven runtime filters prune identically (the DSv2
     // dynamic-pruning hook delivers them before partition planning)
-    val b2 = new FstScanBuilder(path)
+    val b2 = new FstScanBuilder(Seq(path))
     val scan2 = b2.build().asInstanceOf[FstScan]
     scan2.filter(Array[Filter](EqualTo("nomvar", "UU")))
     val rt = scan2.planInputPartitions()
@@ -172,7 +172,7 @@ class FstScanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val path = "/tmp/graft_scan_spec_stats"
     writeSmallFiles(path, rows = 200, perFile = 50)
     def stats(fields: Seq[String]): Long = {
-      val b = new FstScanBuilder(path)
+      val b = new FstScanBuilder(Seq(path))
       b.pruneColumns(StructType(
         graft.sources.fst.FstTable.Schema.filter(f =>
           fields.contains(f.name))))
