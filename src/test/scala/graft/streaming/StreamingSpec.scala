@@ -125,6 +125,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.filter(col("ip3") > 100).count() == 3)
   }
 
+  test("streaming near-dup flags band collisions against history") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val ckpt = Files.createTempDirectory("graft_neardup_ckpt").toFile
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = graft.pipeline.StreamingDedup.nearDupHits(docs)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .start()
+    val textA = "the quick brown fox jumps over the lazy dog " +
+      "again and again until the brown fox is tired of jumping"
+    val textB = "completely different content about spark shuffles " +
+      "and broadcast joins and partition pruning at large scale"
+
+    // batch 1: two distinct docs — no hits, keys claimed
+    input.addData((1L, textA), (2L, textB))
+    q.processAllAvailable()
+    assert(spark.table("neardup_out").count() == 0)
+
+    // batch 2: doc 3 is a near-copy of doc 1 — at least one of its
+    // bands must collide with doc 1's claim; doc 4 is novel
+    input.addData((3L, textA + " with a tiny tail"),
+      (4L, "nothing like the others at all in any way whatsoever " +
+        "entirely novel text goes here"))
+    q.processAllAvailable()
+    val hits = spark.table("neardup_out").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("first_id")))
+    assert(hits.nonEmpty && hits.forall(_ == (3L, 1L)))
+    q.stop()
+  }
+
   test("stateful sessionization closes on gap and on watermark timeout") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
