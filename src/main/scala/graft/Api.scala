@@ -16,18 +16,21 @@ object Api {
     *
     * @param query Spark SQL predicate over the catalog columns (the
     *              analog of the reference's pandas `query` string —
-    *              e.g. `"nomvar == 'TT'"`); evaluated in the scan via
-    *              filter pushdown where possible.
+    *              e.g. `"nomvar == 'TT'"`). Applied AFTER metadata
+    *              decode when `decodeMetadata` is on, so predicates
+    *              may reference decoded columns (`level == 500.0`);
+    *              base-column predicates still reach the scan via
+    *              pushdown through the decode projection.
     */
   def read(spark: SparkSession, paths: Seq[String],
            decodeMetadata: Boolean = false,
            query: Option[String] = None): DataFrame = {
     val base = spark.read.format("fstrec").load(paths: _*)
-    val filtered = query.fold(base)(base.filter)
     val decoded =
-      if (decodeMetadata) ops.Decode.decodeMetadata(filtered)
-      else filtered
-    decoded.dropDuplicates(core.Constants.DedupColumns)
+      if (decodeMetadata) ops.Decode.decodeMetadata(base)
+      else base
+    val filtered = query.fold(decoded)(decoded.filter)
+    filtered.dropDuplicates(core.Constants.DedupColumns)
   }
 
   /** Write a catalog back as record files (metadata cleanup + record

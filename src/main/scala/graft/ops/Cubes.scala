@@ -15,7 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object Cubes {
 
-  def toCube(df: DataFrame): DataFrame = {
+  /** Representative-record tiebreak: `rid` when present, else the FST
+    * source's (path, key) pair — so catalogs straight from
+    * `spark.read.format("fstrec")` (no rid column) assemble too.
+    */
+  private def withRid(df: DataFrame): DataFrame =
+    if (df.columns.contains("rid")) df
+    else {
+      graft.core.Checks.requireColumns(df, "to_cube", "path", "key")
+      df.withColumn("rid", struct(col("path"), col("key")))
+    }
+
+  def toCube(df0: DataFrame): DataFrame = {
+    val df = withRid(df0)
     val g0 = if (df.columns.contains("grid")) df else Decode.addGrid(df)
     val g = if (g0.columns.contains("level")) g0 else Decode.addIpInfo(g0)
     val data = g.filter(!col("nomvar").isin(VCoord.VcMeta: _*))
@@ -39,7 +51,8 @@ object Cubes {
     * (grid, nomvar, ip1_kind, level, datev) — minimum rid; the
     * collect_list is bounded by output times (tens), not catalog size.
     */
-  def toCubeTimeseries(df: DataFrame): DataFrame = {
+  def toCubeTimeseries(df0: DataFrame): DataFrame = {
+    val df = withRid(df0)
     val g0 = if (df.columns.contains("grid")) df else Decode.addGrid(df)
     val g = if (g0.columns.contains("level")) g0 else Decode.addIpInfo(g0)
     val data = g.filter(!col("nomvar").isin(VCoord.VcMeta: _*))
@@ -66,7 +79,8 @@ object Cubes {
     * coordinate side is tiny (one row per grid) and broadcast-joins
     * into the cube table.
     */
-  def toCubeWithCoords(df: DataFrame): DataFrame = {
+  def toCubeWithCoords(df0: DataFrame): DataFrame = {
+    val df = withRid(df0)
     graft.core.Checks.requireColumns(df, "to_cube_with_coords",
       "nomvar", "rid", "d")
     val g = if (df.columns.contains("grid")) df else Decode.addGrid(df)

@@ -71,7 +71,10 @@ object Stats {
     * higher-order functions in DOUBLE (left fold — deterministic and
     * oracle-reproducible), so payloads never cross an exchange twice.
     * Records present on one side only are reported with status
-    * `only_a`/`only_b` and null stats.
+    * `only_a`/`only_b`; records whose payload LENGTHS differ (a
+    * re-encoded field — a structural difference) get status
+    * `shape_mismatch`. Element stats are computed only for matching
+    * shapes (null otherwise).
     */
   def catalogDiff(a: DataFrame, b: DataFrame,
                   keys: Seq[String], eps: Double = 1e-9): DataFrame = {
@@ -85,20 +88,22 @@ object Stats {
       (x, y) => x.cast("double") - y.cast("double"))
     val n = size(col("d_a")).cast("double")
     val both = col("d_a").isNotNull && col("d_b").isNotNull
+    val same = both && size(col("d_a")) === size(col("d_b"))
     la.join(lb, keys, "full_outer")
       .withColumn("status",
-        when(both, "both").when(col("d_a").isNotNull, "only_a")
+        when(same, "both").when(both, "shape_mismatch")
+          .when(col("d_a").isNotNull, "only_a")
           .otherwise("only_b"))
       .withColumn("n_elems",
-        when(both, size(col("d_a"))).cast("int"))
-      .withColumn("n_diff", when(both,
+        when(same, size(col("d_a"))).cast("int"))
+      .withColumn("n_diff", when(same,
         size(filter(diff, x => x > lit(eps)))).cast("int"))
       .withColumn("max_abs_diff",
-        when(both, round(array_max(diff), 6)))
+        when(same, round(array_max(diff), 6)))
       .withColumn("mean_abs_diff",
-        when(both, round(aggregate(diff, lit(0.0), _ + _) / n, 6)))
+        when(same, round(aggregate(diff, lit(0.0), _ + _) / n, 6)))
       .withColumn("bias",
-        when(both, round(aggregate(signed, lit(0.0), _ + _) / n, 6)))
+        when(same, round(aggregate(signed, lit(0.0), _ + _) / n, 6)))
       .drop("d_a", "d_b")
   }
 

@@ -634,7 +634,11 @@ object FstQueries {
             .createTempDirectory("graft_stream_ck").toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(300000)
+        if (!q.awaitTermination(300000)) {
+          q.stop()
+          throw new IllegalStateException(
+            "streaming drain did not finish within 300 s")
+        }
       } finally s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
       s.table(qn)
     }),
@@ -665,7 +669,11 @@ object FstQueries {
             .createTempDirectory("graft_stream_dd").toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(300000)
+        if (!q.awaitTermination(300000)) {
+          q.stop()
+          throw new IllegalStateException(
+            "streaming drain did not finish within 300 s")
+        }
       } finally s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
       s.table(qn).groupBy("nomvar")
         .agg(count(lit(1)).as("n_records"),
@@ -1259,7 +1267,9 @@ SELECT nomvar, ni, nj, ip1, ip2, grtyp, ig1, ig2, ig3, ig4,
 , j AS (SELECT coalesce(a.rid, b.rid) AS rid, a.d AS d_a, b.d AS d_b
   FROM a FULL OUTER JOIN b ON a.rid = b.rid)
 , st AS (SELECT rid, d_a, d_b,
-    (d_a IS NOT NULL AND d_b IS NOT NULL) AS in_both,
+    (d_a IS NOT NULL AND d_b IS NOT NULL
+      AND len(d_a) = len(d_b)) AS in_both,
+    (d_a IS NOT NULL AND d_b IS NOT NULL) AS present_both,
     list_transform(range(1, len(d_a) + 1), i ->
       abs(CAST(d_a[CAST(i AS INT)] AS DOUBLE) -
           CAST(d_b[CAST(i AS INT)] AS DOUBLE))) AS adiff,
@@ -1268,7 +1278,9 @@ SELECT nomvar, ni, nj, ip1, ip2, grtyp, ig1, ig2, ig3, ig4,
       CAST(d_b[CAST(i AS INT)] AS DOUBLE)) AS sdiff
   FROM j)
 SELECT rid,
-  CASE WHEN in_both THEN 'both' WHEN d_a IS NOT NULL THEN 'only_a'
+  CASE WHEN in_both THEN 'both'
+    WHEN present_both THEN 'shape_mismatch'
+    WHEN d_a IS NOT NULL THEN 'only_a'
     ELSE 'only_b' END AS status,
   CASE WHEN in_both THEN CAST(len(d_a) AS INT) END AS n_elems,
   CASE WHEN in_both THEN

@@ -302,7 +302,11 @@ object RelationalQueries {
             .createTempDirectory("graft_sess_ck").toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(300000)
+        if (!q.awaitTermination(300000)) {
+          q.stop()
+          throw new IllegalStateException(
+            "streaming drain did not finish within 300 s")
+        }
       } finally s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
       s.table(qn)
     })

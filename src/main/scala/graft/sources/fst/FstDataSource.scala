@@ -323,7 +323,21 @@ object FstOffset {
         case '\\' =>
           i += 1
           require(i < t.length - 1, s"bad offset: $json")
-          sb.append(t.charAt(i))
+          t.charAt(i) match {
+            // full JSON escape set: Jackson-emitted "paths" arrays may
+            // contain \uXXXX / \n for control chars in path names
+            case 'u' =>
+              require(i + 4 < t.length - 1, s"bad offset: $json")
+              sb.append(Integer.parseInt(
+                t.substring(i + 1, i + 5), 16).toChar)
+              i += 4
+            case 'n' => sb.append('\n')
+            case 't' => sb.append('\t')
+            case 'r' => sb.append('\r')
+            case 'b' => sb.append('\b')
+            case 'f' => sb.append('\f')
+            case other => sb.append(other) // \\ \" \/ pass through
+          }
         case '"' => inString = false; out += sb.toString
         case other => sb.append(other)
       }

@@ -117,10 +117,20 @@ object StreamingRecords {
             ts.foreach { t =>
               cur match {
                 case Some((st, en, n)) if t - en > gapUs =>
+                  // t is past the open session's end by > gap: close
                   closed ::= ClosedSession(uid, st, en, n)
                   cur = Some((t, t, 1L))
+                case Some((st, _, _)) if st - t > gapUs =>
+                  // above-watermark straggler from before the open
+                  // session by > gap: it can never merge with anything
+                  // still to come, so it closes immediately as a
+                  // single-event session (no reordered-history buffer)
+                  closed ::= ClosedSession(uid, t, t, 1L)
                 case Some((st, en, n)) =>
-                  cur = Some((st, math.max(en, t), n + 1))
+                  // within the gap on either side: extend the session
+                  // boundaries (an out-of-order event may move START
+                  // earlier, matching the batch q18 semantics)
+                  cur = Some((math.min(st, t), math.max(en, t), n + 1))
                 case None =>
                   cur = Some((t, t, 1L))
               }

@@ -53,5 +53,16 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(dir.getAbsolutePath, dir.getAbsolutePath + "_b"),
       query = Some("nomvar == 'TT'"))
     assert(both.count() == 5)
+
+    // query may reference DECODED columns (applied after decode):
+    // old-style ip1=500 decodes to pressure level 500.0 on all rows
+    val lvl = Api.read(spark, Seq(dir.getAbsolutePath),
+      decodeMetadata = true, query = Some("level == 500.0"))
+    assert(lvl.count() == 10)
+
+    // the facade's read output assembles into cubes (rid derived
+    // from the scan's (path, key) when absent)
+    val cube = Api.toCube(tt, coords = false)
+    assert(cube.count() > 0)
   }
 }

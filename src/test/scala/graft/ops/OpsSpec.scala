@@ -296,6 +296,15 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(4L).getString(1) == "only_b" && out(4L).isNullAt(3))
   }
 
+  test("catalogDiff flags payload-length differences as shape_mismatch") {
+    import spark.implicits._
+    val a = Seq((1L, Seq(1f, 2f, 3f, 4f))).toDF("rid", "d")
+    val b = Seq((1L, Seq(1f, 2f, 3f))).toDF("rid", "d")
+    val row = Stats.catalogDiff(a, b, Seq("rid")).collect().head
+    assert(row.getString(1) == "shape_mismatch")
+    assert(row.isNullAt(2) && row.isNullAt(3) && row.isNullAt(4))
+  }
+
   test("cube export attaches the grid's lon/lat coordinate axes") {
     val cube = Cubes.toCubeWithCoords(mkCatalog())
       .filter(col("nomvar") === "TT").head()

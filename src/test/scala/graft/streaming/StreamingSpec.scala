@@ -161,6 +161,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("sessionization merges above-watermark stragglers correctly") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val ckpt = Files.createTempDirectory("graft_sess2_ckpt").toFile
+    val input = MemoryStream[(Long, Long)]
+    val base = 2000000000L
+    val events = input.toDF().toDF("user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    // gap 5 s < watermark delay 10 s so an out-of-order event can be
+    // above the watermark yet before the open session's start
+    val q = StreamingRecords.sessions(events, gapUs = 5000000L)
+      .writeStream.format("memory").queryName("sessions2_out")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .start()
+    def closed(): Set[(Long, Long, Long, Long)] =
+      spark.table("sessions2_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+
+    // batch 1: users 5 and 6 each open a session at +100 s
+    input.addData((5L, base + 100000000L), (6L, base + 100000000L))
+    q.processAllAvailable()
+
+    // batch 2 (watermark now 90 s): user 5's +97 s event is within
+    // the gap of its open session -> merges and moves START back;
+    // user 6's +93 s event is > gap before its session -> closes
+    // immediately as a single-event straggler session
+    input.addData((5L, base + 97000000L), (6L, base + 93000000L))
+    q.processAllAvailable()
+    assert(closed().contains((6L, base + 93000000L, base + 93000000L, 1L)))
+
+    // batch 3: far-future events close both open sessions; user 5's
+    // session must report the merged (earlier) start
+    input.addData((5L, base + 200000000L), (6L, base + 200000000L))
+    q.processAllAvailable()
+    assert(closed().contains(
+      (5L, base + 97000000L, base + 100000000L, 2L)))
+    assert(closed().contains(
+      (6L, base + 100000000L, base + 100000000L, 1L)))
+    q.stop()
+  }
+
   test("stateful sessionization closes on gap and on watermark timeout") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
