@@ -24,13 +24,23 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  /** Streaming-drain queries: building them EXECUTES the whole
+    * stream (staging write + drain) and the returned DataFrame is the
+    * memory sink's LocalTableScan — linting it is vacuous and costs
+    * full execution. Their plan posture is covered by StreamingSpec.
+    */
+  private val streamingDrains =
+    Set("f43_stream_agg", "f45_stream_dedup", "q19_stream_sessions")
+
   test("no declared query plans a CartesianProduct") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(dir).exists())
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val plan = fn(spark, dir).queryExecution.executedPlan.toString
-      assert(!plan.contains("CartesianProduct"),
-        s"$name plans a cartesian product")
-    }
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => streamingDrains(q._1))
+      .foreach { case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"),
+          s"$name plans a cartesian product")
+      }
   }
 }
