@@ -36,6 +36,25 @@ object FstWriter {
       .save(path)
   }
 
+  /** Directory compaction (maintenance op for the small-files problem
+    * at scale): read every record under `src` and rewrite into `dst`
+    * with large per-file batches. At 100 TB a streaming sink or many
+    * incremental writes leave thousands of small record files; the
+    * batch scan bin-packs them on read, but listings, open()s, and
+    * checkpoint offsets still pay per-file cost — compaction pays the
+    * rewrite once. `dst` is a NEW directory (never in-place: readers
+    * of `src` are unaffected until the caller switches paths), and the
+    * record set is preserved verbatim — no metadata cleanup, no dedup.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, src: String,
+              dst: String, maxRecordsPerFile: Int = 4096): Unit = {
+    require(new Path(src).toUri != new Path(dst).toUri,
+      "fstrec compact: dst must differ from src")
+    val records = spark.read.format("fstrec").load(src)
+    write(records, dst, maxRecordsPerFile = maxRecordsPerFile,
+      cleanup = false)
+  }
+
   /** S8 `update` mode (/root/reference/fstpy/std_writer.py:102-131):
     * metadata-only rewrite in place. Rows must carry the `path`/`key`
     * scan columns of the source they were read from; each record's

@@ -52,6 +52,26 @@ class FstScanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.select("ip1").distinct().count() == 400)
   }
 
+  test("compaction rewrites many small files into few, verbatim") {
+    val src = "/tmp/graft_scan_spec_compact_src"
+    val dst = "/tmp/graft_scan_spec_compact_dst"
+    writeSmallFiles(src, rows = 400, perFile = 8)
+    graft.sources.fst.FstWriter.compact(spark, src, dst)
+    val files = (d: String) =>
+      new java.io.File(d).listFiles().count(_.isFile)
+    assert(files(dst) < files(src) / 4,
+      s"expected far fewer files, got ${files(dst)} vs ${files(src)}")
+    val back = spark.read.format("fstrec").load(dst)
+    assert(back.count() == 400)
+    assert(back.select("ip1").distinct().count() == 400)
+    val ok = back.select(col("ip1"), element_at(col("d"), 1).as("h"))
+      .filter(col("h") === col("ip1").cast("float"))
+    assert(ok.count() == 400)
+    intercept[IllegalArgumentException] {
+      graft.sources.fst.FstWriter.compact(spark, src, src)
+    }
+  }
+
   test("metadata-only projection still prunes payload reads") {
     val path = "/tmp/graft_scan_spec_meta"
     writeSmallFiles(path, rows = 64, perFile = 16)
