@@ -76,7 +76,22 @@ class FstTable(paths: Seq[String], givenSchema: Option[StructType] = None)
       TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new FstScanBuilder(paths)
+      : ScanBuilder = {
+    // READ with a user-supplied schema: must be a (name, type)-
+    // compatible subset — the reader emits the built-in types, so a
+    // mistyped column would surface as a runtime ClassCastException.
+    // (Writes validate separately in resolveOrdinals: the input
+    // DataFrame's schema legitimately differs until projected.)
+    schema().fields.foreach { f =>
+      val exp = FstTable.Schema.fields.find(_.name == f.name)
+        .getOrElse(throw new IllegalArgumentException(
+          s"fstrec: unknown column '${f.name}'"))
+      require(f.dataType == exp.dataType,
+        s"fstrec: column '${f.name}' must be ${exp.dataType}, " +
+          s"got ${f.dataType}")
+    }
+    new FstScanBuilder(paths)
+  }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -234,7 +249,10 @@ class FstScan(paths: Seq[String], required: StructType,
 
   override def filter(filters: Array[Filter]): Unit = {
     val usable = filters.filter(FstFilters.supported)
-    if (usable.nonEmpty) pushed = pushed ++ usable
+    if (usable.nonEmpty) {
+      pushed = pushed ++ usable
+      cachedListing = null // runtime filters change what prunes
+    }
   }
 
   /** Recursive listing with partition-directory pruning: a
@@ -243,7 +261,20 @@ class FstScan(paths: Seq[String], required: StructType,
     * 100 TB, an equality filter on the layout key turns a full-corpus
     * listing into one directory branch.
     */
-  private def listWithSizes(): Seq[(String, Long)] =
+  // estimateStatistics and planInputPartitions both need the listing
+  // (and AQE may ask for statistics more than once): list once per
+  // pushed-filter state instead of walking the tree per call
+  @volatile private var cachedListing: Seq[(String, Long)] = null
+
+  private def listWithSizes(): Seq[(String, Long)] = {
+    val c = cachedListing
+    if (c != null) return c
+    val fresh = listWithSizesUncached()
+    cachedListing = fresh
+    fresh
+  }
+
+  private def listWithSizesUncached(): Seq[(String, Long)] =
     paths.flatMap { path =>
       val fs = FileSystem.get(new java.net.URI(path),
         new Configuration())
@@ -298,7 +329,13 @@ class FstScan(paths: Seq[String], required: StructType,
 case class FstOffset(files: Seq[String])
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json: String = files.map { f =>
-    "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    "\"" + f.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      // control chars would break Spark's line-oriented offset log
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
   }.mkString("[", ",", "]")
 }
 
@@ -369,14 +406,21 @@ class FstMicroBatchStream(path: String, required: StructType,
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   @volatile private var availableNowCap: Option[Seq[String]] = None
+  // (path -> size) from the most recent listing: planInputPartitions
+  // bin-packs by size, and re-fetching one status per fresh file
+  // would cost a driver RPC each on an object store
+  @volatile private var lastSizes: Map[String, Long] = Map.empty
 
   private def listFiles(): Seq[String] = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     val p = new Path(path)
-    if (!fs.exists(p)) Nil
-    else if (fs.getFileStatus(p).isDirectory)
-      FstScan.listPruned(fs, p, pushed).map(_._1).sorted
-    else Seq(path)
+    val listed: Seq[(String, Long)] =
+      if (!fs.exists(p)) Nil
+      else if (fs.getFileStatus(p).isDirectory)
+        FstScan.listPruned(fs, p, pushed).sortBy(_._1)
+      else Seq((path, fs.getFileStatus(p).getLen))
+    lastSizes = lastSizes ++ listed
+    listed.map(_._1)
   }
 
   override def initialOffset(): Offset = FstOffset(Nil)
@@ -398,9 +442,11 @@ class FstMicroBatchStream(path: String, required: StructType,
     val fresh = end.asInstanceOf[FstOffset].files.filterNot(seen)
     // Bin-pack like the batch scan: a micro-batch admitting thousands
     // of small record files must not become thousands of tasks.
-    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
-    FstScan.packPartitions(
-      fresh.map(f => (f, fs.getFileStatus(new Path(f)).getLen)))
+    lazy val fs =
+      FileSystem.get(new java.net.URI(path), new Configuration())
+    val sizes = lastSizes
+    FstScan.packPartitions(fresh.map(f => (f, sizes.getOrElse(f,
+      fs.getFileStatus(new Path(f)).getLen))))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

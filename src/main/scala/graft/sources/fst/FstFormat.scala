@@ -75,8 +75,23 @@ object FstFormat {
   def rawToStamp(raw: Long): Long =
     if (raw == 0) 0 else (raw >> 3) * 10 + (raw & 0x7)
 
-  /** Pack one record's 18 directory words. */
+  private def inRange(v: Int, hi: Long, name: String): Unit =
+    require(v >= 0 && v < hi,
+      s"fstrec pack: $name=$v out of range [0, $hi)")
+
+  /** Pack one record's 18 directory words. Field widths are fixed by
+    * the directory layout; out-of-range values fail loudly here
+    * instead of silently truncating into corrupt entries.
+    */
   def packEntry(m: Meta): Array[Int] = {
+    inRange(m.ni, 1 << 24, "ni"); inRange(m.nj, 1 << 24, "nj")
+    inRange(m.nk, 1 << 20, "nk"); inRange(m.deet, 1 << 24, "deet")
+    inRange(m.npas, 1 << 26, "npas"); inRange(m.nbits, 256, "nbits")
+    inRange(m.datyp, 256, "datyp")
+    inRange(m.ip1, 1 << 28, "ip1"); inRange(m.ip2, 1 << 28, "ip2")
+    inRange(m.ip3, 1 << 28, "ip3")
+    inRange(m.ig1, 1 << 24, "ig1"); inRange(m.ig2, 1 << 24, "ig2")
+    inRange(m.ig3, 1 << 24, "ig3"); inRange(m.ig4, 1 << 24, "ig4")
     val w = new Array[Int](18)
     val lng64 = (m.lng32 + 1) / 2
     w(0) = lng64 & 0xFFFFFF                    // deleted:1 select:7 lng:24

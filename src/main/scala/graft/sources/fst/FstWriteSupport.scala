@@ -268,6 +268,13 @@ class FstDataWriter(path: String, ordinals: Array[Int],
 
   override def write(row: InternalRow): Unit = {
     val o = ordinals
+    var ci = 0
+    while (ci < o.length) {
+      if (row.isNullAt(o(ci)))
+        throw new IllegalArgumentException("fstrec write: null value " +
+          s"in record column '${FstWriter.Columns(ci)}'")
+      ci += 1
+    }
     val meta = FstFormat.Meta(
       row.getUTF8String(o(0)).toString, row.getUTF8String(o(1)).toString,
       row.getUTF8String(o(2)).toString, row.getInt(o(3)),
@@ -290,7 +297,11 @@ class FstDataWriter(path: String, ordinals: Array[Int],
     val dir = if (key.isEmpty) new Path(path) else new Path(path, key)
     if (key.nonEmpty && madeDirs.add(key)) fs.mkdirs(dir)
     val fin = new Path(dir, s"$prefix-$fileNo.fst")
-    val tmp = new Path(dir, s".$prefix-$fileNo.fst.inprogress")
+    // temp name carries the per-attempt uid: the FINAL name must be
+    // deterministic (streaming epoch replay overwrites idempotently),
+    // but two concurrent attempts of one (epoch, partition) — zombie
+    // retry, speculation — must never write the same in-progress file
+    val tmp = new Path(dir, s".$prefix-$fileNo.$uid.fst.inprogress")
     val out = fs.create(tmp, true)
     try out.write(FstFormat.writeFile(batch.toSeq))
     finally out.close()

@@ -82,7 +82,10 @@ object FstWriter {
         val files = it.toSeq.groupBy(_.getString(0))
         try files.foreach { case (file, rows) =>
           val uri = new java.net.URI(file)
-          val scheme = Option(uri.getScheme).getOrElse("file")
+          // key by scheme AND authority: two clusters of one scheme
+          // must not share an instance ("Wrong FS" otherwise)
+          val scheme = Option(uri.getScheme).getOrElse("file") + "://" +
+            Option(uri.getAuthority).getOrElse("")
           val fs = fsCache.getOrElseUpdate(scheme, {
             val f = FileSystem.newInstance(uri, conf)
             f.setWriteChecksum(false)
@@ -106,6 +109,14 @@ object FstWriter {
             val w = new Array[Int](18)
             (0 until 18).foreach(i => w(i) = buf.getInt)
             val old = FstFormat.unpackEntry(w)
+            // metadata-only patch: the payload words and their
+            // addr/length stay in place, so edits that change the
+            // payload's declared geometry or encoding would
+            // desynchronize the entry from the stored data
+            require(r.getInt(5) == old.ni && r.getInt(6) == old.nj &&
+              r.getInt(7) == old.nk && r.getInt(14) == old.datyp,
+              s"fstrec update: cannot change ni/nj/nk/datyp of $file " +
+                s"record ${idx} (payload is not rewritten)")
             val deet = r.getInt(12); val npas = r.getInt(13)
             val datev = FstFormat.rawToStamp(
               FstFormat.stampToRaw(r.getLong(8)) + deet.toLong * npas / 5)
@@ -128,7 +139,23 @@ object FstWriter {
             s".${p.getName}.${java.util.UUID.randomUUID.toString.take(8)}.updating")
           val out = fs.create(tmp, true)
           try out.write(bytes) finally out.close()
-          FstBatchWrite.renameOverwrite(fs, tmp.toString, file)
+          // Replace via backup, not delete-then-rename: on a
+          // filesystem without atomic overwrite a crash between the
+          // delete and the rename would leave ONLY a hidden temp —
+          // silent data loss. With the backup sequence every crash
+          // point leaves either the original or the patched image
+          // under a recoverable name.
+          val bak = new Path(p.getParent, s".${p.getName}.updbak")
+          fs.delete(bak, false)
+          if (!fs.rename(p, bak))
+            throw new java.io.IOException(
+              s"fstrec update: cannot move $file aside")
+          if (!fs.rename(tmp, p)) {
+            fs.rename(bak, p) // restore
+            throw new java.io.IOException(
+              s"fstrec update: cannot publish patched $file")
+          }
+          fs.delete(bak, false)
         } finally fsCache.values.foreach(_.close())
     }
   }

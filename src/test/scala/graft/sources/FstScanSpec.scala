@@ -52,6 +52,27 @@ class FstScanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.select("ip1").distinct().count() == 400)
   }
 
+  test("user-supplied read schema validates names and types early") {
+    val path = "/tmp/graft_scan_spec_schema"
+    writeSmallFiles(path, rows = 8, perFile = 8)
+    // correct subset works
+    val ok = spark.read
+      .schema("nomvar STRING, ni INT").format("fstrec").load(path)
+    assert(ok.count() == 8)
+    // mistyped column fails at planning, not as a runtime cast error
+    val e1 = intercept[Exception] {
+      spark.read.schema("ni LONG").format("fstrec").load(path).count()
+    }
+    assert(e1.getMessage.contains("ni") ||
+      Option(e1.getCause).exists(_.getMessage.contains("ni")))
+    // unknown column is rejected by name
+    val e2 = intercept[Exception] {
+      spark.read.schema("bogus INT").format("fstrec").load(path).count()
+    }
+    assert(e2.getMessage.contains("bogus") ||
+      Option(e2.getCause).exists(_.getMessage.contains("bogus")))
+  }
+
   test("compaction rewrites many small files into few, verbatim") {
     val src = "/tmp/graft_scan_spec_compact_src"
     val dst = "/tmp/graft_scan_spec_compact_dst"
