@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object Cubes {
 
+  /** Variables excluded from cube assembly — the reference's loop
+    * skip-list (/root/reference/fstpy/xarray_utils.py:54). NOTE:
+    * narrower than VCoord.VcMeta — P0/PT/!!SF DO become variables.
+    */
+  val CubeSkip: Seq[String] = Seq("!!", ">>", "^^", "^>", "HY")
+
   /** Representative-record tiebreak: `rid` when present, else the FST
     * source's (path, key) pair — so catalogs straight from
     * `spark.read.format("fstrec")` (no rid column) assemble too.
@@ -30,14 +36,21 @@ object Cubes {
     val df = withRid(df0)
     val g0 = if (df.columns.contains("grid")) df else Decode.addGrid(df)
     val g = if (g0.columns.contains("level")) g0 else Decode.addIpInfo(g0)
-    val data = g.filter(!col("nomvar").isin(VCoord.VcMeta: _*))
+    val data = g.filter(!col("nomvar").isin(CubeSkip: _*))
     val w = Window.partitionBy("grid", "nomvar", "ip1_kind", "level")
       .orderBy("rid")
     val picked = data.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
     picked.groupBy("grid", "nomvar", "ip1_kind")
       .agg(sort_array(collect_list(struct(col("level"), col("d"))))
-        .as("layers"))
+        .as("asc_layers"))
+      // layer order follows the kind's ascending flag (the reference
+      // sorts by level with ascending=df.ascending.unique()[0],
+      // xarray_utils.py:52): descending kinds — pressure, sigma,
+      // hybrid — stack top level first
+      .withColumn("layers",
+        when(IpColumns.ascending(col("ip1_kind")), col("asc_layers"))
+          .otherwise(reverse(col("asc_layers"))))
       .select(col("grid"), col("nomvar"), col("ip1_kind"),
         size(col("layers")).as("n_levels"),
         transform(col("layers"), l => l.getField("level")).as("levels"),
@@ -55,7 +68,7 @@ object Cubes {
     val df = withRid(df0)
     val g0 = if (df.columns.contains("grid")) df else Decode.addGrid(df)
     val g = if (g0.columns.contains("level")) g0 else Decode.addIpInfo(g0)
-    val data = g.filter(!col("nomvar").isin(VCoord.VcMeta: _*))
+    val data = g.filter(!col("nomvar").isin(CubeSkip: _*))
     val w = Window
       .partitionBy("grid", "nomvar", "ip1_kind", "level", "datev")
       .orderBy("rid")

@@ -39,10 +39,16 @@ object Masks {
       .select(PairCols.map(col) :+ col("d").as("mask_d"): _*)
     val vars = masked.filter(col("typvar") =!= maskTypvar)
 
-    val keep = lit(keepValue.toFloat)
-    val applied = vars.join(masks, PairCols)
-      .withColumn("d", zip_with(col("d"), col("mask_d"), (v, m) =>
-        when(if (keepValue == 1) m =!= 0f else m === 0f, v)))
+    // LEFT join + lazy raise_error: a masked data record without its
+    // mask row is an error in the reference (apply_mask.py:45 raises
+    // on groups != 2 rows), not a silent drop
+    val applied = vars.join(masks, PairCols, "left")
+      .withColumn("d", when(col("mask_d").isNull,
+        raise_error(concat(lit("apply_mask: masked record without a " +
+          "mask row: nomvar="), col("nomvar"),
+          lit(" typvar="), col("typvar"))))
+        .otherwise(zip_with(col("d"), col("mask_d"), (v, m) =>
+          when(if (keepValue == 1) m =!= 0f else m === 0f, v))))
       .select(cols.map(col): _*)
 
     meta.unionByName(notMasked).unionByName(applied)

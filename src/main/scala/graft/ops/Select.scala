@@ -118,13 +118,35 @@ object Select {
         .otherwise(3)
     val w = Window.partitionBy(
       col("grid"), col("gdateo"), col("gdeet"), col("gnpas"), col("nomvar"))
+    // tier-dependent dedup subset (dataframe_utils.py:371-392): the
+    // very-strict match dedups on the full subset; the strict match
+    // drops deet/npas from it; the loose match also drops dateo.
+    // Masked key columns express that declaratively, and row_number
+    // ordered by rid makes the pick DETERMINISTIC on both the Spark
+    // side and the DuckDB twin (dropDuplicates picks an arbitrary
+    // row, which an oracle cannot reproduce).
+    val maskedKeys = Seq(
+      when(col("mt") <= 2, col("dateo")),
+      when(col("mt") === 1, col("deet")),
+      when(col("mt") === 1, col("npas")))
+    val wd = Window.partitionBy(
+      (Seq(col("grid"), col("gdateo"), col("gdeet"), col("gnpas")) ++
+        DeformSubset.filterNot(Seq("dateo", "deet", "npas").contains)
+          .map(col) ++ maskedKeys): _*)
+      .orderBy(col("rid"))
+    // final meta-assembly dedup (dataframe_utils.py:296-297), min-rid
+    val wm = Window.partitionBy(MetaSubset.map(col): _*)
+      .orderBy(col("rid"))
     val deform = coord
       .join(broadcast(groups), Seq("grid"))
       .withColumn("tier", tier)
       .withColumn("mt", min("tier").over(w))
       .filter(col("tier") === col("mt"))
+      .withColumn("rn", row_number().over(wd))
+      .filter(col("rn") === 1)
+      .withColumn("rn2", row_number().over(wm))
+      .filter(col("rn2") === 1)
       .select(cols.map(col): _*)
-      .dropDuplicates(DeformSubset)
 
     // J6: P0/PT records matching grid and dims of model-level grids
     def surfaceFields(nomvar: String, flag: Column): DataFrame =
@@ -202,16 +224,26 @@ SELECT rid, nomvar, grid FROM g WHERE $keptPredicateSql"""
   FROM nometa GROUP BY grid)
 , grp AS (SELECT DISTINCT grid, dateo AS gdateo, deet AS gdeet,
     npas AS gnpas FROM nometa)
-, cand AS (SELECT m.rid, m.nomvar, m.grid, grp.gdateo, grp.gdeet,
-    grp.gnpas,
+, cand AS (SELECT m.*, grp.gdateo, grp.gdeet, grp.gnpas,
     CASE WHEN m.dateo = grp.gdateo AND m.deet = grp.gdeet
       AND m.npas = grp.gnpas THEN 1
       WHEN m.dateo = grp.gdateo THEN 2 ELSE 3 END AS tier
   FROM meta m JOIN grp ON m.grid = grp.grid
   WHERE m.nomvar IN ('^^', '>>', '^>'))
-, deform AS (SELECT DISTINCT rid FROM (
-    SELECT rid, tier, min(tier) OVER (PARTITION BY grid, gdateo,
-      gdeet, gnpas, nomvar) AS mt FROM cand) t WHERE tier = mt)
+, mindef AS (SELECT *, min(tier) OVER (PARTITION BY grid, gdateo,
+    gdeet, gnpas, nomvar) AS mt FROM cand)
+, defpick AS (SELECT * FROM (SELECT *, row_number() OVER (
+    PARTITION BY grid, gdateo, gdeet, gnpas,
+      nomvar, typvar, etiket, ni, nj, nk, ip1, ip2, ip3,
+      ig1, ig2, ig3, ig4,
+      CASE WHEN mt <= 2 THEN dateo END,
+      CASE WHEN mt = 1 THEN deet END,
+      CASE WHEN mt = 1 THEN npas END
+    ORDER BY rid) AS rn FROM mindef WHERE tier = mt) WHERE rn = 1)
+, deform AS (SELECT rid FROM (SELECT rid, row_number() OVER (
+    PARTITION BY grtyp, nomvar, typvar, ni, nj, nk, ip1, ip2, ip3,
+      deet, npas, nbits, ig1, ig2, ig3, ig4, datev, dateo, datyp
+    ORDER BY rid) AS rn2 FROM defpick) WHERE rn2 = 1)
 , p0r AS (SELECT DISTINCT m.rid FROM meta m
   JOIN dims dm ON m.grid = dm.grid AND m.ni = dm.gni AND m.nj = dm.gnj
   JOIN kg ON kg.grid = m.grid

@@ -33,7 +33,8 @@ object Stats {
     df.withColumn("min", array_min(d))
       .withColumn("max", array_max(d))
       .withColumn("mean", mean)
-      .withColumn("std", sqrt(foldSumSq(d) / n - mean * mean))
+      .withColumn("std",
+        sqrt(greatest(lit(0.0), foldSumSq(d) / n - mean * mean)))
       .withColumn("min_pos_i",
         (pmod(posMin - 1, col("ni").cast("long")) + 1).cast("int"))
       .withColumn("min_pos_j",
@@ -58,7 +59,7 @@ object Stats {
       "list_aggregate(d, 'min')" -> "min",
       "list_aggregate(d, 'max')" -> "max",
       mean -> "mean",
-      s"sqrt($sumSq / $n - $mean * $mean)" -> "std",
+      s"sqrt(greatest(0.0, $sumSq / $n - $mean * $mean))" -> "std",
       s"CAST(($posMin - 1) % ni + 1 AS INT)" -> "min_pos_i",
       s"CAST(($posMin - 1) // ni + 1 AS INT)" -> "min_pos_j",
       s"CAST(($posMax - 1) % ni + 1 AS INT)" -> "max_pos_i",
@@ -80,19 +81,27 @@ object Stats {
                   keys: Seq[String], eps: Double = 1e-9): DataFrame = {
     graft.core.Checks.requireColumns(a, "catalog_diff", keys :+ "d": _*)
     graft.core.Checks.requireColumns(b, "catalog_diff", keys :+ "d": _*)
-    val la = a.select((keys.map(col) :+ col("d").as("d_a")): _*)
-    val lb = b.select((keys.map(col) :+ col("d").as("d_b")): _*)
+    // presence markers: only_a/only_b must reflect JOIN-side absence,
+    // not payload nullability (a matched record with a null payload is
+    // present — it is a shape mismatch, not a missing record)
+    val la = a.select((keys.map(col) :+ col("d").as("d_a")) :+
+      lit(true).as("in_a"): _*)
+    val lb = b.select((keys.map(col) :+ col("d").as("d_b")) :+
+      lit(true).as("in_b"): _*)
     val diff = zip_with(col("d_a"), col("d_b"),
       (x, y) => abs(x.cast("double") - y.cast("double")))
     val signed = zip_with(col("d_a"), col("d_b"),
       (x, y) => x.cast("double") - y.cast("double"))
     val n = size(col("d_a")).cast("double")
-    val both = col("d_a").isNotNull && col("d_b").isNotNull
-    val same = both && size(col("d_a")) === size(col("d_b"))
+    val both = col("in_a") && col("in_b")
+    val same = both && col("d_a").isNotNull && col("d_b").isNotNull &&
+      size(col("d_a")) === size(col("d_b"))
     la.join(lb, keys, "full_outer")
+      .withColumn("in_a", coalesce(col("in_a"), lit(false)))
+      .withColumn("in_b", coalesce(col("in_b"), lit(false)))
       .withColumn("status",
         when(same, "both").when(both, "shape_mismatch")
-          .when(col("d_a").isNotNull, "only_a")
+          .when(col("in_a"), "only_a")
           .otherwise("only_b"))
       .withColumn("n_elems",
         when(same, size(col("d_a"))).cast("int"))
@@ -104,7 +113,7 @@ object Stats {
         when(same, round(aggregate(diff, lit(0.0), _ + _) / n, 6)))
       .withColumn("bias",
         when(same, round(aggregate(signed, lit(0.0), _ + _) / n, 6)))
-      .drop("d_a", "d_b")
+      .drop("d_a", "d_b", "in_a", "in_b")
   }
 
   /** M19/O2 voir: decoded listing sorted by (nomvar asc, level desc). */

@@ -40,6 +40,10 @@ object Temporal {
       ((keys :+ tsCol) ++ payload): _*)
     val lCols = left.columns.toSeq
     val rs = right
+      // a null right timestamp would sort first and become the "prior"
+      // match for every early left row — exclude it (no instant, no
+      // as-of semantics)
+      .filter(col(tsCol).isNotNull)
       .select((keys.map(col) :+ col(tsCol)) :+
         struct((tsCol +: payload).map(col): _*).as("__r"): _*)
       .withColumn("__is_l", lit(0))

@@ -432,8 +432,10 @@ object FstQueries {
     // so the query first spreads it (deterministically, rid-derived)
     // to give each variable a real time axis.
     "f49_cube_timeseries" -> ((s, dir) => {
+      // abs(): Spark `div` truncates while DuckDB `//` floors — they
+      // agree only for non-negative operands (meta rows have rid < 0)
       val c = cat(s, dir).withColumn("datev",
-        col("datev") + pmod(expr("rid div 5"), lit(4)) * 100)
+        col("datev") + pmod(expr("abs(rid) div 5"), lit(4)) * 100)
       graft.ops.Cubes.toCubeTimeseries(c)
         .select(col("grid"), col("nomvar"), col("ip1_kind"),
           col("level"), col("n_times"),
@@ -1079,25 +1081,31 @@ UNION ALL SELECT rid, nomvar, (SELECT min(grid) FROM d) AS grid
       s""", g AS (SELECT *, ${Decode.gridSql} AS grid,
         $k1Sql AS ip1_kind, $v1Sql AS level FROM cat)
 , dd AS (SELECT * FROM g WHERE nomvar NOT IN
-    ${VCoord.VcMeta.map(x => s"'$x'").mkString("(", ", ", ")")})
+    ${graft.ops.Cubes.CubeSkip.map(x => s"'$x'").mkString("(", ", ", ")")})
 , picked AS (SELECT * FROM (SELECT *, row_number() OVER
     (PARTITION BY grid, nomvar, ip1_kind, level ORDER BY rid) AS rn
     FROM dd) t WHERE rn = 1)
 SELECT grid, nomvar, ip1_kind,
   CAST(count(*) AS INT) AS n_levels,
   CAST(len(flatten(list(d ORDER BY level))) AS INT) AS cube_len,
-  min(level) AS first_level, max(level) AS last_level,
-  list_reduce(list_transform(flatten(list(d ORDER BY level)),
+  CASE WHEN ${IpColumns.ascendingSql("ip1_kind")} THEN min(level)
+    ELSE max(level) END AS first_level,
+  CASE WHEN ${IpColumns.ascendingSql("ip1_kind")} THEN max(level)
+    ELSE min(level) END AS last_level,
+  list_reduce(list_transform(
+    CASE WHEN ${IpColumns.ascendingSql("ip1_kind")}
+      THEN flatten(list(d ORDER BY level))
+      ELSE flatten(list(d ORDER BY level DESC)) END,
     x -> CAST(x AS DOUBLE)), (a, b) -> a + b) AS cube_sum
 FROM picked GROUP BY 1, 2, 3"""),
 
     "f49_cube_timeseries" -> W(
-      s""", c2 AS (SELECT * REPLACE (datev + (rid // 5 % 4) * 100
+      s""", c2 AS (SELECT * REPLACE (datev + (abs(rid) // 5 % 4) * 100
       AS datev) FROM cat)
 , g AS (SELECT *, ${Decode.gridSql} AS grid,
     $k1Sql AS ip1_kind, $v1Sql AS level FROM c2)
 , dd AS (SELECT * FROM g WHERE nomvar NOT IN
-    ${VCoord.VcMeta.map(x => s"'$x'").mkString("(", ", ", ")")})
+    ${graft.ops.Cubes.CubeSkip.map(x => s"'$x'").mkString("(", ", ", ")")})
 , picked AS (SELECT * FROM (SELECT *, row_number() OVER
     (PARTITION BY grid, nomvar, ip1_kind, level, datev ORDER BY rid)
     AS rn FROM dd) t WHERE rn = 1)
@@ -1113,7 +1121,7 @@ FROM picked GROUP BY 1, 2, 3, 4"""),
       s""", g AS (SELECT *, ${Decode.gridSql} AS grid,
         $k1Sql AS ip1_kind, $v1Sql AS level FROM cat)
 , dd AS (SELECT * FROM g WHERE nomvar NOT IN
-    ${VCoord.VcMeta.map(x => s"'$x'").mkString("(", ", ", ")")})
+    ${graft.ops.Cubes.CubeSkip.map(x => s"'$x'").mkString("(", ", ", ")")})
 , picked AS (SELECT * FROM (SELECT *, row_number() OVER
     (PARTITION BY grid, nomvar, ip1_kind, level ORDER BY rid) AS rn
     FROM dd) t WHERE rn = 1)

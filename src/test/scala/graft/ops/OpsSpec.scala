@@ -242,13 +242,15 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("cube assembly sorts levels and flattens Fortran payloads") {
+  test("cube assembly stacks levels in the kind's order (sigma desc)") {
+    // sigma (kind 1) is a DESCENDING kind: the surface level (1.0)
+    // stacks first, like the reference's ascending-flag level sort
     val cube = Cubes.toCube(mkCatalog())
       .filter(col("nomvar") === "TT").head()
     assert(cube.getAs[Int]("n_levels") == 2)
-    assert(cube.getSeq[Float](cube.fieldIndex("levels")) == Seq(0.5f, 1.0f))
+    assert(cube.getSeq[Float](cube.fieldIndex("levels")) == Seq(1.0f, 0.5f))
     assert(cube.getSeq[Float](cube.fieldIndex("cube")) ==
-      Seq(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f))
+      Seq(5f, 6f, 7f, 8f, 1f, 2f, 3f, 4f))
   }
 
   test("asof join matches same-instant rows and nulls with no prior") {
