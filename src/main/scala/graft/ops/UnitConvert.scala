@@ -58,6 +58,16 @@ object UnitConvert {
         s"CASE WHEN fu_name = 'kelvin' THEN $v - 273.15 " +
           s"WHEN fu_name = 'fahrenheit' THEN ($v - 32) * 5 / 9 " +
           s"WHEN fu_name = 'rankine' THEN $v * fu_factor - 273.15 END"
+      case "fahrenheit" =>
+        s"CASE WHEN fu_name = 'kelvin' THEN ($v - 273.15) * 9 / 5 + 32 " +
+          s"WHEN fu_name = 'celsius' THEN $v * 9 / 5 + 32 " +
+          s"WHEN fu_name = 'rankine' " +
+          s"THEN ($v * fu_factor - 273.15) * 9 / 5 + 32 END"
+      case "rankine" =>
+        s"CASE WHEN fu_name = 'kelvin' THEN $v / $toFactor " +
+          s"WHEN fu_name = 'celsius' THEN ($v + 273.15) / $toFactor " +
+          s"WHEN fu_name = 'fahrenheit' " +
+          s"THEN (($v - 32) * 5 / 9 + 273.15) / $toFactor END"
       case _ => "NULL"
     }
     s"coalesce($temp, $v * (fu_factor / $toFactor))"
