@@ -10,8 +10,13 @@ package graft.core
   */
 object CsvArrayCodec {
 
-  /** Parse "a,b;c,d" -> (fortranFlattened, ni, nj). */
+  /** Parse "a,b;c,d" -> (fortranFlattened, ni, nj). An empty/blank
+    * payload yields (empty, 0, 0) — String.split never returns an
+    * empty array, so the blank case needs its own branch. (The record
+    * writers never emit empty payload cells.)
+    */
   def parse(s: String): (Array[Float], Int, Int) = {
+    if (s.trim.isEmpty) return (Array.empty[Float], 0, 0)
     val rows = s.split(";").map(_.split(",").map(_.trim.toFloat))
     val ni = rows.length
     val nj = if (ni == 0) 0 else rows(0).length

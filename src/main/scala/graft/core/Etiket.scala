@@ -41,7 +41,7 @@ object Etiket {
   def build(label: String, run: String, implementation: String,
             ensembleMember: String): String = {
     val nz = (s: String) => Option(s).filter(x => x.nonEmpty && x != "None")
-    nz(run).getOrElse("") + label + nz(implementation).getOrElse("") +
-      nz(ensembleMember).getOrElse("")
+    nz(run).getOrElse("") + nz(label).getOrElse("") +
+      nz(implementation).getOrElse("") + nz(ensembleMember).getOrElse("")
   }
 }

@@ -47,9 +47,12 @@ object Clusters {
 
     var labels = nodes.select(col("id"), col("id").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var prevSum = labels
-      .agg(sum(col("label").cast("decimal(38,0)"))).collect()(0)
-      .getDecimal(0)
+    def labelSum(df: org.apache.spark.sql.DataFrame)
+        : java.math.BigDecimal =
+      Option(df.agg(sum(col("label").cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty graph -> 0
+    var prevSum = labelSum(labels)
 
     var iter = 0
     var converged = false
@@ -65,9 +68,7 @@ object Clusters {
           least(col("label"), coalesce(col("nbr"), col("label")))
             .as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val nextSum = next
-        .agg(sum(col("label").cast("decimal(38,0)"))).collect()(0)
-        .getDecimal(0)
+      val nextSum = labelSum(next)
       labels.unpersist()
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

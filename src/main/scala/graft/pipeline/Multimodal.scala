@@ -31,9 +31,12 @@ object Multimodal {
     df.withColumn("byte_len", octet_length(col("text")).cast("long"))
       .withColumn("digest", md5(col("payload")))
       .withColumn("head_cp", ascii(substring(col("text"), 1, 1)))
+      // guard the sequence: sequence(1, 0) is an error in Spark, so an
+      // empty document must short-circuit to 0 instead of crashing
       .withColumn("cp_sum", expr(
-        "aggregate(sequence(1, length(text), 16), 0L, " +
-          "(acc, i) -> acc + ascii(substring(text, i, 1)))"))
+        "CASE WHEN length(text) = 0 THEN 0L ELSE " +
+          "aggregate(sequence(1, length(text), 16), 0L, " +
+          "(acc, i) -> acc + ascii(substring(text, i, 1))) END"))
 
   val FeatureDim = 8
 
@@ -102,6 +105,9 @@ object Multimodal {
     * in metadata; per-row expression work, no shuffle). STUB geometry:
     * keeps every ceil(len/targetBytes)-th byte via a strided gather —
     * replace with a real scaler when codec libraries are available.
+    * NOTE: stride geometry is byte-based while gathering is by char
+    * index — exact only for single-byte payloads (the stub contract;
+    * the oracle mirrors the same arithmetic bit-for-bit).
     */
   def resizeStub(df: DataFrame, targetBytes: Int = 32): DataFrame = {
     val len = octet_length(col("payload"))

@@ -598,9 +598,10 @@ SELECT query_id, vec_id, bucket, rank, cos FROM r WHERE rank <= 5""",
       CAST(strlen(text) AS BIGINT) AS byte_len,
       md5(text) AS digest,
       ascii(substring(text, 1, 1)) AS head_cp,
-      list_reduce(list_transform(range(1, length(text) + 1, 16),
-        i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT)),
-        (a, b) -> a + b) AS cp_sum
+      CASE WHEN length(text) = 0 THEN 0 ELSE
+        list_reduce(list_transform(range(1, length(text) + 1, 16),
+          i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT)),
+          (a, b) -> a + b) END AS cp_sum
       FROM documents""",
 
     "p15_cosine_lsh" -> {

@@ -61,17 +61,7 @@ object CsvRecords {
     if (!cols.contains("datev")) df = df.withColumn("datev", col("dateo"))
 
     // payload: "a,b;c,d" -> dims + Fortran-flat float array
-    val rows = transform(split(col("d"), ";"), r => split(r, ","))
-    df = df
-      .withColumn("rows", rows)
-      .withColumn("ni", size(col("rows")))
-      .withColumn("nj", size(element_at(col("rows"), 1)))
-      .withColumn("d", transform(
-        sequence(lit(0), col("ni") * col("nj") - 1),
-        k => element_at(
-          element_at(col("rows"), pmod(k, col("ni")).cast("int") + 1),
-          (k / col("ni")).cast("int") + 1).cast("float")))
-      .drop("rows")
+    df = parsePayload(df)
 
     // level -> encoded ip1 (kind 3, CONVIP_ENCODE)
     if (cols.contains("level")) {
@@ -107,6 +97,24 @@ object CsvRecords {
     intCols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("int")))
       .select(("nomvar" +: "typvar" +: "etiket" +: intCols.take(3)) ++
         intCols.drop(3) ++ Seq("grtyp", "d") map col: _*)
+  }
+
+  /** Parse the `"a,b;c,d"` payload string column `d` into ni/nj and
+    * the Fortran-flat float array, in place. ONE implementation shared
+    * by the batch CSV reader and the streaming record source, so the
+    * two paths cannot diverge.
+    */
+  def parsePayload(df: DataFrame): DataFrame = {
+    val rows = transform(split(col("d"), ";"), r => split(r, ","))
+    df.withColumn("rows", rows)
+      .withColumn("ni", size(col("rows")))
+      .withColumn("nj", size(element_at(col("rows"), 1)))
+      .withColumn("d", transform(
+        sequence(lit(0), col("ni") * col("nj") - 1),
+        k => element_at(
+          element_at(col("rows"), pmod(k, col("ni")).cast("int") + 1),
+          (k / col("ni")).cast("int") + 1).cast("float")))
+      .drop("rows")
   }
 
   /** Write a record catalog as CSV: the payload is serialized back to

@@ -37,17 +37,7 @@ object StreamingRecords {
       .schema(CsvSchema)
       .option("header", "true")
       .csv(path)
-    val rows = transform(split(col("d"), ";"), r => split(r, ","))
-    raw
-      .withColumn("rows", rows)
-      .withColumn("ni", size(col("rows")))
-      .withColumn("nj", size(element_at(col("rows"), 1)))
-      .withColumn("d", transform(
-        sequence(lit(0), col("ni") * col("nj") - 1),
-        k => element_at(
-          element_at(col("rows"), pmod(k, col("ni")).cast("int") + 1),
-          (k / col("ni")).cast("int") + 1).cast("float")))
-      .drop("rows")
+    graft.sources.CsvRecords.parsePayload(raw)
       .withColumn("nk", lit(1))
       .withColumn("date_of_validity",
         IpColumns.stampToTimestamp(col("datev")))
@@ -64,6 +54,11 @@ object StreamingRecords {
 
   /** Streaming dedup on the record identity (A2 semantics with a
     * watermark bounding the dedup state).
+    *
+    * NOTE: records whose datev is a dummy stamp decode to a NULL
+    * validity time, and watermarked stateful operators drop
+    * null-event-time rows — route such records through the batch
+    * dedup path instead.
     */
   def dedup(records: DataFrame): DataFrame =
     records
