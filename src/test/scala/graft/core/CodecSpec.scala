@@ -87,6 +87,18 @@ class CodecSpec extends AnyFunSuite {
       Etiket.Parsed("33K80", "G1", "P", "001"))
   }
 
+  test("Etiket.build null-guards every piece") {
+    assert(Etiket.build(null, "R1", "N", "") == "R1N")
+    assert(Etiket.build("_V710_", "R1", "N", null) == "R1_V710_N")
+    assert(Etiket.build(null, null, null, null) == "")
+  }
+
+  test("CsvArrayCodec.parse maps an empty payload to an empty field") {
+    val (flat, ni, nj) = CsvArrayCodec.parse("")
+    assert(flat.isEmpty && ni == 0 && nj == 0)
+    assert(CsvArrayCodec.parse("  ")._1.isEmpty)
+  }
+
   test("Typvar flags parse/build") {
     assert(TypvarFlags.parse("PU").unitConverted)
     assert(TypvarFlags.parse("PM").multipleModifications)

@@ -32,6 +32,24 @@ class FstFormatSpec extends AnyFunSuite {
     assert(FstFormat.readPayload(img, got).sameElements(d))
   }
 
+  test("out-of-range metadata fails loudly instead of truncating") {
+    intercept[IllegalArgumentException] {
+      FstFormat.packEntry(m.copy(deet = 1 << 24)) // 24-bit field
+    }
+    intercept[IllegalArgumentException] {
+      FstFormat.packEntry(m.copy(npas = 1 << 26)) // 26-bit field
+    }
+    intercept[IllegalArgumentException] {
+      FstFormat.packEntry(m.copy(ip1 = 1 << 28)) // 28-bit field
+    }
+    intercept[IllegalArgumentException] {
+      FstFormat.packEntry(m.copy(nbits = 256)) // 8-bit field
+    }
+    // boundary values pack fine
+    FstFormat.packEntry(m.copy(deet = (1 << 24) - 1,
+      npas = (1 << 26) - 1, ip1 = (1 << 28) - 1, nbits = 255))
+  }
+
   test("odd-length payload survives the 64-bit-word lng rounding") {
     val odd = m.copy(nomvar = "^^", ni = 1, nj = 3)
     val d = Array(45f, 46f, 47f)
