@@ -90,6 +90,13 @@ object IpCodec {
     *  - encoded ip3 with matching kind flags a time interval (swap into
     *    ip2.v1/v2) or a height interval (into ip1.v1/v2).
     */
+  /** Static scalar twins of [[decode]] for codegen'd expressions
+    * (one value per call; the tuple form can't cross a static-call
+    * codegen boundary without boxing).
+    */
+  def decodeValue(ip: Int): Float = decode(ip)._1
+  def decodeKind(ip: Int): Int = decode(ip)._2
+
   def decodeIp123(nomvar: String, ip1: Int, ip2: Int, ip3: Int)
       : (DecodedIp, DecodedIp, DecodedIp) = {
     val nv = nomvar.trim

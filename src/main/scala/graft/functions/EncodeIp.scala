@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast,
-  Expression}
+  Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
   ExprCode}
 import org.apache.spark.sql.functions.call_function
@@ -38,23 +38,70 @@ case class EncodeIpExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native decode twins of [[EncodeIpExpr]]: CONVIP decode split into
+  * its value and kind halves (the tuple can't cross a codegen
+  * static-call boundary unboxed). SQL users get the full codec without
+  * any Scala: `SELECT graft_decode_ip_value(ip1), ...`.
+  */
+case class DecodeIpValueExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = FloatType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_decode_ip_value"
+  override protected def nullSafeEval(ip: Any): Any =
+    IpCodec.decodeValue(ip.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, ip => s"graft.core.IpCodec.decodeValue($ip)")
+  override protected def withNewChildInternal(
+      newChild: Expression): DecodeIpValueExpr = copy(child = newChild)
+}
+
+case class DecodeIpKindExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_decode_ip_kind"
+  override protected def nullSafeEval(ip: Any): Any =
+    IpCodec.decodeKind(ip.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, ip => s"graft.core.IpCodec.decodeKind($ip)")
+  override protected def withNewChildInternal(
+      newChild: Expression): DecodeIpKindExpr = copy(child = newChild)
+}
+
 /** Registration of graft's native expressions into a session's
   * function registry — works on any session, including one built by a
   * host application without graft's involvement.
   */
 object GraftFunctions {
 
-  /** Builder shared by per-session [[install]] and the
+  /** Builders shared by per-session [[install]] and the
     * [[GraftExtensions]] injection path.
     */
   private[functions] val encodeIpBuilder
       : Seq[Expression] => Expression =
     exprs => EncodeIpExpr(
       Cast(exprs.head, FloatType), Cast(exprs(1), IntegerType))
+  private[functions] val decodeIpValueBuilder
+      : Seq[Expression] => Expression =
+    exprs => DecodeIpValueExpr(Cast(exprs.head, IntegerType))
+  private[functions] val decodeIpKindBuilder
+      : Seq[Expression] => Expression =
+    exprs => DecodeIpKindExpr(Cast(exprs.head, IntegerType))
+
+  private[functions] val all: Seq[(String, Seq[Expression] => Expression,
+      Class[_])] = Seq(
+    ("graft_encode_ip", encodeIpBuilder, classOf[EncodeIpExpr]),
+    ("graft_decode_ip_value", decodeIpValueBuilder,
+      classOf[DecodeIpValueExpr]),
+    ("graft_decode_ip_kind", decodeIpKindBuilder,
+      classOf[DecodeIpKindExpr]))
 
   def install(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_encode_ip", encodeIpBuilder, "scala_udf")
+    all.foreach { case (name, builder, _) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
 
   /** (value, kind) -> new-style ip as a Column, via the native
     * expression (installs it on the active session on first use).
@@ -76,10 +123,11 @@ class GraftExtensions
     extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(
       ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    ext.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier(
-        "graft_encode_ip"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[EncodeIpExpr].getName, "graft_encode_ip"),
-      GraftFunctions.encodeIpBuilder))
+    GraftFunctions.all.foreach { case (name, builder, cls) =>
+      ext.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          cls.getName, name),
+        builder))
+    }
 }

@@ -42,4 +42,31 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT graft_encode_ip(500.0D, 2) AS ip").collect()(0).getInt(0)
     assert(got === IpCodec.encode(500f, 2))
   }
+
+  test("native decode functions agree with the Column twins") {
+    import org.apache.spark.sql.functions._
+    val session = spark
+    import session.implicits._
+    // encode a spread of (value, kind) pairs, then decode via BOTH the
+    // native SQL functions and the pure-Column twins — must be equal
+    val ips = Seq(0f -> 0, 0.85f -> 1, 500f -> 2, 1.5f -> 4, 0.3f -> 5,
+      24f -> 10).map { case (v, k) => IpCodec.encode(v, k) }
+    val df = ips.toDF("ip")
+      .withColumn("nat_v", expr("graft_decode_ip_value(ip)"))
+      .withColumn("nat_k", expr("graft_decode_ip_kind(ip)"))
+      .withColumn("col_v", graft.ops.IpColumns.decodeValue(col("ip")))
+      .withColumn("col_k", graft.ops.IpColumns.decodeKind(col("ip")))
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getFloat(1) == r.getFloat(3),
+        s"value mismatch for ip ${r.getInt(0)}")
+      assert(r.getInt(2) == r.getInt(4),
+        s"kind mismatch for ip ${r.getInt(0)}")
+    }
+    // and the scalar codec agrees too
+    rows.foreach { r =>
+      assert(r.getFloat(1) == IpCodec.decodeValue(r.getInt(0)))
+      assert(r.getInt(2) == IpCodec.decodeKind(r.getInt(0)))
+    }
+  }
 }
