@@ -230,6 +230,20 @@ object FstQueries {
             .cast("double").as("payload_sum"))
     }),
 
+    // §2.11 native expressions through the correctness gate: the
+    // codegen'd decode/encode SQL functions (graft_decode_ip_value/
+    // _kind, graft_encode_ip) must match the DuckDB twin of the
+    // pure-Column decode rules AND round-trip new-style ips
+    "f50_native_functions" -> ((s, dir) => {
+      graft.functions.GraftFunctions.install(s)
+      cat(s, dir).filter(col("rid") > 0)
+        .select(col("rid"), col("ip1"),
+          expr("graft_decode_ip_value(ip1)").as("level"),
+          expr("graft_decode_ip_kind(ip1)").as("kind"),
+          expr("graft_encode_ip(graft_decode_ip_value(ip1), " +
+            "graft_decode_ip_kind(ip1))").as("ip1_rt"))
+    }),
+
     // Catalog comparison (fstcomp workflow shape): full-outer join on
     // the record identity + per-record payload diff stats; catalog B
     // is A with one element perturbed (rid%7), rows dropped (rid%11)
@@ -1261,6 +1275,15 @@ SELECT nomvar, ni, nj, ip1, ip2, grtyp, ig1, ig2, ig3, ig4,
           3) AS DOUBLE) AS payload_sum
       FROM cat WHERE rid > 0 AND nomvar IN ('TT', 'GZ')
       GROUP BY nomvar"""),
+
+    // native-expression decode must match the SQL decode rules; the
+    // encode round-trip must reproduce the stored (new-style) ip1
+    "f50_native_functions" -> W(
+      s"""SELECT rid, ip1,
+  ${IpColumns.decodeValueSql("ip1")} AS level,
+  ${IpColumns.decodeKindSql("ip1")} AS kind,
+  ip1 AS ip1_rt
+FROM cat WHERE rid > 0"""),
 
     "f48_catalog_diff" -> W(
       """, a AS (SELECT rid, d FROM cat WHERE rid > 0)
