@@ -18,7 +18,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // dev filter: SPARK_GRAFT_ONLY=f51,f52 runs just those queries
+    // (comma-separated name prefixes); unset = full suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) =>
+        only.forall(_.exists(name.startsWith))
+      }.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -37,11 +37,15 @@ object Etiket {
     else Parsed(raw, "", "", "")
   }
 
-  /** Inverse: concatenates the non-empty pieces in order. */
+  /** Inverse: run + label + implementation + ensemble. The reference
+    * (std_enc.py:25-31) keeps the label unconditionally — a literal
+    * "None" label survives — and drops only run / implementation /
+    * ensemble_member when they equal 'None'; nulls map to "".
+    */
   def build(label: String, run: String, implementation: String,
             ensembleMember: String): String = {
-    val nz = (s: String) => Option(s).filter(x => x.nonEmpty && x != "None")
-    nz(run).getOrElse("") + nz(label).getOrElse("") +
-      nz(implementation).getOrElse("") + nz(ensembleMember).getOrElse("")
+    val nz = (s: String) => Option(s).filter(_ != "None").getOrElse("")
+    nz(run) + Option(label).getOrElse("") +
+      nz(implementation) + nz(ensembleMember)
   }
 }

@@ -38,9 +38,16 @@ object Encode {
 
   /** C8: rebuild etiket from parsed pieces (empty pieces drop out). */
   def etiketFromParts(label: Column, run: Column, implementation: Column,
-                      ensembleMember: Column): Column =
-    concat(coalesce(run, lit("")), label,
-      coalesce(implementation, lit("")), coalesce(ensembleMember, lit("")))
+                      ensembleMember: Column): Column = {
+    // std_enc.py:25-31: label kept unconditionally (even a literal
+    // 'None'); run/implementation/ensemble dropped when 'None'
+    val nz = (c: Column) => {
+      val v = coalesce(c, lit(""))
+      when(v === "None", lit("")).otherwise(v)
+    }
+    concat(nz(run), coalesce(label, lit("")),
+      nz(implementation), nz(ensembleMember))
+  }
 
   /** C9: modifier flags -> second typvar char; >1 modification = M
     * (/root/reference/fstpy/std_enc.py:133-161).

@@ -713,6 +713,69 @@ object FstQueries {
           col("ip1"), col("ip2"), col("dateo"), col("datev"),
           aggregate(col("d"), lit(0.0),
             (a, x) => a + x.cast("double")).as("payload_sum"))
+    }),
+
+    // S1/S2 fidelity: REAL XDF container round-trip — linked 'DIR0'
+    // directory pages, 20-word record headers, MAKE_RND_HANDLE keys —
+    // with datyp-aware payloads (IEEE float32/float64, bit-packed
+    // ints, packed floats) read back both as the float32 `d` surface
+    // and the native-precision `d64` column (get_field_dtype
+    // semantics, std_io.py:633-644)
+    "f51_xdf_roundtrip" -> ((s, dir) => {
+      // lv must vary independently of nomvar (rid % 6 == 2 fixes rid's
+      // parity): derive it from rid div 6
+      val lv = (pmod(expr("rid div 6"), lit(4)) + 1).cast("int")
+      val base = cat(s, dir)
+        .filter(col("nomvar") === "VV" && col("rid") > 0)
+        .withColumn("ip3", col("rid").cast("int"))
+        .withColumn("datyp",
+          element_at(array(lit(5), lit(1), lit(2), lit(5)), lv))
+        .withColumn("nbits",
+          element_at(array(lit(32), lit(12), lit(16), lit(64)), lv))
+        // datyp 2 stores unsigned ints: floor the synthetic halves
+        .withColumn("d", when(col("datyp") === 2,
+          transform(col("d"), x => floor(x).cast("float")))
+          .otherwise(col("d")))
+      val path =
+        s"/tmp/graft_xdf_roundtrip_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      graft.sources.fst.FstWriter.write(base, path, cleanup = false,
+        container = "xdf")
+      s.read.format("fstrec")
+        .schema(graft.sources.fst.FstTable.ExtendedSchema).load(path)
+        .select(col("ip3").as("rid"), col("nomvar"), col("etiket"),
+          col("ip1"), col("ip2"), col("datyp"), col("nbits"),
+          col("dateo"), col("datev"), col("d64"), posexplode(col("d")))
+        .select(col("rid"), col("nomvar"), col("etiket"), col("ip1"),
+          col("ip2"), col("datyp"), col("nbits"), col("dateo"),
+          col("datev"), (col("pos") + 1).as("pos"),
+          col("col").as("value"),
+          element_at(col("d64"), (col("pos") + 1).cast("int"))
+            .as("value64"))
+    }),
+
+    // S8 update mode on the real XDF container: the metadata patch
+    // lands in the page entry AND the record's own 18-word header
+    "f52_xdf_update" -> ((s, dir) => {
+      val base = cat(s, dir)
+        .filter(col("nomvar") === "ES" && col("rid") > 0)
+        .withColumn("ip3", col("rid").cast("int"))
+        // the catalog's odd rids carry turbopack datyps (133/134) the
+        // XDF writer rightly rejects; update never touches payload
+        // encoding, so pin an IEEE payload for the staging write
+        .withColumn("datyp", lit(5)).withColumn("nbits", lit(32))
+      val path =
+        s"/tmp/graft_xdf_update_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      graft.sources.fst.FstWriter.write(base, path, cleanup = false,
+        container = "xdf")
+      val patched = s.read.format("fstrec").load(path)
+        .withColumn("etiket", lit("XUPDATED"))
+        .withColumn("ip2", col("ip2") + 100)
+      graft.sources.fst.FstWriter.update(patched)
+      s.read.format("fstrec").load(path)
+        .select(col("ip3").as("rid"), col("nomvar"), col("etiket"),
+          col("ip1"), col("ip2"), col("dateo"), col("datev"),
+          aggregate(col("d"), lit(0.0),
+            (a, x) => a + x.cast("double")).as("payload_sum"))
     }))
 
   /** Shared quick-pressure oracle: vctype classification + level/meta
@@ -1337,6 +1400,33 @@ FROM st"""),
         list_reduce(list_transform(d, x -> CAST(x AS DOUBLE)),
           (a, x) -> a + x) AS payload_sum
       FROM cat WHERE nomvar = 'GZ' AND rid > 0"""),
+
+    // the chosen datyps/nbits round-trip bit-exactly: IEEE 32/64
+    // verbatim, packed ints are small naturals, and the packed-float
+    // grid (power-of-two step) lands every half-integer offset of the
+    // synthetic payloads exactly
+    "f51_xdf_roundtrip" -> W(
+      """, x AS (SELECT rid, nomvar, etiket, ip1, ip2, dateo, datev,
+        CAST(list_extract([5, 1, 2, 5],
+          CAST((rid // 6) % 4 AS INT) + 1) AS INT) AS datyp,
+        CAST(list_extract([32, 12, 16, 64],
+          CAST((rid // 6) % 4 AS INT) + 1) AS INT) AS nbits, d
+      FROM cat WHERE nomvar = 'VV' AND rid > 0)
+SELECT CAST(rid AS INT) AS rid, nomvar, etiket, ip1, ip2, datyp,
+  nbits, dateo, datev,
+  CAST(unnest(range(1, len(d) + 1)) AS INT) AS pos,
+  CASE WHEN datyp = 2 THEN CAST(floor(unnest(d)) AS FLOAT)
+    ELSE unnest(d) END AS value,
+  CASE WHEN datyp = 2 THEN floor(CAST(unnest(d) AS DOUBLE))
+    ELSE CAST(unnest(d) AS DOUBLE) END AS value64
+FROM x"""),
+
+    "f52_xdf_update" -> W(
+      """SELECT CAST(rid AS INT) AS rid, nomvar, 'XUPDATED' AS etiket,
+        ip1, ip2 + 100 AS ip2, dateo, datev,
+        list_reduce(list_transform(d, x -> CAST(x AS DOUBLE)),
+          (a, x) -> a + x) AS payload_sum
+      FROM cat WHERE nomvar = 'ES' AND rid > 0"""),
 
     "f40_latlon_regular" ->
       """WITH params AS (SELECT * FROM (VALUES

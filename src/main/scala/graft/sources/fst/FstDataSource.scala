@@ -61,6 +61,16 @@ object FstTable {
     StructField("ig4", IntegerType), StructField("datev", LongType),
     StructField("path", StringType), StructField("key", IntegerType),
     StructField("d", ArrayType(FloatType))))
+
+  /** Opt-in columns beyond the default surface, requested via an
+    * explicit `.schema(...)`: `d64` carries the payload at its native
+    * precision (exact for int32 datyp-2 and 64-bit datyp-5 records,
+    * get_field_dtype semantics — std_io.py:633-644) while `d` stays
+    * the reference's dominant float32 view.
+    */
+  val ExtendedSchema: StructType =
+    StructType(Schema.fields :+
+      StructField("d64", ArrayType(DoubleType)))
 }
 
 class FstTable(paths: Seq[String], givenSchema: Option[StructType] = None)
@@ -83,7 +93,7 @@ class FstTable(paths: Seq[String], givenSchema: Option[StructType] = None)
     // (Writes validate separately in resolveOrdinals: the input
     // DataFrame's schema legitimately differs until projected.)
     schema().fields.foreach { f =>
-      val exp = FstTable.Schema.fields.find(_.name == f.name)
+      val exp = FstTable.ExtendedSchema.fields.find(_.name == f.name)
         .getOrElse(throw new IllegalArgumentException(
           s"fstrec: unknown column '${f.name}'"))
       require(f.dataType == exp.dataType,
@@ -101,7 +111,8 @@ class FstTable(paths: Seq[String], givenSchema: Option[StructType] = None)
       info.options().getInt("maxRecordsPerFile",
         FstBatchWrite.MaxRecordsPerFile),
       Option(info.options().get("partitionBy")).toSeq
-        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+      Option(info.options().get("container")).getOrElse("fstrec"))
   }
 }
 
@@ -244,7 +255,7 @@ class FstScan(paths: Seq[String], required: StructType,
   // pruned-away column fails analysis
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    required.fieldNames.filter(_ != "d")
+    required.fieldNames.filter(n => n != "d" && n != "d64")
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
 
   override def filter(filters: Array[Filter]): Unit = {
@@ -295,7 +306,7 @@ class FstScan(paths: Seq[String], required: StructType,
     val raw = files.map(_._2).sum
     val rows = math.max(raw / FstFormat.EntryBytesEstimate, 1L)
     val bytes =
-      if (required.fieldNames.contains("d")) raw
+      if (required.fieldNames.exists(n => n == "d" || n == "d64")) raw
       else files.size * FstFormat.HeaderBytes.toLong +
         rows * FstFormat.DirEntryBytes
     new Statistics {
@@ -479,82 +490,132 @@ class FstPartitionReader(files: Seq[String], required: StructType,
   private val remaining = files.iterator
   private var in: org.apache.hadoop.fs.FSDataInputStream = _
   private var file: String = _
+  private var fileUtF8: UTF8String = _
+  private var isXdf: Boolean = false
   private var entries: Iterator[(FstFormat.Meta, Int)] = Iterator.empty
   private var current: (FstFormat.Meta, Int) = _
+
+  private def readAt(off: Long, len: Int): Array[Byte] = {
+    val buf = new Array[Byte](len)
+    in.readFully(off, buf)
+    buf
+  }
 
   private def openNext(): Boolean = {
     if (in != null) { in.close(); in = null }
     if (!remaining.hasNext) return false
     file = remaining.next()
+    fileUtF8 = UTF8String.fromString(file)
     val fs = FileSystem.get(new java.net.URI(file), hconf)
     in = fs.open(new Path(file))
-    val hdr = new Array[Byte](FstFormat.HeaderBytes)
-    in.readFully(0, hdr)
+    val hdr = readAt(0, FstFormat.HeaderBytes)
     require(FstFormat.maybeFst(hdr),
       s"not a standard file (missing STDR magic): $file")
-    val hb = java.nio.ByteBuffer.wrap(hdr)
-    hb.position(16)
-    val nrecs = hb.getInt
-    val dirOffset = hb.getInt
-    val dirBytes = new Array[Byte](nrecs * 18 * 4)
-    in.readFully(dirOffset, dirBytes)
-    val db = java.nio.ByteBuffer.wrap(dirBytes)
-    entries = (0 until nrecs).iterator.map { r =>
-      val w = new Array[Int](18)
-      (0 until 18).foreach(i => w(i) = db.getInt(r * 18 * 4 + i * 4))
-      (FstFormat.unpackEntry(w), r)
-    }.filter { case (m, key) =>
+    isXdf = XdfFormat.isXdf(hdr)
+    val raw: Iterator[(FstFormat.Meta, Int)] =
+      if (isXdf) XdfFormat.scanEntries(readAt).iterator
+      else {
+        val hb = java.nio.ByteBuffer.wrap(hdr)
+        hb.position(16)
+        val nrecs = hb.getInt
+        val dirOffset = hb.getInt
+        val db = java.nio.ByteBuffer.wrap(
+          readAt(dirOffset, nrecs * 18 * 4))
+        (0 until nrecs).iterator.map { r =>
+          val w = new Array[Int](18)
+          (0 until 18).foreach(i => w(i) = db.getInt(r * 18 * 4 + i * 4))
+          // compact-container handle: record index in the key's recno
+          // position (consistent with MAKE_RND_HANDLE's recno << 10)
+          (FstFormat.unpackEntry(w), r << 10)
+        }
+      }
+    entries = raw.filter { case (m, key) =>
       pushed.forall(f => FstFilters.eval(f, m, file, key))
     }
     true
   }
 
-  private def readPayload(m: FstFormat.Meta): Array[Float] = {
-    val n = m.ni * math.max(m.nj, 1) * math.max(m.nk, 1)
-    val buf = new Array[Byte](n * 4)
-    in.readFully(m.addrWords.toLong * 8, buf)
-    val bb = java.nio.ByteBuffer.wrap(buf)
-    val out = new Array[Float](n)
-    (0 until n).foreach(i => out(i) = bb.getFloat(i * 4))
-    out
-  }
+  /** Payload at native precision: datyp-aware XDF decode, or the
+    * compact container's plain float32 words.
+    */
+  private def readPayload64(m: FstFormat.Meta): Array[Double] =
+    if (isXdf) XdfFormat.readPayload(readAt, m)
+    else {
+      val n = m.ni * math.max(m.nj, 1) * math.max(m.nk, 1)
+      val bb = java.nio.ByteBuffer.wrap(
+        readAt(m.addrWords.toLong * 8, n * 4))
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) { out(i) = bb.getFloat(i * 4).toDouble; i += 1 }
+      out
+    }
+
+  private def readPayload32(m: FstFormat.Meta): Array[Float] =
+    if (isXdf) {
+      val d = XdfFormat.readPayload(readAt, m)
+      val out = new Array[Float](d.length)
+      var i = 0
+      while (i < d.length) { out(i) = d(i).toFloat; i += 1 }
+      out
+    } else {
+      val n = m.ni * math.max(m.nj, 1) * math.max(m.nk, 1)
+      val bb = java.nio.ByteBuffer.wrap(
+        readAt(m.addrWords.toLong * 8, n * 4))
+      val out = new Array[Float](n)
+      var i = 0
+      while (i < n) { out(i) = bb.getFloat(i * 4); i += 1 }
+      out
+    }
 
   override def next(): Boolean = {
     while (!entries.hasNext) if (!openNext()) return false
     current = entries.next(); true
   }
 
-  override def get(): InternalRow = {
-    val (m, key) = current
-    val values: Array[Any] = required.fieldNames.map {
-      case "nomvar" => UTF8String.fromString(m.nomvar)
-      case "typvar" => UTF8String.fromString(m.typvar)
-      case "etiket" => UTF8String.fromString(m.etiket)
-      case "ni" => m.ni
-      case "nj" => m.nj
-      case "nk" => m.nk
-      case "dateo" => m.dateo
-      case "ip1" => m.ip1
-      case "ip2" => m.ip2
-      case "ip3" => m.ip3
-      case "deet" => m.deet
-      case "npas" => m.npas
-      case "datyp" => m.datyp
-      case "nbits" => m.nbits
-      case "grtyp" => UTF8String.fromString(m.grtyp)
-      case "ig1" => m.ig1
-      case "ig2" => m.ig2
-      case "ig3" => m.ig3
-      case "ig4" => m.ig4
-      case "datev" => m.datev
-      case "path" => UTF8String.fromString(file)
-      case "key" => key << 10 // MAKE_RND_HANDLE-style record handle
-      case "d" =>
-        // payload decoded only on demand (lazy column)
-        ArrayData.toArrayData(readPayload(m))
+  // One extractor closure per required ordinal, resolved ONCE at
+  // reader construction — the per-row loop below never dispatches on
+  // field names (this sits under every scan).
+  private type Extract = (FstFormat.Meta, Int) => Any
+  private val extractors: Array[Extract] =
+    required.fieldNames.map[Extract] {
+      case "nomvar" => (m, _) => UTF8String.fromString(m.nomvar)
+      case "typvar" => (m, _) => UTF8String.fromString(m.typvar)
+      case "etiket" => (m, _) => UTF8String.fromString(m.etiket)
+      case "ni" => (m, _) => m.ni
+      case "nj" => (m, _) => m.nj
+      case "nk" => (m, _) => m.nk
+      case "dateo" => (m, _) => m.dateo
+      case "ip1" => (m, _) => m.ip1
+      case "ip2" => (m, _) => m.ip2
+      case "ip3" => (m, _) => m.ip3
+      case "deet" => (m, _) => m.deet
+      case "npas" => (m, _) => m.npas
+      case "datyp" => (m, _) => m.datyp
+      case "nbits" => (m, _) => m.nbits
+      case "grtyp" => (m, _) => UTF8String.fromString(m.grtyp)
+      case "ig1" => (m, _) => m.ig1
+      case "ig2" => (m, _) => m.ig2
+      case "ig3" => (m, _) => m.ig3
+      case "ig4" => (m, _) => m.ig4
+      case "datev" => (m, _) => m.datev
+      case "path" => (_, _) => fileUtF8
+      case "key" => (_, key) => key
+      // payloads decoded only on demand (lazy column)
+      case "d" => (m, _) => ArrayData.toArrayData(readPayload32(m))
+      case "d64" => (m, _) => ArrayData.toArrayData(readPayload64(m))
       case other => throw new IllegalArgumentException(other)
     }
-    InternalRow.fromSeq(values.toSeq)
+
+  override def get(): InternalRow = {
+    val (m, key) = current
+    val values = new Array[Any](extractors.length)
+    var i = 0
+    while (i < extractors.length) {
+      values(i) = extractors(i)(m, key)
+      i += 1
+    }
+    InternalRow.fromSeq(scala.collection.immutable.ArraySeq
+      .unsafeWrapArray(values))
   }
 
   override def close(): Unit = if (in != null) in.close()
@@ -576,7 +637,7 @@ object FstFilters {
     case _ => false
   }
 
-  private def metaCol(a: String): Boolean = a != "d"
+  private def metaCol(a: String): Boolean = a != "d" && a != "d64"
 
   private def value(m: FstFormat.Meta, file: String, key: Int,
                     a: String): Any = a match {
@@ -601,7 +662,7 @@ object FstFilters {
     case "ig4" => m.ig4
     case "datev" => m.datev
     case "path" => file
-    case "key" => key << 10
+    case "key" => key // already a full record handle
   }
 
   private def cmp(a: Any, b: Any): Int = (a, b) match {

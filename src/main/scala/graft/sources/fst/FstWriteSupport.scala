@@ -28,18 +28,21 @@ import org.apache.spark.sql.types._
   */
 class FstWriteBuilder(path: String, schema: StructType,
                       maxRecordsPerFile: Int,
-                      partitionBy: Seq[String] = Nil)
+                      partitionBy: Seq[String] = Nil,
+                      container: String = "fstrec")
     extends WriteBuilder with SupportsTruncate {
+  require(container == "fstrec" || container == "xdf",
+    s"fstrec write: unknown container '$container' (fstrec | xdf)")
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new FstBatchWrite(path, schema, doTruncate, maxRecordsPerFile,
-        partitionBy)
+        partitionBy, container)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new FstStreamingWrite(path, schema, maxRecordsPerFile,
-        partitionBy)
+        partitionBy, container)
   }
 }
 
@@ -51,11 +54,13 @@ class FstWriteBuilder(path: String, schema: StructType,
   */
 class FstStreamingWrite(path: String, schema: StructType,
                         maxRecordsPerFile: Int,
-                        partitionBy: Seq[String] = Nil)
+                        partitionBy: Seq[String] = Nil,
+                        container: String = "fstrec")
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
   private val ordinals = FstBatchWrite.resolveOrdinals(schema)
+  private val d64Ordinal = FstBatchWrite.resolveD64(schema)
   private val partSpec = FstBatchWrite.resolvePartitionSpec(
     schema, partitionBy)
 
@@ -64,7 +69,7 @@ class FstStreamingWrite(path: String, schema: StructType,
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     fs.mkdirs(new Path(path))
     new FstStreamingWriterFactory(path, ordinals, maxRecordsPerFile,
-      partSpec)
+      partSpec, container, d64Ordinal)
   }
 
   override def commit(epochId: Long,
@@ -105,6 +110,21 @@ object FstBatchWrite {
           s"expected ${tpe.simpleString}")
       idx
   }.toArray
+
+  /** Optional `d64` ordinal (-1 when absent): when present and
+    * non-null, the double-precision payload source takes precedence
+    * over `d`, so 64-bit datyp-5 and exact int32 payloads survive the
+    * write at native precision.
+    */
+  def resolveD64(schema: StructType): Int = {
+    val idx = schema.fieldNames.indexOf("d64")
+    if (idx >= 0)
+      require(DataType.equalsIgnoreNullability(schema(idx).dataType,
+        ArrayType(DoubleType)),
+        s"fstrec write: column d64 must be array<double>, got " +
+          schema(idx).dataType.simpleString)
+    idx
+  }
 
   /** Resolve the partition-layout columns (name, schema ordinal,
     * type). Partition columns must be scalar metadata columns; the
@@ -169,11 +189,13 @@ object FstBatchWrite {
 
 class FstBatchWrite(path: String, schema: StructType,
                     truncate: Boolean, maxRecordsPerFile: Int,
-                    partitionBy: Seq[String] = Nil)
+                    partitionBy: Seq[String] = Nil,
+                    container: String = "fstrec")
     extends BatchWrite {
 
   // resolve (and validate) the column ordinals once, on the driver
   private val ordinals: Array[Int] = FstBatchWrite.resolveOrdinals(schema)
+  private val d64Ordinal = FstBatchWrite.resolveD64(schema)
   private val partSpec = FstBatchWrite.resolvePartitionSpec(
     schema, partitionBy)
 
@@ -183,7 +205,8 @@ class FstBatchWrite(path: String, schema: StructType,
     val dir = new Path(path)
     if (truncate && fs.exists(dir)) fs.delete(dir, true)
     fs.mkdirs(dir)
-    new FstDataWriterFactory(path, ordinals, maxRecordsPerFile, partSpec)
+    new FstDataWriterFactory(path, ordinals, maxRecordsPerFile,
+      partSpec, container, d64Ordinal)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
@@ -200,7 +223,9 @@ case class FstCommitMessage(renames: Seq[(String, String)])
 class FstStreamingWriterFactory(path: String, ordinals: Array[Int],
                                 maxRecordsPerFile: Int,
                                 partSpec: Seq[(String, Int, DataType)]
-                                  = Nil)
+                                  = Nil,
+                                container: String = "fstrec",
+                                d64Ordinal: Int = -1)
     extends org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory with Serializable {
   override def createWriter(partitionId: Int, taskId: Long,
@@ -208,24 +233,30 @@ class FstStreamingWriterFactory(path: String, ordinals: Array[Int],
     new FstDataWriter(path, ordinals, partitionId, taskId,
       maxRecordsPerFile,
       namePrefix = s"part-e$epochId-p$partitionId",
-      partSpec = partSpec)
+      partSpec = partSpec, container = container,
+      d64Ordinal = d64Ordinal)
 }
 
 class FstDataWriterFactory(path: String, ordinals: Array[Int],
                            maxRecordsPerFile: Int,
-                           partSpec: Seq[(String, Int, DataType)] = Nil)
+                           partSpec: Seq[(String, Int, DataType)] = Nil,
+                           container: String = "fstrec",
+                           d64Ordinal: Int = -1)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new FstDataWriter(path, ordinals, partitionId, taskId,
-      maxRecordsPerFile, partSpec = partSpec)
+      maxRecordsPerFile, partSpec = partSpec, container = container,
+      d64Ordinal = d64Ordinal)
 }
 
 class FstDataWriter(path: String, ordinals: Array[Int],
                     partitionId: Int, taskId: Long,
                     maxRecordsPerFile: Int,
                     namePrefix: String = null,
-                    partSpec: Seq[(String, Int, DataType)] = Nil)
+                    partSpec: Seq[(String, Int, DataType)] = Nil,
+                    container: String = "fstrec",
+                    d64Ordinal: Int = -1)
     extends DataWriter[InternalRow] {
 
   // own (non-cached) FS instance so checksum sidecars can be disabled
@@ -248,7 +279,7 @@ class FstDataWriter(path: String, ordinals: Array[Int],
   // one open batch per partition-layout directory ("" when unpartitioned)
   private val batches = scala.collection.mutable.LinkedHashMap
     .empty[String, scala.collection.mutable
-      .ArrayBuffer[(FstFormat.Meta, Array[Float])]]
+      .ArrayBuffer[(FstFormat.Meta, Array[Double])]]
   private val madeDirs = scala.collection.mutable.Set.empty[String]
 
   /** `name=value/...` relative directory for the row's partition
@@ -287,7 +318,18 @@ class FstDataWriter(path: String, ordinals: Array[Int],
     val key = if (partSpec.isEmpty) "" else partDir(row)
     val batch = batches.getOrElseUpdate(key,
       scala.collection.mutable.ArrayBuffer.empty)
-    batch += ((meta, row.getArray(o(20)).toFloatArray()))
+    // native-precision payload source when d64 is present + non-null
+    val payload: Array[Double] =
+      if (d64Ordinal >= 0 && !row.isNullAt(d64Ordinal))
+        row.getArray(d64Ordinal).toDoubleArray()
+      else {
+        val f = row.getArray(o(20)).toFloatArray()
+        val d = new Array[Double](f.length)
+        var i = 0
+        while (i < f.length) { d(i) = f(i).toDouble; i += 1 }
+        d
+      }
+    batch += ((meta, payload))
     if (batch.size >= maxRecordsPerFile) flush(key)
   }
 
@@ -303,7 +345,12 @@ class FstDataWriter(path: String, ordinals: Array[Int],
     // retry, speculation — must never write the same in-progress file
     val tmp = new Path(dir, s".$prefix-$fileNo.$uid.fst.inprogress")
     val out = fs.create(tmp, true)
-    try out.write(FstFormat.writeFile(batch.toSeq))
+    val image =
+      if (container == "xdf") XdfFormat.writeFile(batch.toSeq)
+      else FstFormat.writeFile(batch.toSeq.map { case (m, d) =>
+        (m, d.map(_.toFloat))
+      })
+    try out.write(image)
     finally out.close()
     written += ((tmp.toString, fin.toString))
     fileNo += 1

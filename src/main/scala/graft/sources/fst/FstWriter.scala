@@ -25,14 +25,19 @@ object FstWriter {
     */
   def write(df: DataFrame, path: String, maxRecordsPerFile: Int = 128,
             cleanup: Boolean = true,
-            partitionBy: Seq[String] = Nil): Unit = {
+            partitionBy: Seq[String] = Nil,
+            container: String = "fstrec"): Unit = {
     val prepared0 = if (cleanup) graft.ops.Select.metadataCleanup(df) else df
+    // optional native-precision payload column rides along when present
+    val cols = Columns ++
+      (if (df.columns.contains("d64")) Seq("d64") else Nil)
     val prepared = prepared0.select(
-      Columns.map(c => col(c).cast(FstTable.Schema(c).dataType)): _*)
+      cols.map(c => col(c).cast(FstTable.ExtendedSchema(c).dataType)): _*)
     prepared.write.format("fstrec")
       .mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .option("partitionBy", partitionBy.mkString(","))
+      .option("container", container)
       .save(path)
   }
 
@@ -48,8 +53,24 @@ object FstWriter {
     */
   def compact(spark: org.apache.spark.sql.SparkSession, src: String,
               dst: String, maxRecordsPerFile: Int = 4096): Unit = {
-    require(new Path(src).toUri != new Path(dst).toUri,
-      "fstrec compact: dst must differ from src")
+    // Resolve both paths through the filesystem (relative vs absolute,
+    // scheme-qualified vs bare) before comparing — compacting a
+    // directory into itself would duplicate every record. Nesting dst
+    // under src is equally self-referential: the write would land new
+    // record files inside the tree being read.
+    val conf = new Configuration()
+    val srcQ = {
+      val p = new Path(src)
+      p.getFileSystem(conf).makeQualified(p).toUri.normalize
+    }
+    val dstQ = {
+      val p = new Path(dst)
+      p.getFileSystem(conf).makeQualified(p).toUri.normalize
+    }
+    require(srcQ != dstQ, "fstrec compact: dst must differ from src")
+    require(!(dstQ.getPath + "/").startsWith(srcQ.getPath + "/") ||
+      srcQ.getScheme != dstQ.getScheme,
+      "fstrec compact: dst must not be nested under src")
     val records = spark.read.format("fstrec").load(src)
     write(records, dst, maxRecordsPerFile = maxRecordsPerFile,
       cleanup = false)
@@ -92,27 +113,32 @@ object FstWriter {
             f
           })
           val p = new Path(file)
+          // Crash recovery from a previous interrupted update: a
+          // missing data file with a leftover backup means the crash
+          // hit between the two publish renames — restore the backup;
+          // both present means the publish completed — drop the stale
+          // backup. Either way a re-run proceeds normally.
+          val bak0 = new Path(p.getParent, s".${p.getName}.updbak")
+          if (fs.exists(bak0)) {
+            if (!fs.exists(p)) {
+              if (!fs.rename(bak0, p))
+                throw new java.io.IOException(
+                  s"fstrec update: cannot restore backup for $file")
+            } else fs.delete(bak0, false)
+          }
           val len = fs.getFileStatus(p).getLen.toInt
           val bytes = new Array[Byte](len)
           val in = fs.open(p)
           try in.readFully(0, bytes) finally in.close()
           val buf = java.nio.ByteBuffer.wrap(bytes)
-          buf.position(16)
-          val nrecs = buf.getInt
-          val dirOffset = buf.getInt
-          rows.foreach { r =>
-            val idx = r.getInt(1) >> 10
-            require(idx >= 0 && idx < nrecs,
-              s"record handle ${r.getInt(1)} out of range for $file")
-            val at = dirOffset + idx * 18 * 4
-            buf.position(at)
-            val w = new Array[Int](18)
-            (0 until 18).foreach(i => w(i) = buf.getInt)
-            val old = FstFormat.unpackEntry(w)
-            // metadata-only patch: the payload words and their
-            // addr/length stay in place, so edits that change the
-            // payload's declared geometry or encoding would
-            // desynchronize the entry from the stored data
+
+          // metadata-only patch shared by both containers: payload
+          // words and their addr/length/nbits stay in place, so edits
+          // that change the payload's declared geometry or encoding
+          // would desynchronize the entry from the stored data
+          def patched(old: FstFormat.Meta,
+                      r: org.apache.spark.sql.Row,
+                      idx: Int): FstFormat.Meta = {
             require(r.getInt(5) == old.ni && r.getInt(6) == old.nj &&
               r.getInt(7) == old.nk && r.getInt(14) == old.datyp,
               s"fstrec update: cannot change ni/nj/nk/datyp of $file " +
@@ -120,7 +146,7 @@ object FstWriter {
             val deet = r.getInt(12); val npas = r.getInt(13)
             val datev = FstFormat.rawToStamp(
               FstFormat.stampToRaw(r.getLong(8)) + deet.toLong * npas / 5)
-            val m = old.copy(nomvar = r.getString(2),
+            old.copy(nomvar = r.getString(2),
               typvar = r.getString(3), etiket = r.getString(4),
               ni = r.getInt(5), nj = r.getInt(6), nk = r.getInt(7),
               dateo = r.getLong(8), ip1 = r.getInt(9), ip2 = r.getInt(10),
@@ -128,8 +154,63 @@ object FstWriter {
               datyp = r.getInt(14), grtyp = r.getString(15),
               ig1 = r.getInt(16), ig2 = r.getInt(17), ig3 = r.getInt(18),
               ig4 = r.getInt(19), datev = datev)
-            buf.position(at)
-            FstFormat.packEntry(m).foreach(buf.putInt)
+          }
+
+          if (XdfFormat.isXdf(
+            java.util.Arrays.copyOfRange(bytes, 0, 24))) {
+            // real XDF container: locate the entry through the page
+            // chain by handle, patch it in the page AND in the 18-word
+            // record header at swa (plus the datev auxiliary word) so
+            // the two copies stay consistent
+            val hlng = buf.getInt(0) & 0xFFFFFF
+            val pageOffsets =
+              scala.collection.mutable.ArrayBuffer.empty[Int]
+            var addr = 1 + hlng
+            while (addr != 0 &&
+              pageOffsets.size < XdfFormat.MaxDirPages) {
+              val off = (addr - 1) * 8
+              require(buf.getInt(off + 8) == XdfFormat.Dir0,
+                s"fstrec update: bad directory page in $file")
+              pageOffsets += off
+              addr = buf.getInt(off + 16)
+            }
+            rows.foreach { r =>
+              val key = r.getInt(1)
+              val pageno = XdfFormat.handlePage(key)
+              val recno = XdfFormat.handleRec(key)
+              require(pageno < pageOffsets.size &&
+                recno < buf.getInt(pageOffsets(pageno) + 20),
+                s"record handle $key out of range for $file")
+              val at = pageOffsets(pageno) + 32 + recno * 72
+              val w = new Array[Int](18)
+              (0 until 18).foreach(i => w(i) = buf.getInt(at + i * 4))
+              // unpackEntry doubles the 64-bit lng; packEntry halves
+              // it back — w0/addr round-trip unchanged
+              val m = patched(FstFormat.unpackEntry(w), r, recno)
+              val entry = FstFormat.packEntry(m)
+              buf.position(at)
+              entry.foreach(buf.putInt)
+              val recOff = (m.addrWords - 1) * 8
+              buf.position(recOff)
+              entry.foreach(buf.putInt)
+              buf.putInt(FstFormat.stampToRaw(m.datev)) // aux xtra1
+            }
+          } else {
+            buf.position(16)
+            val nrecs = buf.getInt
+            val dirOffset = buf.getInt
+            rows.foreach { r =>
+              val idx = r.getInt(1) >> 10
+              require(idx >= 0 && idx < nrecs,
+                s"record handle ${r.getInt(1)} out of range for $file")
+              val at = dirOffset + idx * 18 * 4
+              buf.position(at)
+              val w = new Array[Int](18)
+              (0 until 18).foreach(i => w(i) = buf.getInt)
+              val m = patched(FstFormat.unpackEntry(w), r, idx)
+              buf.position(at)
+              FstFormat.packEntry(m).foreach(buf.putInt)
+            }
           }
           // Never truncate-then-rewrite the original in place: a crash
           // mid-write would destroy the file's payload data. Write the

@@ -1,0 +1,436 @@
+package graft.sources.fst
+
+import java.nio.ByteBuffer
+
+/** Real XDF/FST binary container (S1/S2 fidelity layer).
+  *
+  * Layout follows the reference's ctypes structs and unpack recipe:
+  *  - file header record: `file_header` struct
+  *    (/root/reference/fstpy/std_io.py:362-395) — lng:24|idtyp:8, addr
+  *    (0 for the file header), vrsn, sign ('STDR' at bytes 12-16, the
+  *    maybeFST magic, std_io.py:136-151), fsiz, nrwr, nxtn, nbd
+  *    (directory-page count), plst (last page address), nbig,
+  *    lprm|nprm, laux|naux, neff, nrec, rwflg, reserved, then the key
+  *    descriptor table;
+  *  - linked directory pages: `xdf_dir_page` struct (std_io.py:296-314)
+  *    — 8 header words (lng|idtyp, addr, idrep 'DIR0', reserved,
+  *    nxt_addr, nent, chksum, reserved) + ENTRIES_PER_PAGE (256)
+  *    slots of 9x64-bit `stdf_dir_keys` entries; pages chain through
+  *    nxt_addr (origin-1, 64-bit units, 0 = end);
+  *  - directory entries: the 18-word bit layout unpacked by
+  *    [[FstFormat.unpackEntry]] (std_io.py:687-799), including the
+  *    deleted:1|select:7|lng:24 first word (dltf filter,
+  *    std_io.py:807) and record handles built like MAKE_RND_HANDLE
+  *    (std_io.py:798-799);
+  *  - data records at `swa` (origin-1, 64-bit units — the commented
+  *    fast reader seeks `swa*8-8`, std_io.py:496): the same 18 primary
+  *    words, 2 auxiliary words, payload from word 20 on
+  *    (`data[20:]`, std_io.py:509), big-endian 32-bit words.
+  *
+  * Addresses the reference never pins down (it walks librmn's
+  * already-parsed in-memory page table) are fixed by documented
+  * convention: the first directory page immediately follows the file
+  * header (origin-1 address `1 + header.lng`), and pages/records are
+  * appended in page order.
+  *
+  * Payload codecs per datyp (get_data_fast recipe, std_io.py:492-563):
+  *  - 0 (binary) and 5 (IEEE): raw big-endian IEEE float32, or
+  *    float64 pairs when nbits > 32 (std_io.py:541-542 + the
+  *    get_field_dtype 64-bit rule, std_io.py:633-644);
+  *  - 2 / 4 (unsigned / signed integers): nbits-wide fields packed
+  *    MSB-first into big-endian words (compact_integer semantics,
+  *    std_io.py:536-540);
+  *  - 1 (packed float): nbits-quantized fixed point with a
+  *    power-of-two step and a 3-word header (min as IEEE float32,
+  *    signed step exponent, nelm). The reference delegates the exact
+  *    librmn `compact_float` word layout to C it never spells out
+  *    (std_io.py:529-534), so this header layout is this library's
+  *    own — documented, self-consistent, and exact for values on the
+  *    quantization grid;
+  *  - 6 and 129-134 (float_packer / turbopack) stay an explicit
+  *    external-algorithm boundary: their compression algorithms only
+  *    exist in librmn C (std_io.py:543-563) and are rejected loudly.
+  */
+object XdfFormat {
+
+  val EntriesPerPage = 256 // ENTRIES_PER_PAGE, std_io.py:284
+  val MaxDirPages = 1024 // MAX_DIR_PAGES, std_io.py:285
+  val PageHeaderWords = 8
+  val PageWords: Int = PageHeaderWords + EntriesPerPage * 18 // 4616
+  val PageLng64: Int = PageWords / 2 // 2308
+  // file header: 16 fixed words + 2-word key descriptors for the 16
+  // primary + 2 auxiliary keys (lprm=9, laux=1 x 64-bit: 18 primary
+  // words + 2 aux words per record, data at word 20)
+  val Nprm = 16; val Lprm = 9; val Naux = 2; val Laux = 1
+  val HeaderWords: Int = 16 + 2 * (Nprm + Naux) // 52
+  val HeaderLng64: Int = HeaderWords / 2 // 26
+  val RecordHeaderWords = 20 // data[20:], std_io.py:509
+
+  private def ascii(s: String): Int =
+    ByteBuffer.wrap(s.getBytes("ASCII")).getInt
+  val Dir0: Int = ascii("DIR0")
+  val Vrsn: Int = ascii("XDF0")
+  val Sign: Int = ascii("STDR")
+
+  /** Real-XDF sniff: both containers carry the 'STDR' magic at byte
+    * 12; the XDF file header's first word (lng|idtyp) is non-zero
+    * while the compact container zeroes bytes 0-11.
+    */
+  def isXdf(header: Array[Byte]): Boolean =
+    FstFormat.maybeFst(header) &&
+      ByteBuffer.wrap(header).getInt(0) != 0
+
+  /** MAKE_RND_HANDLE (std_io.py:798-799) with file_index 0: the
+    * within-file record handle.
+    */
+  def handle(pageno: Int, recno: Int): Int =
+    ((recno & 0x1FF) << 10) | ((pageno & 0xFFF) << 19)
+
+  def handlePage(key: Int): Int = (key >>> 19) & 0xFFF
+  def handleRec(key: Int): Int = (key >>> 10) & 0x1FF
+
+  // ---------------------------------------------------------------
+  // payload codecs
+  // ---------------------------------------------------------------
+
+  /** Base encoding with the +64 missing-data flag masked off
+    * (`datyp & 191`, std_io.py:501).
+    */
+  def baseDatyp(datyp: Int): Int = datyp & 191
+
+  def packedWords(nelm: Int, nbits: Int): Int =
+    ((nelm.toLong * nbits + 31) / 32).toInt
+
+  /** Stored payload length in 32-bit words for one record. */
+  def payloadWords(datyp: Int, nbits: Int, nelm: Int): Int =
+    baseDatyp(datyp) match {
+      case 0 => if (nbits > 32) 2 * nelm else nelm
+      case 5 => if (nbits > 32) 2 * nelm else nelm
+      case 1 => 3 + packedWords(nelm, nbits)
+      case 2 | 4 => packedWords(nelm, nbits)
+      case other => throw new UnsupportedOperationException(
+        s"xdf: datyp $other payloads require librmn's " +
+          "float_packer/turbopack compressors (std_io.py:527-563) — " +
+          "outside clean-room scope")
+    }
+
+  /** Pack `ks` as nbits-wide fields, MSB-first, into 32-bit words. */
+  def packBits(ks: Array[Long], nbits: Int): Array[Int] = {
+    val out = new Array[Int](packedWords(ks.length, nbits))
+    var bitPos = 0L
+    var i = 0
+    while (i < ks.length) {
+      val k = ks(i) & ((1L << nbits) - 1)
+      var remaining = nbits
+      var pos = bitPos
+      while (remaining > 0) {
+        val word = (pos / 32).toInt
+        val offset = (pos % 32).toInt
+        val take = math.min(32 - offset, remaining)
+        val shifted =
+          ((k >>> (remaining - take)) & ((1L << take) - 1)).toInt
+        out(word) |= shifted << (32 - offset - take)
+        pos += take
+        remaining -= take
+      }
+      bitPos += nbits
+      i += 1
+    }
+    out
+  }
+
+  /** Inverse of [[packBits]]. */
+  def unpackBits(words: Array[Int], nbits: Int, nelm: Int)
+      : Array[Long] = {
+    val out = new Array[Long](nelm)
+    var bitPos = 0L
+    var i = 0
+    while (i < nelm) {
+      var k = 0L
+      var remaining = nbits
+      var pos = bitPos
+      while (remaining > 0) {
+        val word = (pos / 32).toInt
+        val offset = (pos % 32).toInt
+        val take = math.min(32 - offset, remaining)
+        val bits =
+          (words(word) >>> (32 - offset - take)) & ((1L << take) - 1).toInt
+        k = (k << take) | (bits & 0xFFFFFFFFL)
+        pos += take
+        remaining -= take
+      }
+      out(i) = k
+      bitPos += nbits
+      i += 1
+    }
+    out
+  }
+
+  /** Quantization step exponent for datyp 1: the smallest j with
+    * `range <= (2^nbits - 1) * 2^j` (power-of-two step, so values
+    * whose offsets from the minimum are multiples of the step
+    * round-trip exactly — integer payloads in range always do).
+    */
+  def stepExponent(range: Double, nbits: Int): Int = {
+    if (!(range > 0)) return 0
+    val maxK = ((1L << nbits) - 1).toDouble
+    var j = math.ceil(math.log(range / maxK) / math.log(2)).toInt
+    // float-error guard: walk to the exact boundary
+    while (range > maxK * math.pow(2, j.toDouble)) j += 1
+    while (j > Int.MinValue + 1 &&
+      range <= maxK * math.pow(2, (j - 1).toDouble)) j -= 1
+    j
+  }
+
+  /** Encode one record's payload to stored words. */
+  def encodePayload(datyp: Int, nbits: Int, values: Array[Double])
+      : Array[Int] = baseDatyp(datyp) match {
+    case 0 | 5 =>
+      if (nbits > 32) {
+        val out = new Array[Int](2 * values.length)
+        var i = 0
+        while (i < values.length) {
+          val bits = java.lang.Double.doubleToLongBits(values(i))
+          out(2 * i) = (bits >>> 32).toInt
+          out(2 * i + 1) = bits.toInt
+          i += 1
+        }
+        out
+      } else values.map(v => java.lang.Float.floatToIntBits(v.toFloat))
+    case 2 =>
+      val lim = if (nbits == 32) 1L << 32 else 1L << nbits
+      packBits(values.map { v =>
+        val k = math.round(v)
+        require(k >= 0 && k < lim,
+          s"xdf: datyp 2 value $v out of unsigned $nbits-bit range")
+        k
+      }, nbits)
+    case 4 =>
+      val lim = 1L << (nbits - 1)
+      packBits(values.map { v =>
+        val k = math.round(v)
+        require(k >= -lim && k < lim,
+          s"xdf: datyp 4 value $v out of signed $nbits-bit range")
+        k
+      }, nbits)
+    case 1 =>
+      require(nbits <= 32, s"xdf: datyp 1 nbits $nbits > 32 " +
+        "(the reference raises too, std_io.py:532-533)")
+      val min = if (values.isEmpty) 0.0 else values.min
+      val max = if (values.isEmpty) 0.0 else values.max
+      val j = stepExponent(max - min, nbits)
+      val step = math.pow(2, j.toDouble)
+      val maxK = (1L << nbits) - 1
+      val ks = values.map { v =>
+        math.max(0L, math.min(maxK, math.round((v - min) / step)))
+      }
+      Array(java.lang.Float.floatToIntBits(min.toFloat), j,
+        values.length) ++ packBits(ks, nbits)
+    case other => throw new UnsupportedOperationException(
+      s"xdf: cannot encode datyp $other (librmn-only compressor)")
+  }
+
+  /** Decode one record's stored words back to values. */
+  def decodePayload(datyp: Int, nbits: Int, nelm: Int,
+                    words: Array[Int]): Array[Double] =
+    baseDatyp(datyp) match {
+      case 0 | 5 =>
+        if (nbits > 32) {
+          val out = new Array[Double](nelm)
+          var i = 0
+          while (i < nelm) {
+            val bits = (words(2 * i).toLong << 32) |
+              (words(2 * i + 1) & 0xFFFFFFFFL)
+            out(i) = java.lang.Double.longBitsToDouble(bits)
+            i += 1
+          }
+          out
+        } else {
+          val out = new Array[Double](nelm)
+          var i = 0
+          while (i < nelm) {
+            out(i) = java.lang.Float.intBitsToFloat(words(i)).toDouble
+            i += 1
+          }
+          out
+        }
+      case 2 =>
+        unpackBits(words, nbits, nelm).map(_.toDouble)
+      case 4 =>
+        val lim = 1L << (nbits - 1)
+        unpackBits(words, nbits, nelm).map { k =>
+          (if (k >= lim) k - (lim << 1) else k).toDouble
+        }
+      case 1 =>
+        val min = java.lang.Float.intBitsToFloat(words(0)).toDouble
+        val step = math.pow(2, words(1).toDouble)
+        require(words(2) == nelm,
+          s"xdf: datyp 1 header nelm ${words(2)} != directory $nelm")
+        unpackBits(words.drop(3), nbits, nelm).map(min + _ * step)
+      case other => throw new UnsupportedOperationException(
+        s"xdf: cannot decode datyp $other (librmn-only compressor)")
+    }
+
+  // ---------------------------------------------------------------
+  // container write
+  // ---------------------------------------------------------------
+
+  /** Serialize records into one complete XDF file image:
+    * header | page 0 | its records | page 1 | its records | ...
+    */
+  def writeFile(records: Seq[(FstFormat.Meta, Array[Double])])
+      : Array[Byte] = {
+    val encoded = records.map { case (m, vals) =>
+      val nelm = m.ni * math.max(m.nj, 1) * math.max(m.nk, 1)
+      require(vals.length == nelm,
+        s"xdf write: payload length ${vals.length} != ni*nj*nk $nelm")
+      (m, encodePayload(m.datyp, m.nbits, vals))
+    }
+    val npages = math.max(1, (records.size + EntriesPerPage - 1) /
+      EntriesPerPage)
+    require(npages <= MaxDirPages, s"xdf write: $npages pages > max")
+
+    // origin-1 64-bit addressing; first page right after the header
+    val pageAddr = new Array[Int](npages)
+    val swa = new Array[Int](records.size)
+    val lng64 = new Array[Int](records.size)
+    var cur = 1 + HeaderLng64
+    var p = 0
+    while (p < npages) {
+      pageAddr(p) = cur
+      cur += PageLng64
+      var r = p * EntriesPerPage
+      val end = math.min(records.size, r + EntriesPerPage)
+      while (r < end) {
+        swa(r) = cur
+        lng64(r) = (RecordHeaderWords + encoded(r)._2.length + 1) / 2
+        cur += lng64(r)
+        r += 1
+      }
+      p += 1
+    }
+    val fsiz = cur - 1
+    val buf = ByteBuffer.allocate(fsiz * 8)
+
+    // file header (file_header struct, std_io.py:362-395)
+    buf.putInt(HeaderLng64) // lng:24 | idtyp:8 (idtyp 0)
+    buf.putInt(0) // addr: "0 for a file header"
+    buf.putInt(Vrsn)
+    buf.putInt(Sign) // 'STDR' at bytes 12-16 (maybeFST)
+    buf.putInt(fsiz)
+    buf.putInt(0) // nrwr
+    buf.putInt(0) // nxtn
+    buf.putInt(npages) // nbd
+    buf.putInt(pageAddr(npages - 1)) // plst
+    buf.putInt(if (records.isEmpty) 0 else lng64.max) // nbig
+    buf.putInt((Lprm << 16) | Nprm)
+    buf.putInt((Laux << 16) | Naux)
+    buf.putInt(0) // neff
+    buf.putInt(records.size) // nrec
+    buf.putInt(0) // rwflg
+    buf.putInt(0) // reserved
+    // key descriptor table (opaque to readers; slot index as ncle)
+    (0 until (Nprm + Naux)).foreach { i =>
+      buf.putInt(i + 1); buf.putInt(0)
+    }
+
+    p = 0
+    while (p < npages) {
+      val base = (pageAddr(p) - 1) * 8
+      val lo = p * EntriesPerPage
+      val hi = math.min(records.size, lo + EntriesPerPage)
+      buf.position(base)
+      buf.putInt(PageLng64) // lng:24 | idtyp:8
+      buf.putInt(pageAddr(p))
+      buf.putInt(Dir0) // idrep
+      buf.putInt(0)
+      buf.putInt(if (p + 1 < npages) pageAddr(p + 1) else 0) // nxt_addr
+      buf.putInt(hi - lo) // nent
+      buf.putInt(0) // chksum ("not valid when in core")
+      buf.putInt(0)
+      var r = lo
+      while (r < hi) {
+        val (m, payload) = encoded(r)
+        val entry = FstFormat.packEntry(m.copy(addrWords = swa(r),
+          lng32 = RecordHeaderWords + payload.length))
+        buf.position(base + 32 + (r - lo) * 18 * 4)
+        entry.foreach(buf.putInt)
+        // data record: same 18 primary words + 2 aux + payload
+        buf.position((swa(r) - 1) * 8)
+        entry.foreach(buf.putInt)
+        buf.putInt(FstFormat.stampToRaw(m.datev)) // xtra1 = datev
+        buf.putInt(0)
+        payload.foreach(buf.putInt)
+        r += 1
+      }
+      p += 1
+    }
+    buf.array()
+  }
+
+  // ---------------------------------------------------------------
+  // container read (random-access function so both in-memory byte
+  // arrays and seekable streams plug in)
+  // ---------------------------------------------------------------
+
+  type ReadAt = (Long, Int) => Array[Byte]
+
+  def byteReader(bytes: Array[Byte]): ReadAt = (off, len) =>
+    java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len)
+
+  /** Walk the linked directory pages and return every non-deleted
+    * record's metadata with its MAKE_RND_HANDLE key (S2 semantics:
+    * no payload bytes are touched).
+    */
+  def scanEntries(readAt: ReadAt): Seq[(FstFormat.Meta, Int)] = {
+    val head = ByteBuffer.wrap(readAt(0L, 8))
+    val hlng = head.getInt(0) & 0xFFFFFF
+    val out = Vector.newBuilder[(FstFormat.Meta, Int)]
+    var addr = 1 + hlng // first page follows the header
+    var pageno = 0
+    while (addr != 0 && pageno < MaxDirPages) {
+      val ph = ByteBuffer.wrap(readAt((addr - 1) * 8L, 32))
+      require(ph.getInt(8) == Dir0,
+        s"xdf: directory page at $addr missing DIR0 marker")
+      val nxt = ph.getInt(16)
+      val nent = ph.getInt(20)
+      require(nent >= 0 && nent <= EntriesPerPage,
+        s"xdf: directory page at $addr has nent $nent")
+      if (nent > 0) {
+        val eb = ByteBuffer.wrap(readAt((addr - 1) * 8L + 32, nent * 72))
+        var r = 0
+        while (r < nent) {
+          val w = new Array[Int](18)
+          var i = 0
+          while (i < 18) { w(i) = eb.getInt(r * 72 + i * 4); i += 1 }
+          val dltf = w(0) >>> 31 // deleted:1 (std_io.py:736, :807)
+          if (dltf == 0) out += ((FstFormat.unpackEntry(w),
+            handle(pageno, r)))
+          r += 1
+        }
+      }
+      addr = nxt
+      pageno += 1
+    }
+    out.result()
+  }
+
+  /** Read and decode one record's payload (S4): seek to
+    * `swa*8-8 + 80` (past the 20-word record header) and decode
+    * `payloadWords` stored words.
+    */
+  def readPayload(readAt: ReadAt, m: FstFormat.Meta): Array[Double] = {
+    val nelm = m.ni * math.max(m.nj, 1) * math.max(m.nk, 1)
+    val nwords = payloadWords(m.datyp, m.nbits, nelm)
+    val bytes = readAt((m.addrWords - 1) * 8L + RecordHeaderWords * 4L,
+      nwords * 4)
+    val bb = ByteBuffer.wrap(bytes)
+    val words = new Array[Int](nwords)
+    var i = 0
+    while (i < nwords) { words(i) = bb.getInt(i * 4); i += 1 }
+    decodePayload(m.datyp, m.nbits, nelm, words)
+  }
+
+  def readDirectory(bytes: Array[Byte]): Seq[(FstFormat.Meta, Int)] =
+    scanEntries(byteReader(bytes))
+}

@@ -1,0 +1,227 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.fst.{FstFormat, XdfFormat}
+import graft.sources.fst.FstFormat.Meta
+
+/** Real-XDF container tests. The golden fixture below is synthesized
+  * byte-by-byte from the reference's struct spec and divmod unpack
+  * recipe (/root/reference/fstpy/std_io.py:247-460, 687-799) —
+  * independently of [[XdfFormat.writeFile]] — so the writer and reader
+  * are both pinned to the published layout, not merely to each other.
+  */
+class XdfFormatSpec extends AnyFunSuite {
+
+  private def ascii(s: String): Int =
+    ByteBuffer.wrap(s.getBytes("ASCII")).getInt
+
+  /** Independent 6-bit packing per the reference's reassembly loops
+    * (std_io.py:762-780): char bias 32, 6 bits each, MSB-first.
+    */
+  private def six(s: String, n: Int): Long =
+    s.padTo(n, ' ').take(n).foldLeft(0L)((a, c) => (a << 6) | (c - 32))
+
+  /** Build one 18-word directory entry straight from the word layout
+    * comments (std_io.py:688-697), not via FstFormat.packEntry.
+    */
+  private def goldenEntry(deleted: Boolean, lng64: Int, swa: Int)
+      : Array[Int] = {
+    val w = new Array[Int](18)
+    // word 0: deleted:1, select:7, lng:24
+    w(0) = (if (deleted) 1 << 31 else 0) | (lng64 & 0xFFFFFF)
+    w(1) = swa
+    w(2) = (300 << 8) | 32 // deet:24, nbits:8
+    w(3) = (2 << 8) | 'Z'.toInt // ni:24, grtyp:8
+    w(4) = (1 << 8) | 5 // nj:24, datyp:8
+    w(5) = 1 << 12 // nk:20, ubc:12
+    w(6) = 144 << 6 // npas:26, pad:6
+    w(7) = (77 << 8) | ((0x0ABCDE >> 16) & 0xFF) // ig4:24, ig2a:8
+    w(8) = (33792 << 8) | ((0x0ABCDE >> 8) & 0xFF) // ig1:24, ig2b:8
+    w(9) = (7 << 8) | (0x0ABCDE & 0xFF) // ig3:24, ig2c:8
+    w(10) = (six("R1_V7", 5) << 2).toInt // etik15:30, pad:2
+    w(11) = (six("10_N ", 5) << 2).toInt // etik6a:30, pad:2
+    // word 12: etikbc:12, typvar:12, pad:8 — all <<8 per the unpack
+    w(12) = (((six("  ", 2) << 12) | six("P ", 2)) << 8).toInt
+    w(13) = (six("TT  ", 4) << 8).toInt // nomvar:24, pad:8
+    w(14) = 41394464 << 4 // ip1:28, levtyp:4
+    w(15) = 12 << 4 // ip2:28, pad:4
+    w(16) = 0 << 4 // ip3:28, pad:4
+    w(17) = FstFormat.stampToRaw(442998800L) // date_stamp:32
+    w
+  }
+
+  /** Handcrafted single-page XDF image: header (26x64-bit), page at
+    * origin-1 address 27, two entries (second deleted), record 0 at
+    * swa 2335 with a 2-element IEEE float payload.
+    */
+  private def goldenImage: Array[Byte] = {
+    val pageAddr = 1 + XdfFormat.HeaderLng64 // 27
+    val swa = pageAddr + XdfFormat.PageLng64 // 2335
+    val lng64 = (20 + 2 + 1) / 2 // 11
+    val fsiz = swa - 1 + lng64
+    val buf = ByteBuffer.allocate(fsiz * 8)
+    // file header words (std_io.py:362-395)
+    buf.putInt(XdfFormat.HeaderLng64) // lng:24|idtyp:8
+    buf.putInt(0) // addr = 0 for the file header
+    buf.putInt(ascii("XDF0"))
+    buf.putInt(ascii("STDR")) // bytes 12-16: the maybeFST magic
+    buf.putInt(fsiz)
+    buf.putInt(0); buf.putInt(0)
+    buf.putInt(1) // nbd
+    buf.putInt(pageAddr) // plst
+    buf.putInt(lng64) // nbig
+    buf.putInt((9 << 16) | 16) // lprm|nprm
+    buf.putInt((1 << 16) | 2) // laux|naux
+    buf.putInt(0); buf.putInt(2); buf.putInt(0); buf.putInt(0)
+    // key descriptors (opaque)
+    (0 until 18).foreach { i => buf.putInt(i + 1); buf.putInt(0) }
+    // directory page (std_io.py:296-314)
+    buf.position((pageAddr - 1) * 8)
+    buf.putInt(XdfFormat.PageLng64)
+    buf.putInt(pageAddr)
+    buf.putInt(ascii("DIR0"))
+    buf.putInt(0)
+    buf.putInt(0) // nxt_addr: none
+    buf.putInt(2) // nent (includes the deleted entry)
+    buf.putInt(0); buf.putInt(0)
+    goldenEntry(deleted = false, lng64, swa).foreach(buf.putInt)
+    goldenEntry(deleted = true, lng64, swa).foreach(buf.putInt)
+    // data record: 18 primary words + 2 aux + payload (data[20:])
+    buf.position((swa - 1) * 8)
+    goldenEntry(deleted = false, lng64, swa).foreach(buf.putInt)
+    buf.putInt(FstFormat.stampToRaw(442998800L))
+    buf.putInt(0)
+    buf.putInt(java.lang.Float.floatToIntBits(1.5f))
+    buf.putInt(java.lang.Float.floatToIntBits(-2.25f))
+    buf.array()
+  }
+
+  test("golden image: magic, container sniff, directory fields") {
+    val img = goldenImage
+    assert(FstFormat.maybeFst(img))
+    assert(XdfFormat.isXdf(img))
+    val dir = XdfFormat.readDirectory(img)
+    // the deleted entry is filtered (dltf, std_io.py:807)
+    assert(dir.size == 1)
+    val (m, key) = dir.head
+    assert(key == XdfFormat.handle(0, 0))
+    assert(m.nomvar == "TT" && m.typvar == "P" &&
+      m.etiket == "R1_V710_N")
+    assert(m.ni == 2 && m.nj == 1 && m.nk == 1)
+    assert(m.deet == 300 && m.nbits == 32 && m.grtyp == "Z")
+    assert(m.datyp == 5 && m.npas == 144)
+    assert(m.ig1 == 33792 && m.ig2 == 0x0ABCDE && m.ig3 == 7 &&
+      m.ig4 == 77)
+    assert(m.ip1 == 41394464 && m.ip2 == 12 && m.ip3 == 0)
+    assert(m.datev == 442998800L)
+    // dateo = datev - deet*npas seconds through 5 s stamp ticks
+    assert(m.dateo ==
+      graft.core.RmnDate.dateoFromDatev(442998800L, 300, 144))
+    assert(m.addrWords == 2335)
+    assert(XdfFormat.readPayload(XdfFormat.byteReader(img), m).toSeq ==
+      Seq(1.5, -2.25))
+  }
+
+  test("compact container is not mistaken for XDF") {
+    val m = Meta("TT", "P", "X", 1, 1, 1, 0L, 0, 0, 0, 0, 0, 5, 32,
+      "Z", 0, 0, 0, 0, 442998800L, 0, 0)
+    val own = FstFormat.writeFile(Seq((m, Array(1f))))
+    assert(FstFormat.maybeFst(own) && !XdfFormat.isXdf(own))
+  }
+
+  test("corrupt directory page fails loudly") {
+    val img = goldenImage
+    val buf = ByteBuffer.wrap(img)
+    buf.putInt((1 + XdfFormat.HeaderLng64 - 1) * 8 + 8, 0x42424242)
+    intercept[IllegalArgumentException] {
+      XdfFormat.readDirectory(img)
+    }
+  }
+
+  private def meta(i: Int, ni: Int, nj: Int, datyp: Int, nbits: Int) =
+    Meta("TT", "P", "R1_V710_N", ni, nj, 1, 0L, 41394464, 12, i, 300,
+      144, datyp, nbits, "Z", 33792, 77761, 1, 0, 442998800L, 0, 0)
+
+  test("write/read round-trip across datyps at native precision") {
+    val recs = Seq[(Meta, Array[Double])](
+      (meta(0, 2, 2, 5, 32), Array(1.5, -2.25, 0.0, 3e7)),
+      (meta(1, 2, 2, 5, 64), Array(math.Pi, -1.0 / 3, 1e-300, 2.0)),
+      (meta(2, 3, 1, 2, 16), Array(0.0, 65535.0, 1234.0)),
+      (meta(3, 3, 1, 2, 32), Array(0.0, 4294967295.0, 7.0)),
+      (meta(4, 3, 1, 4, 8), Array(-128.0, 127.0, -1.0)),
+      // datyp 1: integer offsets inside a < 2^nbits range sit on the
+      // power-of-two quantization grid, so they round-trip exactly
+      (meta(5, 4, 1, 1, 12), Array(3.0, 4050.0, 17.0, 20.0)),
+      // +64 missing-data flag masked off for the codec (datyp & 191)
+      (meta(6, 2, 1, 5 + 64, 32), Array(9.5, -9.5)))
+    val img = XdfFormat.writeFile(recs)
+    assert(XdfFormat.isXdf(img))
+    val dir = XdfFormat.readDirectory(img)
+    assert(dir.size == recs.size)
+    dir.sortBy(_._1.ip3).zip(recs).foreach { case ((m, _), (em, ed)) =>
+      assert(m.ip3 == em.ip3 && m.datyp == em.datyp &&
+        m.nbits == em.nbits)
+      val got = XdfFormat.readPayload(XdfFormat.byteReader(img), m)
+      assert(got.toSeq == ed.toSeq, s"payload of ip3=${m.ip3}")
+    }
+  }
+
+  test("datyp 1 off-grid values quantize within half a step") {
+    val vals = Array(0.1, 0.37, 0.9211, 0.5555, 1.0)
+    val nbits = 12
+    val words = XdfFormat.encodePayload(1, nbits, vals)
+    val back = XdfFormat.decodePayload(1, nbits, vals.length, words)
+    val step = math.pow(2,
+      XdfFormat.stepExponent(vals.max - vals.min, nbits).toDouble)
+    vals.zip(back).foreach { case (v, b) =>
+      assert(math.abs(v - b) <= step / 2 + 1e-12, s"$v -> $b")
+    }
+  }
+
+  test("multi-page directory with chained nxt_addr") {
+    val n = XdfFormat.EntriesPerPage + 40 // 2 pages
+    val recs = (0 until n).map { i =>
+      (meta(i, 1, 1, 5, 32), Array(i.toDouble))
+    }
+    val img = XdfFormat.writeFile(recs)
+    val dir = XdfFormat.readDirectory(img)
+    assert(dir.size == n)
+    // MAKE_RND_HANDLE keys: page 0 recnos then page 1 recnos
+    assert(dir.map(_._2).take(3) ==
+      Seq(XdfFormat.handle(0, 0), XdfFormat.handle(0, 1),
+        XdfFormat.handle(0, 2)))
+    assert(dir.map(_._2).drop(XdfFormat.EntriesPerPage).head ==
+      XdfFormat.handle(1, 0))
+    val rd = XdfFormat.byteReader(img)
+    dir.foreach { case (m, _) =>
+      assert(XdfFormat.readPayload(rd, m).head == m.ip3.toDouble)
+    }
+  }
+
+  test("librmn-only compressed datyps are an explicit boundary") {
+    intercept[UnsupportedOperationException] {
+      XdfFormat.encodePayload(6, 16, Array(1.0))
+    }
+    intercept[UnsupportedOperationException] {
+      XdfFormat.payloadWords(133, 16, 4)
+    }
+    intercept[UnsupportedOperationException] {
+      XdfFormat.decodePayload(134, 16, 1, Array(0))
+    }
+  }
+
+  test("bit packing round-trips at word-boundary widths") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    for (nbits <- Seq(1, 3, 8, 12, 16, 17, 24, 31, 32)) {
+      val lim = if (nbits == 32) 0xFFFFFFFFL else (1L << nbits) - 1
+      val gen = Gen.listOfN(67, Gen.choose(0L, lim))
+      val ks = gen.apply(Gen.Parameters.default, Seed(nbits)).get.toArray
+      val words = XdfFormat.packBits(ks, nbits)
+      assert(words.length == XdfFormat.packedWords(ks.length, nbits))
+      assert(XdfFormat.unpackBits(words, nbits, ks.length).toSeq ==
+        ks.toSeq, s"nbits=$nbits")
+    }
+  }
+}
