@@ -147,6 +147,161 @@ object Grids {
     la.unionByName(lo)
   }
 
+  // ---------------------------------------------------------------
+  // M13 extended path: E / G / N / S grid geometry. The reference
+  // delegates these to the ezscint C kernel (rmn.gdll/decodeGrid,
+  // std_grid.py:51-109, 128-203); the MATH is public geodesy,
+  // re-expressed here as codegen'd Column HOFs — no UDF, no driver
+  // compute. Convention notes (the bit-exact ezscint conventions live
+  // only in C, so each is documented and pinned by round-trip tests):
+  //  - N/S: polar stereographic true at 60°, sphere radius 6371 km;
+  //    grid (i,j) 1-based, pole at (pi,pj), d60 = grid length [m] at
+  //    60°, dgrw = angle from Greenwich to the grid's +X axis;
+  //    sin(lat) = (re² - r²)/(re² + r²) with re = 1.866025·R/d60 in
+  //    grid units.
+  //  - E: rotated global lat/lon; (lat1,lon1) and (lat2,lon2) lie on
+  //    the rotated equator ((lat1,lon1) at rotated (0,0)); A-style
+  //    cell-centered rotated latitudes.
+  //  - G: global Gaussian grid, rows south→north at the Legendre-root
+  //    latitudes, longitudes regular from 0.
+  // ---------------------------------------------------------------
+
+  val EarthRadiusM = 6371000.0
+  /** 1 + sin(60°): the polar-stereographic scale factor. */
+  val PsScale = 1.8660254037844386
+  private val D2R = math.Pi / 180.0
+  private val R2D = 180.0 / math.Pi
+
+  /** sin(latitude) array of the nj Gaussian latitudes — the roots of
+    * Legendre P_nj — descending (north→south), via 8 Newton steps on
+    * the ascending recurrence. Everything runs inside built-in
+    * higher-order functions: the per-step (P_n, P_{n-1}) pair is
+    * bound once through a single-element `aggregate` acting as a
+    * let-binding, so the expression tree stays linear in the step
+    * count.
+    */
+  def gaussianRoots(nj: Column): Column =
+    transform(sequence(lit(1), nj), i => {
+      val n = nj.cast("double")
+      val x0 = cos(lit(math.Pi) * (i.cast("double") - 0.25) / (n + 0.5))
+      aggregate(sequence(lit(1), lit(8)), x0, (x, _) => {
+        val leg = aggregate(
+          sequence(lit(1), nj),
+          struct(x.as("p1"), lit(1.0).as("p0")),
+          (acc, k) => {
+            val kd = k.cast("double")
+            val p = ((lit(2.0) * kd - 1.0) * x * acc.getField("p1") -
+              (kd - 1.0) * acc.getField("p0")) / kd
+            when(k === 1, acc)
+              .otherwise(struct(p.as("p1"),
+                acc.getField("p1").as("p0")))
+          })
+        aggregate(array(leg), x, (xc, s) =>
+          xc - s.getField("p1") * (xc * xc - 1.0) /
+            (n * (xc * s.getField("p1") - s.getField("p0"))))
+      })
+    })
+
+  /** LA/LO generation for E / G / N / S grids. Input: one row per
+    * grid with columns grid, grtyp, ni, nj, plus per-family params —
+    * pi, pj, d60, dgrw (N/S) and lat1, lon1, lat2, lon2 (E); unused
+    * params may hold anything. Output shape matches [[latLon2d]]
+    * (Fortran-flat LA + LO records); values are rounded to 1e-6
+    * degrees so the float surface is stable across trig libraries.
+    */
+  def latLonGeo(params: DataFrame): DataFrame = {
+    // E rotation basis from the two equator points: a = unit(p1)
+    // maps to rotated (0,0); c = unit(a × b) is the rotated pole;
+    // bb = c × a completes the right-handed frame. true = a·x' +
+    // bb·y' + c·z' for the rotated unit vector (x', y', z').
+    val withB = params
+      .withColumn("e_ax", cos(col("lat1") * D2R) * cos(col("lon1") * D2R))
+      .withColumn("e_ay", cos(col("lat1") * D2R) * sin(col("lon1") * D2R))
+      .withColumn("e_az", sin(col("lat1") * D2R))
+      .withColumn("e_bx", cos(col("lat2") * D2R) * cos(col("lon2") * D2R))
+      .withColumn("e_by", cos(col("lat2") * D2R) * sin(col("lon2") * D2R))
+      .withColumn("e_bz", sin(col("lat2") * D2R))
+      .withColumn("e_ux", col("e_ay") * col("e_bz") - col("e_az") * col("e_by"))
+      .withColumn("e_uy", col("e_az") * col("e_bx") - col("e_ax") * col("e_bz"))
+      .withColumn("e_uz", col("e_ax") * col("e_by") - col("e_ay") * col("e_bx"))
+      // non-E rows carry zero params (a = b -> |a × b| = 0): keep the
+      // normalization total under ANSI mode; E rows with coincident
+      // or antipodal defining points are genuinely degenerate
+      .withColumn("e_un",
+        when(col("grtyp") === "E", sqrt(col("e_ux") * col("e_ux") +
+          col("e_uy") * col("e_uy") + col("e_uz") * col("e_uz")))
+          .otherwise(lit(1.0)))
+      .withColumn("e_cx", col("e_ux") / col("e_un"))
+      .withColumn("e_cy", col("e_uy") / col("e_un"))
+      .withColumn("e_cz", col("e_uz") / col("e_un"))
+      .withColumn("e_mx", col("e_cy") * col("e_az") - col("e_cz") * col("e_ay"))
+      .withColumn("e_my", col("e_cz") * col("e_ax") - col("e_cx") * col("e_az"))
+      .withColumn("e_mz", col("e_cx") * col("e_ay") - col("e_cy") * col("e_ax"))
+      // Gaussian sin-latitudes once per row, not per point
+      .withColumn("gl", when(col("grtyp") === "G",
+        gaussianRoots(col("nj"))))
+
+    val ks = sequence(lit(0), col("ni") * col("nj") - 1)
+    def i1(k: Column) = pmod(k, col("ni")).cast("double") + 1.0
+    def j1(k: Column) = floor(k / col("ni")).cast("double") + 1.0
+    def rnd(c: Column) = round(c, 6).cast("float")
+
+    // polar stereographic inverse
+    def psR2(k: Column): Column = {
+      val x = i1(k) - col("pi"); val y = j1(k) - col("pj")
+      x * x + y * y
+    }
+    def psRe2: Column = {
+      val re = lit(PsScale * EarthRadiusM) / col("d60")
+      re * re
+    }
+    def psLat(k: Column): Column =
+      asin((psRe2 - psR2(k)) / (psRe2 + psR2(k))) * R2D
+    def psTheta(k: Column): Column =
+      atan2(j1(k) - col("pj"), i1(k) - col("pi")) * R2D
+
+    // rotated lat/lon: rotated cell (i,j) -> true unit vector
+    def rotTrue(k: Column): (Column, Column, Column) = {
+      val phi = (lit(-90.0) + (j1(k) - 0.5) *
+        (lit(180.0) / col("nj"))) * D2R
+      val lam = (i1(k) - 1.0) * (lit(360.0) / col("ni")) * D2R
+      val ux = cos(phi) * cos(lam)
+      val uy = cos(phi) * sin(lam)
+      val uz = sin(phi)
+      (col("e_ax") * ux + col("e_mx") * uy + col("e_cx") * uz,
+        col("e_ay") * ux + col("e_my") * uy + col("e_cy") * uz,
+        col("e_az") * ux + col("e_mz") * uy + col("e_cz") * uz)
+    }
+
+    val laD =
+      when(col("grtyp") === "N", transform(ks, k => rnd(psLat(k))))
+        .when(col("grtyp") === "S", transform(ks, k => rnd(-psLat(k))))
+        .when(col("grtyp") === "E", transform(ks, k => {
+          val (_, _, tz) = rotTrue(k)
+          rnd(asin(tz) * R2D)
+        }))
+        .when(col("grtyp") === "G", transform(ks, k =>
+          // roots descend from north; south-first rows negate
+          rnd(-asin(element_at(col("gl"), j1(k).cast("int"))) * R2D)))
+    val loD =
+      when(col("grtyp") === "N",
+        transform(ks, k => rnd(pmod(psTheta(k) + col("dgrw"), lit(360.0)))))
+        .when(col("grtyp") === "S",
+          transform(ks, k => rnd(pmod(col("dgrw") - psTheta(k), lit(360.0)))))
+        .when(col("grtyp") === "E", transform(ks, k => {
+          val (tx, ty, _) = rotTrue(k)
+          rnd(pmod(atan2(ty, tx) * R2D, lit(360.0)))
+        }))
+        .when(col("grtyp") === "G", transform(ks, k =>
+          rnd(pmod(k, col("ni")) * lit(360.0) / col("ni"))))
+
+    val la = withB.select(col("grid"), lit("LA").as("nomvar"),
+      col("ni"), col("nj"), laD.as("d"))
+    val lo = withB.select(col("grid"), lit("LO").as("nomvar"),
+      col("ni"), col("nj"), loD.as("d"))
+    la.unionByName(lo)
+  }
+
   /** M12 get_df_from_grid (/root/reference/fstpy/std_grid.py:13-44):
     * record constructors from horizontal grid-definition params — Z/Y
     * grids emit a `>>` (ni x 1 longitude axis) and a `^^` (1 x nj

@@ -753,6 +753,26 @@ object FstQueries {
             .as("value64"))
     }),
 
+    // M13/M14 extended: E/G/N/S grid geometry — rotated-pole
+    // transform, Gaussian latitudes (Legendre roots via in-plan
+    // Newton), polar-stereographic inverse — all Column HOFs, no UDF
+    "f53_latlon_geo" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Seq(
+        ("gN", "N", 5, 4, 3.0, 2.0, 25000.0, 10.0, 0.0, 0.0, 0.0, 0.0),
+        ("gS", "S", 5, 4, 3.0, 2.0, 25000.0, 350.0, 0.0, 0.0, 0.0, 0.0),
+        ("gE", "E", 8, 4, 0.0, 0.0, 0.0, 0.0, 35.0, 250.0, 0.0, 340.0),
+        ("gE2", "E", 6, 5, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 90.0),
+        ("gG", "G", 8, 6, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+        .toDF("grid", "grtyp", "ni", "nj", "pi", "pj", "d60", "dgrw",
+          "lat1", "lon1", "lat2", "lon2")
+      graft.ops.Grids.latLonGeo(rows)
+        .select(col("grid"), col("nomvar"), col("ni"), col("nj"),
+          posexplode(col("d")))
+        .select(col("grid"), col("nomvar"), col("ni"), col("nj"),
+          (col("pos") + 1).as("pos"), col("col").as("value"))
+    }),
+
     // S8 update mode on the real XDF container: the metadata patch
     // lands in the page entry AND the record's own 18-word header
     "f52_xdf_update" -> ((s, dir) => {
@@ -1427,6 +1447,110 @@ FROM x"""),
         list_reduce(list_transform(d, x -> CAST(x AS DOUBLE)),
           (a, x) -> a + x) AS payload_sum
       FROM cat WHERE nomvar = 'ES' AND rid > 0"""),
+
+    // op-for-op double mirror of Grids.latLonGeo; the Gaussian Newton
+    // x Legendre iteration is flattened into one recursive CTE
+    "f53_latlon_geo" ->
+      """WITH RECURSIVE params AS (SELECT * FROM (VALUES
+    ('gN', 'N', 5, 4, 3.0, 2.0, 25000.0, 10.0, 0.0, 0.0, 0.0, 0.0),
+    ('gS', 'S', 5, 4, 3.0, 2.0, 25000.0, 350.0, 0.0, 0.0, 0.0, 0.0),
+    ('gE', 'E', 8, 4, 0.0, 0.0, 0.0, 0.0, 35.0, 250.0, 0.0, 340.0),
+    ('gE2', 'E', 6, 5, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 90.0),
+    ('gG', 'G', 8, 6, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    AS p(grid, grtyp, ni, nj, pi_, pj_, d60, dgrw,
+         lat1, lon1, lat2, lon2)),
+gseed0 AS (SELECT grid, nj,
+    CAST(unnest(range(1, nj + 1)) AS INT) AS i
+  FROM params WHERE grtyp = 'G'),
+gseed AS (SELECT grid, nj, i,
+    cos(pi() * (CAST(i AS DOUBLE) - 0.25)
+      / (CAST(nj AS DOUBLE) + 0.5)) AS x
+  FROM gseed0),
+it(grid, nj, i, itn, k, x, p1, p0) AS (
+  -- p0's anchor must be DOUBLE: a bare 1.0 would type the recursive
+  -- column DECIMAL(2,1) and truncate every carried P_{k-1}
+  SELECT grid, nj, i, 1, 1, x, x, CAST(1.0 AS DOUBLE) FROM gseed
+  UNION ALL
+  SELECT grid, nj, i,
+    CASE WHEN k = nj THEN itn + 1 ELSE itn END,
+    CASE WHEN k = nj THEN 1 ELSE k + 1 END,
+    CASE WHEN k = nj THEN x - p1 * (x * x - 1.0)
+        / (CAST(nj AS DOUBLE) * (x * p1 - p0)) ELSE x END,
+    CASE WHEN k = nj THEN x - p1 * (x * x - 1.0)
+        / (CAST(nj AS DOUBLE) * (x * p1 - p0))
+      ELSE ((2.0 * (k + 1) - 1.0) * x * p1 - CAST(k AS DOUBLE) * p0)
+        / (k + 1) END,
+    CASE WHEN k = nj THEN CAST(1.0 AS DOUBLE) ELSE p1 END
+  FROM it WHERE NOT (k = nj AND itn = 8)),
+groots AS (SELECT grid, i,
+    x - p1 * (x * x - 1.0)
+      / (CAST(nj AS DOUBLE) * (x * p1 - p0)) AS root
+  FROM it WHERE k = nj AND itn = 8),
+basis AS (SELECT *,
+    cos(radians(lat1)) * cos(radians(lon1)) AS ax,
+    cos(radians(lat1)) * sin(radians(lon1)) AS ay,
+    sin(radians(lat1)) AS az,
+    cos(radians(lat2)) * cos(radians(lon2)) AS bx,
+    cos(radians(lat2)) * sin(radians(lon2)) AS by,
+    sin(radians(lat2)) AS bz
+  FROM params),
+basis2 AS (SELECT *,
+    ay * bz - az * by AS ux, az * bx - ax * bz AS uy,
+    ax * by - ay * bx AS uz FROM basis),
+basis3 AS (SELECT *,
+    CASE WHEN grtyp = 'E'
+      THEN sqrt(ux * ux + uy * uy + uz * uz) ELSE 1.0 END AS un
+  FROM basis2),
+basis4 AS (SELECT *, ux / un AS cx, uy / un AS cy, uz / un AS cz
+  FROM basis3),
+basis5 AS (SELECT *,
+    cy * az - cz * ay AS mx, cz * ax - cx * az AS my,
+    cx * ay - cy * ax AS mz FROM basis4),
+pts0 AS (SELECT b.*, CAST(unnest(range(0, ni * nj)) AS INT) AS k
+  FROM basis5 b),
+pts AS (SELECT *,
+    CAST(k % ni AS DOUBLE) + 1.0 AS i1,
+    floor(CAST(k AS DOUBLE) / ni) + 1.0 AS j1
+  FROM pts0),
+geo AS (SELECT *,
+    (i1 - pi_) * (i1 - pi_) + (j1 - pj_) * (j1 - pj_) AS r2,
+    ((1.8660254037844386e0 * 6.371e6) / d60)
+      * ((1.8660254037844386e0 * 6.371e6) / d60) AS re2,
+    degrees(atan2(j1 - pj_, i1 - pi_)) AS theta,
+    radians(-90.0 + (j1 - 0.5) * (180.0 / nj)) AS rphi,
+    radians((i1 - 1.0) * (360.0 / ni)) AS rlam
+  FROM pts),
+geo2 AS (SELECT *,
+    cos(rphi) * cos(rlam) AS rux, cos(rphi) * sin(rlam) AS ruy,
+    sin(rphi) AS ruz FROM geo),
+geo3 AS (SELECT *,
+    ax * rux + mx * ruy + cx * ruz AS tx,
+    ay * rux + my * ruy + cy * ruz AS ty,
+    az * rux + mz * ruy + cz * ruz AS tz,
+    degrees(asin((re2 - r2) / (re2 + r2))) AS pslat
+  FROM geo2),
+vals AS (SELECT g.grid, g.ni, g.nj, g.k,
+    CASE g.grtyp
+      WHEN 'N' THEN pslat
+      WHEN 'S' THEN -pslat
+      WHEN 'E' THEN degrees(asin(tz))
+      WHEN 'G' THEN -degrees(asin(
+        (SELECT root FROM groots r
+          WHERE r.grid = g.grid AND r.i = CAST(g.j1 AS INT))))
+    END AS la,
+    CASE g.grtyp
+      WHEN 'N' THEN fmod(fmod(theta + dgrw, 360.0) + 360.0, 360.0)
+      WHEN 'S' THEN fmod(fmod(dgrw - theta, 360.0) + 360.0, 360.0)
+      WHEN 'E' THEN fmod(fmod(degrees(atan2(ty, tx)), 360.0)
+        + 360.0, 360.0)
+      WHEN 'G' THEN CAST(g.k % g.ni AS DOUBLE) * 360.0 / g.ni
+    END AS lo
+  FROM geo3 g)
+SELECT grid, 'LA' AS nomvar, ni, nj, k + 1 AS pos,
+  CAST(round(la, 6) AS FLOAT) AS value FROM vals
+UNION ALL
+SELECT grid, 'LO', ni, nj, k + 1,
+  CAST(round(lo, 6) AS FLOAT) FROM vals""",
 
     "f40_latlon_regular" ->
       """WITH params AS (SELECT * FROM (VALUES
