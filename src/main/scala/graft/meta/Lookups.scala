@@ -4,80 +4,75 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Bundled lookup dimension tables, used as broadcast joins.
   *
-  * Data derived from the reference's bundled CSVs
-  * (/root/reference/fstpy/csv/stdvar.csv, units.csv,
-  * verticalcoordinatetypes.csv, leveltype.csv; loaded at
-  * /root/reference/fstpy/__init__.py:137-304). STDVAR here is a curated
-  * subset of the most common operational variables — unknown nomvars
-  * fall back to ('scalar', '') exactly like the reference
+  * The full dimension-table data ships as bundled CSV resources
+  * (src/main/resources/graft) mirroring the reference's public
+  * CMC dictionary CSVs (/root/reference/fstpy/csv/stdvar.csv 928
+  * rows, units.csv 158, leveltype.csv, thermo_constants.csv; loaded
+  * at /root/reference/fstpy/__init__.py:137-304). Unknown nomvars
+  * still fall back to ('scalar', '') exactly like the reference
   * (/root/reference/fstpy/std_dec.py:159-167).
   */
 object Lookups {
 
-  /** nomvar -> (unit, English description). */
-  val StdVar: Seq[(String, String, String)] = Seq(
-    ("!!", "scalar", "Vertical coordinate descriptor"),
-    ("2Z", "foot", "Tropopause height (edyntrp-glbdiag)"),
-    ("DD", "inverseSecond", "Divergence"),
-    ("EN", "squareMeter_per_secondSquared", "Turbulent kinetic energy"),
-    ("ES", "celsius", "Dew point depression"),
-    ("FB", "watt_per_squareMeter", "Downward solar flux"),
-    ("GZ", "decameter", "Geopotential height"),
-    ("HR", "scalar", "Relative humidity"),
-    ("HU", "kilogram_per_kilogram", "Specific humidity"),
-    ("HY", "scalar", "Descriptor - GEM hybrid vertical coordinate"),
-    ("P0", "millibar", "Surface Pressure"),
-    ("PN", "millibar", "Sea Level Pressure"),
-    ("PR", "meter", "Quantity of Precipitation"),
-    ("PT", "millibar", "Pressure at the Top of the Model"),
-    ("PX", "hectoPascal", "Pressure of the Model"),
-    ("QC", "kilogram_per_kilogram",
-      "Mixing ratio of total condensate (Sundquivst)"),
-    ("RT", "meter_per_second", "Total Precipitation Rate"),
-    ("SD", "centimeter", "Snow Depth"),
-    ("T6", "scalar", "Instantaneous Precipitation Types RA/RS/ZR/IP/SN/NIL"),
-    ("TD", "celsius", "Dew Point Temperature"),
-    ("TT", "celsius", "Air Temperature"),
-    ("TW", "celsius", "Potential Wet-bulb Temperature"),
-    ("UU", "knot", "U-Component of the Wind (Along the grid X axis)"),
-    ("UV", "knot", "Wind Modulus"),
-    ("VT", "celsius", "Virtual Temperature"),
-    ("VV", "knot", "V-Component of the Wind (Along the grid Y axis)"),
-    ("WD", "degree", "Meteorological Wind Direction"),
-    ("WW", "pascal_per_second", "Vertical Motion"))
+  /** Parse a bundled headered CSV (the dictionary files contain no
+    * quoting or embedded separators — verified column-count-clean).
+    */
+  private def resourceCsv(name: String): Seq[Array[String]] = {
+    val in = getClass.getResourceAsStream(s"/graft/$name")
+    require(in != null, s"missing bundled resource graft/$name")
+    try {
+      val src = scala.io.Source.fromInputStream(in, "UTF-8")
+      src.getLines().drop(1).filter(_.nonEmpty)
+        .map(_.split(",", -1)).toList
+    } finally in.close()
+  }
 
-  /** unit name -> (symbol, SI family expression, bias, factor). */
-  val Units: Seq[(String, String, String, Double, Double)] = Seq(
-    ("kilogram", "kg", "kg", 0.0, 1.0),
-    ("kilogram_per_kilogram", "kg/kg", "kg/kg", 0.0, 1.0),
-    ("gram_per_kilogram", "g/kg", "kg/kg", 0.0, 0.001),
-    ("meter", "m", "m", 0.0, 1.0),
-    ("centimeter", "cm", "m", 0.0, 0.01),
-    ("millimeter", "mm", "m", 0.0, 0.001),
-    ("foot", "ft", "m", 0.0, 0.3048),
-    ("decameter", "dam", "m", 0.0, 10.0),
-    ("kilometer", "km", "m", 0.0, 1000.0),
-    ("second", "s", "s", 0.0, 1.0),
-    ("minute", "min", "s", 0.0, 60.0),
-    ("hour", "h", "s", 0.0, 3600.0),
-    ("inverseSecond", "1/s", "s^(-1)", 0.0, 1.0),
-    ("kelvin", "K", "K", 0.0, 1.0),
-    ("celsius", "°C", "K", 273.15, 1.0),
-    ("fahrenheit", "°F", "K", 459.67, 0.5555555555),
-    ("rankine", "°R", "K", 0.0, 0.5555555555),
-    ("meter_per_second", "m/s", "m·s^(-1)", 0.0, 1.0),
-    ("kilometer_per_hour", "km/h", "m·s^(-1)", 0.0, 0.277777778),
-    ("knot", "kt", "m·s^(-1)", 0.0, 0.514444444),
-    ("mile_per_hour", "mph", "m·s^(-1)", 0.0, 0.44704),
-    ("pascal", "Pa", "N·m^(-2)", 0.0, 1.0),
-    ("hectoPascal", "hPa", "N·m^(-2)", 0.0, 100.0),
-    ("millibar", "mbar", "N·m^(-2)", 0.0, 100.0),
-    ("pascal_per_second", "Pa/s", "N·m^(-2)·s^(-1)", 0.0, 1.0),
-    ("watt_per_squareMeter", "W/m2", "J·s^(-1)·m^(-2)", 0.0, 1.0),
-    ("squareMeter_per_secondSquared", "m2/s2", "m^(2)·s^(-2)", 0.0, 1.0),
-    ("degree", "°", "", 0.0, 1.0),
-    ("percent", "%", "", 0.0, 1.0),
-    ("scalar", "", "", 0.0, 1.0))
+  /** nomvar -> (unit, English description) — full 928-row dictionary
+    * (columns nomvar, description_fr, description_en, unit; the
+    * English description keeps the file's verbatim spacing).
+    */
+  val StdVar: Seq[(String, String, String)] =
+    resourceCsv("stdvar.csv").map(f => (f(0), f(3), f(2)))
+
+  /** unit name -> (symbol, SI family expression, bias, factor) — full
+    * 158-row table. The trailing SI-dimension exponent columns ride
+    * in [[UnitsDims]].
+    */
+  val Units: Seq[(String, String, String, Double, Double)] =
+    resourceCsv("units.csv").map(f =>
+      (f(0), f(1), f(2), f(3).toDouble, f(4).toDouble))
+
+  /** unit name -> the 7 SI dimension exponents (mass, length, time,
+    * electric current, temperature, amount of substance, luminous
+    * intensity) — the units.csv tail columns.
+    */
+  val UnitsDims: Map[String, Seq[Int]] =
+    resourceCsv("units.csv").map(f =>
+      f(0) -> (5 until 12).map(i => f(i).toInt)).toMap
+
+  /** Level-type rows: (label, kind, follow_topography, surface-rule
+    * string — "np.nan", a float, or "lo@hi").
+    */
+  val LevelTypes: Seq[(String, Int, Boolean, String)] =
+    resourceCsv("leveltype.csv").map(f =>
+      (f(0), f(1).toInt, f(2) == "1", f(3)))
+
+  /** Thermodynamic constants; names keep the file's literal quoting
+    * (the reference indexes them verbatim, __init__.py:330-331).
+    */
+  val ThermoConstants: Seq[(String, Double)] =
+    resourceCsv("thermo_constants.csv").map(f => (f(0), f(1).toDouble))
+
+  /** get_constant_by_name (__init__.py:330-331): None when absent. */
+  def getConstantByName(name: String): Option[Double] =
+    ThermoConstants.find(_._1 == name).map(_._2)
+
+  /** get_unit_by_name (__init__.py:317-323): falls back to scalar. */
+  def getUnitByName(name: String)
+      : (String, String, String, Double, Double) =
+    Units.find(_._1 == name)
+      .orElse(Units.find(_._1 == "scalar"))
+      .getOrElse(("scalar", "", "", 0.0, 1.0))
 
   /** Vertical-coordinate detection rules:
     * (ip1_kind, toctoc, P0, E1, PT, HY, SF, vcode) -> vctype.
@@ -157,5 +152,24 @@ object Lookups {
     spark.createDataFrame(
       VcTypes.map(t => Row(t._1, t._2, t._3, t._4, t._5, t._6, t._7,
         t._8, t._9)).asJava, schema)
+  }
+
+  def levelTypesDf(spark: SparkSession): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("level_label", StringType, false),
+      StructField("kind", IntegerType, false),
+      StructField("lt_follow_topography", BooleanType, false),
+      StructField("lt_surface", StringType, false)))
+    spark.createDataFrame(
+      LevelTypes.map { case (l, k, f, s) => Row(l, k, f, s) }.asJava,
+      schema)
+  }
+
+  def thermoConstantsDf(spark: SparkSession): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("const_name", StringType, false),
+      StructField("const_value", DoubleType, false)))
+    spark.createDataFrame(
+      ThermoConstants.map { case (n, v) => Row(n, v) }.asJava, schema)
   }
 }

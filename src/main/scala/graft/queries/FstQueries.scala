@@ -39,6 +39,10 @@ object FstQueries {
     case (n, u, d) => s"('$n', '$u', '${d.replace("'", "''")}')"
   }.mkString(", ")
 
+  private def levelTypeValuesSql: String = Lookups.LevelTypes.map {
+    case (l, k, f, _) => s"('$l', $k, ${if (f) "TRUE" else "FALSE"})"
+  }.mkString(", ")
+
   val queries: Map[String, Q] = Map(
     // P1 grid identity (coord records via ip1/ip2, HY -> 'None')
     "f01_grid_column" -> ((s, dir) =>
@@ -753,6 +757,26 @@ object FstQueries {
             .as("value64"))
     }),
 
+    // P5/J4 over the FULL bundled dictionary (928-nomvar STDVAR,
+    // 158-unit UNITS) + leveltype kinds + get_constant_by_name:
+    // nomvars far outside the former curated subset resolve to their
+    // real units (e.g. O3 -> dobson)
+    "f54_lookup_dictionary" -> ((s, dir) => {
+      val vars = Seq("1A", "2Z", "AL", "NT", "O3", "ZP")
+      val base = cat(s, dir).filter(col("rid") > 0)
+        .withColumn("nomvar", element_at(array(vars.map(lit): _*),
+          (pmod(col("rid"), lit(6)) + 1).cast("int")))
+      val decoded = Decode.addIpInfo(
+        Decode.addUnitAndDescription(base))
+      val lt = broadcast(Lookups.levelTypesDf(s))
+      decoded.join(lt, decoded("ip1_kind") === lt("kind"), "left")
+        .select(col("rid"), col("nomvar"), col("unit"),
+          col("description"), col("level_label"),
+          col("lt_follow_topography"),
+          lit(Lookups.getConstantByName("'AEw1'").get).as("aew1"),
+          lit(Lookups.getUnitByName("dobson")._5).as("dobson_factor"))
+    }),
+
     // M13/M14 extended: E/G/N/S grid geometry — rotated-pole
     // transform, Gaussian latitudes (Legendre roots via in-plan
     // Newton), polar-stereographic inverse — all Column HOFs, no UDF
@@ -1447,6 +1471,25 @@ FROM x"""),
         list_reduce(list_transform(d, x -> CAST(x AS DOUBLE)),
           (a, x) -> a + x) AS payload_sum
       FROM cat WHERE nomvar = 'ES' AND rid > 0"""),
+
+    "f54_lookup_dictionary" -> W(
+      s""", sv AS (SELECT * FROM (VALUES $stdvarValuesSql)
+    AS s(nomvar, unit, description))
+, lt AS (SELECT * FROM (VALUES $levelTypeValuesSql)
+    AS l(level_label, kind, lt_follow_topography))
+, b AS (SELECT rid,
+    list_extract(['1A', '2Z', 'AL', 'NT', 'O3', 'ZP'],
+      CAST(rid % 6 AS INT) + 1) AS nomvar,
+    $k1Sql AS ip1_kind
+  FROM cat WHERE rid > 0)
+SELECT b.rid, b.nomvar,
+  coalesce(sv.unit, 'scalar') AS unit,
+  coalesce(sv.description, '') AS description,
+  lt.level_label, lt.lt_follow_topography,
+  ${Lookups.getConstantByName("'AEw1'").get} AS aew1,
+  ${Lookups.getUnitByName("dobson")._5} AS dobson_factor
+FROM b LEFT JOIN sv USING (nomvar)
+LEFT JOIN lt ON b.ip1_kind = lt.kind"""),
 
     // op-for-op double mirror of Grids.latLonGeo; the Gaussian Newton
     // x Legendre iteration is flattened into one recursive CTE
