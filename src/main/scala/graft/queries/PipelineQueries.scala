@@ -57,11 +57,13 @@ object PipelineQueries {
     val bands0 = sh.select(col("doc_id"),
       posexplode(col("bks")).as(Seq("band", "bkey")))
     // degenerate-bucket guard (LshBucketCap): the bucket self-join
-    // below is quadratic in bucket size — skip pathological buckets
-    val okBuckets = bands0.groupBy("band", "bkey")
-      .agg(count(lit(1)).as("bn"))
+    // below is quadratic in bucket size — skip pathological buckets.
+    // Expressed as a window count over the bucket key: it rides the
+    // same (band, bkey) shuffle the self-join needs anyway, where a
+    // separate aggregate + join would add an exchange per run
+    val bands = bands0.withColumn("bn",
+      count(lit(1)).over(Window.partitionBy("band", "bkey")))
       .filter(col("bn") <= lit(LshBucketCap)).drop("bn")
-    val bands = bands0.join(okBuckets, Seq("band", "bkey"))
     val cand = bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") &&
@@ -124,11 +126,12 @@ object PipelineQueries {
       val ex0 = d.select(col("source"), col("doc_id"),
         explode(col("sh")).as("h"))
       // hot-shingle guard (ShingleDfCap): drop join keys whose
-      // document frequency makes the pair join quadratic in one key
-      val okShingles = ex0.groupBy("source", "h")
-        .agg(count(lit(1)).as("df"))
+      // document frequency makes the pair join quadratic in one key.
+      // Window count over (source, h) — shares the shuffle the pair
+      // join keys on instead of a separate aggregate + join
+      val ex = ex0.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("source", "h")))
         .filter(col("df") <= lit(ShingleDfCap)).drop("df")
-      val ex = ex0.join(okShingles, Seq("source", "h"))
       val inter = ex.alias("a").join(ex.alias("b"),
           col("a.source") === col("b.source") &&
             col("a.h") === col("b.h") &&

@@ -327,15 +327,16 @@ class FstScan(paths: Seq[String], required: StructType,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(paths.size == 1,
       "fstrec streaming requires exactly one source directory")
-    new FstMicroBatchStream(paths.head, required, pushed)
+    new FstMicroBatchStream(paths.head, required, pushed,
+      checkpointLocation)
   }
 }
 
-/** Streaming offset = the sorted set of record files seen so far.
-  * Self-contained in the offset JSON, so restart re-planning needs no
-  * side state; a production variant at very large file counts would
-  * keep a compacted file log in the checkpoint directory instead
-  * (the FileStreamSource recipe).
+/** Legacy streaming offset (sorted file-name set, self-contained in
+  * the offset JSON). Superseded by the O(1) [[FstLogOffset]] + the
+  * checkpoint-dir file log, but kept for two jobs: restarts from
+  * checkpoints written before the log existed, and parsing the DSv2
+  * `paths` property (a JSON string array of load() paths).
   */
 case class FstOffset(files: Seq[String])
     extends org.apache.spark.sql.connector.read.streaming.Offset {
@@ -396,72 +397,222 @@ object FstOffset {
   }
 }
 
+/** O(1) streaming offset: the id of the last admitted file batch.
+  * The file names themselves live in the checkpoint-directory log
+  * ([[FstMicroBatchStream]]), so offset-log entries stay constant
+  * size no matter how many files the stream has ever seen.
+  */
+case class FstLogOffset(batchId: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json: String = batchId.toString
+}
+
 /** Micro-batch tail of a directory of record files: each batch reads
   * the files that appeared since the previous offset (records are
   * immutable once written — the writer never appends to a published
   * file). Pushdown and payload pruning apply per batch exactly as in
   * the batch scan.
   *
-  * Supports Trigger.AvailableNow natively: `prepareForTriggerAvailableNow`
-  * snapshots the directory listing once, and every subsequent
-  * `latestOffset(start, limit)` is capped at that snapshot — so an
-  * availability-bounded run drains exactly the files present at start,
-  * including any uncommitted batch from a previous run, then stops.
+  * File tracking follows the FileStreamSource recipe: every
+  * `latestOffset` poll that finds fresh files ADMITS them by writing
+  * one atomic log file `<checkpoint>/graft-files/<batchId>` (lines of
+  * `size\tpath`), every [[FstMicroBatchStream.CompactInterval]]-th
+  * batch additionally writes `<batchId>.compact` holding the entire
+  * seen set, and the offset Spark persists is just the batch id. A
+  * restart replays the newest compact file plus subsequent batch
+  * files to rebuild the seen set — offsets stay O(1) and recovery
+  * I/O stays O(files since last compaction), where the previous
+  * design serialized every seen file name into every offset.
+  * Admission is decoupled from Spark's own offset log: a batch
+  * admitted here but never committed by the engine is simply
+  * re-planned from the log after restart — no file is lost or read
+  * twice.
+  *
+  * Supports Trigger.AvailableNow natively: preparation admits
+  * everything currently listable as one batch and subsequent
+  * `latestOffset(start, limit)` calls return that cap, so an
+  * availability-bounded run drains exactly the files present at
+  * start (including admitted-but-uncommitted work from a previous
+  * run) and stops.
   */
 class FstMicroBatchStream(path: String, required: StructType,
-                          pushed: Array[Filter])
+                          pushed: Array[Filter],
+                          checkpointLocation: String)
     extends org.apache.spark.sql.connector.read.streaming
       .MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming
       .SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+  import FstMicroBatchStream.CompactInterval
 
-  @volatile private var availableNowCap: Option[Seq[String]] = None
-  // (path -> size) from the most recent listing: planInputPartitions
-  // bin-packs by size, and re-fetching one status per fresh file
-  // would cost a driver RPC each on an object store
-  @volatile private var lastSizes: Map[String, Long] = Map.empty
+  private val logDir = new Path(checkpointLocation, "graft-files")
+  private lazy val srcFs =
+    FileSystem.get(new java.net.URI(path), new Configuration())
+  // the checkpoint may live on a different filesystem than the data
+  private lazy val ckptFs =
+    logDir.getFileSystem(new Configuration())
 
-  private def listFiles(): Seq[String] = {
-    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
-    val p = new Path(path)
-    val listed: Seq[(String, Long)] =
-      if (!fs.exists(p)) Nil
-      else if (fs.getFileStatus(p).isDirectory)
-        FstScan.listPruned(fs, p, pushed).sortBy(_._1)
-      else Seq((path, fs.getFileStatus(p).getLen))
-    lastSizes = lastSizes ++ listed
-    listed.map(_._1)
+  // rebuilt from the checkpoint log on first use: path -> size
+  private val seen = scala.collection.mutable.HashMap.empty[String, Long]
+  private val batchFiles =
+    scala.collection.mutable.HashMap.empty[Long, Seq[(String, Long)]]
+  private var maxBatch: Long = -1L
+  private var replayed = false
+  @volatile private var availableNowCap: Option[Long] = None
+
+  private def parseLog(p: Path): Seq[(String, Long)] = {
+    val in = ckptFs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('\t')
+        (line.substring(i + 1), line.substring(0, i).toLong)
+      }.toList
+    finally in.close()
   }
 
-  override def initialOffset(): Offset = FstOffset(Nil)
-  override def latestOffset(): Offset = FstOffset(listFiles())
+  /** Rebuild (seen, batchFiles, maxBatch) from the newest compact
+    * snapshot + the batch files after it.
+    */
+  private def replay(): Unit = synchronized {
+    if (replayed) return
+    replayed = true
+    if (!ckptFs.exists(logDir)) return
+    val entries = ckptFs.listStatus(logDir).map(_.getPath.getName)
+      .filterNot(_.startsWith("."))
+    val compacts = entries.filter(_.endsWith(".compact"))
+      .map(_.stripSuffix(".compact").toLong)
+    val plain = entries.filterNot(_.endsWith(".compact")).map(_.toLong)
+    val base = if (compacts.isEmpty) -1L else compacts.max
+    if (base >= 0) {
+      parseLog(new Path(logDir, s"$base.compact"))
+        .foreach { case (f, len) => seen(f) = len }
+      maxBatch = base
+    }
+    plain.filter(_ > base).sorted.foreach { id =>
+      val files = parseLog(new Path(logDir, id.toString))
+      batchFiles(id) = files
+      files.foreach { case (f, len) => seen(f) = len }
+      maxBatch = math.max(maxBatch, id)
+    }
+    // the compacted batch itself stays individually re-plannable
+    // (compaction writes the plain file first)
+    if (base >= 0 && entries.contains(base.toString))
+      batchFiles(base) = parseLog(new Path(logDir, base.toString))
+  }
+
+  private def listNow(): Seq[(String, Long)] = {
+    val p = new Path(path)
+    if (!srcFs.exists(p)) Nil
+    else if (srcFs.getFileStatus(p).isDirectory)
+      FstScan.listPruned(srcFs, p, pushed).sortBy(_._1)
+    else Seq((path, srcFs.getFileStatus(p).getLen))
+  }
+
+  private def writeLog(name: String,
+                       files: Seq[(String, Long)]): Unit = {
+    ckptFs.mkdirs(logDir)
+    val tmp = new Path(logDir, s".$name.tmp")
+    val out = ckptFs.create(tmp, true)
+    try {
+      val sb = new StringBuilder
+      files.foreach { case (f, len) =>
+        sb.append(len).append('\t').append(f).append('\n')
+      }
+      out.write(sb.toString.getBytes("UTF-8"))
+    } finally out.close()
+    if (!ckptFs.rename(tmp, new Path(logDir, name)))
+      throw new java.io.IOException(
+        s"fstrec stream: cannot publish log $name")
+  }
+
+  /** Admit any fresh files as a new batch; returns the latest batch
+    * id (-1 when nothing has ever been admitted).
+    */
+  private def admit(): Long = synchronized {
+    replay()
+    val fresh = listNow().filterNot(f => seen.contains(f._1))
+    if (fresh.isEmpty) return maxBatch
+    val id = maxBatch + 1
+    writeLog(id.toString, fresh)
+    batchFiles(id) = fresh
+    fresh.foreach { case (f, len) => seen(f) = len }
+    maxBatch = id
+    if (id > 0 && id % CompactInterval == 0) {
+      // full snapshot: restart replay reads this + later batches
+      // only. In-memory per-batch plans older than the snapshot are
+      // droppable — the engine never re-plans them within a run, and
+      // a restart reloads from disk.
+      writeLog(s"$id.compact", seen.toSeq.sortBy(_._1))
+      batchFiles.filterInPlace((bid, _) => bid >= id)
+    }
+    id
+  }
+
+  /** Seed the seen set from a legacy (file-list) offset so restarts
+    * from pre-log checkpoints admit only genuinely new files.
+    */
+  private def seedLegacy(off: Offset): Unit = off match {
+    case FstOffset(files) => synchronized {
+      replay()
+      files.foreach(f => if (!seen.contains(f)) seen(f) = 0L)
+    }
+    case _ => ()
+  }
+
+  override def initialOffset(): Offset = FstLogOffset(-1L)
+  override def latestOffset(): Offset = FstLogOffset(admit())
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(listFiles())
+    availableNowCap = Some(admit())
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    FstOffset(availableNowCap.getOrElse(listFiles()))
-  override def reportLatestOffset(): Offset = FstOffset(listFiles())
-  override def deserializeOffset(json: String): Offset =
-    FstOffset.fromJson(json)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    seedLegacy(start)
+    FstLogOffset(availableNowCap.getOrElse(admit()))
+  }
+  override def reportLatestOffset(): Offset =
+    FstLogOffset(synchronized { replay(); maxBatch })
+  override def deserializeOffset(json: String): Offset = {
+    val t = json.trim
+    if (t.startsWith("[")) FstOffset.fromJson(t) // pre-log checkpoint
+    else FstLogOffset(t.toLong)
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset)
-      : Array[InputPartition] = {
-    val seen = start.asInstanceOf[FstOffset].files.toSet
-    val fresh = end.asInstanceOf[FstOffset].files.filterNot(seen)
-    // Bin-pack like the batch scan: a micro-batch admitting thousands
-    // of small record files must not become thousands of tasks.
-    lazy val fs =
-      FileSystem.get(new java.net.URI(path), new Configuration())
-    val sizes = lastSizes
-    FstScan.packPartitions(fresh.map(f => (f, sizes.getOrElse(f,
-      fs.getFileStatus(new Path(f)).getLen))))
+      : Array[InputPartition] = synchronized {
+    replay()
+    val endId = end match {
+      case FstLogOffset(id) => id
+      case FstOffset(_) => maxBatch // legacy end: everything admitted
+    }
+    // a batch pruned from memory (or skipped by compact replay) is
+    // reloaded from its plain log file on demand
+    def ofBatch(id: Long): Seq[(String, Long)] =
+      batchFiles.getOrElseUpdate(id, {
+        val p = new Path(logDir, id.toString)
+        if (ckptFs.exists(p)) parseLog(p) else Nil
+      })
+    val files = start match {
+      case FstLogOffset(startId) =>
+        ((startId + 1) to endId).flatMap(ofBatch)
+      case FstOffset(legacy) =>
+        // legacy start: every admitted batch minus the legacy set
+        val old = legacy.toSet
+        (0L to endId).flatMap(ofBatch)
+          .filterNot(f => old.contains(f._1))
+    }
+    FstScan.packPartitions(files)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FstReaderFactory(required, pushed)
+}
+
+object FstMicroBatchStream {
+  /** Every Nth admitted batch also writes a full `.compact` snapshot
+    * (the FileStreamSource default cadence).
+    */
+  val CompactInterval = 10
 }
 
 case class FstInputPartition(files: Seq[String]) extends InputPartition

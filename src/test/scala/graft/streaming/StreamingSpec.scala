@@ -125,6 +125,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.filter(col("ip3") > 100).count() == 3)
   }
 
+  test("stream offsets stay O(1) and the file log compacts") {
+    import graft.sources.fst.{FstFormat, FstLogOffset, FstMicroBatchStream, FstTable}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    // SparkSession active for packPartitions' conf lookups
+    spark.sparkContext
+    val dir = Files.createTempDirectory("graft_offsets_src").toFile
+    val ckpt = Files.createTempDirectory("graft_offsets_ck").toFile
+    def publish(i: Int): Unit = {
+      val m = FstFormat.Meta("TT", "P", "OFF", 1, 1, 1, 0L, i, 0, 0,
+        0, 0, 5, 32, "X", 0, 0, 0, 0, 442998800L, 0, 0)
+      Files.write(new java.io.File(dir, f"r$i%03d.fst").toPath,
+        FstFormat.writeFile(Seq((m, Array(i.toFloat)))))
+    }
+    val stream = new FstMicroBatchStream(dir.getAbsolutePath,
+      FstTable.Schema, Array.empty, ckpt.getAbsolutePath)
+    var prev: Long = -1L
+    (1 to 12).foreach { i =>
+      publish(i)
+      val off = stream.latestOffset(FstLogOffset(prev),
+        ReadLimit.allAvailable()).asInstanceOf[FstLogOffset]
+      assert(off.batchId == prev + 1)
+      // THE point: the serialized offset does not grow with history
+      assert(off.json.length <= 4, off.json)
+      val parts = stream.planInputPartitions(FstLogOffset(prev), off)
+      assert(parts.nonEmpty)
+      prev = off.batchId
+    }
+    // compaction snapshot appeared at the interval boundary
+    val logDir = new java.io.File(ckpt, "graft-files")
+    assert(logDir.listFiles().exists(_.getName == "10.compact"))
+    // cold restart: a fresh instance replays the log — nothing is
+    // re-admitted, and any admitted-but-uncommitted range re-plans
+    val restarted = new FstMicroBatchStream(dir.getAbsolutePath,
+      FstTable.Schema, Array.empty, ckpt.getAbsolutePath)
+    val latest = restarted.latestOffset(FstLogOffset(prev),
+      ReadLimit.allAvailable()).asInstanceOf[FstLogOffset]
+    assert(latest.batchId == prev) // no fresh files -> same offset
+    val all = restarted.planInputPartitions(FstLogOffset(-1), latest)
+      .flatMap(_.asInstanceOf[graft.sources.fst.FstInputPartition].files)
+    assert(all.length == 12) // every published file re-plannable
+  }
+
   test("streaming near-dup flags band collisions against history") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
