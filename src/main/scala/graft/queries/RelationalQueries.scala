@@ -445,6 +445,13 @@ object RelationalQueries {
              AS total_value
          FROM s GROUP BY user_id, session_idx""",
     // batch sessionization minus each user's final (open) session
+    // Oracle note — known streaming/batch divergence (documented,
+    // not exercised here because the whole input is one micro-batch):
+    // an above-watermark straggler RUN that arrives after its user's
+    // open session closes immediately; a later straggler in a FUTURE
+    // micro-batch landing within that run's gap would have merged
+    // under batch q18 semantics. Within one micro-batch, straggler
+    // runs gap-merge exactly like batch (StreamingRecords.sessions).
     "q19_stream_sessions" ->
       """WITH e AS (SELECT user_id, event_id,
              CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us

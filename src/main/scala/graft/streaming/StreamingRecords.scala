@@ -107,27 +107,44 @@ object StreamingRecords {
             // per-(key, micro-batch) rows are unordered; the sort is
             // bounded by one user's batch volume, not the stream
             val ts = rows.map(_._3).toArray.sorted
+            // gap-merge the batch's own events first (exact batch-q18
+            // semantics within the micro-batch): stragglers that fall
+            // within the gap of EACH OTHER merge before any of them is
+            // compared to the open session
+            val intervals =
+              scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+            ts.foreach { t =>
+              intervals.lastOption match {
+                case Some((a, b, m)) if t - b <= gapUs =>
+                  intervals(intervals.length - 1) = (a, t, m + 1)
+                case _ => intervals += ((t, t, 1L))
+              }
+            }
             var closed = List.empty[ClosedSession]
             var cur = state.getOption
-            ts.foreach { t =>
+            intervals.foreach { case (a, b, m) =>
               cur match {
-                case Some((st, en, n)) if t - en > gapUs =>
-                  // t is past the open session's end by > gap: close
+                case Some((st, en, n)) if a - en > gapUs =>
+                  // entirely past the open session by > gap: close it
                   closed ::= ClosedSession(uid, st, en, n)
-                  cur = Some((t, t, 1L))
-                case Some((st, _, _)) if st - t > gapUs =>
-                  // above-watermark straggler from before the open
-                  // session by > gap: it can never merge with anything
-                  // still to come, so it closes immediately as a
-                  // single-event session (no reordered-history buffer)
-                  closed ::= ClosedSession(uid, t, t, 1L)
+                  cur = Some((a, b, m))
+                case Some((st, _, _)) if st - b > gapUs =>
+                  // above-watermark straggler run from before the open
+                  // session by > gap: closes immediately. DOCUMENTED
+                  // DIVERGENCE from batch q18: an even-later-arriving
+                  // straggler in a FUTURE micro-batch that lands within
+                  // this run's gap would have merged in batch; closing
+                  // that too would need buffering candidate sessions in
+                  // state until the watermark passes them (bounded by
+                  // the watermark delay) — see the q19 oracle notes.
+                  closed ::= ClosedSession(uid, a, b, m)
                 case Some((st, en, n)) =>
-                  // within the gap on either side: extend the session
-                  // boundaries (an out-of-order event may move START
-                  // earlier, matching the batch q18 semantics)
-                  cur = Some((math.min(st, t), math.max(en, t), n + 1))
+                  // within the gap on either side: extend (an
+                  // out-of-order run may move START earlier, matching
+                  // the batch q18 semantics)
+                  cur = Some((math.min(st, a), math.max(en, b), n + m))
                 case None =>
-                  cur = Some((t, t, 1L))
+                  cur = Some((a, b, m))
               }
             }
             cur.foreach { case (st, en, n) =>

@@ -232,11 +232,14 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // batch 2 (watermark now 90 s): user 5's +97 s event is within
     // the gap of its open session -> merges and moves START back;
-    // user 6's +93 s event is > gap before its session -> closes
-    // immediately as a single-event straggler session
-    input.addData((5L, base + 97000000L), (6L, base + 93000000L))
+    // user 6's +91 s and +93 s events are > gap before its session
+    // but within the gap of each other -> they gap-merge into ONE
+    // straggler session (batch q18 semantics within a micro-batch)
+    // before closing
+    input.addData((5L, base + 97000000L),
+      (6L, base + 91000000L), (6L, base + 93000000L))
     q.processAllAvailable()
-    assert(closed().contains((6L, base + 93000000L, base + 93000000L, 1L)))
+    assert(closed().contains((6L, base + 91000000L, base + 93000000L, 2L)))
 
     // batch 3: far-future events close both open sessions; user 5's
     // session must report the merged (earlier) start
