@@ -448,6 +448,91 @@ object PipelineQueries {
         .withColumn("rank", row_number().over(w2).cast("bigint"))
         .filter(col("rank") <= 20)
         .select("lang", "rank", "doc_id", "n_chars")
+    }),
+
+    // train/test decontamination: which training docs share 3-gram
+    // shingles with the held-out split (the standard benchmark-leak
+    // check). The split reuses p20's content-hash router; the overlap
+    // join keys on the shingle hash — linear in corpus shingles,
+    // never pairwise, and map-side combining on (doc, hash).
+    "p23_decontamination" -> ((s, dir) => {
+      val bucket = h64(col("text"), 13) % 100
+      val d = docs(s, dir)
+        .withColumn("sh", hashedShingles(shingles(words(col("text")))))
+        .filter(size(col("sh")) > 0)
+        .withColumn("is_test", bucket >= 90)
+      val testSh = d.filter(col("is_test"))
+        .select(explode(col("sh")).as("h")).distinct()
+      val train = d.filter(!col("is_test"))
+        .select(col("doc_id"), size(col("sh")).as("n_shingles"),
+          explode(col("sh")).as("h"))
+      train.join(testSh, Seq("h"))
+        .groupBy("doc_id", "n_shingles")
+        .agg(count(lit(1)).as("n_shared"))
+        .withColumn("overlap", col("n_shared").cast("double") /
+          col("n_shingles").cast("double"))
+        .withColumn("contaminated", col("overlap") >= 0.2)
+        .select("doc_id", "n_shingles", "n_shared", "overlap",
+          "contaminated")
+    }),
+
+    // PII scrub: count + redact emails and phone-like numbers (the
+    // corpus is synthetic-clean, so deterministic PII is injected
+    // first). Pure per-row regex work — scan-bandwidth at 100 TB; the
+    // md5 of the redacted text pins the exact replacement output.
+    "p24_pii_redaction" -> ((s, dir) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+[0-9][0-9 ]{7,}[0-9]"
+      val withPii = docs(s, dir).withColumn("text2", concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" call +1 555 01"),
+            pmod(col("doc_id"), lit(100)).cast("string")))
+          .otherwise(lit(""))))
+      withPii.select(col("doc_id"),
+        regexp_count(col("text2"), lit(email)).as("n_emails"),
+        regexp_count(col("text2"), lit(phone)).as("n_phones"),
+        md5(regexp_replace(
+          regexp_replace(col("text2"), email, "<EMAIL>"),
+          phone, "<PHONE>")).as("redacted_md5"))
+    }),
+
+    // Gopher-style repetition quality: duplicate-word fraction,
+    // duplicate-2-gram fraction, most-frequent-word share, and the
+    // resulting keep flag. Per-doc set math is expression-only; the
+    // top-word share explodes once and combines map-side on
+    // (doc, word) before the per-doc max.
+    "p25_repetition_quality" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("w", words(col("text")))
+        .withColumn("g2", bind(col("w")) { w =>
+          when(size(w) >= 2,
+            transform(sequence(lit(1), size(w) - 1), i =>
+              concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+            .otherwise(array().cast("array<string>"))
+        })
+      val stats = d.select(col("doc_id"),
+        size(col("w")).as("n_words"),
+        size(array_distinct(col("w"))).as("n_distinct"),
+        size(col("g2")).as("n_2grams"),
+        size(array_distinct(col("g2"))).as("d_2grams"))
+      val top = d.select(col("doc_id"), explode(col("w")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(max(col("cnt")).as("top_cnt"))
+      val dupW = lit(1.0) -
+        col("n_distinct").cast("double") / col("n_words").cast("double")
+      val dupG = when(col("n_2grams") === 0, lit(0.0)).otherwise(
+        lit(1.0) -
+          col("d_2grams").cast("double") / col("n_2grams").cast("double"))
+      val topF = col("top_cnt").cast("double") /
+        col("n_words").cast("double")
+      stats.join(top, Seq("doc_id"))
+        .select(col("doc_id"), col("n_words"),
+          dupW.as("dup_word_frac"), dupG.as("dup_2gram_frac"),
+          topF.as("top_word_frac"),
+          (dupW <= 0.8 && dupG <= 0.6 && topF <= 0.2).as("keep"))
     }))
 
   /** CTE chain producing `sh2` (shingled corpus) and `lshpairs`
@@ -727,6 +812,72 @@ r AS (SELECT lang, CAST(row_number() OVER (PARTITION BY lang
     ORDER BY k DESC, doc_id ASC) AS BIGINT) AS rank, doc_id, n_chars
   FROM b)
 SELECT lang, rank, doc_id, n_chars FROM r WHERE rank <= 20""",
+
+    "p23_decontamination" -> {
+      val sh = hashedShinglesSql(shinglesSql(wordsSql("text")))
+      s"""WITH sh0 AS (SELECT doc_id,
+    ${h64Sql("text", 13)} % 100 AS bucket, $sh AS sh FROM documents),
+sh2 AS (SELECT * FROM sh0 WHERE len(sh) > 0),
+testsh AS (SELECT DISTINCT unnest(sh) AS h FROM sh2
+  WHERE bucket >= 90),
+train AS (SELECT doc_id, CAST(len(sh) AS INT) AS n_shingles,
+  unnest(sh) AS h FROM sh2 WHERE bucket < 90)
+SELECT doc_id, n_shingles, CAST(count(*) AS BIGINT) AS n_shared,
+  CAST(count(*) AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS overlap,
+  (CAST(count(*) AS DOUBLE) / CAST(n_shingles AS DOUBLE)) >= 0.2
+    AS contaminated
+FROM train JOIN testsh USING (h) GROUP BY doc_id, n_shingles"""
+    },
+
+    "p24_pii_redaction" ->
+      """WITH p AS (SELECT doc_id, text
+    || (CASE WHEN doc_id % 3 = 0
+        THEN ' contact user' || CAST(doc_id AS VARCHAR)
+          || '@example.com' ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0
+        THEN ' call +1 555 01' || CAST(doc_id % 100 AS VARCHAR)
+        ELSE '' END) AS text2
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text2,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+    AS n_emails,
+  CAST(len(regexp_extract_all(text2,
+    '\+[0-9][0-9 ]{7,}[0-9]')) AS INT) AS n_phones,
+  md5(regexp_replace(regexp_replace(text2,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\+[0-9][0-9 ]{7,}[0-9]', '<PHONE>', 'g')) AS redacted_md5
+FROM p""",
+
+    "p25_repetition_quality" -> {
+      val w = wordsSql("text")
+      s"""WITH b AS (SELECT doc_id, $w AS w FROM documents),
+c AS (SELECT doc_id, w,
+    CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)),
+      i -> w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)])
+    ELSE [] END AS g2 FROM b),
+stats AS (SELECT doc_id, CAST(len(w) AS INT) AS n_words,
+    CAST(len(list_distinct(w)) AS INT) AS n_distinct,
+    CAST(len(g2) AS INT) AS n_2grams,
+    CAST(len(list_distinct(g2)) AS INT) AS d_2grams FROM c),
+t AS (SELECT doc_id, max(cnt) AS top_cnt FROM
+    (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt FROM
+      (SELECT doc_id, unnest(w) AS word FROM b)
+     GROUP BY doc_id, word) GROUP BY doc_id)
+SELECT s.doc_id, s.n_words,
+  1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE)
+    AS dup_word_frac,
+  CASE WHEN n_2grams = 0 THEN 0.0 ELSE 1.0 -
+    CAST(d_2grams AS DOUBLE) / CAST(n_2grams AS DOUBLE) END
+    AS dup_2gram_frac,
+  CAST(top_cnt AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_frac,
+  ((1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE)) <= 0.8
+   AND (CASE WHEN n_2grams = 0 THEN 0.0 ELSE 1.0 -
+     CAST(d_2grams AS DOUBLE) / CAST(n_2grams AS DOUBLE) END) <= 0.6
+   AND (CAST(top_cnt AS DOUBLE) / CAST(n_words AS DOUBLE)) <= 0.2)
+    AS keep
+FROM stats s JOIN t USING (doc_id)"""
+    },
 
     "p12_embedding_dedup" ->
       s"""WITH e AS (
