@@ -67,6 +67,13 @@ object Lookups {
   def getConstantByName(name: String): Option[Double] =
     ThermoConstants.find(_._1 == name).map(_._2)
 
+  /** FB stations (STATIONSFB, __init__.py:161-180): (intl id, alpha
+    * id, region code, name — file-verbatim incl quoting, lat, lon).
+    */
+  val StationsFb: Seq[(Int, String, String, String, Double, Double)] =
+    resourceCsv("stationsfb.csv").map(f =>
+      (f(0).toInt, f(1), f(2), f(3), f(4).toDouble, f(5).toDouble))
+
   /** get_unit_by_name (__init__.py:317-323): falls back to scalar. */
   def getUnitByName(name: String)
       : (String, String, String, Double, Double) =
@@ -163,6 +170,20 @@ object Lookups {
     spark.createDataFrame(
       LevelTypes.map { case (l, k, f, s) => Row(l, k, f, s) }.asJava,
       schema)
+  }
+
+  def stationsFbDf(spark: SparkSession): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("station_intl_id", IntegerType, false),
+      StructField("station_alpha_id", StringType, false),
+      StructField("can_reg_code", StringType, false),
+      StructField("station_name", StringType, false),
+      StructField("latitude", DoubleType, false),
+      StructField("longitude", DoubleType, false)))
+    spark.createDataFrame(
+      StationsFb.map { case (i, a, c, n, la, lo) =>
+        Row(i, a, c, n, la, lo)
+      }.asJava, schema)
   }
 
   def thermoConstantsDf(spark: SparkSession): DataFrame = {

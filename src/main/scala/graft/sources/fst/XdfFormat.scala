@@ -108,6 +108,9 @@ object XdfFormat {
       case 5 => if (nbits > 32) 2 * nelm else nelm
       case 1 => 3 + packedWords(nelm, nbits)
       case 2 | 4 => packedWords(nelm, nbits)
+      case 7 => packedWords(nelm, 8) // chars pack 8-bit regardless
+      // of declared nbits (the reference passes a literal 8,
+      // std_io.py:546-547)
       case other => throw new UnsupportedOperationException(
         s"xdf: datyp $other payloads require librmn's " +
           "float_packer/turbopack compressors (std_io.py:527-563) — " +
@@ -213,6 +216,13 @@ object XdfFormat {
           s"xdf: datyp 4 value $v out of signed $nbits-bit range")
         k
       }, nbits)
+    case 7 =>
+      packBits(values.map { v =>
+        val k = math.round(v)
+        require(k >= 0 && k < 256,
+          s"xdf: datyp 7 value $v out of 8-bit character range")
+        k
+      }, 8)
     case 1 =>
       require(nbits <= 32, s"xdf: datyp 1 nbits $nbits > 32 " +
         "(the reference raises too, std_io.py:532-533)")
@@ -256,6 +266,8 @@ object XdfFormat {
         }
       case 2 =>
         unpackBits(words, nbits, nelm).map(_.toDouble)
+      case 7 =>
+        unpackBits(words, 8, nelm).map(_.toDouble)
       case 4 =>
         val lim = 1L << (nbits - 1)
         unpackBits(words, nbits, nelm).map { k =>

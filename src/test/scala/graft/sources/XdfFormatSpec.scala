@@ -154,7 +154,9 @@ class XdfFormatSpec extends AnyFunSuite {
       // power-of-two quantization grid, so they round-trip exactly
       (meta(5, 4, 1, 1, 12), Array(3.0, 4050.0, 17.0, 20.0)),
       // +64 missing-data flag masked off for the codec (datyp & 191)
-      (meta(6, 2, 1, 5 + 64, 32), Array(9.5, -9.5)))
+      (meta(6, 2, 1, 5 + 64, 32), Array(9.5, -9.5)),
+      // datyp 7: characters pack 8-bit regardless of declared nbits
+      (meta(7, 5, 1, 7, 8), "HELLO".map(_.toDouble).toArray))
     val img = XdfFormat.writeFile(recs)
     assert(XdfFormat.isXdf(img))
     val dir = XdfFormat.readDirectory(img)
