@@ -52,6 +52,32 @@ class FstScanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.select("ip1").distinct().count() == 400)
   }
 
+  test("update auto-recovers a file left aside by an interrupted run") {
+    val path = "/tmp/graft_scan_spec_updrecover"
+    writeSmallFiles(path, rows = 4, perFile = 8) // one record file
+    val patched = spark.read.format("fstrec").load(path)
+      .withColumn("etiket", lit("RECOVERED"))
+      .persist()
+    patched.count() // rows (incl path/key) cached before the "crash"
+    // simulate the crash window between update()'s two publish
+    // renames: the data file exists only as the hidden backup
+    val dir = new java.io.File(path)
+    val baks = dir.listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".")).map { f =>
+        val bak = new java.io.File(dir, s".${f.getName}.updbak")
+        assert(f.renameTo(bak))
+        bak
+      }
+    assert(spark.read.format("fstrec").load(path).count() == 0)
+    // a re-run restores every backup and applies the patch
+    graft.sources.fst.FstWriter.update(patched)
+    patched.unpersist()
+    val back = spark.read.format("fstrec").load(path)
+    assert(back.count() == 4)
+    assert(back.filter(col("etiket") === "RECOVERED").count() == 4)
+    assert(baks.forall(!_.exists()))
+  }
+
   test("user-supplied read schema validates names and types early") {
     val path = "/tmp/graft_scan_spec_schema"
     writeSmallFiles(path, rows = 8, perFile = 8)
