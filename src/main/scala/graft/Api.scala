@@ -33,11 +33,23 @@ object Api {
     filtered.dropDuplicates(core.Constants.DedupColumns)
   }
 
-  /** Write a catalog back as record files (metadata cleanup + record
-    * batching are handled by the sink).
+  /** Read with the payload at native precision: the extended schema
+    * adds `d64: array<double>` (exact for int32 datyp-2 and 64-bit
+    * datyp-5 records of real XDF files) alongside the float32 `d`.
     */
-  def write(df: DataFrame, path: String): Unit =
-    sources.fst.FstWriter.write(df, path)
+  def readNativePrecision(spark: SparkSession, paths: Seq[String])
+      : DataFrame =
+    spark.read.schema(sources.fst.FstTable.ExtendedSchema)
+      .format("fstrec").load(paths: _*)
+
+  /** Write a catalog back as record files (metadata cleanup + record
+    * batching are handled by the sink). `container = "xdf"` writes
+    * the real XDF layout (linked directory pages, datyp-encoded
+    * payloads); the default stays the compact record format.
+    */
+  def write(df: DataFrame, path: String,
+            container: String = "fstrec"): Unit =
+    sources.fst.FstWriter.write(df, path, container = container)
 
   /** Labeled-cube export (the reference's `to_cmc_xarray`):
     * level-stacked by default, validity-time-stacked with

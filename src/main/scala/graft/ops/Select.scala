@@ -129,14 +129,25 @@ object Select {
       when(col("mt") <= 2, col("dateo")),
       when(col("mt") === 1, col("deet")),
       when(col("mt") === 1, col("npas")))
+    // Deterministic pick tiebreak: rid when the catalog carries one
+    // (fixture catalogs; oracle parity), else the scan identity
+    // (path, key), else the remaining record-identity columns — a
+    // catalog read straight off the source must clean up without a
+    // synthetic row id.
+    val tieCols: Seq[Column] =
+      if (cols.contains("rid")) Seq(col("rid"))
+      else if (cols.contains("path") && cols.contains("key"))
+        Seq(col("path"), col("key"))
+      else Seq("typvar", "etiket", "ip3", "datev", "datyp", "nbits",
+        "grtyp", "ig3", "ig4").filter(cols.contains).map(col)
     val wd = Window.partitionBy(
       (Seq(col("grid"), col("gdateo"), col("gdeet"), col("gnpas")) ++
         DeformSubset.filterNot(Seq("dateo", "deet", "npas").contains)
           .map(col) ++ maskedKeys): _*)
-      .orderBy(col("rid"))
+      .orderBy(tieCols: _*)
     // final meta-assembly dedup (dataframe_utils.py:296-297), min-rid
     val wm = Window.partitionBy(MetaSubset.map(col): _*)
-      .orderBy(col("rid"))
+      .orderBy(tieCols: _*)
     val deform = coord
       .join(broadcast(groups), Seq("grid"))
       .withColumn("tier", tier)

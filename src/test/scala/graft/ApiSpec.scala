@@ -18,6 +18,31 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("Api XDF write + native-precision read round-trips datyp 2") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_api_xdf").toFile
+    val base = (1 to 6).toDF("i").select(
+      lit("NT").as("nomvar"), lit("P").as("typvar"),
+      lit("XAPI").as("etiket"),
+      lit(2).as("ni"), lit(2).as("nj"), lit(1).as("nk"),
+      lit(442998800L).as("dateo"), lit(500).as("ip1"),
+      lit(0).as("ip2"), col("i").as("ip3"),
+      lit(0).as("deet"), lit(0).as("npas"), lit(2).as("datyp"),
+      lit(16).as("nbits"), lit("X").as("grtyp"), lit(0).as("ig1"),
+      lit(0).as("ig2"), lit(0).as("ig3"), lit(0).as("ig4"),
+      lit(442998800L).as("datev"),
+      array(col("i").cast("float"), lit(65535f), lit(0f),
+        lit(1234f)).as("d"))
+    Api.write(base, dir.getAbsolutePath, container = "xdf")
+    val back = Api.readNativePrecision(spark,
+      Seq(dir.getAbsolutePath))
+    assert(back.count() == 6)
+    val row = back.filter(col("ip3") === 3)
+      .select("d", "d64").head()
+    assert(row.getSeq[Float](0) == Seq(3f, 65535f, 0f, 1234f))
+    assert(row.getSeq[Double](1) == Seq(3.0, 65535.0, 0.0, 1234.0))
+  }
+
   test("Api.read reads, filters, decodes, and deduplicates") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_api").toFile
