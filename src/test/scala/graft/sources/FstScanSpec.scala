@@ -52,6 +52,22 @@ class FstScanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.select("ip1").distinct().count() == 400)
   }
 
+  test("one scan reads a directory mixing compact and XDF containers") {
+    import graft.sources.fst.{FstFormat, XdfFormat}
+    val path = "/tmp/graft_scan_spec_mixed"
+    writeSmallFiles(path, rows = 3, perFile = 8) // compact container
+    val m = FstFormat.Meta("XX", "P", "MIXED", 2, 1, 1, 0L, 777, 0, 9,
+      0, 0, 2, 16, "X", 0, 0, 0, 0, 442998800L, 0, 0)
+    java.nio.file.Files.write(
+      new java.io.File(path, "real.fst").toPath,
+      XdfFormat.writeFile(Seq((m, Array(41.0, 42.0)))))
+    val back = spark.read.format("fstrec").load(path)
+    assert(back.count() == 4)
+    val xdfRow = back.filter(col("nomvar") === "XX")
+      .select(element_at(col("d"), 2)).head().getFloat(0)
+    assert(xdfRow == 42f)
+  }
+
   test("update auto-recovers a file left aside by an interrupted run") {
     val path = "/tmp/graft_scan_spec_updrecover"
     writeSmallFiles(path, rows = 4, perFile = 8) // one record file

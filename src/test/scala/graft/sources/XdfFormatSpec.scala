@@ -213,6 +213,55 @@ class XdfFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("payload codecs round-trip on generated values (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val cases = Seq[(Int, Int, Gen[Double])](
+      (5, 32, Gen.choose(-1e6f, 1e6f).map(_.toDouble)),
+      (5, 64, Gen.choose(-1e12, 1e12)),
+      (2, 12, Gen.choose(0L, 4095L).map(_.toDouble)),
+      (2, 32, Gen.choose(0L, 0xFFFFFFFFL).map(_.toDouble)),
+      (4, 16, Gen.choose(-32768L, 32767L).map(_.toDouble)),
+      (7, 8, Gen.choose(0L, 255L).map(_.toDouble)))
+    cases.zipWithIndex.foreach { case ((datyp, nbits, gen), ci) =>
+      (0 until 20).foreach { i =>
+        val vals = Gen.listOfN(37, gen)
+          .apply(Gen.Parameters.default, Seed(ci * 1000L + i))
+          .get.toArray
+        val exact = datyp match {
+          case 5 if nbits <= 32 => vals.map(v => v.toFloat.toDouble)
+          case _ => vals
+        }
+        val words = XdfFormat.encodePayload(datyp, nbits, vals)
+        assert(words.length ==
+          XdfFormat.payloadWords(datyp, nbits, vals.length))
+        val back = XdfFormat.decodePayload(datyp, nbits,
+          vals.length, words)
+        assert(back.toSeq == exact.toSeq, s"datyp $datyp nbits $nbits")
+      }
+    }
+  }
+
+  test("a directory may mix both containers (reader sniffs per file)") {
+    val dirPath = java.nio.file.Files
+      .createTempDirectory("graft_mixed").toFile
+    val own = FstFormat.writeFile(Seq(
+      (meta(1, 2, 1, 5, 32), Array(1f, 2f))))
+    val xdf = XdfFormat.writeFile(Seq(
+      (meta(2, 2, 1, 5, 32), Array(3.0, 4.0))))
+    java.nio.file.Files.write(
+      new java.io.File(dirPath, "a.fst").toPath, own)
+    java.nio.file.Files.write(
+      new java.io.File(dirPath, "b.fst").toPath, xdf)
+    // container detection is per file, including payload reads
+    val ownDir = FstFormat.readDirectory(own)
+    assert(ownDir.size == 1 && !XdfFormat.isXdf(own))
+    assert(XdfFormat.isXdf(xdf))
+    val (mx, _) = XdfFormat.readDirectory(xdf).head
+    assert(XdfFormat.readPayload(XdfFormat.byteReader(xdf), mx)
+      .toSeq == Seq(3.0, 4.0))
+  }
+
   test("bit packing round-trips at word-boundary widths") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
