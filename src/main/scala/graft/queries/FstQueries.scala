@@ -757,6 +757,20 @@ object FstQueries {
             .as("value64"))
     }),
 
+    // C5 ip_from_value_and_kind, driver-checked: printable kind
+    // letter -> kind -> encoded ip reproduces the stored ip1 exactly
+    // (roundtrip identity; letters per utils.py:79-108)
+    "f55_ip_from_pkind" -> ((s, dir) => {
+      val d = Decode.addIpInfo(cat(s, dir)).filter(col("rid") > 0)
+      val kindFromP = graft.core.IpCodec.PrintableKinds
+        .toSeq.sortBy(_._2).foldLeft(lit(-1)) {
+          case (acc, (l, k)) =>
+            when(col("ip1_pkind") === l, lit(k)).otherwise(acc)
+        }
+      d.select(col("rid"), col("ip1"), col("ip1_pkind"),
+        Encode.encodeIp(col("level"), kindFromP).as("ip1_reenc"))
+    }),
+
     // P5/J4 over the FULL bundled dictionary (928-nomvar STDVAR,
     // 158-unit UNITS) + leveltype kinds + get_constant_by_name:
     // nomvars far outside the former curated subset resolve to their
@@ -1471,6 +1485,12 @@ FROM x"""),
         list_reduce(list_transform(d, x -> CAST(x AS DOUBLE)),
           (a, x) -> a + x) AS payload_sum
       FROM cat WHERE nomvar = 'ES' AND rid > 0"""),
+
+    "f55_ip_from_pkind" -> W(
+      s"""SELECT rid, ip1,
+        ${IpColumns.kindToStringSql(k1Sql)} AS ip1_pkind,
+        ip1 AS ip1_reenc
+      FROM cat WHERE rid > 0"""),
 
     "f54_lookup_dictionary" -> W(
       s""", sv AS (SELECT * FROM (VALUES $stdvarValuesSql)
