@@ -87,6 +87,7 @@ class FstTable(paths: Seq[String], givenSchema: Option[StructType] = None)
       TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
+    val maxFiles = options.getInt("maxFilesPerTrigger", -1)
     // READ with a user-supplied schema: must be a (name, type)-
     // compatible subset — the reader emits the built-in types, so a
     // mistyped column would surface as a runtime ClassCastException.
@@ -100,7 +101,7 @@ class FstTable(paths: Seq[String], givenSchema: Option[StructType] = None)
         s"fstrec: column '${f.name}' must be ${exp.dataType}, " +
           s"got ${f.dataType}")
     }
-    new FstScanBuilder(paths)
+    new FstScanBuilder(paths, maxFiles)
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -116,7 +117,8 @@ class FstTable(paths: Seq[String], givenSchema: Option[StructType] = None)
   }
 }
 
-class FstScanBuilder(paths: Seq[String]) extends ScanBuilder
+class FstScanBuilder(paths: Seq[String], maxFilesPerTrigger: Int = -1)
+    extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = FstTable.Schema
   private var pushed: Array[Filter] = Array.empty
@@ -132,7 +134,8 @@ class FstScanBuilder(paths: Seq[String]) extends ScanBuilder
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new FstScan(paths, required, pushed)
+  override def build(): Scan =
+    new FstScan(paths, required, pushed, maxFilesPerTrigger)
 }
 
 object FstScan {
@@ -239,7 +242,8 @@ object FstScan {
 }
 
 class FstScan(paths: Seq[String], required: StructType,
-              pushedInit: Array[Filter]) extends Scan with Batch
+              pushedInit: Array[Filter],
+              maxFilesPerTrigger: Int = -1) extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -328,7 +332,7 @@ class FstScan(paths: Seq[String], required: StructType,
     require(paths.size == 1,
       "fstrec streaming requires exactly one source directory")
     new FstMicroBatchStream(paths.head, required, pushed,
-      checkpointLocation)
+      checkpointLocation, maxFilesPerTrigger)
   }
 }
 
@@ -437,7 +441,8 @@ case class FstLogOffset(batchId: Long)
   */
 class FstMicroBatchStream(path: String, required: StructType,
                           pushed: Array[Filter],
-                          checkpointLocation: String)
+                          checkpointLocation: String,
+                          maxFilesPerTrigger: Int = -1)
     extends org.apache.spark.sql.connector.read.streaming
       .MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming
@@ -525,12 +530,15 @@ class FstMicroBatchStream(path: String, required: StructType,
         s"fstrec stream: cannot publish log $name")
   }
 
-  /** Admit any fresh files as a new batch; returns the latest batch
-    * id (-1 when nothing has ever been admitted).
+  /** Admit fresh files as a new batch — at most `cap` of them when a
+    * read limit applies (`maxFilesPerTrigger`: a month-long backlog
+    * drains as bounded batches instead of one giant first batch).
+    * Returns the latest batch id (-1 before any admission).
     */
-  private def admit(): Long = synchronized {
+  private def admit(cap: Int = -1): Long = synchronized {
     replay()
-    val fresh = listNow().filterNot(f => seen.contains(f._1))
+    val all = listNow().filterNot(f => seen.contains(f._1))
+    val fresh = if (cap > 0) all.take(cap) else all
     if (fresh.isEmpty) return maxBatch
     val id = maxBatch + 1
     writeLog(id.toString, fresh)
@@ -560,13 +568,23 @@ class FstMicroBatchStream(path: String, required: StructType,
   }
 
   override def initialOffset(): Offset = FstLogOffset(-1L)
-  override def latestOffset(): Offset = FstLogOffset(admit())
+  override def latestOffset(): Offset =
+    FstLogOffset(admit(maxFilesPerTrigger))
   override def prepareForTriggerAvailableNow(): Unit =
+    // AvailableNow must drain everything present at start, so the
+    // snapshot admission ignores the per-trigger cap
     availableNowCap = Some(admit())
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxFilesPerTrigger > 0) ReadLimit.maxFiles(maxFilesPerTrigger)
+    else ReadLimit.allAvailable()
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     seedLegacy(start)
-    FstLogOffset(availableNowCap.getOrElse(admit()))
+    val cap = limit match {
+      case f: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        f.maxFiles()
+      case _ => maxFilesPerTrigger
+    }
+    FstLogOffset(availableNowCap.getOrElse(admit(cap)))
   }
   override def reportLatestOffset(): Offset =
     FstLogOffset(synchronized { replay(); maxBatch })

@@ -167,6 +167,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.length == 12) // every published file re-plannable
   }
 
+  test("maxFilesPerTrigger drains a backlog in bounded batches") {
+    import graft.sources.fst.{FstFormat, FstLogOffset, FstMicroBatchStream, FstTable}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    spark.sparkContext
+    val dir = Files.createTempDirectory("graft_cap_src").toFile
+    val ckpt = Files.createTempDirectory("graft_cap_ck").toFile
+    (1 to 5).foreach { i =>
+      val m = FstFormat.Meta("TT", "P", "CAP", 1, 1, 1, 0L, i, 0, 0,
+        0, 0, 5, 32, "X", 0, 0, 0, 0, 442998800L, 0, 0)
+      Files.write(new java.io.File(dir, f"r$i%02d.fst").toPath,
+        FstFormat.writeFile(Seq((m, Array(i.toFloat)))))
+    }
+    val stream = new FstMicroBatchStream(dir.getAbsolutePath,
+      FstTable.Schema, Array.empty, ckpt.getAbsolutePath,
+      maxFilesPerTrigger = 2)
+    def batchFiles(s: Long, e: Long): Int =
+      stream.planInputPartitions(FstLogOffset(s), FstLogOffset(e))
+        .map(_.asInstanceOf[graft.sources.fst.FstInputPartition]
+          .files.size).sum
+    val lim = stream.getDefaultReadLimit
+    val o1 = stream.latestOffset(FstLogOffset(-1), lim)
+      .asInstanceOf[FstLogOffset]
+    assert(o1.batchId == 0 && batchFiles(-1, 0) == 2)
+    val o2 = stream.latestOffset(o1, lim).asInstanceOf[FstLogOffset]
+    assert(o2.batchId == 1 && batchFiles(0, 1) == 2)
+    val o3 = stream.latestOffset(o2, lim).asInstanceOf[FstLogOffset]
+    assert(o3.batchId == 2 && batchFiles(1, 2) == 1)
+    // backlog drained: no further admission
+    val o4 = stream.latestOffset(o3, lim).asInstanceOf[FstLogOffset]
+    assert(o4.batchId == 2)
+  }
+
   test("streaming near-dup flags band collisions against history") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
