@@ -533,6 +533,44 @@ object PipelineQueries {
           dupW.as("dup_word_frac"), dupG.as("dup_2gram_frac"),
           topF.as("top_word_frac"),
           (dupW <= 0.8 && dupG <= 0.6 && topF <= 0.2).as("keep"))
+    }),
+
+    // deterministic k-means (Lloyd's, k=4, 2 unrolled rounds) over
+    // the embedding corpus — semantic clustering for curation /
+    // semantic dedup. Init = first k vectors; assignment is a
+    // broadcast join against the k-row centroid table; recentering
+    // explodes dims and accumulates in DECIMAL so the means are
+    // independent of partition summation order (the reason this can
+    // be oracle-checked at all). At 100 TB: per round one broadcast
+    // join + one (cluster, dim)-keyed map-side-combined aggregation.
+    "p26_kmeans" -> ((s, dir) => {
+      val k = 4
+      val e = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def assign(cent: DataFrame): DataFrame =
+        e.crossJoin(broadcast(cent))
+          .withColumn("dist", aggregate(
+            zip_with(col("v"), col("c"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x))
+          .groupBy("vec_id")
+          .agg(min(struct(col("dist"), col("cluster"))).as("m"))
+          .select(col("vec_id"), col("m.cluster").as("cluster"))
+          .join(e, Seq("vec_id"))
+      def recenter(assigned: DataFrame): DataFrame =
+        assigned.select(col("cluster"), posexplode(col("v")))
+          .groupBy("cluster", "pos")
+          .agg((sum(round(col("col"), 9).cast("decimal(28,9)"))
+            .cast("double") / count(lit(1))).as("cv"))
+          .groupBy("cluster")
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("cv")))),
+            x => x.getField("cv")).as("c"))
+      val c0 = e.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("cluster"),
+          col("v").as("c"))
+      val a2 = assign(recenter(assign(c0)))
+      a2.select(col("vec_id"), col("cluster"))
     }))
 
   /** CTE chain producing `sh2` (shingled corpus) and `lshpairs`
@@ -812,6 +850,38 @@ r AS (SELECT lang, CAST(row_number() OVER (PARTITION BY lang
     ORDER BY k DESC, doc_id ASC) AS BIGINT) AS rank, doc_id, n_chars
   FROM b)
 SELECT lang, rank, doc_id, n_chars FROM r WHERE rank <= 20""",
+
+    "p26_kmeans" -> {
+      def dist(v: String, c: String) =
+        s"""list_reduce(list_transform(range(1, 65),
+      i -> ($v[CAST(i AS INT)] - $c[CAST(i AS INT)])
+        * ($v[CAST(i AS INT)] - $c[CAST(i AS INT)])),
+      (a, b) -> a + b)"""
+      s"""WITH e AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+c0 AS (SELECT CAST(vec_id AS INT) AS cluster, v AS c FROM e
+  WHERE vec_id < 4),
+d1 AS (SELECT e.vec_id, e.v, c0.cluster,
+    ${dist("e.v", "c0.c")} AS dist FROM e, c0),
+a1 AS (SELECT vec_id, v, cluster FROM
+    (SELECT *, row_number() OVER (PARTITION BY vec_id
+      ORDER BY dist ASC, cluster ASC) AS rn FROM d1) WHERE rn = 1),
+x1 AS (SELECT cluster, CAST(unnest(range(1, 65)) AS INT) AS pos,
+    unnest(v) AS x FROM a1),
+m1 AS (SELECT cluster, pos,
+    CAST(sum(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE)
+      / count(*) AS cv
+  FROM x1 GROUP BY cluster, pos),
+c1 AS (SELECT cluster, list(cv ORDER BY pos) AS c FROM m1
+  GROUP BY cluster),
+d2 AS (SELECT e.vec_id, c1.cluster,
+    ${dist("e.v", "c1.c")} AS dist FROM e, c1),
+a2 AS (SELECT vec_id, cluster FROM
+    (SELECT *, row_number() OVER (PARTITION BY vec_id
+      ORDER BY dist ASC, cluster ASC) AS rn FROM d2) WHERE rn = 1)
+SELECT vec_id, cluster FROM a2"""
+    },
 
     "p23_decontamination" -> {
       val sh = hashedShinglesSql(shinglesSql(wordsSql("text")))
