@@ -610,10 +610,20 @@ class FstMicroBatchStream(path: String, required: StructType,
         val p = new Path(logDir, id.toString)
         if (ckptFs.exists(p)) parseLog(p) else Nil
       })
-    val files = start match {
-      case FstLogOffset(startId) =>
+    val files = (start, end) match {
+      case (_, eLegacy: FstOffset) =>
+        // both-legacy replay (an uncommitted batch from a pre-log
+        // checkpoint): honor the original file-list semantics —
+        // everything in `end` not already in `start`
+        val old = start match {
+          case FstOffset(fs) => fs.toSet
+          case _ => Set.empty[String]
+        }
+        eLegacy.files.filterNot(old).map(f =>
+          (f, seen.getOrElse(f, srcFs.getFileStatus(new Path(f)).getLen)))
+      case (FstLogOffset(startId), _) =>
         ((startId + 1) to endId).flatMap(ofBatch)
-      case FstOffset(legacy) =>
+      case (FstOffset(legacy), _) =>
         // legacy start: every admitted batch minus the legacy set
         val old = legacy.toSet
         (0L to endId).flatMap(ofBatch)
