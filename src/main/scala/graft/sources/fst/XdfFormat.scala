@@ -226,15 +226,20 @@ object XdfFormat {
     case 1 =>
       require(nbits <= 32, s"xdf: datyp 1 nbits $nbits > 32 " +
         "(the reference raises too, std_io.py:532-533)")
-      val min = if (values.isEmpty) 0.0 else values.min
+      // quantize against the min AS STORED (float32): decode adds the
+      // stored header value back, so encoding against the unrounded
+      // double would introduce a systematic offset of the float
+      // rounding error
+      val minS = (if (values.isEmpty) 0.0 else values.min).toFloat
       val max = if (values.isEmpty) 0.0 else values.max
-      val j = stepExponent(max - min, nbits)
+      val j = stepExponent(max - minS, nbits)
       val step = math.pow(2, j.toDouble)
       val maxK = (1L << nbits) - 1
       val ks = values.map { v =>
-        math.max(0L, math.min(maxK, math.round((v - min) / step)))
+        math.max(0L, math.min(maxK,
+          math.round((v - minS.toDouble) / step)))
       }
-      Array(java.lang.Float.floatToIntBits(min.toFloat), j,
+      Array(java.lang.Float.floatToIntBits(minS), j,
         values.length) ++ packBits(ks, nbits)
     case other => throw new UnsupportedOperationException(
       s"xdf: cannot encode datyp $other (librmn-only compressor)")
