@@ -65,6 +65,28 @@ class GridsGeoSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(0f, 90f, 180f, 270f))
   }
 
+  test("gaussian roots converge at operational resolution (nj = 94)") {
+    val nj = 94
+    val out = Grids.latLonGeo(params(Seq(
+      ("gG94", "G", 1, nj, 0, 0, 0, 0, 0, 0, 0, 0))))
+    val la = field(out, "gG94", "LA").map(_.toDouble)
+    assert(la.length == nj && la.toSeq == la.sorted.toSeq)
+    def pn(x: Double): Double = {
+      var p0 = 1.0; var p1 = x
+      for (k <- 2 to nj) {
+        val p = ((2 * k - 1) * x * p1 - (k - 1) * p0) / k
+        p0 = p1; p1 = p
+      }
+      p1
+    }
+    // rounding to 1e-6 degrees moves sin(lat) ~1e-8 off the root and
+    // P'_94 = O(n) there, so allow ~n x that
+    la.foreach { lat =>
+      assert(math.abs(pn(math.sin(lat * math.Pi / 180))) < 1e-5,
+        s"P94(sin($lat))")
+    }
+  }
+
   test("polar stereographic: pole, 60-degree circle, dgrw rotation") {
     val d60 = 25000.0
     val out = Grids.latLonGeo(params(Seq(
