@@ -571,6 +571,86 @@ object PipelineQueries {
           col("v").as("c"))
       val a2 = assign(recenter(assign(c0)))
       a2.select(col("vec_id"), col("cluster"))
+    }),
+
+    // training-window chunking: fixed-size overlapping token windows
+    // (W=16, stride 12) per document, one output row per chunk. Pure
+    // map work — tokenize once per row (let-bound), derive the chunk
+    // count arithmetically, explode, fingerprint each window. At
+    // 100 TB this is scan-bandwidth with zero shuffles; output size
+    // is tokens/stride, independent of document skew.
+    "p27_chunking" -> ((s, dir) => {
+      val W = 16
+      val S = 12
+      val base = docs(s, dir).select(col("doc_id"),
+          words(col("text")).as("w"))
+        .withColumn("nw", size(col("w")))
+        .withColumn("nc", when(col("nw") <= W, lit(1))
+          .otherwise(ceil((col("nw") - lit(W)).cast("double") / S)
+            .cast("int") + 1))
+      base.select(col("doc_id"), col("w"), col("nw"),
+          posexplode(sequence(lit(0), col("nc") - 1)))
+        .select(col("doc_id"),
+          col("pos").cast("int").as("chunk_id"),
+          (col("pos") * S + 1).cast("int").as("start_word"),
+          least(lit(W), col("nw") - (col("pos") * S + 1) + 1)
+            .cast("int").as("n_tokens"),
+          md5(concat_ws(" ", slice(col("w"), col("pos") * S + 1, lit(W))))
+            .as("chunk_md5"))
+    }),
+
+    // data-mixture sampling: hit per-source mixing weights with a
+    // deterministic hash threshold. Weights derive from the source
+    // name (w = idx%4+1); the feasible total is set by the scarcest
+    // source (T = min n_s/w_s), each source's quota = floor(w_s*T),
+    // and a doc is kept when its content hash clears the source's
+    // quota/n ratio. Scale shape: one 20-row count aggregate
+    // (broadcast back), then pure scan-bandwidth filtering — no
+    // per-source sort, no window, so a petabyte source costs the
+    // same per byte as a tiny one. The kept count is hash-binomial
+    // around the quota (exact-count sampling is p22's salted top-k).
+    "p28_mixture_sample" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("w",
+        pmod(substring(col("source"), 4, 10).cast("int"), lit(4)) + 1)
+      val counts = d.groupBy("source", "w")
+        .agg(count(lit(1)).as("n_docs"))
+      val t = counts.agg(min(col("n_docs").cast("double") / col("w"))
+        .as("t"))
+      val quotas = counts.crossJoin(broadcast(t))
+        .withColumn("quota",
+          floor(col("w") * col("t")).cast("bigint"))
+        .withColumn("cut",
+          floor(lit(1000000.0) * col("quota") / col("n_docs"))
+            .cast("bigint"))
+        .select("source", "n_docs", "quota", "cut")
+      d.join(broadcast(quotas), Seq("source"))
+        .withColumn("kept", pmod(h64(col("text"), 28), lit(1000000))
+          < col("cut"))
+        .groupBy("source", "n_docs", "quota")
+        .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("n_chars")).otherwise(0L))
+            .as("kept_chars"))
+    }),
+
+    // deterministic global shuffle for training-shard repacking:
+    // every doc gets a content-hash shard (8 shards) and a stable
+    // position within its shard (second independent hash, doc_id
+    // tiebreak). Re-runs and re-partitionings produce the identical
+    // layout — the property a resumable 100 TB packing job needs.
+    // Scale shape: the window sorts WITHIN a shard only; with shard
+    // count sized to the cluster (thousands, not 8), per-shard state
+    // is corpus/nShards, and the physical write is
+    // repartition(shard) + sortWithinPartitions — one shuffle total.
+    "p29_shard_pack" -> ((s, dir) => {
+      val nShards = 8
+      val w = Window.partitionBy("shard")
+        .orderBy(col("ord"), col("doc_id"))
+      docs(s, dir).select(col("doc_id"),
+          pmod(h64(col("text"), 29), lit(nShards)).cast("int")
+            .as("shard"),
+          h64(col("text"), 31).as("ord"))
+        .withColumn("pos", row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos", "ord")
     }))
 
   /** CTE chain producing `sh2` (shingled corpus) and `lshpairs`
@@ -962,5 +1042,50 @@ pairs AS (SELECT a.vec_id AS a, b.vec_id AS b,
     ${cosineSql("a.embedding", "b.embedding")} AS cos
   FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
 SELECT b AS vec_id, min(a) AS canonical_id, count(*) AS n_cands
-FROM pairs WHERE cos >= 0.99 GROUP BY b""")
+FROM pairs WHERE cos >= 0.99 GROUP BY b""",
+
+    "p27_chunking" -> {
+      val w = wordsSql("text")
+      s"""WITH b AS (SELECT doc_id, $w AS w FROM documents),
+n AS (SELECT doc_id, w, CAST(len(w) AS INT) AS nw FROM b),
+m AS (SELECT *, CASE WHEN nw <= 16 THEN 1
+    ELSE CAST(ceil((nw - 16) / 12.0) AS INT) + 1 END AS nc FROM n),
+c AS (SELECT doc_id, w, nw, CAST(unnest(range(0, nc)) AS INT) AS i
+  FROM m)
+SELECT doc_id, i AS chunk_id, i * 12 + 1 AS start_word,
+  CAST(least(16, nw - (i * 12 + 1) + 1) AS INT) AS n_tokens,
+  md5(array_to_string(
+    w[(i * 12 + 1):least(nw, i * 12 + 16)], ' ')) AS chunk_md5
+FROM c"""
+    },
+
+    "p28_mixture_sample" ->
+      s"""WITH d AS (SELECT *,
+    CAST(substring(source, 4, 10) AS INT) % 4 + 1 AS w
+  FROM documents),
+counts AS (SELECT source, w, count(*) AS n_docs FROM d
+  GROUP BY source, w),
+t AS (SELECT min(CAST(n_docs AS DOUBLE) / w) AS t FROM counts),
+q AS (SELECT source, n_docs,
+    CAST(floor(w * t.t) AS BIGINT) AS quota,
+    CAST(floor(1000000.0 * CAST(floor(w * t.t) AS BIGINT) / n_docs)
+      AS BIGINT) AS cut
+  FROM counts, t)
+SELECT d.source, q.n_docs, q.quota,
+  CAST(sum(CASE WHEN ${h64Sql("d.text", 28)} % 1000000 < q.cut
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(sum(CASE WHEN ${h64Sql("d.text", 28)} % 1000000 < q.cut
+    THEN d.n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+FROM d JOIN q USING (source)
+GROUP BY d.source, q.n_docs, q.quota""",
+
+    "p29_shard_pack" ->
+      s"""WITH b AS (SELECT doc_id,
+    CAST(${h64Sql("text", 29)} % 8 AS INT) AS shard,
+    ${h64Sql("text", 31)} AS ord
+  FROM documents)
+SELECT doc_id, shard,
+  CAST(row_number() OVER (PARTITION BY shard
+    ORDER BY ord, doc_id) AS BIGINT) AS pos, ord
+FROM b""")
 }

@@ -126,6 +126,58 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("chunking covers every token with stride-12 windows") {
+    val rows = graft.queries.PipelineQueries
+      .queries("p27_chunking")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.values.foreach { cs =>
+      val sorted = cs.sortBy(_.getInt(1))
+      // chunk ids are 0..n-1, starts follow the stride
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getInt(1) == i)
+        assert(r.getInt(2) == i * 12 + 1)
+        assert(r.getInt(3) >= 1 && r.getInt(3) <= 16)
+      }
+      // the last window reaches the document's final token
+      val last = sorted.last
+      val nTokens = last.getInt(2) + last.getInt(3) - 1
+      // a further window would start past the end
+      assert(sorted.length == 1 || last.getInt(2) <= nTokens)
+      sorted.init.foreach(r => assert(r.getInt(3) == 16))
+    }
+  }
+
+  test("mixture sample: quotas respect weights, kept <= corpus") {
+    val rows = graft.queries.PipelineQueries
+      .queries("p28_mixture_sample")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, quota, kept) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(quota <= n)
+      assert(kept <= n)
+    }
+    // at least one source is fully kept (the scarcest-source rule
+    // pins T so max-weight sources saturate their availability)
+    assert(rows.exists(r => r.getLong(2) == r.getLong(1)))
+  }
+
+  test("shard pack: contiguous positions per shard, deterministic") {
+    val q = graft.queries.PipelineQueries.queries("p29_shard_pack")
+    val a = q(spark, "/root/testdata/sf0.001").collect()
+    val byShard = a.groupBy(_.getInt(1))
+    assert(byShard.keys.forall(s => s >= 0 && s < 8))
+    byShard.values.foreach { rs =>
+      val pos = rs.map(_.getLong(2)).sorted
+      assert(pos.toSeq == (1L to rs.length).toSeq)
+    }
+    // identical layout on a re-run (content-derived, not random)
+    val b = q(spark, "/root/testdata/sf0.001").collect()
+    assert(a.map(_.toSeq).toSet == b.map(_.toSeq).toSet)
+  }
+
   test("connected components is direction-agnostic on pair order") {
     import spark.implicits._
     // edges given with the larger id first must cluster identically
