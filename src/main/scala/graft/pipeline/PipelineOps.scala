@@ -83,6 +83,15 @@ object PipelineOps {
     */
   val ShingleDfCap = 64
 
+  /** Span width (words) for exact span-level dedup (p30). */
+  val SpanDedupWords = 8
+
+  /** Fixed stopword set for the Gopher-style quality rule (p31):
+    * "contains at least 2 distinct stopwords" (Rae et al. 2021 §A1.1).
+    */
+  val GopherStopwords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** i-th MinHash from the 48-bit base hashes via an odd-multiplier
     * affine mix — products stay < 2^54, so the arithmetic is exact and
     * overflow-free in both the JVM and DuckDB.

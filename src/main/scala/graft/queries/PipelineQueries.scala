@@ -651,6 +651,131 @@ object PipelineQueries {
           h64(col("text"), 31).as("ord"))
         .withColumn("pos", row_number().over(w).cast("bigint"))
         .select("doc_id", "shard", "pos", "ord")
+    }),
+
+    // exact span-level dedup (Lee et al. "Deduplicating Training Data
+    // Makes Language Models Better", at fixed-span granularity): the
+    // token stream is cut into consecutive 8-word spans, each span
+    // survives only at its globally-first occurrence (min (doc_id,
+    // idx)), and documents are reassembled from their surviving
+    // spans. Scale shape: winner election is a map-side-combining
+    // min-aggregation keyed on the span (no window over a hot span's
+    // occurrence list), reassembly one groupBy(doc_id) — two keyed
+    // shuffles, never pairwise.
+    "p30_span_dedup" -> ((s, dir) => {
+      val n = SpanDedupWords
+      val ex = corpus(s, dir)
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(1), ceil(size(col("ws")) / lit(n.toDouble))
+            .cast("int")),
+          i => array_join(
+            slice(col("ws"), (i - lit(1)) * lit(n) + lit(1), lit(n)),
+            " "))).as(Seq("pos", "span")))
+        .withColumn("idx", (col("pos") + lit(1)).cast("int"))
+        .drop("pos")
+      val win = ex.groupBy("span")
+        .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+      val kept = col("doc_id") === col("w.doc_id") &&
+        col("idx") === col("w.idx")
+      ex.join(win, Seq("span"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(when(kept,
+              struct(col("idx"), col("span"))))),
+            e => e.getField("span")), " ").as("new_text"))
+        .select(col("doc_id"), col("n_spans"), col("n_kept"),
+          length(col("new_text")).cast("bigint").as("n_chars_new"),
+          md5(col("new_text")).as("new_md5"))
+    }),
+
+    // Gopher-style quality ruleset (Rae et al. 2021 §A1.1): word
+    // count bounds, mean word length bounds, symbol-to-word ratio,
+    // alphabetic-word fraction, minimum distinct stopwords. Pure
+    // per-row expression work — scan bandwidth at any scale; the
+    // word array is let-bound so tokenization runs once per row.
+    "p31_gopher_quality" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), bind(words(col("text"))) { ws =>
+          val n = size(ws).cast("long")
+          val mwl = round(
+            aggregate(ws, lit(0L), (a, x) => a + length(x).cast("long"))
+              .cast("double") / n.cast("double"), 6)
+          val symFrac = size(filter(ws,
+            w => w.contains("#") || w.contains("..."))).cast("double") /
+            n.cast("double")
+          val alphaFrac = size(filter(ws, w => w.rlike("[A-Za-z]")))
+            .cast("double") / n.cast("double")
+          val stops = size(array_intersect(
+            transform(ws, w => lower(w)),
+            array(GopherStopwords.map(lit): _*)))
+          struct(n.as("n_words"), mwl.as("mean_word_len"),
+            (n >= 50L && n <= 100000L).as("words_ok"),
+            (mwl >= 3.0 && mwl <= 10.0).as("mwl_ok"),
+            (symFrac <= 0.1).as("symbol_ok"),
+            (alphaFrac >= 0.8).as("alpha_ok"),
+            (stops >= 2).as("stopword_ok"))
+        }.as("m"))
+        .select(col("doc_id"), col("m.n_words"), col("m.mean_word_len"),
+          col("m.words_ok"), col("m.mwl_ok"), col("m.symbol_ok"),
+          col("m.alpha_ok"), col("m.stopword_ok"),
+          (col("m.words_ok") && col("m.mwl_ok") && col("m.symbol_ok") &&
+            col("m.alpha_ok") && col("m.stopword_ok")).as("pass"))),
+
+    // per-document top-5 TF-IDF terms (smooth idf, sklearn form).
+    // Scale shape: tf is a map-side-combining (doc, term) count, df a
+    // (term) count; the tf⋈df equi-join is left unhinted so AQE
+    // broadcasts a small vocabulary and shuffles a big one; the corpus
+    // size joins as a single-row broadcast; top-k is a per-doc window
+    // over vocabulary-bounded groups. Scores round to DECIMAL before
+    // ranking so ordering is engine-exact.
+    "p32_tfidf_topk" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+        explode(filter(transform(words(col("text")), w => lower(w)),
+          w => length(w) >= 3)).as("term"))
+      val tf = toks.groupBy("doc_id", "term")
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val dft = tf.groupBy("term")
+        .agg(count(lit(1)).cast("double").as("df"))
+      val nd = docs(s, dir).agg(count(lit(1)).cast("double")
+        .as("n_docs"))
+      val rn = row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("tscore").desc, col("term").asc))
+      tf.join(dft, Seq("term"))
+        .crossJoin(broadcast(nd))
+        .withColumn("tscore", round(col("tf") *
+          (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) +
+            lit(1.0)), 9).cast("decimal(28,9)"))
+        .withColumn("rank", rn.cast("int"))
+        .filter(col("rank") <= 5)
+        .select(col("doc_id"), col("rank"), col("term"),
+          round(col("tscore"), 6).cast("double").as("tfidf"))
+    }),
+
+    // near-dup pruning policy: per duplicate cluster (p16's connected
+    // components) keep the longest document (ties → smallest id) and
+    // report what pruning drops. The representative election is a
+    // map-side-combining min of a (-length, id) struct — no per-
+    // cluster sort, no window over a mega-cluster's member list.
+    "p33_neardup_prune" -> ((s, dir) => {
+      val (sh, pairs) = lshPairs(s, dir)
+      val labels = graft.pipeline.Clusters.connectedComponents(
+        sh.select(col("doc_id").as("id")),
+        pairs.select(col("doc_id_a").as("a"), col("doc_id_b").as("b")))
+      val lens = corpus(s, dir).select(col("doc_id"),
+        length(col("text")).cast("long").as("clen"))
+      labels.join(lens, col("id") === col("doc_id"))
+        .groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("csize"),
+          min(struct((-col("clen")).as("nl"), col("doc_id").as("d")))
+            .as("w"),
+          sum(col("clen")).as("tot"))
+        .filter(col("csize") >= 2)
+        // chars_dropped = total - rep_len, and w.nl = -rep_len
+        .select(col("cluster_id"), col("w.d").as("rep_doc_id"),
+          col("csize"), (col("tot") + col("w.nl")).as("chars_dropped"))
     }))
 
   /** CTE chain producing `sh2` (shingled corpus) and `lshpairs`
@@ -1087,5 +1212,96 @@ GROUP BY d.source, q.n_docs, q.quota""",
 SELECT doc_id, shard,
   CAST(row_number() OVER (PARTITION BY shard
     ORDER BY ord, doc_id) AS BIGINT) AS pos, ord
-FROM b""")
+FROM b""",
+
+    "p30_span_dedup" -> {
+      val n = SpanDedupWords
+      s"""WITH $corpusSql,
+b AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM corpus),
+ex AS (SELECT doc_id, CAST(i AS INT) AS idx,
+    list_aggregate(ws[CAST((i-1)*$n+1 AS INT):CAST(i*$n AS INT)],
+      'string_agg', ' ') AS span
+  FROM b, unnest(range(1,
+    CAST(ceil(len(ws)/$n.0) AS BIGINT) + 1)) AS t(i)),
+win AS (SELECT span, min(struct_pack(d:=doc_id, i:=idx)) AS w
+  FROM ex GROUP BY span),
+k AS (SELECT ex.doc_id, ex.idx, ex.span,
+    CASE WHEN ex.doc_id = win.w.d AND ex.idx = win.w.i
+      THEN 1 ELSE 0 END AS kept
+  FROM ex JOIN win USING (span))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+  CAST(sum(kept) AS BIGINT) AS n_kept,
+  CAST(len(coalesce(string_agg(CASE WHEN kept = 1 THEN span END,
+    ' ' ORDER BY idx), '')) AS BIGINT) AS n_chars_new,
+  md5(coalesce(string_agg(CASE WHEN kept = 1 THEN span END,
+    ' ' ORDER BY idx), '')) AS new_md5
+FROM k GROUP BY doc_id"""
+    },
+
+    "p31_gopher_quality" -> {
+      val stops = GopherStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH b AS (SELECT doc_id, ${wordsSql("text")} AS ws
+    FROM documents),
+m AS (SELECT doc_id,
+    CAST(len(ws) AS BIGINT) AS n_words,
+    round(CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) /
+      CAST(len(ws) AS DOUBLE), 6) AS mean_word_len,
+    CAST(len(list_filter(ws, w -> contains(w, '#')
+        OR contains(w, '...'))) AS DOUBLE) /
+      CAST(len(ws) AS DOUBLE) AS sym_frac,
+    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+        AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS alpha_frac,
+    len(list_intersect(list_transform(ws, w -> lower(w)),
+      [$stops])) AS n_stops
+  FROM b)
+SELECT doc_id, n_words, mean_word_len,
+  (n_words >= 50 AND n_words <= 100000) AS words_ok,
+  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS mwl_ok,
+  (sym_frac <= 0.1) AS symbol_ok,
+  (alpha_frac >= 0.8) AS alpha_ok,
+  (n_stops >= 2) AS stopword_ok,
+  (n_words >= 50 AND n_words <= 100000
+    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+    AND sym_frac <= 0.1 AND alpha_frac >= 0.8
+    AND n_stops >= 2) AS pass
+FROM m"""
+    },
+
+    "p32_tfidf_topk" ->
+      s"""WITH tok AS (SELECT doc_id,
+    unnest(list_filter(list_transform(${wordsSql("text")},
+      w -> lower(w)), w -> len(w) >= 3)) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok GROUP BY doc_id, term),
+dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+  FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+sc AS (SELECT doc_id, term,
+    CAST(round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 9)
+      AS DECIMAL(28,9)) AS tscore
+  FROM tf JOIN dft USING (term) CROSS JOIN n),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+    ORDER BY tscore DESC, term) AS INT) AS rank FROM sc)
+SELECT doc_id, rank, term, CAST(round(tscore, 6) AS DOUBLE) AS tfidf
+FROM r WHERE rank <= 5""",
+
+    "p33_neardup_prune" ->
+      s"""WITH RECURSIVE $lshPairsCtes,
+dedges AS (SELECT doc_id_a AS a, doc_id_b AS b FROM lshpairs
+  UNION ALL SELECT doc_id_b AS a, doc_id_a AS b FROM lshpairs),
+reach(v, l) AS (
+  SELECT doc_id, doc_id FROM sh2
+  UNION
+  SELECT e.a, r.l FROM dedges e JOIN reach r ON r.v = e.b),
+labels AS (SELECT v AS doc_id, min(l) AS cluster_id
+  FROM reach GROUP BY v),
+cl AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS clen FROM corpus),
+g AS (SELECT l.cluster_id, CAST(count(*) AS BIGINT) AS csize,
+    min(struct_pack(nl:=-c.clen, d:=l.doc_id)) AS w,
+    sum(c.clen) AS tot
+  FROM labels l JOIN cl c USING (doc_id) GROUP BY l.cluster_id)
+SELECT cluster_id, w.d AS rep_doc_id, csize,
+  CAST(tot + w.nl AS BIGINT) AS chars_dropped
+FROM g WHERE csize >= 2""")
 }

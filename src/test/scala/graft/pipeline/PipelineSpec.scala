@@ -187,4 +187,66 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("span dedup: first occurrence wins, copies lose their spans") {
+    val rows = graft.queries.PipelineQueries
+      .queries("p30_span_dedup")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    val (orig, copies) = rows.partition(_.getLong(0) < 1000000L)
+    assert(orig.length == copies.length)
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    // the smallest doc id is the global first occurrence of every
+    // span it contains, so it keeps them all
+    val first = rows.minBy(_.getLong(0))
+    assert(first.getLong(2) == first.getLong(1))
+    // a perturbed copy shares all but its tail span with its
+    // original, so collectively the copies keep strictly less
+    val keptShare = (rs: Array[org.apache.spark.sql.Row]) =>
+      rs.map(_.getLong(2)).sum.toDouble / rs.map(_.getLong(1)).sum
+    assert(keptShare(copies) < keptShare(orig))
+  }
+
+  test("gopher quality: pass is exactly the rule conjunction") {
+    val rows = graft.queries.PipelineQueries
+      .queries("p31_gopher_quality")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(2) > 0.0)
+      val flags = (3 to 7).map(r.getBoolean)
+      assert(r.getBoolean(8) == flags.forall(identity))
+    }
+  }
+
+  test("tfidf: at most 5 terms per doc, ranked by score desc") {
+    val rows = graft.queries.PipelineQueries
+      .queries("p32_tfidf_topk")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.length <= 5)
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length))
+      val scores = sorted.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("near-dup prune: clusters >= 2 keep their longest member") {
+    val rows = graft.queries.PipelineQueries
+      .queries("p33_neardup_prune")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // cluster label is the min member id, so it bounds the rep
+      assert(r.getLong(0) <= r.getLong(1))
+      assert(r.getLong(2) >= 2L)
+      assert(r.getLong(3) > 0L)
+    }
+    // the doubled corpus pairs every doc with its longer tail-suffixed
+    // copy; the copy (id + 1e6) must win representative election
+    assert(rows.exists(r => r.getLong(1) >= 1000000L))
+  }
 }
