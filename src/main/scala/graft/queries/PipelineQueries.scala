@@ -776,6 +776,96 @@ object PipelineQueries {
         // chars_dropped = total - rep_len, and w.nl = -rep_len
         .select(col("cluster_id"), col("w.d").as("rep_doc_id"),
           col("csize"), (col("tot") + col("w.nl")).as("chars_dropped"))
+    }),
+
+    // product-quantization ANN (Jégou et al. 2011): 64-dim vectors
+    // split into M=4 subspaces; a 4-centroid codebook per subspace
+    // (deterministic seeds + one Lloyd round, like p26) encodes every
+    // vector as 4 small codes; queries score candidates by ADC —
+    // a per-query distance table to each (subspace, centroid), then
+    // an approximate distance = sum of table entries at the
+    // candidate's codes. 100 TB posture: this is the compressed-
+    // domain linear scan — after encoding, candidate vectors never
+    // move again (codes are ~4 bytes, not 256); the codebook and the
+    // query tables broadcast; at cluster scale codebooks train on a
+    // sample and IVF bucketing (p06) composes in front for
+    // sublinearity. Sums cross engines round to DECIMAL first.
+    "p34_pq_ann" -> ((s, dir) => {
+      val M = 4; val ds = 16; val ks = 4
+      val e = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val sub = e.select(col("vec_id"), posexplode(transform(
+          sequence(lit(0), lit(M - 1)),
+          m => slice(col("v"), m * ds + lit(1), lit(ds)))))
+        .select(col("vec_id"), col("pos").cast("int").as("m"),
+          col("col").as("sv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sqdist = (a: Column, b: Column) => aggregate(
+        zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+      def assign(cb: DataFrame): DataFrame =
+        sub.join(broadcast(cb), Seq("m"))
+          .withColumn("dist", sqdist(col("sv"), col("c")))
+          .groupBy("vec_id", "m")
+          .agg(min(struct(col("dist"), col("cluster"))).as("w"))
+          .select(col("vec_id"), col("m"),
+            col("w.cluster").as("cluster"))
+      val seeds = sub.filter(col("vec_id") < ks)
+        .select(col("m"), col("vec_id").cast("int").as("cluster"),
+          col("sv").as("c"))
+      val cb1 = assign(seeds).join(sub, Seq("vec_id", "m"))
+        .select(col("m"), col("cluster"), posexplode(col("sv")))
+        .groupBy("m", "cluster", "pos")
+        .agg((sum(round(col("col"), 9).cast("decimal(28,9)"))
+          .cast("double") / count(lit(1))).as("cv"))
+        .groupBy("m", "cluster")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as("c"))
+      val codes = assign(cb1)
+      val qtab = sub.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("m"), col("sv"))
+        .join(broadcast(cb1), Seq("m"))
+        .withColumn("qd",
+          round(sqdist(col("sv"), col("c")), 9).cast("decimal(28,9)"))
+        .select("query_id", "m", "cluster", "qd")
+      val rn = row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("adist").asc, col("vec_id").asc))
+      codes.join(broadcast(qtab), Seq("m", "cluster"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(round(sum(col("qd")), 6).cast("double").as("adist"))
+        .withColumn("rank", rn.cast("int"))
+        .filter(col("rank") <= 5)
+        .select("query_id", "vec_id", "rank", "adist")
+    }),
+
+    // corpus composition report: the accounting step that closes a
+    // curation pipeline — per source, document/token volumes, the
+    // source's share of corpus tokens, the Gopher-rule pass rate
+    // (p31), and mean document size. One partial aggregation over the
+    // corpus plus a single-row broadcast total: scan-bandwidth at any
+    // scale, no per-source sort or window.
+    "p35_corpus_report" -> ((s, dir) => {
+      val q = queries("p31_gopher_quality")(s, dir)
+        .select(col("doc_id"), col("pass"))
+      val per = docs(s, dir).select(col("source"), col("doc_id"),
+          size(words(col("text"))).cast("long").as("n_tok"),
+          col("n_chars"))
+        .join(q, Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          round(avg(when(col("pass"), 1.0).otherwise(0.0)), 6)
+            .as("pass_rate"),
+          round(sum("n_chars").cast("double") / count(lit(1)), 6)
+            .as("mean_chars"))
+      val tot = per.agg(sum("n_tokens").as("tot_tokens"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("token_share", round(col("n_tokens").cast("double")
+          / col("tot_tokens").cast("double"), 6))
+        .select("source", "n_docs", "n_tokens", "token_share",
+          "pass_rate", "mean_chars")
     }))
 
   /** CTE chain producing `sh2` (shingled corpus) and `lshpairs`
@@ -1303,5 +1393,86 @@ g AS (SELECT l.cluster_id, CAST(count(*) AS BIGINT) AS csize,
   FROM labels l JOIN cl c USING (doc_id) GROUP BY l.cluster_id)
 SELECT cluster_id, w.d AS rep_doc_id, csize,
   CAST(tot + w.nl AS BIGINT) AS chars_dropped
-FROM g WHERE csize >= 2""")
+FROM g WHERE csize >= 2""",
+
+    "p34_pq_ann" -> {
+      def dist(v: String, c: String) =
+        s"""list_reduce(list_transform(range(1, 17),
+      i -> ($v[CAST(i AS INT)] - $c[CAST(i AS INT)])
+        * ($v[CAST(i AS INT)] - $c[CAST(i AS INT)])),
+      (a, b) -> a + b)"""
+      s"""WITH e AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+sub AS (SELECT vec_id, CAST(m AS INT) AS m,
+    v[CAST(m*16+1 AS INT):CAST(m*16+16 AS INT)] AS sv
+  FROM e, unnest(range(0, 4)) AS t(m)),
+seeds AS (SELECT m, CAST(vec_id AS INT) AS cluster, sv AS c
+  FROM sub WHERE vec_id < 4),
+d1 AS (SELECT s.vec_id, s.m, k.cluster,
+    ${dist("s.sv", "k.c")} AS dist
+  FROM sub s JOIN seeds k USING (m)),
+a1 AS (SELECT vec_id, m, cluster FROM
+    (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+      ORDER BY dist ASC, cluster ASC) AS rn FROM d1) WHERE rn = 1),
+x1 AS (SELECT a1.m, a1.cluster,
+    CAST(unnest(range(1, 17)) AS INT) AS pos, unnest(s.sv) AS x
+  FROM a1 JOIN sub s ON s.vec_id = a1.vec_id AND s.m = a1.m),
+m1 AS (SELECT m, cluster, pos,
+    CAST(sum(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE)
+      / count(*) AS cv
+  FROM x1 GROUP BY m, cluster, pos),
+cb1 AS (SELECT m, cluster, list(cv ORDER BY pos) AS c FROM m1
+  GROUP BY m, cluster),
+d2 AS (SELECT s.vec_id, s.m, k.cluster,
+    ${dist("s.sv", "k.c")} AS dist
+  FROM sub s JOIN cb1 k USING (m)),
+codes AS (SELECT vec_id, m, cluster FROM
+    (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+      ORDER BY dist ASC, cluster ASC) AS rn FROM d2) WHERE rn = 1),
+qtab AS (SELECT s.vec_id AS query_id, s.m, k.cluster,
+    CAST(round(${dist("s.sv", "k.c")}, 9) AS DECIMAL(28,9)) AS qd
+  FROM sub s JOIN cb1 k USING (m) WHERE s.vec_id < 10),
+sc AS (SELECT q.query_id, c.vec_id,
+    CAST(round(sum(q.qd), 6) AS DOUBLE) AS adist
+  FROM codes c JOIN qtab q ON q.m = c.m AND q.cluster = c.cluster
+  WHERE q.query_id <> c.vec_id GROUP BY q.query_id, c.vec_id),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY adist ASC, vec_id ASC) AS INT) AS rank FROM sc)
+SELECT query_id, vec_id, rank, adist FROM r WHERE rank <= 5"""
+    },
+
+    "p35_corpus_report" -> {
+      val stops = GopherStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH b AS (SELECT doc_id, source, n_chars,
+    ${wordsSql("text")} AS ws FROM documents),
+m AS (SELECT doc_id, source, n_chars,
+    CAST(len(ws) AS BIGINT) AS n_tok,
+    (len(ws) >= 50 AND len(ws) <= 100000
+     AND round(CAST(list_sum(list_transform(ws, w -> len(w)))
+         AS DOUBLE) / CAST(len(ws) AS DOUBLE), 6) >= 3.0
+     AND round(CAST(list_sum(list_transform(ws, w -> len(w)))
+         AS DOUBLE) / CAST(len(ws) AS DOUBLE), 6) <= 10.0
+     AND CAST(len(list_filter(ws, w -> contains(w, '#')
+         OR contains(w, '...'))) AS DOUBLE) /
+       CAST(len(ws) AS DOUBLE) <= 0.1
+     AND CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+         AS DOUBLE) / CAST(len(ws) AS DOUBLE) >= 0.8
+     AND len(list_intersect(list_transform(ws, w -> lower(w)),
+       [$stops])) >= 2) AS pass
+  FROM b),
+per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+    round(sum(CASE WHEN pass THEN 1.0 ELSE 0.0 END)
+      / CAST(count(*) AS DOUBLE), 6) AS pass_rate,
+    round(CAST(sum(n_chars) AS DOUBLE)
+      / CAST(count(*) AS DOUBLE), 6) AS mean_chars
+  FROM m GROUP BY source),
+t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per)
+SELECT source, n_docs, n_tokens,
+  round(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+    AS token_share,
+  pass_rate, mean_chars
+FROM per, t"""
+    })
 }

@@ -249,4 +249,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // copy; the copy (id + 1e6) must win representative election
     assert(rows.exists(r => r.getLong(1) >= 1000000L))
   }
+
+  test("pq ann: 5 candidates per query, ADC distance ascending") {
+    val rows = graft.queries.PipelineQueries
+      .queries("p34_pq_ann")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).toSeq == (1 to 5))
+      sorted.foreach(r => assert(r.getLong(1) != q))
+      val d = sorted.map(_.getDouble(3))
+      assert(d.zip(d.tail).forall { case (a, b) => a <= b })
+      assert(d.forall(_ >= 0.0))
+    }
+  }
+
+  test("corpus report: shares sum to one, rates within [0, 1]") {
+    val rows = graft.queries.PipelineQueries
+      .queries("p35_corpus_report")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    val share = rows.map(_.getDouble(3)).sum
+    assert(math.abs(share - 1.0) < 1e-4)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(5) > 0.0)
+    }
+  }
 }
