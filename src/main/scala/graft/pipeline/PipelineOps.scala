@@ -86,6 +86,11 @@ object PipelineOps {
   /** Span width (words) for exact span-level dedup (p30). */
   val SpanDedupWords = 8
 
+  /** Per-source document cap for the domain-balancing selection
+    * (p37): at most this many docs survive per source.
+    */
+  val SourceCap = 15
+
   /** Fixed stopword set for the Gopher-style quality rule (p31):
     * "contains at least 2 distinct stopwords" (Rae et al. 2021 §A1.1).
     */
@@ -216,6 +221,45 @@ object PipelineOps {
     val absd = s"list_transform($a, x -> abs(x))"
     s"CAST(list_position($absd, list_max($absd)) AS INT)"
   }
+
+  // ---- character entropy (p38) ----
+
+  /** Fixed alphabet for the character-entropy score. Counting each
+    * char as a length difference after translate() keeps the whole
+    * metric expression-only scan work — no explode, no per-char
+    * shuffle — and both engines implement translate identically.
+    */
+  val EntropyAlphabet: Seq[String] =
+    ("abcdefghijklmnopqrstuvwxyz" + " ").map(_.toString)
+
+  /** Shannon entropy (bits) of the in-alphabet character distribution
+    * plus the in-alphabet char count, as a struct(n_alpha, entropy).
+    * The count array and its total are let-bound so the 27 translate
+    * passes run once per row; log2 ULP differences across engines are
+    * absorbed by round(,9) (the same treatment as the tf-idf ln).
+    */
+  def charEntropy(t: Column): Column = {
+    val counts = array(EntropyAlphabet.map(c =>
+      (length(t) - length(translate(t, c, ""))).cast("double")): _*)
+    bind(counts) { cs =>
+      bind(aggregate(cs, lit(0.0), _ + _)) { tot =>
+        struct(
+          tot.cast("long").as("n_alpha"),
+          round(lit(0.0) - aggregate(cs, lit(0.0), (acc, n) =>
+            acc + when(n > 0, n / tot * log2(n / tot)).otherwise(lit(0.0))),
+            9).as("entropy"))
+      }
+    }
+  }
+
+  /** DuckDB twin of [[charEntropy]]'s count list (same order, same
+    * casts); the CTE arithmetic around it lives in the p38 oracle.
+    */
+  def entropyCountsSql(t: String): String =
+    EntropyAlphabet.map { c =>
+      val l = s"'$c'"
+      s"CAST(length($t) - length(translate($t, $l, '')) AS DOUBLE)"
+    }.mkString("[", ", ", "]")
 
   // ---- language ID / quality heuristics ----
 

@@ -47,7 +47,7 @@ object PipelineQueries {
     * scale the same reuse is a checkpoint of the signature table.
     */
   private def lshPairs(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     val sh = corpus(s, dir)
       .withColumn("sh", hashedShingles(shingles(words(col("text")))))
       .filter(size(col("sh")) > 0)
@@ -80,7 +80,7 @@ object PipelineQueries {
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.5)
       .select("doc_id_a", "doc_id_b", "jaccard")
-    (sh, pairs)
+    (sh, cand, pairs)
   }
 
   val queries: Map[String, Q] = Map(
@@ -93,13 +93,13 @@ object PipelineQueries {
     }),
 
     // banded MinHash-LSH near-dup candidates + exact Jaccard verify
-    "p02_minhash_lsh" -> ((s, dir) => lshPairs(s, dir)._2),
+    "p02_minhash_lsh" -> ((s, dir) => lshPairs(s, dir)._3),
 
     // duplicate clusters: connected components over the LSH pair set
     // (iterative min-label propagation, O(log diameter) rounds); every
     // shingled doc maps to the canonical minimum id of its dup group
     "p16_dup_clusters" -> ((s, dir) => {
-      val (sh, pairs) = lshPairs(s, dir)
+      val (sh, _, pairs) = lshPairs(s, dir)
       graft.pipeline.Clusters.connectedComponents(
         sh.select(col("doc_id").as("id")),
         pairs.select(col("doc_id_a").as("a"), col("doc_id_b").as("b")))
@@ -760,7 +760,7 @@ object PipelineQueries {
     // map-side-combining min of a (-length, id) struct — no per-
     // cluster sort, no window over a mega-cluster's member list.
     "p33_neardup_prune" -> ((s, dir) => {
-      val (sh, pairs) = lshPairs(s, dir)
+      val (sh, _, pairs) = lshPairs(s, dir)
       val labels = graft.pipeline.Clusters.connectedComponents(
         sh.select(col("doc_id").as("id")),
         pairs.select(col("doc_id_a").as("a"), col("doc_id_b").as("b")))
@@ -866,6 +866,97 @@ object PipelineQueries {
           / col("tot_tokens").cast("double"), 6))
         .select("source", "n_docs", "n_tokens", "token_share",
           "pass_rate", "mean_chars")
+    }),
+
+    // ANN quality harness: recall@k of the two hyperplane-LSH ANN
+    // variants (p15 single-bucket, p18 multi-probe) against the
+    // brute-force truth (p05) — the metric that tunes nPlanes/probe
+    // count. Pure metric computation over already-bounded top-k
+    // outputs: every join keys on (query_id, vec_id) and every side
+    // is at most k rows per query, so the eval itself is free at any
+    // corpus scale (the cost lives in the evaluated queries).
+    "p36_ann_recall" -> ((s, dir) => {
+      val truth = queries("p05_cosine_topk")(s, dir)
+        .select("query_id", "vec_id")
+      val lsh = queries("p15_cosine_lsh")(s, dir)
+        .select("query_id", "vec_id")
+      val mp = queries("p18_cosine_multiprobe")(s, dir)
+        .select("query_id", "vec_id")
+      def hits(approx: DataFrame, name: String) =
+        truth.join(approx, Seq("query_id", "vec_id"))
+          .groupBy("query_id").agg(count(lit(1)).as(name))
+      truth.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+        .join(hits(lsh, "lh"), Seq("query_id"), "left")
+        .join(hits(mp, "mh"), Seq("query_id"), "left")
+        .select(col("query_id"), col("n_true"),
+          coalesce(col("lh"), lit(0L)).as("lsh_hits"),
+          coalesce(col("mh"), lit(0L)).as("mp_hits"),
+          round(coalesce(col("lh"), lit(0L)).cast("double") /
+            col("n_true").cast("double"), 6).as("lsh_recall"),
+          round(coalesce(col("mh"), lit(0L)).cast("double") /
+            col("n_true").cast("double"), 6).as("mp_recall"))
+    }),
+
+    // per-source document cap (domain balancing): keep at most
+    // SourceCap docs per source, picked in a deterministic
+    // content-hash order so re-runs and re-partitionings keep the
+    // same set. Two-phase selection: a local top-K per (source, input
+    // partition) bounds a pathologically hot source before the global
+    // per-source window — the union of local top-Ks contains the
+    // global top-K whatever the partition split, so the result is
+    // split-independent while no single task ever sorts a whole hot
+    // source (the p22 salted-top-k argument, applied to a cap).
+    "p37_source_cap" -> ((s, dir) => {
+      val ord = Seq(h64(col("text"), 5).asc, col("doc_id").asc)
+      docs(s, dir).select("doc_id", "source", "text")
+        .withColumn("lr", row_number().over(
+          Window.partitionBy(col("source"), spark_partition_id())
+            .orderBy(ord: _*)))
+        .filter(col("lr") <= SourceCap)
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("source").orderBy(ord: _*)))
+        .filter(col("rnk") <= SourceCap)
+        .select("doc_id", "source", "rnk")
+    }),
+
+    // character-distribution Shannon entropy over a fixed alphabet —
+    // the gibberish/boilerplate detector (low entropy = repeated
+    // chars/padding, high = uniform noise). Expression-only scan
+    // work in both engines: no explode, no per-char shuffle.
+    "p38_char_entropy" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        charEntropy(col("text")).as("e"))
+        .select(col("doc_id"), col("e.n_alpha").as("n_alpha"),
+          col("e.entropy").as("entropy"))),
+
+    // LSH dedup quality harness: candidate precision (what share of
+    // banded candidates survive exact-Jaccard verification) and
+    // recall against the planted perturbed-copy pairs — the two
+    // metrics that tune the band/row trade-off. Everything reduces
+    // through count aggregates joined as single-row broadcasts; the
+    // only row-level joins are keyed on doc-id pairs.
+    "p39_dedup_eval" -> ((s, dir) => {
+      val (sh, cand, pairs) = lshPairs(s, dir)
+      val planted = sh
+        .select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
+        .join(sh.select((col("doc_id") - 1000000L).as("doc_id_a"),
+          col("doc_id").as("doc_id_b"), col("sh").as("sh_b")),
+          Seq("doc_id_a"))
+        .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.5)
+        .select("doc_id_a", "doc_id_b")
+      val found = planted
+        .join(pairs, Seq("doc_id_a", "doc_id_b"), "left_semi")
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_verified"))))
+        .crossJoin(broadcast(planted.agg(count(lit(1)).as("n_planted"))))
+        .crossJoin(broadcast(
+          found.agg(count(lit(1)).as("n_planted_found"))))
+        .select(col("n_candidates"), col("n_verified"),
+          round(col("n_verified").cast("double") /
+            col("n_candidates").cast("double"), 6).as("cand_precision"),
+          col("n_planted"), col("n_planted_found"),
+          round(col("n_planted_found").cast("double") /
+            col("n_planted").cast("double"), 6).as("planted_recall"))
     }))
 
   /** CTE chain producing `sh2` (shingled corpus) and `lshpairs`
@@ -904,6 +995,54 @@ WHERE ${jaccardSql("sa.sh", "sb.sh")} >= 0.5)"""
         else s"CASE WHEN ${rest.map(r => s"$sc >= ${r._2}")
           .mkString(" AND ")} THEN '$l' ELSE $acc END"
     }
+  }
+
+  /** p05/p15/p18 oracle SQL, factored out so the ANN recall harness
+    * (p36) can embed the exact same text as subqueries.
+    */
+  private val p05Sql =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+    FROM embeddings WHERE vec_id < 10),
+c AS (SELECT q.query_id, e.vec_id,
+    ${cosineSql("q.qv", "e.embedding")} AS cos
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
+SELECT query_id, vec_id, rank, cos FROM r WHERE rank <= 5"""
+
+  private val p15Sql = {
+    val planes = hyperplanes(4, 64)
+    s"""WITH e AS (SELECT vec_id, embedding,
+    ${hyperplaneSigSql("embedding", planes)} AS sig,
+    ${normSql("embedding")} AS nrm FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, sig AS qsig, nrm AS qn
+    FROM e WHERE vec_id < 10),
+c AS (SELECT q.query_id, e.vec_id, e.sig AS bucket,
+    (${dotSql("q.qv", "e.embedding")} / (q.qn * e.nrm)) AS cos
+  FROM q JOIN e ON e.sig = q.qsig AND e.vec_id <> q.query_id),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
+SELECT query_id, vec_id, bucket, rank, cos FROM r WHERE rank <= 5"""
+  }
+
+  private val p18Sql = {
+    val nPlanes = 4
+    val planes = hyperplanes(nPlanes, 64)
+    val masks = (0 +: (0 until nPlanes).map(1 << _))
+      .mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding,
+    ${hyperplaneSigSql("embedding", planes)} AS sig,
+    ${normSql("embedding")} AS nrm FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, sig AS qsig,
+    nrm AS qn FROM e WHERE vec_id < 10),
+qp AS (SELECT query_id, qv, qn, xor(qsig, m) AS probe
+  FROM q, LATERAL unnest($masks) AS t(m)),
+c AS (SELECT qp.query_id, e.vec_id, e.sig AS bucket,
+    (${dotSql("qp.qv", "e.embedding")} / (qp.qn * e.nrm)) AS cos
+  FROM qp JOIN e ON e.sig = qp.probe AND e.vec_id <> qp.query_id),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
+SELECT query_id, vec_id, bucket, rank, cos FROM r WHERE rank <= 5"""
   }
 
   val oracles: Map[String, String] = Map(
@@ -955,15 +1094,7 @@ WHERE (CAST(i AS DOUBLE) / CAST(len(sa.sh) + len(sb.sh) - i AS DOUBLE))
   > 0.05"""
     },
 
-    "p05_cosine_topk" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-    FROM embeddings WHERE vec_id < 10),
-c AS (SELECT q.query_id, e.vec_id,
-    ${cosineSql("q.qv", "e.embedding")} AS cos
-  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
-r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
-SELECT query_id, vec_id, rank, cos FROM r WHERE rank <= 5""",
+    "p05_cosine_topk" -> p05Sql,
 
     "p06_cosine_ann" ->
       s"""WITH e AS (SELECT *, ${argmaxBucketSql("embedding")} AS bucket
@@ -1025,19 +1156,7 @@ SELECT query_id, vec_id, bucket, rank, cos FROM r WHERE rank <= 5""",
           (a, b) -> a + b) END AS cp_sum
       FROM documents""",
 
-    "p15_cosine_lsh" -> {
-      val planes = hyperplanes(4, 64)
-      s"""WITH e AS (SELECT vec_id, embedding,
-    ${hyperplaneSigSql("embedding", planes)} AS sig,
-    ${normSql("embedding")} AS nrm FROM embeddings),
-q AS (SELECT vec_id AS query_id, embedding AS qv, sig AS qsig, nrm AS qn
-    FROM e WHERE vec_id < 10),
-c AS (SELECT q.query_id, e.vec_id, e.sig AS bucket,
-    (${dotSql("q.qv", "e.embedding")} / (q.qn * e.nrm)) AS cos
-  FROM q JOIN e ON e.sig = q.qsig AND e.vec_id <> q.query_id),
-r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
-SELECT query_id, vec_id, bucket, rank, cos FROM r WHERE rank <= 5""" },
+    "p15_cosine_lsh" -> p15Sql,
 
     "p13_frame_sample" ->
       """SELECT doc_id, CAST(f AS INT) AS frame_idx,
@@ -1061,25 +1180,7 @@ SELECT query_id, vec_id, bucket, rank, cos FROM r WHERE rank <= 5""" },
       FROM documents"""
     },
 
-    "p18_cosine_multiprobe" -> {
-      val nPlanes = 4
-      val planes = hyperplanes(nPlanes, 64)
-      val masks = (0 +: (0 until nPlanes).map(1 << _))
-        .mkString("[", ", ", "]")
-      s"""WITH e AS (SELECT vec_id, embedding,
-    ${hyperplaneSigSql("embedding", planes)} AS sig,
-    ${normSql("embedding")} AS nrm FROM embeddings),
-q AS (SELECT vec_id AS query_id, embedding AS qv, sig AS qsig,
-    nrm AS qn FROM e WHERE vec_id < 10),
-qp AS (SELECT query_id, qv, qn, xor(qsig, m) AS probe
-  FROM q, LATERAL unnest($masks) AS t(m)),
-c AS (SELECT qp.query_id, e.vec_id, e.sig AS bucket,
-    (${dotSql("qp.qv", "e.embedding")} / (qp.qn * e.nrm)) AS cos
-  FROM qp JOIN e ON e.sig = qp.probe AND e.vec_id <> qp.query_id),
-r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
-SELECT query_id, vec_id, bucket, rank, cos FROM r WHERE rank <= 5"""
-    },
+    "p18_cosine_multiprobe" -> p18Sql,
 
     "p17_decode_batch" -> {
       val fd = graft.pipeline.Multimodal.FeatureDim
@@ -1474,5 +1575,59 @@ SELECT source, n_docs, n_tokens,
     AS token_share,
   pass_rate, mean_chars
 FROM per, t"""
-    })
+    },
+
+    "p36_ann_recall" ->
+      s"""WITH truth AS (SELECT query_id, vec_id FROM ($p05Sql) t),
+lsh AS (SELECT query_id, vec_id FROM ($p15Sql) t),
+mp AS (SELECT query_id, vec_id FROM ($p18Sql) t),
+base AS (SELECT query_id, count(*) AS n_true FROM truth
+  GROUP BY query_id),
+lh AS (SELECT query_id, count(*) AS h FROM truth
+  JOIN lsh USING (query_id, vec_id) GROUP BY query_id),
+mh AS (SELECT query_id, count(*) AS h FROM truth
+  JOIN mp USING (query_id, vec_id) GROUP BY query_id)
+SELECT b.query_id, b.n_true,
+  coalesce(lh.h, 0) AS lsh_hits, coalesce(mh.h, 0) AS mp_hits,
+  round(CAST(coalesce(lh.h, 0) AS DOUBLE)
+    / CAST(b.n_true AS DOUBLE), 6) AS lsh_recall,
+  round(CAST(coalesce(mh.h, 0) AS DOUBLE)
+    / CAST(b.n_true AS DOUBLE), 6) AS mp_recall
+FROM base b LEFT JOIN lh ON lh.query_id = b.query_id
+  LEFT JOIN mh ON mh.query_id = b.query_id""",
+
+    "p37_source_cap" ->
+      s"""SELECT doc_id, source, CAST(rnk AS INT) AS rnk FROM (
+  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+    ORDER BY ${h64Sql("text", 5)}, doc_id) AS rnk FROM documents)
+WHERE rnk <= $SourceCap""",
+
+    "p38_char_entropy" ->
+      s"""WITH c0 AS (SELECT doc_id, ${entropyCountsSql("text")} AS cs
+  FROM documents),
+c1 AS (SELECT doc_id, cs,
+    list_reduce(cs, (a, b) -> a + b) AS tot FROM c0)
+SELECT doc_id, CAST(tot AS BIGINT) AS n_alpha,
+  round(0.0 - list_reduce(list_transform(cs,
+    n -> CASE WHEN n > 0 THEN n / tot * log2(n / tot)
+      ELSE 0.0 END), (a, b) -> a + b), 9) AS entropy
+FROM c1""",
+
+    "p39_dedup_eval" ->
+      s"""WITH $lshPairsCtes,
+planted AS (SELECT sa.doc_id AS doc_id_a, sb.doc_id AS doc_id_b
+  FROM sh2 sa JOIN sh2 sb ON sb.doc_id = sa.doc_id + 1000000
+  WHERE ${jaccardSql("sa.sh", "sb.sh")} >= 0.5),
+pfound AS (SELECT p.* FROM planted p JOIN lshpairs l
+  ON l.doc_id_a = p.doc_id_a AND l.doc_id_b = p.doc_id_b)
+SELECT (SELECT count(*) FROM cand) AS n_candidates,
+  (SELECT count(*) FROM lshpairs) AS n_verified,
+  round(CAST((SELECT count(*) FROM lshpairs) AS DOUBLE)
+    / CAST((SELECT count(*) FROM cand) AS DOUBLE), 6)
+    AS cand_precision,
+  (SELECT count(*) FROM planted) AS n_planted,
+  (SELECT count(*) FROM pfound) AS n_planted_found,
+  round(CAST((SELECT count(*) FROM pfound) AS DOUBLE)
+    / CAST((SELECT count(*) FROM planted) AS DOUBLE), 6)
+    AS planted_recall""")
 }

@@ -266,6 +266,70 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ann recall: 10 queries; multi-probe dominates single-bucket") {
+    val rows = graft.queries.PipelineQueries
+      .queries("p36_ann_recall")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 5L)
+      val (lh, mh) = (r.getLong(2), r.getLong(3))
+      assert(lh >= 0 && lh <= 5 && mh <= 5)
+      // the multi-probe candidate set is a superset of the single
+      // bucket, and anything outscoring a true top-5 member is itself
+      // a true top-5 member — so hits are monotone in the probe set
+      assert(mh >= lh)
+      assert(r.getDouble(4) == lh / 5.0 && r.getDouble(5) == mh / 5.0)
+    }
+  }
+
+  test("source cap: at most K per source, ranks contiguous from 1") {
+    val rows = graft.queries.PipelineQueries
+      .queries("p37_source_cap")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(1)).values.foreach { rs =>
+      assert(rs.length <= SourceCap)
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length))
+    }
+  }
+
+  test("char entropy: bounded by log2(alphabet), counts positive") {
+    val rows = graft.queries.PipelineQueries
+      .queries("p38_char_entropy")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    val bound = math.log(EntropyAlphabet.size) / math.log(2)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      val e = r.getDouble(2)
+      assert(e > 0.0 && e <= bound + 1e-9)
+    }
+    // degenerate distributions: single repeated char has zero entropy
+    import spark.implicits._
+    val z = Seq("aaaa", "ab").toDF("text")
+      .select(charEntropy(col("text")).as("e"))
+      .select(col("e.n_alpha"), col("e.entropy")).collect()
+    assert(z(0).getLong(0) == 4L && z(0).getDouble(1) == 0.0)
+    assert(z(1).getLong(0) == 2L && z(1).getDouble(1) == 1.0)
+  }
+
+  test("dedup eval: planted pairs dominate, rates within (0, 1]") {
+    val r = graft.queries.PipelineQueries
+      .queries("p39_dedup_eval")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(r.length == 1)
+    val (nc, nv) = (r(0).getLong(0), r(0).getLong(1))
+    val (np, nf) = (r(0).getLong(3), r(0).getLong(4))
+    assert(nc >= nv && nv > 0)
+    assert(np >= nf && nf > 0)
+    // every planted perturbed-copy pair is a verified near-dup, so
+    // found-planted pairs can't outnumber the verified set
+    assert(nv >= nf)
+    assert(r(0).getDouble(2) > 0.0 && r(0).getDouble(2) <= 1.0)
+    assert(r(0).getDouble(5) > 0.0 && r(0).getDouble(5) <= 1.0)
+  }
+
   test("corpus report: shares sum to one, rates within [0, 1]") {
     val rows = graft.queries.PipelineQueries
       .queries("p35_corpus_report")(spark, "/root/testdata/sf0.001")
