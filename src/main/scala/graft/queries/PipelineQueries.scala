@@ -39,6 +39,36 @@ object PipelineQueries {
   /** Fixed keyword set for the BM25 search query (p19). */
   private val BM25Terms = Seq("spark", "merge", "window")
 
+  /** Gopher-rule metric struct over a bound word array — shared by
+    * p31 (per-doc report) and p35 (corpus accounting), so the pass
+    * flag is one definition computed in one scan wherever it's used.
+    */
+  private def gopherStruct(ws: Column): Column = {
+    val n = size(ws).cast("long")
+    val mwl = round(
+      aggregate(ws, lit(0L), (a, x) => a + length(x).cast("long"))
+        .cast("double") / n.cast("double"), 6)
+    val symFrac = size(filter(ws,
+      w => w.contains("#") || w.contains("..."))).cast("double") /
+      n.cast("double")
+    val alphaFrac = size(filter(ws, w => w.rlike("[A-Za-z]")))
+      .cast("double") / n.cast("double")
+    val stops = size(array_intersect(
+      transform(ws, w => lower(w)),
+      array(GopherStopwords.map(lit): _*)))
+    struct(n.as("n_words"), mwl.as("mean_word_len"),
+      (n >= 50L && n <= 100000L).as("words_ok"),
+      (mwl >= 3.0 && mwl <= 10.0).as("mwl_ok"),
+      (symFrac <= 0.1).as("symbol_ok"),
+      (alphaFrac >= 0.8).as("alpha_ok"),
+      (stops >= 2).as("stopword_ok"))
+  }
+
+  /** Rule conjunction over a `m`-aliased [[gopherStruct]]. */
+  private def gopherPass: Column =
+    col("m.words_ok") && col("m.mwl_ok") && col("m.symbol_ok") &&
+      col("m.alpha_ok") && col("m.stopword_ok")
+
   /** Shared by p02/p16: the persisted shingled corpus and the banded
     * MinHash-LSH near-dup pair set with exact-Jaccard verification.
     * The hashed-shingle set is the expensive per-row computation and
@@ -614,11 +644,20 @@ object PipelineQueries {
         pmod(substring(col("source"), 4, 10).cast("int"), lit(4)) + 1)
       val counts = d.groupBy("source", "w")
         .agg(count(lit(1)).as("n_docs"))
-      val t = counts.agg(min(col("n_docs").cast("double") / col("w"))
-        .as("t"))
-      val quotas = counts.crossJoin(broadcast(t))
+      // scarcest source carried as (nm, wm) so each quota is
+      // floor(w_s * nm / wm) on integers — exact: the scarcest
+      // source's own quota is nm (fully kept), never one short from
+      // a double rounding of n/w (w*nm stays far below 2^53 and a
+      // non-integer quotient sits >= 1/wm from an integer, so the
+      // floor of the double division IS the rational floor). Ratio
+      // ties are harmless: equal rationals induce identical quotas.
+      val scar = counts.agg(min(struct(
+          (col("n_docs").cast("decimal(38,18)") / col("w")).as("r"),
+          col("n_docs").as("nm"), col("w").as("wm"))).as("s"))
+        .select(col("s.nm").as("nm"), col("s.wm").as("wm"))
+      val quotas = counts.crossJoin(broadcast(scar))
         .withColumn("quota",
-          floor(col("w") * col("t")).cast("bigint"))
+          floor(col("w") * col("nm") / col("wm")).cast("bigint"))
         .withColumn("cut",
           floor(lit(1000000.0) * col("quota") / col("n_docs"))
             .cast("bigint"))
@@ -674,11 +713,15 @@ object PipelineQueries {
             " "))).as(Seq("pos", "span")))
         .withColumn("idx", (col("pos") + lit(1)).cast("int"))
         .drop("pos")
-      val win = ex.groupBy("span")
+        // shuffle key = 48-bit span hash, not the ~50-byte span text:
+        // the winner-election aggregate then moves (hash, doc, idx)
+        // only, and the reassembly join compares fixed-width longs
+        .withColumn("sh", h64(col("span"), 30))
+      val win = ex.groupBy("sh")
         .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
       val kept = col("doc_id") === col("w.doc_id") &&
         col("idx") === col("w.idx")
-      ex.join(win, Seq("span"))
+      ex.join(win, Seq("sh"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_spans"),
           sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
@@ -698,31 +741,12 @@ object PipelineQueries {
     // word array is let-bound so tokenization runs once per row.
     "p31_gopher_quality" -> ((s, dir) =>
       docs(s, dir)
-        .select(col("doc_id"), bind(words(col("text"))) { ws =>
-          val n = size(ws).cast("long")
-          val mwl = round(
-            aggregate(ws, lit(0L), (a, x) => a + length(x).cast("long"))
-              .cast("double") / n.cast("double"), 6)
-          val symFrac = size(filter(ws,
-            w => w.contains("#") || w.contains("..."))).cast("double") /
-            n.cast("double")
-          val alphaFrac = size(filter(ws, w => w.rlike("[A-Za-z]")))
-            .cast("double") / n.cast("double")
-          val stops = size(array_intersect(
-            transform(ws, w => lower(w)),
-            array(GopherStopwords.map(lit): _*)))
-          struct(n.as("n_words"), mwl.as("mean_word_len"),
-            (n >= 50L && n <= 100000L).as("words_ok"),
-            (mwl >= 3.0 && mwl <= 10.0).as("mwl_ok"),
-            (symFrac <= 0.1).as("symbol_ok"),
-            (alphaFrac >= 0.8).as("alpha_ok"),
-            (stops >= 2).as("stopword_ok"))
-        }.as("m"))
+        .select(col("doc_id"),
+          bind(words(col("text")))(gopherStruct).as("m"))
         .select(col("doc_id"), col("m.n_words"), col("m.mean_word_len"),
           col("m.words_ok"), col("m.mwl_ok"), col("m.symbol_ok"),
           col("m.alpha_ok"), col("m.stopword_ok"),
-          (col("m.words_ok") && col("m.mwl_ok") && col("m.symbol_ok") &&
-            col("m.alpha_ok") && col("m.stopword_ok")).as("pass"))),
+          gopherPass.as("pass"))),
 
     // per-document top-5 TF-IDF terms (smooth idf, sklearn form).
     // Scale shape: tf is a map-side-combining (doc, term) count, df a
@@ -847,12 +871,14 @@ object PipelineQueries {
     // corpus plus a single-row broadcast total: scan-bandwidth at any
     // scale, no per-source sort or window.
     "p35_corpus_report" -> ((s, dir) => {
-      val q = queries("p31_gopher_quality")(s, dir)
-        .select(col("doc_id"), col("pass"))
-      val per = docs(s, dir).select(col("source"), col("doc_id"),
-          size(words(col("text"))).cast("long").as("n_tok"),
-          col("n_chars"))
-        .join(q, Seq("doc_id"))
+      // the pass flag computes inline (shared gopherStruct), so the
+      // whole report is ONE corpus scan into a partial aggregation —
+      // no row-level join back to a second scan, no re-tokenization
+      val per = docs(s, dir)
+        .select(col("source"), col("n_chars"),
+          bind(words(col("text")))(gopherStruct).as("m"))
+        .select(col("source"), col("n_chars"),
+          col("m.n_words").as("n_tok"), gopherPass.as("pass"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_tok").as("n_tokens"),
@@ -1381,12 +1407,14 @@ FROM c"""
   FROM documents),
 counts AS (SELECT source, w, count(*) AS n_docs FROM d
   GROUP BY source, w),
-t AS (SELECT min(CAST(n_docs AS DOUBLE) / w) AS t FROM counts),
-q AS (SELECT source, n_docs,
-    CAST(floor(w * t.t) AS BIGINT) AS quota,
-    CAST(floor(1000000.0 * CAST(floor(w * t.t) AS BIGINT) / n_docs)
-      AS BIGINT) AS cut
-  FROM counts, t)
+t AS (SELECT n_docs AS nm, w AS wm FROM counts
+  ORDER BY CAST(n_docs AS DECIMAL(38,18)) / w, n_docs, w LIMIT 1),
+q0 AS (SELECT source, n_docs,
+    CAST(floor(w * t.nm / t.wm) AS BIGINT) AS quota
+  FROM counts, t),
+q AS (SELECT source, n_docs, quota,
+    CAST(floor(1000000.0 * quota / n_docs) AS BIGINT) AS cut
+  FROM q0)
 SELECT d.source, q.n_docs, q.quota,
   CAST(sum(CASE WHEN ${h64Sql("d.text", 28)} % 1000000 < q.cut
     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
@@ -1409,17 +1437,18 @@ FROM b""",
       val n = SpanDedupWords
       s"""WITH $corpusSql,
 b AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM corpus),
-ex AS (SELECT doc_id, CAST(i AS INT) AS idx,
+ex0 AS (SELECT doc_id, CAST(i AS INT) AS idx,
     list_aggregate(ws[CAST((i-1)*$n+1 AS INT):CAST(i*$n AS INT)],
       'string_agg', ' ') AS span
   FROM b, unnest(range(1,
     CAST(ceil(len(ws)/$n.0) AS BIGINT) + 1)) AS t(i)),
-win AS (SELECT span, min(struct_pack(d:=doc_id, i:=idx)) AS w
-  FROM ex GROUP BY span),
+ex AS (SELECT *, ${h64Sql("span", 30)} AS sh FROM ex0),
+win AS (SELECT sh, min(struct_pack(d:=doc_id, i:=idx)) AS w
+  FROM ex GROUP BY sh),
 k AS (SELECT ex.doc_id, ex.idx, ex.span,
     CASE WHEN ex.doc_id = win.w.d AND ex.idx = win.w.i
       THEN 1 ELSE 0 END AS kept
-  FROM ex JOIN win USING (span))
+  FROM ex JOIN win USING (sh))
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
   CAST(sum(kept) AS BIGINT) AS n_kept,
   CAST(len(coalesce(string_agg(CASE WHEN kept = 1 THEN span END,

@@ -131,8 +131,17 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queries("p27_chunking")(spark, "/root/testdata/sf0.001")
       .collect()
     assert(rows.nonEmpty)
+    // independent token counts straight from the source table, so
+    // final-token coverage is checked against ground truth rather
+    // than against the chunk rows themselves
+    import spark.implicits._
+    val nw = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), size(words(col("text"))).as("nw"))
+      .as[(Long, Int)].collect().toMap
     val byDoc = rows.groupBy(_.getLong(0))
-    byDoc.values.foreach { cs =>
+    assert(byDoc.keySet == nw.keySet)
+    byDoc.foreach { case (d, cs) =>
       val sorted = cs.sortBy(_.getInt(1))
       // chunk ids are 0..n-1, starts follow the stride
       sorted.zipWithIndex.foreach { case (r, i) =>
@@ -140,11 +149,9 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(r.getInt(2) == i * 12 + 1)
         assert(r.getInt(3) >= 1 && r.getInt(3) <= 16)
       }
-      // the last window reaches the document's final token
+      // the last window ends exactly at the document's final token
       val last = sorted.last
-      val nTokens = last.getInt(2) + last.getInt(3) - 1
-      // a further window would start past the end
-      assert(sorted.length == 1 || last.getInt(2) <= nTokens)
+      assert(last.getInt(2) + last.getInt(3) - 1 == nw(d))
       sorted.init.foreach(r => assert(r.getInt(3) == 16))
     }
   }
