@@ -34,21 +34,21 @@ object Lookups {
   val StdVar: Seq[(String, String, String)] =
     resourceCsv("stdvar.csv").map(f => (f(0), f(3), f(2)))
 
+  private val unitsRows = resourceCsv("units.csv")
+
   /** unit name -> (symbol, SI family expression, bias, factor) — full
     * 158-row table. The trailing SI-dimension exponent columns ride
-    * in [[UnitsDims]].
+    * in [[UnitsDims]] (both views parse the resource once).
     */
   val Units: Seq[(String, String, String, Double, Double)] =
-    resourceCsv("units.csv").map(f =>
-      (f(0), f(1), f(2), f(3).toDouble, f(4).toDouble))
+    unitsRows.map(f => (f(0), f(1), f(2), f(3).toDouble, f(4).toDouble))
 
   /** unit name -> the 7 SI dimension exponents (mass, length, time,
     * electric current, temperature, amount of substance, luminous
     * intensity) — the units.csv tail columns.
     */
   val UnitsDims: Map[String, Seq[Int]] =
-    resourceCsv("units.csv").map(f =>
-      f(0) -> (5 until 12).map(i => f(i).toInt)).toMap
+    unitsRows.map(f => f(0) -> (5 until 12).map(i => f(i).toInt)).toMap
 
   /** Level-type rows: (label, kind, follow_topography, surface-rule
     * string — "np.nan", a float, or "lo@hi").

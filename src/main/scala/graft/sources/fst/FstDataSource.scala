@@ -463,7 +463,13 @@ class FstMicroBatchStream(path: String, required: StructType,
     scala.collection.mutable.HashMap.empty[Long, Seq[(String, Long)]]
   private var maxBatch: Long = -1L
   private var replayed = false
-  @volatile private var availableNowCap: Option[Long] = None
+  /** Backlog frozen at prepareForTriggerAvailableNow: AvailableNow
+    * drains exactly this listing (files arriving later wait for the
+    * next run) in maxFilesPerTrigger-bounded batches — the same
+    * multi-batch drain semantics as Spark's file source.
+    */
+  @volatile private var availableNowBacklog:
+    Option[Seq[(String, Long)]] = None
 
   private def parseLog(p: Path): Seq[(String, Long)] = {
     val in = ckptFs.open(p)
@@ -535,9 +541,12 @@ class FstMicroBatchStream(path: String, required: StructType,
     * drains as bounded batches instead of one giant first batch).
     * Returns the latest batch id (-1 before any admission).
     */
-  private def admit(cap: Int = -1): Long = synchronized {
+  private def admit(cap: Int = -1): Long = admitFrom(listNow(), cap)
+
+  private def admitFrom(candidates: Seq[(String, Long)],
+                        cap: Int): Long = synchronized {
     replay()
-    val all = listNow().filterNot(f => seen.contains(f._1))
+    val all = candidates.filterNot(f => seen.contains(f._1))
     val fresh = if (cap > 0) all.take(cap) else all
     if (fresh.isEmpty) return maxBatch
     val id = maxBatch + 1
@@ -552,6 +561,23 @@ class FstMicroBatchStream(path: String, required: StructType,
       // a restart reloads from disk.
       writeLog(s"$id.compact", seen.toSeq.sortBy(_._1))
       batchFiles.filterInPlace((bid, _) => bid >= id)
+      // retention: the snapshot makes older log files redundant.
+      // Keep one full interval of slack behind it (re-plannable
+      // batches are always near the tip) so the checkpoint stays
+      // O(seen files + recent batches) instead of growing forever.
+      val floor = id - CompactInterval
+      ckptFs.listStatus(logDir).map(_.getPath)
+        .filterNot(_.getName.startsWith("."))
+        .foreach { p =>
+          val n = p.getName
+          val isCompact = n.endsWith(".compact")
+          scala.util.Try(
+            (if (isCompact) n.stripSuffix(".compact") else n).toLong
+          ).toOption.foreach { bid =>
+            if ((isCompact && bid < id) || (!isCompact && bid < floor))
+              ckptFs.delete(p, false)
+          }
+        }
     }
     id
   }
@@ -571,9 +597,10 @@ class FstMicroBatchStream(path: String, required: StructType,
   override def latestOffset(): Offset =
     FstLogOffset(admit(maxFilesPerTrigger))
   override def prepareForTriggerAvailableNow(): Unit =
-    // AvailableNow must drain everything present at start, so the
-    // snapshot admission ignores the per-trigger cap
-    availableNowCap = Some(admit())
+    // freeze the backlog; the drain below still honors the
+    // per-trigger cap, so a month-long backlog becomes bounded
+    // batches, not one giant batch 0
+    availableNowBacklog = Some(synchronized { replay(); listNow() })
   override def getDefaultReadLimit: ReadLimit =
     if (maxFilesPerTrigger > 0) ReadLimit.maxFiles(maxFilesPerTrigger)
     else ReadLimit.allAvailable()
@@ -584,7 +611,13 @@ class FstMicroBatchStream(path: String, required: StructType,
         f.maxFiles()
       case _ => maxFilesPerTrigger
     }
-    FstLogOffset(availableNowCap.getOrElse(admit(cap)))
+    // under AvailableNow, admit (cap-bounded) from the frozen
+    // listing until it drains; maxBatch then stops advancing and
+    // the wrapper ends the run
+    FstLogOffset(availableNowBacklog match {
+      case Some(snapshot) => admitFrom(snapshot, cap)
+      case None => admit(cap)
+    })
   }
   override def reportLatestOffset(): Offset =
     FstLogOffset(synchronized { replay(); maxBatch })
@@ -604,11 +637,17 @@ class FstMicroBatchStream(path: String, required: StructType,
       case FstOffset(_) => maxBatch // legacy end: everything admitted
     }
     // a batch pruned from memory (or skipped by compact replay) is
-    // reloaded from its plain log file on demand
+    // reloaded from its plain log file on demand. A MISSING file is
+    // a corrupted checkpoint: planning the batch as empty would
+    // commit it with zero rows and silently drop its files forever,
+    // so fail loudly instead (FileStreamSource does the same).
     def ofBatch(id: Long): Seq[(String, Long)] =
       batchFiles.getOrElseUpdate(id, {
         val p = new Path(logDir, id.toString)
-        if (ckptFs.exists(p)) parseLog(p) else Nil
+        if (ckptFs.exists(p)) parseLog(p)
+        else throw new IllegalStateException(
+          s"fstrec stream: batch log $id missing from $logDir — " +
+            "cannot re-plan the batch (corrupted/truncated checkpoint)")
       })
     val files = (start, end) match {
       case (_, eLegacy: FstOffset) =>
@@ -624,10 +663,16 @@ class FstMicroBatchStream(path: String, required: StructType,
       case (FstLogOffset(startId), _) =>
         ((startId + 1) to endId).flatMap(ofBatch)
       case (FstOffset(legacy), _) =>
-        // legacy start: every admitted batch minus the legacy set
+        // legacy start: every admitted file minus the legacy set.
+        // This replay only happens for the first batch admitted
+        // after a pre-log-checkpoint upgrade, so the replayed `seen`
+        // set IS the union of batches 0..endId (later batches can't
+        // have been admitted before this one commits) — and unlike a
+        // 0..endId per-batch walk it survives log retention.
         val old = legacy.toSet
-        (0L to endId).flatMap(ofBatch)
-          .filterNot(f => old.contains(f._1))
+        require(maxBatch == endId, s"fstrec stream: legacy replay " +
+          s"expects log tip $endId, found $maxBatch")
+        seen.toSeq.sortBy(_._1).filterNot(f => old.contains(f._1))
     }
     FstScan.packPartitions(files)
   }

@@ -68,9 +68,20 @@ object FstWriter {
       p.getFileSystem(conf).makeQualified(p).toUri.normalize
     }
     require(srcQ != dstQ, "fstrec compact: dst must differ from src")
-    require(!(dstQ.getPath + "/").startsWith(srcQ.getPath + "/") ||
-      srcQ.getScheme != dstQ.getScheme,
+    // same filesystem = same (scheme, authority); only then can the
+    // paths nest. Both directions are fatal: dst under src writes new
+    // files into the tree being read, and src under dst is worse —
+    // the overwrite-mode truncate of dst would recursively DELETE src
+    // before the lazy scan ever runs.
+    val sameFs = srcQ.getScheme == dstQ.getScheme &&
+      Option(srcQ.getAuthority) == Option(dstQ.getAuthority)
+    require(!sameFs ||
+      !(dstQ.getPath + "/").startsWith(srcQ.getPath + "/"),
       "fstrec compact: dst must not be nested under src")
+    require(!sameFs ||
+      !(srcQ.getPath + "/").startsWith(dstQ.getPath + "/"),
+      "fstrec compact: src must not be nested under dst " +
+        "(overwrite would truncate the source tree)")
     val records = spark.read.format("fstrec").load(src)
     write(records, dst, maxRecordsPerFile = maxRecordsPerFile,
       cleanup = false)

@@ -201,6 +201,11 @@ object XdfFormat {
         out
       } else values.map(v => java.lang.Float.floatToIntBits(v.toFloat))
     case 2 =>
+      // encode caps at 32 bits (compact_integer's packing domain; a
+      // wider nbits would also wrap the 1L << nbits range masks) —
+      // decode handles any width since unpackBits masks per-chunk
+      require(nbits >= 1 && nbits <= 32,
+        s"xdf: datyp 2 nbits $nbits outside the 1-32 packing range")
       val lim = if (nbits == 32) 1L << 32 else 1L << nbits
       packBits(values.map { v =>
         val k = math.round(v)
@@ -209,6 +214,8 @@ object XdfFormat {
         k
       }, nbits)
     case 4 =>
+      require(nbits >= 2 && nbits <= 32,
+        s"xdf: datyp 4 nbits $nbits outside the 2-32 packing range")
       val lim = 1L << (nbits - 1)
       packBits(values.map { v =>
         val k = math.round(v)

@@ -133,6 +133,16 @@ class FstScanSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       graft.sources.fst.FstWriter.compact(spark, src, src)
     }
+    // dst inside src would write into the tree being read
+    intercept[IllegalArgumentException] {
+      graft.sources.fst.FstWriter.compact(spark, src, s"$src/out")
+    }
+    // src inside dst is worse: overwrite mode would truncate dst —
+    // recursively deleting the SOURCE — before the lazy scan runs
+    intercept[IllegalArgumentException] {
+      graft.sources.fst.FstWriter.compact(spark, src,
+        new java.io.File(src).getParent)
+    }
   }
 
   test("metadata-only projection still prunes payload reads") {

@@ -211,6 +211,18 @@ class XdfFormatSpec extends AnyFunSuite {
     intercept[UnsupportedOperationException] {
       XdfFormat.decodePayload(134, 16, 1, Array(0))
     }
+    // integer encode is capped at the 32-bit packing domain: wider
+    // widths would wrap the 1L << nbits range masks and mis-reject
+    // with a misleading out-of-range error
+    intercept[IllegalArgumentException] {
+      XdfFormat.encodePayload(2, 64, Array(1.0))
+    }
+    intercept[IllegalArgumentException] {
+      XdfFormat.encodePayload(4, 64, Array(1.0))
+    }
+    // decode stays width-tolerant (unpackBits masks per 32-bit chunk)
+    val two64 = XdfFormat.unpackBits(Array(0, 5, 0, 9), 64, 2)
+    assert(two64.toSeq == Seq(5L, 9L))
   }
 
   test("payload codecs round-trip on generated values (property)") {

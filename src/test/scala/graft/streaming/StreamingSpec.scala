@@ -209,6 +209,84 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(o4.batchId == 2)
   }
 
+  test("AvailableNow drains a frozen backlog in cap-bounded batches") {
+    import graft.sources.fst.{FstFormat, FstLogOffset, FstMicroBatchStream, FstTable}
+    spark.sparkContext
+    val dir = Files.createTempDirectory("graft_an_src").toFile
+    val ckpt = Files.createTempDirectory("graft_an_ck").toFile
+    def publish(i: Int): Unit = {
+      val m = FstFormat.Meta("TT", "P", "AN", 1, 1, 1, 0L, i, 0, 0,
+        0, 0, 5, 32, "X", 0, 0, 0, 0, 442998800L, 0, 0)
+      Files.write(new java.io.File(dir, f"r$i%02d.fst").toPath,
+        FstFormat.writeFile(Seq((m, Array(i.toFloat)))))
+    }
+    (1 to 5).foreach(publish)
+    val stream = new FstMicroBatchStream(dir.getAbsolutePath,
+      FstTable.Schema, Array.empty, ckpt.getAbsolutePath,
+      maxFilesPerTrigger = 2)
+    stream.prepareForTriggerAvailableNow()
+    publish(6) // arrives AFTER the freeze: must wait for the next run
+    def nFiles(s: Long, e: Long): Int =
+      stream.planInputPartitions(FstLogOffset(s), FstLogOffset(e))
+        .map(_.asInstanceOf[graft.sources.fst.FstInputPartition]
+          .files.size).sum
+    val lim = stream.getDefaultReadLimit
+    var prev = -1L
+    val sizes = (1 to 3).map { _ =>
+      val o = stream.latestOffset(FstLogOffset(prev), lim)
+        .asInstanceOf[FstLogOffset]
+      val n = nFiles(prev, o.batchId); prev = o.batchId; n
+    }
+    // the cap bounds every batch — NOT one giant snapshot batch
+    assert(sizes == Seq(2, 2, 1))
+    // drained: the frozen backlog admits nothing further (file 6
+    // stays unseen until a non-AvailableNow admission)
+    val o4 = stream.latestOffset(FstLogOffset(prev), lim)
+      .asInstanceOf[FstLogOffset]
+    assert(o4.batchId == prev)
+  }
+
+  test("file-log retention keeps the checkpoint bounded; a lost " +
+    "batch log fails loudly instead of planning empty") {
+    import graft.sources.fst.{FstFormat, FstLogOffset, FstMicroBatchStream, FstTable}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    spark.sparkContext
+    val dir = Files.createTempDirectory("graft_ret_src").toFile
+    val ckpt = Files.createTempDirectory("graft_ret_ck").toFile
+    val stream = new FstMicroBatchStream(dir.getAbsolutePath,
+      FstTable.Schema, Array.empty, ckpt.getAbsolutePath)
+    var prev = -1L
+    (1 to 25).foreach { i =>
+      val m = FstFormat.Meta("TT", "P", "RET", 1, 1, 1, 0L, i, 0, 0,
+        0, 0, 5, 32, "X", 0, 0, 0, 0, 442998800L, 0, 0)
+      Files.write(new java.io.File(dir, f"r$i%03d.fst").toPath,
+        FstFormat.writeFile(Seq((m, Array(i.toFloat)))))
+      prev = stream.latestOffset(FstLogOffset(prev),
+        ReadLimit.allAvailable()).asInstanceOf[FstLogOffset].batchId
+    }
+    val names = new java.io.File(ckpt, "graft-files")
+      .listFiles().map(_.getName).toSet
+    // newest snapshot survives, the superseded one is gone, and
+    // plain logs older than one interval behind it are deleted
+    assert(names.contains("20.compact"))
+    assert(!names.contains("10.compact"))
+    assert(!names.contains("5"))
+    assert(names.contains("15") && names.contains("24"))
+    // recent batches (the only re-plannable ones) still plan from
+    // disk on a cold restart
+    val restarted = new FstMicroBatchStream(dir.getAbsolutePath,
+      FstTable.Schema, Array.empty, ckpt.getAbsolutePath)
+    val recent = restarted
+      .planInputPartitions(FstLogOffset(22), FstLogOffset(24))
+      .flatMap(_.asInstanceOf[graft.sources.fst.FstInputPartition].files)
+    assert(recent.length == 2)
+    // a batch whose log was retired must fail the re-plan, not
+    // silently produce zero rows
+    intercept[IllegalStateException] {
+      restarted.planInputPartitions(FstLogOffset(3), FstLogOffset(4))
+    }
+  }
+
   test("streaming near-dup flags band collisions against history") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
