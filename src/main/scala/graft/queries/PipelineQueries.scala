@@ -983,6 +983,73 @@ object PipelineQueries {
           col("n_planted"), col("n_planted_found"),
           round(col("n_planted_found").cast("double") /
             col("n_planted").cast("double"), 6).as("planted_recall"))
+    }),
+
+    // unigram cross-entropy quality (the CCNet-style LM-perplexity
+    // filter, at unigram order): score = -mean ln P(token) with P
+    // from the corpus's own unigram counts — word-salad scores high,
+    // boilerplate low. Scale shape: one map-side-combining (term)
+    // count, the corpus total as a single-row broadcast, a term-keyed
+    // equi-join back (AQE broadcasts a small vocabulary, shuffles a
+    // big one), and a per-doc DECIMAL sum — the p19/p32 inverted-
+    // index shape; ln ULP differences absorbed by round(,9).
+    "p40_unigram_nll" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+        explode(transform(words(col("text")), w => lower(w)))
+          .as("term"))
+      val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val tot = vocab.agg(sum("cnt").cast("double").as("n_corpus"))
+      toks.join(vocab, Seq("term"))
+        .crossJoin(broadcast(tot))
+        .withColumn("nll", round(lit(0.0) -
+          log(col("cnt").cast("double") / col("n_corpus")), 9)
+          .cast("decimal(28,9)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          round(sum(col("nll")).cast("double") / count(lit(1)), 6)
+            .as("avg_nll"))
+    }),
+
+    // token-budget corpus selection: rank documents by quality (the
+    // p08 score, DECIMAL-rounded so ordering is engine-exact) and
+    // keep the best prefix whose cumulative token count fits a 60%
+    // budget — the data-mixing step that fills a training-token
+    // target from the top of the quality distribution. The running
+    // sum is a DISTRIBUTED prefix sum: coarse quality buckets roll
+    // per-bucket token totals into broadcast offsets, and the
+    // per-row window runs bucket-partitioned — no global
+    // single-partition sort at any corpus size.
+    "p41_token_budget" -> ((s, dir) => {
+      val t = col("text")
+      val w = words(t)
+      val nwD = size(w).cast("double")
+      val punct = (length(t) -
+        length(regexp_replace(t, "[.,!?;:]", ""))).cast("double") /
+        length(t).cast("double")
+      val q = round(least(nwD / 100, lit(1.0)) * 0.4 +
+        (lit(1.0) - punct) * 0.3 +
+        least(stopRatio(w, "en") * 5, lit(1.0)) * 0.3, 9)
+        .cast("decimal(12,9)")
+      val d = docs(s, dir).select(col("doc_id"),
+          size(w).cast("long").as("n_tok"), q.as("q"))
+        .withColumn("qb", floor(col("q") * 20).cast("int"))
+      val budget = d.agg(floor(sum("n_tok") * 0.6).cast("long")
+        .as("budget"))
+      // strictly-better buckets' token mass; ~21 rows, so the
+      // unpartitioned window is over a broadcast-small aggregate
+      val offs = d.groupBy("qb").agg(sum("n_tok").as("btok"))
+        .withColumn("off", coalesce(
+          sum("btok").over(Window.orderBy(col("qb").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("qb", "off")
+      val win = Window.partitionBy("qb")
+        .orderBy(col("q").desc, col("doc_id").asc)
+      d.join(broadcast(offs), Seq("qb"))
+        .crossJoin(broadcast(budget))
+        .withColumn("cum_tok", col("off") + sum("n_tok").over(win))
+        .filter(col("cum_tok") <= col("budget"))
+        .select(col("doc_id"), col("n_tok"),
+          col("q").cast("double").as("quality"), col("cum_tok"))
     }))
 
   /** CTE chain producing `sh2` (shingled corpus) and `lshpairs`
@@ -1658,5 +1725,41 @@ SELECT (SELECT count(*) FROM cand) AS n_candidates,
   (SELECT count(*) FROM pfound) AS n_planted_found,
   round(CAST((SELECT count(*) FROM pfound) AS DOUBLE)
     / CAST((SELECT count(*) FROM planted) AS DOUBLE), 6)
-    AS planted_recall""")
+    AS planted_recall""",
+
+    "p40_unigram_nll" -> {
+      val w = wordsSql("text")
+      s"""WITH toks AS (SELECT doc_id,
+    unnest(list_transform($w, w -> lower(w))) AS term
+  FROM documents),
+vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_corpus FROM vocab)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+  round(CAST(sum(CAST(round(0.0 - ln(CAST(cnt AS DOUBLE) / n_corpus),
+    9) AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) AS avg_nll
+FROM toks JOIN vocab USING (term), tot
+GROUP BY doc_id"""
+    },
+
+    "p41_token_budget" -> {
+      val w = wordsSql("text")
+      val nw = s"CAST(len($w) AS DOUBLE)"
+      val punct = "(CAST(length(text) - length(regexp_replace(text, " +
+        "'[.,!?;:]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE))"
+      val stop = stopRatioSql(w, "en")
+      s"""WITH base AS (SELECT doc_id,
+    CAST(len($w) AS BIGINT) AS n_tok,
+    CAST(round(least($nw / 100, 1.0) * 0.4 + (1.0 - $punct) * 0.3 +
+      least($stop * 5, 1.0) * 0.3, 9) AS DECIMAL(12,9)) AS q
+  FROM documents),
+bud AS (SELECT CAST(floor(sum(n_tok) * 0.6) AS BIGINT) AS budget
+  FROM base),
+c AS (SELECT doc_id, n_tok, q,
+    sum(n_tok) OVER (ORDER BY q DESC, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+  FROM base)
+SELECT doc_id, n_tok, CAST(q AS DOUBLE) AS quality,
+  CAST(cum_tok AS BIGINT) AS cum_tok
+FROM c, bud WHERE cum_tok <= budget"""
+    })
 }

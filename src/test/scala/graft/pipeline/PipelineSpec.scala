@@ -337,6 +337,50 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(0).getDouble(5) > 0.0 && r(0).getDouble(5) <= 1.0)
   }
 
+  test("unigram nll: positive, bounded by the rarest-word ceiling") {
+    val rows = graft.queries.PipelineQueries
+      .queries("p40_unigram_nll")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    // every token occurs at least once in its own corpus, so
+    // 0 < avg_nll <= ln(total corpus tokens)
+    val totalTok = rows.map(_.getLong(1)).sum
+    val ceil = math.log(totalTok.toDouble) + 1e-6
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      val nll = r.getDouble(2)
+      assert(nll > 0.0 && nll <= ceil)
+    }
+  }
+
+  test("token budget: greedy prefix fills but never exceeds budget") {
+    val rows = graft.queries.PipelineQueries
+      .queries("p41_token_budget")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    // recompute the budget independently from the source table
+    import spark.implicits._
+    val total = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(size(words(col("text"))).cast("long").as("n"))
+      .as[Long].collect().sum
+    val budget = math.floor(total * 0.6).toLong
+    val maxCum = rows.map(_.getLong(3)).max
+    assert(maxCum <= budget)
+    // cum_tok is consistent: the kept set's tokens sum to the max
+    assert(rows.map(_.getLong(1)).sum == maxCum)
+    // greedy: the prefix is full — the budget gap is smaller than
+    // the largest document (nothing obviously skippable-in)
+    val maxDoc = rows.map(_.getLong(1)).max
+    assert(budget - maxCum < math.max(maxDoc, 500L))
+    // kept docs are the quality prefix: every kept quality >= the
+    // cutoff implied by the last kept row
+    val sorted = rows.sortBy(r => (-r.getDouble(2), r.getLong(0)))
+    sorted.zip(sorted.tail).foreach { case (a, b) =>
+      assert(a.getLong(3) < b.getLong(3))
+    }
+  }
+
   test("corpus report: shares sum to one, rates within [0, 1]") {
     val rows = graft.queries.PipelineQueries
       .queries("p35_corpus_report")(spark, "/root/testdata/sf0.001")
