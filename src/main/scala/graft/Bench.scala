@@ -49,6 +49,7 @@ object Bench {
         // drop per-query persisted intermediates (outside the timed
         // section): 80+ queries in one JVM otherwise accumulate
         // storage-memory pressure that inflates later queries
+        graft.core.CacheRegistry.releaseAll()
         spark.catalog.clearCache()
         name -> (secs, err)
     }

@@ -34,6 +34,7 @@ object Verify {
       // operators persist provably-small intermediates (LSH signature
       // tables, meta subsets); drop them between queries so 80+ runs
       // in one JVM don't accumulate storage-memory pressure
+      graft.core.CacheRegistry.releaseAll()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

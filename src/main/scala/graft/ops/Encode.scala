@@ -76,13 +76,15 @@ object Encode {
 
   /** C11: plain-hour (ip2, ip3) -> encoded time-interval pair
     * (high = ip2 hours, low = ip3 hours; coordinate/descriptor records
-    * pass through, /root/reference/fstpy/std_enc.py:163-175).
+    * pass through, /root/reference/fstpy/std_enc.py:163-175). librmn's
+    * EncodeIp treats rp2=(ip2, ip3) as a time range and stores the two
+    * endpoints directly — ip2' = enc(ip2), ip3' = enc(ip3); the rp3
+    * argument is ignored for range rp2.
     */
   def encodeTimeInterval(nomvar: Column, ip2: Column, ip3: Column)
       : (Column, Column) = {
     val skip = nomvar.isin(">>", "^^", "^>", "!!", "P0", "PT")
     (when(skip, ip2).otherwise(encodeIp(ip2.cast("float"), lit(10))),
-     when(skip, ip3).otherwise(
-       encodeIp((ip2 - ip3).cast("float"), lit(10))))
+     when(skip, ip3).otherwise(encodeIp(ip3.cast("float"), lit(10))))
   }
 }

@@ -35,18 +35,27 @@ object Masks {
     val masked = noMeta.filter(col("typvar").contains("@"))
     val notMasked = noMeta.filter(!col("typvar").contains("@"))
 
-    val masks = masked.filter(col("typvar") === maskTypvar)
-      .select(PairCols.map(col) :+ col("d").as("mask_d"): _*)
-    val vars = masked.filter(col("typvar") =!= maskTypvar)
-
-    // LEFT join + lazy raise_error: a masked data record without its
-    // mask row is an error in the reference (apply_mask.py:45 raises
-    // on groups != 2 rows), not a silent drop
-    val applied = vars.join(masks, PairCols, "left")
-      .withColumn("d", when(col("mask_d").isNull,
-        raise_error(concat(lit("apply_mask: masked record without a " +
-          "mask row: nomvar="), col("nomvar"),
-          lit(" typvar="), col("typvar"))))
+    // One window pass over the pair-identity groups (no join): each
+    // group must hold exactly one mask row and one data row, like the
+    // reference (apply_mask.py:63 raises on groups != 2 rows). Orphan
+    // masks, missing masks, and duplicate-identity fan-outs all keep a
+    // surviving output row whose projection raises lazily — nothing is
+    // silently dropped or multiplied.
+    val w = Window.partitionBy(PairCols.map(col): _*)
+    val withAgg = masked
+      .withColumn("pair_n", count(lit(1)).over(w))
+      .withColumn("n_vars",
+        count(when(col("typvar") =!= maskTypvar, 1)).over(w))
+      .withColumn("mask_d", first(
+        when(col("typvar") === maskTypvar, col("d")), true).over(w))
+    val bad = col("pair_n") =!= 2 || col("n_vars") =!= 1
+    val applied = withAgg
+      .filter(col("typvar") =!= maskTypvar || bad)
+      .withColumn("d", when(bad,
+        raise_error(concat(
+          lit("apply_mask: there should only be 2 rows (one mask, " +
+            "one data) per group; nomvar="), col("nomvar"),
+          lit(" rows="), col("pair_n"))))
         .otherwise(zip_with(col("d"), col("mask_d"), (v, m) =>
           when(if (keepValue == 1) m =!= 0f else m === 0f, v))))
       .select(cols.map(col): _*)
@@ -80,7 +89,14 @@ object Masks {
     // window shuffle executes once, not three times.
     def mk(over: Map[String, org.apache.spark.sql.Column]) =
       struct(cols.map(c => over.getOrElse(c, col(c)).as(c)): _*)
-    val pass = mk(Map.empty)
+    // pair_n == 2 passes; pair_n > 2 raises like recover_mask.py:65
+    // ('There should only be 1 row per group!') instead of passing
+    // duplicate-identity fan-outs through
+    val pass = mk(Map("d" -> when(col("pair_n") > 2,
+      raise_error(concat(
+        lit("recover_mask: there should only be 1 row per group; " +
+          "nomvar="), col("nomvar"), lit(" rows="), col("pair_n"))))
+      .otherwise(col("d"))))
     val dataRow = mk(Map(
       "d" -> transform(col("d"), x => coalesce(x, lit(0f)))))
     val maskRow = mk(Map(

@@ -21,6 +21,14 @@ object Memoize {
                       compute: Column, outName: String): DataFrame = {
     val distinctKeys = df.select(keyCols.map(col): _*).distinct()
       .withColumn(outName, compute)
-    df.join(broadcast(distinctKeys), keyCols)
+    // null-safe join condition: a null in a key column must still
+    // match its distinct() twin, or the memoizer would silently drop
+    // rows instead of only adding a column
+    val renamed = keyCols.foldLeft(distinctKeys)((d, k) =>
+      d.withColumnRenamed(k, s"__memo_$k"))
+    val cond = keyCols.map(k => col(k) <=> col(s"__memo_$k"))
+      .reduce(_ && _)
+    df.join(broadcast(renamed), cond)
+      .drop(keyCols.map(k => s"__memo_$k"): _*)
   }
 }

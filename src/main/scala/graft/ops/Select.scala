@@ -79,7 +79,7 @@ object Select {
     // records only) but feeds five kept-set branches — cache it so the
     // catalog is not re-scanned per branch.
     val metaDf = selectMeta(g)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.CacheRegistry.persist(_))
 
     // ONE aggregation pass over the (large) data side produces a tiny
     // per-(grid, output-time) summary; every per-grid/global summary
@@ -95,7 +95,7 @@ object Select {
         max(col("k") === 5).as("s_hybrid"),
         max(col("k") === 2).as("s_pressure"),
         min("ni").as("sni"), min("nj").as("snj"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.CacheRegistry.persist(_))
 
     // ONE per-grid roll-up carrying both the vertical-kind flags (A5
     // bucketing) and the field dims (reference takes the first row's

@@ -52,7 +52,7 @@ object VCoord {
     // (flags, vcodes, output union): cache it so the input catalog is
     // not re-scanned per branch and the composed plan stays shallow
     val meta = g.filter(col("nomvar").isin(VcMeta: _*))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.CacheRegistry.persist(_))
     val noMeta = g.filter(!col("nomvar").isin(VcMeta: _*))
 
     val flags = meta.groupBy("grid").agg(
@@ -178,7 +178,7 @@ object VCoord {
     // feeds four lookups below; persisting it keeps the classification
     // joins + full-catalog scan from re-running per lookup.
     val meta = vc.filter(col("nomvar").isin(VcMeta: _*))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.CacheRegistry.persist(_))
     val data = vc.filter(!col("nomvar").isin(VcMeta: _*))
       .filter(col("ip1") =!= 0 && col("vctype") =!= "UNKNOWN" &&
         !col("nomvar").isin("PX", "PXSA"))
@@ -193,7 +193,7 @@ object VCoord {
       .groupBy("grid", "vctype", "datev", "ip1").agg(
         min("rid").as("lrid"),
         min_by(struct(repCols.map(col): _*), col("rid")).as("lrep"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.CacheRegistry.persist(_))
     val reps = perLevel.groupBy("grid", "vctype", "datev").agg(
       min_by(col("lrep"), col("lrid")).as("rep"))
       .select(col("grid"), col("vctype"), col("datev"),
@@ -202,17 +202,27 @@ object VCoord {
     val levels = perLevel.select("grid", "vctype", "datev", "ip1")
       .withColumn("level", IpColumns.decodeValue(col("ip1")))
 
-    val p0s = meta.filter(col("nomvar") === "P0").select(
-      col("grid").as("p_grid"), col("datev").as("p_datev"),
-      col("d").as("p0_d"), col("nbits").as("p0_nbits"),
-      col("datyp").as("p0_datyp"))
-    val pts = meta.filter(col("nomvar") === "PT").select(
-      col("grid").as("t_grid"), col("datev").as("t_datev"),
-      col("d").as("pt_d"))
+    // Descriptor sides are deduplicated to one row per join key
+    // (deterministic lowest-rid pick): duplicate P0/PT/!! records —
+    // e.g. overlapping files read before a dedup pass — must not fan
+    // the emitted PX rows out; the reference clones from the single
+    // first matching row.
+    val p0s = meta.filter(col("nomvar") === "P0")
+      .groupBy(col("grid").as("p_grid"), col("datev").as("p_datev"))
+      .agg(min_by(struct(col("d"), col("nbits"), col("datyp")),
+        col("rid")).as("r"))
+      .select(col("p_grid"), col("p_datev"), col("r.d").as("p0_d"),
+        col("r.nbits").as("p0_nbits"), col("r.datyp").as("p0_datyp"))
+    val pts = meta.filter(col("nomvar") === "PT")
+      .groupBy(col("grid").as("t_grid"), col("datev").as("t_datev"))
+      .agg(min_by(col("d"), col("rid")).as("pt_d"))
     // J1: the `!!` A/B table of the grid (column j = (ip1, A, B),
     // Fortran (3 x nj); pref lives at d[1][1] — std_vgrid.py:276-282)
-    val tts = meta.filter(col("nomvar") === "!!").select(
-      col("grid").as("g_tt"), col("d").as("tt_d"), col("nj").as("tt_nj"))
+    val tts = meta.filter(col("nomvar") === "!!")
+      .groupBy(col("grid").as("g_tt"))
+      .agg(min_by(struct(col("d"), col("nj")), col("rid")).as("r"))
+      .select(col("g_tt"), col("r.d").as("tt_d"),
+        col("r.nj").as("tt_nj"))
     // grid-less HY descriptor: ptop/pref/rcoef (std_vgrid.py:440-445);
     // the global aggregate always yields one row (nulls when absent)
     val hyAgg = meta.filter(col("nomvar") === "HY").agg(

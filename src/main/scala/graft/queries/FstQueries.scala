@@ -285,10 +285,13 @@ object FstQueries {
     // S7/S9 CSV record sink + source round-trip (level <-> ip1 encode,
     // payload string <-> Fortran array, defaults, dim validation)
     "f21_csv_roundtrip" -> ((s, dir) => {
+      // write the level column instead of ip1 (the reader rejects
+      // both at once), exercising the level -> ip1 encode path
       val base = cat(s, dir)
         .filter(col("nomvar") === "TT" && col("rid") > 0)
         .withColumn("ip3", col("rid").cast("int"))
         .withColumn("level", IpColumns.decodeValue(col("ip1")))
+        .drop("ip1")
       val path =
         s"/tmp/graft_csv_roundtrip_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
       graft.sources.CsvRecords.write(base, path,

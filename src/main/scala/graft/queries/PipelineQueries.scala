@@ -83,7 +83,7 @@ object PipelineQueries {
       .filter(size(col("sh")) > 0)
       .withColumn("bks", bandKeys(col("sh")))
       .select("doc_id", "sh", "bks")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.CacheRegistry.persist(_))
     val bands0 = sh.select(col("doc_id"),
       posexplode(col("bks")).as(Seq("band", "bkey")))
     // degenerate-bucket guard (LshBucketCap): the bucket self-join
@@ -151,7 +151,7 @@ object PipelineQueries {
         .withColumn("sh", hashedShingles(shingles(words(col("text")))))
         .filter(size(col("sh")) > 0)
         .select("source", "doc_id", "sh")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.core.CacheRegistry.persist(_))
       val sizes = d.select(col("doc_id").as("sid"), size(col("sh")).as("n"))
       val ex0 = d.select(col("source"), col("doc_id"),
         explode(col("sh")).as("h"))
@@ -286,7 +286,7 @@ object PipelineQueries {
       val e = base.unionByName(near)
         .withColumn("bucket", argmaxBucket(col("embedding")))
         .withColumn("nrm", norm(col("embedding")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.core.CacheRegistry.persist(_))
       val a = e.select(col("vec_id").as("a"),
         col("embedding").as("va"), col("bucket"), col("nrm").as("na_"))
       val b = e.select(col("vec_id").as("b"),
@@ -577,7 +577,7 @@ object PipelineQueries {
       val k = 4
       val e = emb(s, dir).select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.core.CacheRegistry.persist(_))
       def assign(cent: DataFrame): DataFrame =
         e.crossJoin(broadcast(cent))
           .withColumn("dist", aggregate(
@@ -823,7 +823,7 @@ object PipelineQueries {
           m => slice(col("v"), m * ds + lit(1), lit(ds)))))
         .select(col("vec_id"), col("pos").cast("int").as("m"),
           col("col").as("sv"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.core.CacheRegistry.persist(_))
       val sqdist = (a: Column, b: Column) => aggregate(
         zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x)

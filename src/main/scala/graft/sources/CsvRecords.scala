@@ -126,9 +126,13 @@ object CsvRecords {
       transform(sequence(lit(0), col("ni") - 1), i =>
         concat_ws(",", transform(sequence(lit(0), col("nj") - 1), j =>
           element_at(col("d"), i + j * col("ni") + 1).cast("string")))))
-    val base = Seq("nomvar", "typvar", "etiket", "dateo", "ip2", "ip3",
-      "deet", "npas", "datyp", "nbits", "grtyp", "ig1", "ig2", "ig3",
-      "ig4")
+    // Mirror csv_writer.py:6 BASE_COLUMNS: ip1 and datev are part of
+    // the default write set, so write->read round-trips keep the
+    // vertical level and the validity date (ni/nj/nk are re-derived
+    // from the payload string on read).
+    val base = Seq("nomvar", "typvar", "etiket", "dateo", "ip1", "ip2",
+      "ip3", "deet", "npas", "datyp", "nbits", "grtyp", "ig1", "ig2",
+      "ig3", "ig4", "datev")
     val keep = (base ++ extraCols).filter(df.columns.contains)
     df.select((keep.map(col) :+ dStr.as("d")): _*)
       .write.mode("overwrite").option("header", "true").csv(path)

@@ -301,7 +301,11 @@ class FstDataWriter(path: String, ordinals: Array[Int],
     val o = ordinals
     var ci = 0
     while (ci < o.length) {
-      if (row.isNullAt(o(ci)))
+      // a null `d` is fine when d64 carries the payload for this row
+      // (d64 takes precedence below) — only reject when both are null
+      val coveredByD64 = FstWriter.Columns(ci) == "d" &&
+        d64Ordinal >= 0 && !row.isNullAt(d64Ordinal)
+      if (!coveredByD64 && row.isNullAt(o(ci)))
         throw new IllegalArgumentException("fstrec write: null value " +
           s"in record column '${FstWriter.Columns(ci)}'")
       ci += 1

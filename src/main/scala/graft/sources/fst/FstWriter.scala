@@ -137,7 +137,14 @@ object FstWriter {
                   s"fstrec update: cannot restore backup for $file")
             } else fs.delete(bak0, false)
           }
-          val len = fs.getFileStatus(p).getLen.toInt
+          val lenL = fs.getFileStatus(p).getLen
+          // the patch is applied to an in-memory image; a >2 GiB file
+          // would silently truncate through toInt and publish a
+          // destroyed image over the original — refuse instead
+          require(lenL <= Int.MaxValue.toLong - 8,
+            s"fstrec update: $file is $lenL bytes; the in-memory " +
+              "metadata patch supports files under 2 GiB only")
+          val len = lenL.toInt
           val bytes = new Array[Byte](len)
           val in = fs.open(p)
           try in.readFully(0, bytes) finally in.close()

@@ -113,19 +113,66 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 0)
   }
 
-  test("recoverMask passes >2-row identity groups through unchanged") {
+  test("recoverMask raises on >2-row identity groups (reference " +
+      "recover_mask.py:65), passes 2-row groups unchanged") {
     val base = mkCatalog().filter(col("rid") === 1)
     val vars = base.withColumn("typvar", lit("P@"))
     val masks = base.withColumn("typvar", lit("@@"))
       .withColumn("datyp", lit(2)).withColumn("nbits", lit(1))
       .withColumn("d", typedLit(Seq(1f, 0f, 1f, 0f)))
-    // duplicate-identity catalog: 2 data rows + 1 mask = pair_n 3
+    // complete pair passes through unchanged
+    val pair = Masks.recoverMask(Decode.addGrid(vars.unionByName(masks)))
+    assert(pair.count() == 2)
+    assert(pair.filter(col("typvar") === "@@").count() == 1)
+    // duplicate-identity catalog: 2 data rows + 1 mask = pair_n 3 ->
+    // the reference raises instead of multiplying or passing through
     val trip = vars.unionByName(vars).unionByName(masks)
-    val rec = Masks.recoverMask(Decode.addGrid(trip))
-    // no multiplication: 3 in, 3 out, rows unchanged
-    assert(rec.count() == 3)
-    assert(rec.filter(col("typvar") === "@@").count() == 1)
-    assert(rec.filter(col("typvar") === "P@").count() == 2)
+    val e = intercept[Exception] {
+      Masks.recoverMask(Decode.addGrid(trip)).collect()
+    }
+    assert(e.getMessage.contains("1 row per group") ||
+      Option(e.getCause).exists(_.getMessage.contains("1 row per group")))
+  }
+
+  test("applyMask raises on orphan masks and duplicate-identity groups") {
+    val base = mkCatalog().filter(col("rid") === 1)
+    val vars = base.withColumn("typvar", lit("P@"))
+    val masks = base.withColumn("typvar", lit("@@"))
+      .withColumn("d", typedLit(Seq(1f, 0f, 1f, 0f)))
+    // orphan mask (no data partner): reference apply_mask.py:63 raises
+    val orphan = intercept[Exception] {
+      Masks.applyMask(Decode.addGrid(masks)).collect()
+    }
+    assert(orphan.getMessage.contains("2 rows") ||
+      Option(orphan.getCause).exists(_.getMessage.contains("2 rows")))
+    // 2 data rows + 1 mask: must raise, not fan the data rows out
+    val trip = vars.unionByName(vars).unionByName(masks)
+    val fan = intercept[Exception] {
+      Masks.applyMask(Decode.addGrid(trip)).collect()
+    }
+    assert(fan.getMessage.contains("2 rows") ||
+      Option(fan.getCause).exists(_.getMessage.contains("2 rows")))
+  }
+
+  test("memoizer keeps null-key rows (null-safe rejoin)") {
+    import spark.implicits._
+    val df = Seq(Some(1.0f), None, Some(2.0f), Some(1.0f))
+      .toDF("level")
+    val out = graft.ops.Memoize.viaDistinctJoin(df, Seq("level"),
+      col("level") * 2, "dbl")
+    assert(out.count() == 4) // the null-key row survives
+    assert(out.filter(col("level").isNull).count() == 1)
+    assert(out.filter(col("dbl") === 4.0f).count() == 1)
+  }
+
+  test("encodeTimeInterval stores the pair endpoints (librmn EncodeIp)") {
+    import spark.implicits._
+    val df = Seq(("TT", 24, 6)).toDF("nomvar", "ip2", "ip3")
+    val (e2, e3) = graft.ops.Encode.encodeTimeInterval(
+      col("nomvar"), col("ip2"), col("ip3"))
+    val r = df.select(e2.as("ip2e"), e3.as("ip3e")).head()
+    assert(r.getInt(0) == graft.core.IpCodec.encode(24f, 10))
+    assert(r.getInt(1) == graft.core.IpCodec.encode(6f, 10))
   }
 
   test("quickPressure sigma: p = level * P0") {
