@@ -20,21 +20,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
-  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4 reads only
-    * as a raw long (spark.sql.legacy.parquet.nanosAsLong). Convert to a
-    * micro-precision timestamp (truncation — matching what a native
-    * nanos→micros read would do).
+  /** `events.ts` has shipped as three different physical types across
+    * driver testdata regenerations; normalize every variant to a plain
+    * TIMESTAMP whose epoch-µs equals the file's wall clock read as UTC
+    * (what DuckDB's `epoch`/`epoch_ns` on the naive value yields):
+    *  - TIMESTAMP(NANOS) → raw long under
+    *    spark.sql.legacy.parquet.nanosAsLong; floor-divide to µs.
+    *    Integer `div`, NOT `/`: double division loses precision above
+    *    2^53 and nanosecond epochs (~1.7e18) are far beyond it.
+    *  - Timestamp(isAdjustedToUTC=false, µs) → TIMESTAMP_NTZ in Spark 4;
+    *    `timestampdiff` between NTZ operands is pure calendar
+    *    arithmetic, so the epoch-µs extraction cannot shift under a
+    *    non-UTC session/driver timezone (a session-TZ cast could).
+    *  - TIMESTAMP (already adjusted-to-UTC) → as-is.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val df = table(s, d, "events")
-    // integer `div`, NOT `/`: double division loses precision above
-    // 2^53, and nanosecond epochs (~1.7e18) are far beyond it — the
-    // double path lands ±hundreds of ns off the exact truncation
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", timestamp_micros(expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
