@@ -38,9 +38,13 @@ object Clusters {
       "a", "b")
     // the symmetrized edge view scans `pairs` twice (a->b and b->a):
     // persist the pair set so an expensive upstream pair generator
-    // (LSH candidate join + verify) runs once, not twice
+    // (LSH candidate join + verify) runs once, not twice. The count()
+    // MATERIALIZES the cache before the union below ever scans it —
+    // otherwise the union's two branches race through the uncached
+    // plan in one job and the LSH chain executes twice.
     val p = pairs.select(col("a"), col("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    p.count()
     val edges = p
       .unionByName(p.select(col("b").as("a"), col("a").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -54,9 +58,11 @@ object Clusters {
         .getOrElse(java.math.BigDecimal.ZERO) // empty graph -> 0
     var prevSum = labelSum(labels)
 
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      val t0 = System.nanoTime()
       // pointer-jumping edges: every node also "neighbors" its label
       val jump = labels.select(col("id").as("a"), col("label").as("b"))
       val nbrMin = edges.unionByName(jump)
@@ -74,6 +80,7 @@ object Clusters {
       prevSum = nextSum
       labels = next
       iter += 1
+      if (debug) println(f"[cc] iter $iter: ${(System.nanoTime() - t0) / 1e9}%.2f s converged=$converged")
     }
     p.unpersist()
     edges.unpersist()

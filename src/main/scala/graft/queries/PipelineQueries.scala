@@ -84,6 +84,11 @@ object PipelineQueries {
       .withColumn("bks", bandKeys(col("sh")))
       .select("doc_id", "sh", "bks")
       .transform(graft.core.CacheRegistry.persist(_))
+    // materialize BEFORE fan-out: four plan branches (band explode x2,
+    // verify join x2) scan this cache; if the first job races two
+    // branches through the uncached plan, the shingle/minhash chain —
+    // the dominant per-row cost — executes twice
+    sh.count()
     val bands0 = sh.select(col("doc_id"),
       posexplode(col("bks")).as(Seq("band", "bkey")))
     // degenerate-bucket guard (LshBucketCap): the bucket self-join
