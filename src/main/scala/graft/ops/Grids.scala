@@ -17,7 +17,16 @@ import org.apache.spark.sql.functions._
 object Grids {
 
   /** Emit LA and LO records (2D lat/lon) for every grid that has both
-    * deformation records.
+    * deformation records (Z/Y path), plus every U grid's `^>` record
+    * (subgrid-concat path, std_grid.py:166-176: the two subgrids'
+    * fields concatenate along the nj axis, which in Fortran-flat
+    * layout is plain array concatenation).
+    *
+    * `^>` payload convention (librmn's exact tictac layout is part of
+    * the external ezscint boundary; this packing is the library's own,
+    * pinned by [[dfFromGrid]] + the driver round-trip): per subgrid
+    * `[ni, nj, lon_axis(ni), lat_axis(nj)]`, two subgrids
+    * back-to-back; both subgrids share ni.
     */
   def latLon2d(df: DataFrame): DataFrame = {
     val g = if (df.columns.contains("grid")) df else Decode.addGrid(df)
@@ -36,7 +45,56 @@ object Grids {
       col("g_ni").as("ni"), col("g_nj").as("nj"),
       transform(ks, k => element_at(col("lon_ax"),
         pmod(k, col("g_ni")).cast("int") + 1)).as("d"))
-    la.unionByName(lo)
+
+    // U path: unpack both subgrids' axes out of the ^> payload, build
+    // each sub-field as the usual axis outer product, concatenate.
+    //
+    // TOTALITY: Catalyst pushes the caller's inferred `size(d) > 0`
+    // generate-filter through the union, and predicate-codegen
+    // subexpression elimination evaluates these expressions on rows
+    // the `nomvar = '^>'` conjunct would discard — so every
+    // expression here must be ANSI-safe for ARBITRARY payloads:
+    // dims clamp to [0, size(d)] (a raw `sequence(0, ni*nj-1)` with
+    // ni = 0 even yields a DESCENDING [0, -1] — Spark infers step
+    // -1 — and then divides by zero), lookups are try_element_at,
+    // and slice starts stay positive by construction.
+    val dSz = size(col("d"))
+    def dim(idx: Column) = least(dSz, greatest(lit(0),
+      coalesce(try_element_at(col("d"), idx).cast("int"), lit(0))))
+    val u = g.filter(col("nomvar") === "^>")
+      .withColumn("u_ni1", dim(lit(1)))
+      .withColumn("u_nj1", dim(lit(2)))
+      .withColumn("u_lon1", slice(col("d"), lit(3), col("u_ni1")))
+      .withColumn("u_lat1",
+        slice(col("d"), col("u_ni1") + 3, col("u_nj1")))
+      .withColumn("u_b2", col("u_ni1") + col("u_nj1") + lit(2))
+      .withColumn("u_ni2", dim(col("u_b2") + 1))
+      .withColumn("u_nj2", dim(col("u_b2") + 2))
+      .withColumn("u_lon2",
+        slice(col("d"), col("u_b2") + 3, col("u_ni2")))
+      .withColumn("u_lat2",
+        slice(col("d"), col("u_b2") + col("u_ni2") + 3, col("u_nj2")))
+    def outer(ni: Column, nj: Column, lonAx: Column, latAx: Column)
+        : (Column, Column) = {
+      val kk = when(ni > 0 && nj > 0, sequence(lit(0), ni * nj - 1))
+        .otherwise(array().cast("array<int>"))
+      (transform(kk, k =>
+        try_element_at(latAx, (k / ni).cast("int") + 1)),
+        transform(kk, k =>
+          try_element_at(lonAx, pmod(k, ni).cast("int") + 1)))
+    }
+    val (la1, lo1) =
+      outer(col("u_ni1"), col("u_nj1"), col("u_lon1"), col("u_lat1"))
+    val (la2, lo2) =
+      outer(col("u_ni2"), col("u_nj2"), col("u_lon2"), col("u_lat2"))
+    val uLa = u.select(col("grid"), lit("LA").as("nomvar"),
+      col("u_ni1").as("ni"), (col("u_nj1") + col("u_nj2")).as("nj"),
+      concat(la1, la2).as("d"))
+    val uLo = u.select(col("grid"), lit("LO").as("nomvar"),
+      col("u_ni1").as("ni"), (col("u_nj1") + col("u_nj2")).as("nj"),
+      concat(lo1, lo2).as("d"))
+
+    la.unionByName(lo).unionByName(uLa).unionByName(uLo)
   }
 
   val Epsilon = 0.001

@@ -541,6 +541,36 @@ object FstQueries {
           col("ig4"), (col("pos") + 1).as("pos"), col("col").as("value"))
     }),
 
+    // M12/M14 U-grid path: grid params -> `^>` record (dfFromGrid U
+    // branch) -> 2D LA/LO via the subgrid-concat path
+    // (std_grid.py:166-176): each subgrid's field is the usual axis
+    // outer product, concatenated along nj (plain array concat in
+    // Fortran-flat layout)
+    "f57_latlon_u" -> ((s, dir) => {
+      import s.implicits._
+      val lon1 = Seq(0f, 90f, 180f, 270f)
+      val lat1 = Seq(-45f, 0f, 45f)
+      val lon2 = Seq(45f, 135f, 225f, 315f)
+      val lat2 = Seq(-30f, 0f, 30f)
+      val axy = Seq(4f, 3f) ++ lon1 ++ lat1 ++
+        Seq(4f, 3f) ++ lon2 ++ lat2
+      val params = Seq(("u1", "U", 4, 6, axy))
+        .toDF("grid", "grtyp", "ni", "nj", "axy")
+        .withColumn("ig1", lit(33800)).withColumn("ig2", lit(77700))
+        .withColumn("grref", lit("E"))
+        .withColumn("ig1ref", lit(0)).withColumn("ig2ref", lit(0))
+        .withColumn("ig3ref", lit(0)).withColumn("ig4ref", lit(0))
+        .withColumn("ax", lit(null).cast("array<float>"))
+        .withColumn("ay", lit(null).cast("array<float>"))
+      val recs = graft.ops.Grids.dfFromGrid(params)
+        .withColumn("grid", lit("u1"))
+      graft.ops.Grids.latLon2d(recs)
+        .select(col("grid"), col("nomvar"), col("ni"), col("nj"),
+          posexplode(col("d")))
+        .select(col("grid"), col("nomvar"), col("ni"), col("nj"),
+          (col("pos") + 1).as("pos"), col("col").as("value"))
+    }),
+
     // M16: vgrid descriptor -> !! record round-trip (descriptor parsed
     // back out of the catalog's own !! record)
     "f35_df_from_vgrid" -> ((s, dir) => {
@@ -756,6 +786,32 @@ object FstQueries {
           col("ip2"), col("datyp"), col("nbits"), col("dateo"),
           col("datev"), (col("pos") + 1).as("pos"),
           col("col").as("value"),
+          element_at(col("d64"), (col("pos") + 1).cast("int"))
+            .as("value64"))
+    }),
+
+    // S4 datyp-6 (float_packer-shaped) payloads through the real XDF
+    // container: 3-word 'FLP' header + nbits-token stream of
+    // sign-magnitude mantissas aligned to the record's maximum binary
+    // exponent (std_io.py:546 call shape). The synthetic half-integer
+    // payloads sit on the reference-exponent grid at 16 tokens, so the
+    // round-trip is exact on both the float32 `d` surface and the
+    // native `d64` column
+    "f56_xdf_packed_float" -> ((s, dir) => {
+      val base = cat(s, dir)
+        .filter(col("nomvar") === "UU" && col("rid") > 0)
+        .withColumn("ip3", col("rid").cast("int"))
+        .withColumn("datyp", lit(6)).withColumn("nbits", lit(16))
+      val path =
+        s"/tmp/graft_xdf_fpack_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      graft.sources.fst.FstWriter.write(base, path, cleanup = false,
+        container = "xdf")
+      s.read.format("fstrec")
+        .schema(graft.sources.fst.FstTable.ExtendedSchema).load(path)
+        .select(col("ip3").as("rid"), col("nomvar"), col("datyp"),
+          col("nbits"), col("d64"), posexplode(col("d")))
+        .select(col("rid"), col("nomvar"), col("datyp"), col("nbits"),
+          (col("pos") + 1).as("pos"), col("col").as("value"),
           element_at(col("d64"), (col("pos") + 1).cast("int"))
             .as("value64"))
     }),
@@ -1481,6 +1537,31 @@ SELECT CAST(rid AS INT) AS rid, nomvar, etiket, ip1, ip2, datyp,
   CASE WHEN datyp = 2 THEN floor(CAST(unnest(d) AS DOUBLE))
     ELSE CAST(unnest(d) AS DOUBLE) END AS value64
 FROM x"""),
+
+    // expected flat fields computed by hand from the two subgrids'
+    // axes: LA repeats each lat nj-row ni times, LO repeats the lon
+    // axis per row; sub2 follows sub1 (concat along nj)
+    "f57_latlon_u" -> W(
+      """, f(nomvar, vals) AS (VALUES
+  ('LA', [-45,-45,-45,-45, 0,0,0,0, 45,45,45,45,
+          -30,-30,-30,-30, 0,0,0,0, 30,30,30,30]),
+  ('LO', [0,90,180,270, 0,90,180,270, 0,90,180,270,
+          45,135,225,315, 45,135,225,315, 45,135,225,315]))
+SELECT 'u1' AS grid, nomvar, CAST(4 AS INT) AS ni, CAST(6 AS INT) AS nj,
+  CAST(unnest(range(1, len(vals) + 1)) AS INT) AS pos,
+  CAST(unnest(vals) AS FLOAT) AS value
+FROM f"""),
+
+    // exactness argument: payloads are half-integers <= 55.5, so the
+    // per-record reference-exponent step at 16 tokens is a power of
+    // two <= 2^-9 and every value sits on the quantization grid
+    "f56_xdf_packed_float" -> W(
+      """SELECT CAST(rid AS INT) AS rid, nomvar,
+  CAST(6 AS INT) AS datyp, CAST(16 AS INT) AS nbits,
+  CAST(unnest(range(1, len(d) + 1)) AS INT) AS pos,
+  unnest(d) AS value,
+  CAST(unnest(d) AS DOUBLE) AS value64
+FROM cat WHERE nomvar = 'UU' AND rid > 0"""),
 
     "f52_xdf_update" -> W(
       """SELECT CAST(rid AS INT) AS rid, nomvar, 'XUPDATED' AS etiket,

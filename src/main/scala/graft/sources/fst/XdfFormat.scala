@@ -47,9 +47,16 @@ import java.nio.ByteBuffer
   *    (std_io.py:529-534), so this header layout is this library's
   *    own — documented, self-consistent, and exact for values on the
   *    quantization grid;
-  *  - 6 and 129-134 (float_packer / turbopack) stay an explicit
-  *    external-algorithm boundary: their compression algorithms only
-  *    exist in librmn C (std_io.py:543-563) and are rejected loudly.
+  *  - 6 (float_packer): the reference's decode shape is a 3-word
+  *    header + nbits-token stream (`c_float_unpacker(work, data,
+  *    data[3:], nelm, &nbits)`, std_io.py:546); librmn's exact token
+  *    layout lives only in its C, so the in-container layout here is
+  *    this library's own — sign-magnitude mantissas aligned to the
+  *    corpus's maximum binary exponent ('FLP' marker word, reference
+  *    exponent, nelm);
+  *  - 129-134 (turbopack) stay an explicit external-algorithm
+  *    boundary: their compression algorithms only exist in librmn C
+  *    (std_io.py:548-563) and are rejected loudly.
   */
 object XdfFormat {
 
@@ -71,6 +78,10 @@ object XdfFormat {
   val Dir0: Int = ascii("DIR0")
   val Vrsn: Int = ascii("XDF0")
   val Sign: Int = ascii("STDR")
+  /** datyp-6 header marker: 'FLP' plus a zero low byte that
+    * carries nbits (0x46 0x4C 0x50 0x00).
+    */
+  val FlpMagic: Int = 0x464C5000
 
   /** Real-XDF sniff: both containers carry the 'STDR' magic at byte
     * 12; the XDF file header's first word (lng|idtyp) is non-zero
@@ -107,13 +118,14 @@ object XdfFormat {
       case 0 => if (nbits > 32) 2 * nelm else nelm
       case 5 => if (nbits > 32) 2 * nelm else nelm
       case 1 => 3 + packedWords(nelm, nbits)
+      case 6 => 3 + packedWords(nelm, nbits)
       case 2 | 4 => packedWords(nelm, nbits)
       case 7 => packedWords(nelm, 8) // chars pack 8-bit regardless
       // of declared nbits (the reference passes a literal 8,
       // std_io.py:546-547)
       case other => throw new UnsupportedOperationException(
         s"xdf: datyp $other payloads require librmn's " +
-          "float_packer/turbopack compressors (std_io.py:527-563) — " +
+          "turbopack compressors (std_io.py:548-563) — " +
           "outside clean-room scope")
     }
 
@@ -248,6 +260,39 @@ object XdfFormat {
       }
       Array(java.lang.Float.floatToIntBits(minS), j,
         values.length) ++ packBits(ks, nbits)
+    case 6 =>
+      // float_packer-shaped codec: the reference's decode call is
+      // `c_float_unpacker(work, data, data[3:], nelm, &nbits)`
+      // (std_io.py:546) — a 3-word header followed by an nbits-token
+      // stream. librmn's exact token layout lives only in its C
+      // (float_packer.c is not part of the reference), so as with
+      // datyp 1 the in-container layout here is this library's own:
+      // sign-magnitude mantissas aligned to the corpus's maximum
+      // binary exponent. Values whose magnitude is a multiple of the
+      // quantization step (= 2^(refExpo-150+25-nbits)) round-trip
+      // exactly; everything else truncates toward zero, bounded by
+      // one step.
+      require(nbits >= 2 && nbits <= 25,
+        s"xdf: datyp 6 nbits $nbits outside the 2-25 token range")
+      val refExpo = values.foldLeft(0) { (acc, v) =>
+        val bits = java.lang.Float.floatToIntBits(v.toFloat)
+        math.max(acc, (bits >>> 23) & 0xFF)
+      }
+      val magBits = nbits - 1
+      val ks = values.map { v =>
+        val bits = java.lang.Float.floatToIntBits(v.toFloat)
+        val expo = (bits >>> 23) & 0xFF
+        val sign = bits >>> 31
+        if (expo == 0) 0L // zero/denormal -> zero token
+        else {
+          val mant24 = (bits & 0x7FFFFF) | 0x800000 // hidden bit
+          val shift = (refExpo - expo) + (24 - magBits)
+          val mag = if (shift >= 32) 0L else (mant24.toLong >>> shift)
+          (sign.toLong << magBits) | mag
+        }
+      }
+      Array(FlpMagic | nbits, refExpo, values.length) ++
+        packBits(ks, nbits)
     case other => throw new UnsupportedOperationException(
       s"xdf: cannot encode datyp $other (librmn-only compressor)")
   }
@@ -291,6 +336,22 @@ object XdfFormat {
         require(words(2) == nelm,
           s"xdf: datyp 1 header nelm ${words(2)} != directory $nelm")
         unpackBits(words.drop(3), nbits, nelm).map(min + _ * step)
+      case 6 =>
+        require((words(0) & 0xFFFFFF00) == FlpMagic,
+          f"xdf: datyp 6 header marker 0x${words(0)}%08x is not FLP")
+        val hnbits = words(0) & 0xFF
+        require(hnbits == nbits,
+          s"xdf: datyp 6 header nbits $hnbits != directory $nbits")
+        require(words(2) == nelm,
+          s"xdf: datyp 6 header nelm ${words(2)} != directory $nelm")
+        val refExpo = words(1)
+        val magBits = nbits - 1
+        val step = math.pow(2, (refExpo - 126 - magBits).toDouble)
+        unpackBits(words.drop(3), nbits, nelm).map { k =>
+          val mag = k & ((1L << magBits) - 1)
+          val sign = if ((k >>> magBits) == 1L) -1.0 else 1.0
+          sign * mag * step
+        }
       case other => throw new UnsupportedOperationException(
         s"xdf: cannot decode datyp $other (librmn-only compressor)")
     }

@@ -156,7 +156,10 @@ class XdfFormatSpec extends AnyFunSuite {
       // +64 missing-data flag masked off for the codec (datyp & 191)
       (meta(6, 2, 1, 5 + 64, 32), Array(9.5, -9.5)),
       // datyp 7: characters pack 8-bit regardless of declared nbits
-      (meta(7, 5, 1, 7, 8), "HELLO".map(_.toDouble).toArray))
+      (meta(7, 5, 1, 7, 8), "HELLO".map(_.toDouble).toArray),
+      // datyp 6: magnitudes that are multiples of the reference-
+      // exponent step (here 2^(133-126-15) = 1/256) decode exactly
+      (meta(8, 4, 1, 6, 16), Array(1.5, -2.25, 0.0, 100.0)))
     val img = XdfFormat.writeFile(recs)
     assert(XdfFormat.isXdf(img))
     val dir = XdfFormat.readDirectory(img)
@@ -166,6 +169,20 @@ class XdfFormatSpec extends AnyFunSuite {
         m.nbits == em.nbits)
       val got = XdfFormat.readPayload(XdfFormat.byteReader(img), m)
       assert(got.toSeq == ed.toSeq, s"payload of ip3=${m.ip3}")
+    }
+  }
+
+  test("datyp 6 off-grid values truncate toward zero within one step") {
+    val vals = Array(0.1, -0.37, 0.9211, -0.5555, 1.0)
+    val nbits = 12
+    val words = XdfFormat.encodePayload(6, nbits, vals)
+    val back = XdfFormat.decodePayload(6, nbits, vals.length, words)
+    // refExpo from max |v| = 1.0 (biased 127): step = 2^(127-126-11)
+    val step = math.pow(2, (127 - 126 - (nbits - 1)).toDouble)
+    vals.zip(back).foreach { case (v, b) =>
+      assert(math.abs(b) <= math.abs(v) && math.abs(v - b) < step,
+        s"$v -> $b")
+      assert(v == 0.0 || math.signum(v) == math.signum(b) || b == 0.0)
     }
   }
 
@@ -203,7 +220,7 @@ class XdfFormatSpec extends AnyFunSuite {
 
   test("librmn-only compressed datyps are an explicit boundary") {
     intercept[UnsupportedOperationException] {
-      XdfFormat.encodePayload(6, 16, Array(1.0))
+      XdfFormat.encodePayload(129, 16, Array(1.0))
     }
     intercept[UnsupportedOperationException] {
       XdfFormat.payloadWords(133, 16, 4)
@@ -234,7 +251,11 @@ class XdfFormatSpec extends AnyFunSuite {
       (2, 12, Gen.choose(0L, 4095L).map(_.toDouble)),
       (2, 32, Gen.choose(0L, 0xFFFFFFFFL).map(_.toDouble)),
       (4, 16, Gen.choose(-32768L, 32767L).map(_.toDouble)),
-      (7, 8, Gen.choose(0L, 255L).map(_.toDouble)))
+      (7, 8, Gen.choose(0L, 255L).map(_.toDouble)),
+      // datyp 6 at 25 tokens (24 magnitude bits, a full float32
+      // mantissa): integer magnitudes up to 2^16 stay on the
+      // reference-exponent grid, so they round-trip exactly
+      (6, 25, Gen.choose(-65535L, 65535L).map(_.toDouble)))
     cases.zipWithIndex.foreach { case ((datyp, nbits, gen), ci) =>
       (0 until 20).foreach { i =>
         val vals = Gen.listOfN(37, gen)
