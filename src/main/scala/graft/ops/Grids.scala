@@ -360,6 +360,83 @@ object Grids {
     la.unionByName(lo)
   }
 
+  // ---------------------------------------------------------------
+  // M13 closure: IG word <-> degrees packing. The reference passes
+  // raw ig1-4 straight to the external ezscint kernel
+  // (`c_ezqkdef(ni, nj, grtyp, ig1, ig2, ig3, ig4, 0)`,
+  // std_grid.py:99) and never spells the packing out, so librmn's
+  // exact cigaxg/cxgaig quantization stays the declared external
+  // boundary; this pair is the library's own documented convention —
+  // an exact inverse pair at its stated resolutions, pinned by a
+  // round-trip property test and driver query f58.
+  //
+  // Per grtyp (resolutions chosen so real-world descriptors
+  // round-trip exactly):
+  //  - L: ig1 = (lat0+90)*100, ig2 = lon0*100 (centidegrees),
+  //       ig3 = dlat*1000, ig4 = dlon*1000 (millidegrees);
+  //  - E: ig1 = (lat1+90)*100, ig2 = lon1*100,
+  //       ig3 = (lat2+90)*100, ig4 = lon2*100 (centidegrees);
+  //  - N/S: ig1 = pi*100, ig2 = pj*100 (centi-grid-units),
+  //       ig3 = d60/10 (decameters), ig4 = dgrw*100 (centidegrees);
+  //  - A/B/G: no params — all IG words zero.
+  // ---------------------------------------------------------------
+
+  /** Encode per-grtyp params (the [[latLonRegular]]/[[latLonGeo]]
+    * input columns) into ig1..ig4.
+    */
+  def igEncode(params: DataFrame): DataFrame = {
+    def r100(c: Column) = round(c * 100).cast("int")
+    val (ig1, ig2, ig3, ig4) = (
+      when(col("grtyp") === "L", r100(col("lat0") + 90))
+        .when(col("grtyp") === "E", r100(col("lat1") + 90))
+        .when(col("grtyp").isin("N", "S"), r100(col("pi")))
+        .otherwise(lit(0)),
+      when(col("grtyp") === "L", r100(col("lon0")))
+        .when(col("grtyp") === "E", r100(col("lon1")))
+        .when(col("grtyp").isin("N", "S"), r100(col("pj")))
+        .otherwise(lit(0)),
+      when(col("grtyp") === "L", round(col("dlat") * 1000).cast("int"))
+        .when(col("grtyp") === "E", r100(col("lat2") + 90))
+        .when(col("grtyp").isin("N", "S"),
+          round(col("d60") / 10).cast("int"))
+        .otherwise(lit(0)),
+      when(col("grtyp") === "L", round(col("dlon") * 1000).cast("int"))
+        .when(col("grtyp") === "E", r100(col("lon2")))
+        .when(col("grtyp").isin("N", "S"), r100(col("dgrw")))
+        .otherwise(lit(0)))
+    params.withColumn("ig1", ig1).withColumn("ig2", ig2)
+      .withColumn("ig3", ig3).withColumn("ig4", ig4)
+  }
+
+  /** Exact inverse of [[igEncode]]: decode ig1..ig4 into the
+    * per-grtyp param columns (unused params are 0.0, as
+    * [[latLonGeo]] expects).
+    */
+  def igDecode(df: DataFrame): DataFrame = {
+    def d100(c: Column) = c.cast("double") / 100
+    def pick(l: Column, e: Column, ns: Column) =
+      when(col("grtyp") === "L", l)
+        .when(col("grtyp") === "E", e)
+        .when(col("grtyp").isin("N", "S"), ns)
+        .otherwise(lit(0.0))
+    df
+      .withColumn("lat0", pick(d100(col("ig1")) - 90, lit(0.0), lit(0.0)))
+      .withColumn("lon0", pick(d100(col("ig2")), lit(0.0), lit(0.0)))
+      .withColumn("dlat",
+        pick(col("ig3").cast("double") / 1000, lit(0.0), lit(0.0)))
+      .withColumn("dlon",
+        pick(col("ig4").cast("double") / 1000, lit(0.0), lit(0.0)))
+      .withColumn("lat1", pick(lit(0.0), d100(col("ig1")) - 90, lit(0.0)))
+      .withColumn("lon1", pick(lit(0.0), d100(col("ig2")), lit(0.0)))
+      .withColumn("lat2", pick(lit(0.0), d100(col("ig3")) - 90, lit(0.0)))
+      .withColumn("lon2", pick(lit(0.0), d100(col("ig4")), lit(0.0)))
+      .withColumn("pi", pick(lit(0.0), lit(0.0), d100(col("ig1"))))
+      .withColumn("pj", pick(lit(0.0), lit(0.0), d100(col("ig2"))))
+      .withColumn("d60",
+        pick(lit(0.0), lit(0.0), col("ig3").cast("double") * 10))
+      .withColumn("dgrw", pick(lit(0.0), lit(0.0), d100(col("ig4"))))
+  }
+
   /** M12 get_df_from_grid (/root/reference/fstpy/std_grid.py:13-44):
     * record constructors from horizontal grid-definition params — Z/Y
     * grids emit a `>>` (ni x 1 longitude axis) and a `^^` (1 x nj

@@ -571,6 +571,36 @@ object FstQueries {
           (col("pos") + 1).as("pos"), col("col").as("value"))
     }),
 
+    // M13 closure: IG word <-> degrees packing round-trip. librmn's
+    // exact cigaxg/cxgaig quantization is the external ezscint
+    // boundary (std_grid.py:99); this exercises the library's own
+    // documented convention — encode params to ig1..ig4, decode back,
+    // both sides mirrored in the oracle
+    "f58_ig_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Seq(
+        ("L1", "L", -30.0, 300.0, 0.5, 0.25,
+          0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+        ("E1", "E", 0.0, 0.0, 0.0, 0.0,
+          0.0, 0.0, 0.0, 0.0, 35.0, 250.0, 0.0, 340.0),
+        ("N1", "N", 0.0, 0.0, 0.0, 0.0,
+          3.0, 2.0, 25000.0, 10.0, 0.0, 0.0, 0.0, 0.0),
+        ("S1", "S", 0.0, 0.0, 0.0, 0.0,
+          5.5, 4.25, 17500.0, 350.0, 0.0, 0.0, 0.0, 0.0),
+        ("G1", "G", 0.0, 0.0, 0.0, 0.0,
+          0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+        .toDF("grid", "grtyp", "lat0", "lon0", "dlat", "dlon",
+          "pi", "pj", "d60", "dgrw", "lat1", "lon1", "lat2", "lon2")
+      val enc = graft.ops.Grids.igEncode(rows)
+        .select("grid", "grtyp", "ig1", "ig2", "ig3", "ig4")
+      graft.ops.Grids.igDecode(enc)
+        .select(col("grid"), col("grtyp"), col("ig1"), col("ig2"),
+          col("ig3"), col("ig4"), col("lat0"), col("lon0"),
+          col("dlat"), col("dlon"), col("pi"), col("pj"), col("d60"),
+          col("dgrw"), col("lat1"), col("lon1"), col("lat2"),
+          col("lon2"))
+    }),
+
     // M16: vgrid descriptor -> !! record round-trip (descriptor parsed
     // back out of the catalog's own !! record)
     "f35_df_from_vgrid" -> ((s, dir) => {
@@ -1537,6 +1567,65 @@ SELECT CAST(rid AS INT) AS rid, nomvar, etiket, ip1, ip2, datyp,
   CASE WHEN datyp = 2 THEN floor(CAST(unnest(d) AS DOUBLE))
     ELSE CAST(unnest(d) AS DOUBLE) END AS value64
 FROM x"""),
+
+    // SQL twin of igEncode/igDecode over the same literal params
+    "f58_ig_roundtrip" -> W(
+      """, p(grid, grtyp, lat0, lon0, dlat, dlon, pi, pj, d60, dgrw,
+     lat1, lon1, lat2, lon2) AS (VALUES
+  ('L1', 'L', -30.0, 300.0, 0.5, 0.25, 0.0, 0.0, 0.0, 0.0,
+   0.0, 0.0, 0.0, 0.0),
+  ('E1', 'E', 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+   35.0, 250.0, 0.0, 340.0),
+  ('N1', 'N', 0.0, 0.0, 0.0, 0.0, 3.0, 2.0, 25000.0, 10.0,
+   0.0, 0.0, 0.0, 0.0),
+  ('S1', 'S', 0.0, 0.0, 0.0, 0.0, 5.5, 4.25, 17500.0, 350.0,
+   0.0, 0.0, 0.0, 0.0),
+  ('G1', 'G', 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+   0.0, 0.0, 0.0, 0.0)),
+e AS (SELECT grid, grtyp,
+  CAST(CASE WHEN grtyp = 'L' THEN round((lat0 + 90) * 100)
+    WHEN grtyp = 'E' THEN round((lat1 + 90) * 100)
+    WHEN grtyp IN ('N', 'S') THEN round(pi * 100)
+    ELSE 0 END AS INT) AS ig1,
+  CAST(CASE WHEN grtyp = 'L' THEN round(lon0 * 100)
+    WHEN grtyp = 'E' THEN round(lon1 * 100)
+    WHEN grtyp IN ('N', 'S') THEN round(pj * 100)
+    ELSE 0 END AS INT) AS ig2,
+  CAST(CASE WHEN grtyp = 'L' THEN round(dlat * 1000)
+    WHEN grtyp = 'E' THEN round((lat2 + 90) * 100)
+    WHEN grtyp IN ('N', 'S') THEN round(d60 / 10)
+    ELSE 0 END AS INT) AS ig3,
+  CAST(CASE WHEN grtyp = 'L' THEN round(dlon * 1000)
+    WHEN grtyp = 'E' THEN round(lon2 * 100)
+    WHEN grtyp IN ('N', 'S') THEN round(dgrw * 100)
+    ELSE 0 END AS INT) AS ig4
+  FROM p)
+SELECT grid, grtyp, ig1, ig2, ig3, ig4,
+  CASE WHEN grtyp = 'L' THEN CAST(ig1 AS DOUBLE) / 100 - 90
+    ELSE 0.0 END AS lat0,
+  CASE WHEN grtyp = 'L' THEN CAST(ig2 AS DOUBLE) / 100
+    ELSE 0.0 END AS lon0,
+  CASE WHEN grtyp = 'L' THEN CAST(ig3 AS DOUBLE) / 1000
+    ELSE 0.0 END AS dlat,
+  CASE WHEN grtyp = 'L' THEN CAST(ig4 AS DOUBLE) / 1000
+    ELSE 0.0 END AS dlon,
+  CASE WHEN grtyp IN ('N', 'S') THEN CAST(ig1 AS DOUBLE) / 100
+    ELSE 0.0 END AS pi,
+  CASE WHEN grtyp IN ('N', 'S') THEN CAST(ig2 AS DOUBLE) / 100
+    ELSE 0.0 END AS pj,
+  CASE WHEN grtyp IN ('N', 'S') THEN CAST(ig3 AS DOUBLE) * 10
+    ELSE 0.0 END AS d60,
+  CASE WHEN grtyp IN ('N', 'S') THEN CAST(ig4 AS DOUBLE) / 100
+    ELSE 0.0 END AS dgrw,
+  CASE WHEN grtyp = 'E' THEN CAST(ig1 AS DOUBLE) / 100 - 90
+    ELSE 0.0 END AS lat1,
+  CASE WHEN grtyp = 'E' THEN CAST(ig2 AS DOUBLE) / 100
+    ELSE 0.0 END AS lon1,
+  CASE WHEN grtyp = 'E' THEN CAST(ig3 AS DOUBLE) / 100 - 90
+    ELSE 0.0 END AS lat2,
+  CASE WHEN grtyp = 'E' THEN CAST(ig4 AS DOUBLE) / 100
+    ELSE 0.0 END AS lon2
+FROM e"""),
 
     // expected flat fields computed by hand from the two subgrids'
     // axes: LA repeats each lat nj-row ni times, LO repeats the lon

@@ -32,6 +32,42 @@ class GridsUSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lo._3 == Seq(0f, 90f, 0f, 90f, 45f, 135f, 45f, 135f, 45f, 135f))
   }
 
+  test("IG packing is an exact inverse pair at its stated resolutions") {
+    import spark.implicits._
+    // params on the centi/milli-degree grid (what igEncode quantizes
+    // to) must survive encode -> decode bit-exactly
+    val rows = (0 until 50).map { i =>
+      val lat0 = -90.0 + (i * 367 % 18000) / 100.0
+      val lon0 = (i * 911 % 36000) / 100.0
+      val dlat = 0.001 + (i * 131 % 5000) / 1000.0
+      val dlon = 0.001 + (i * 173 % 5000) / 1000.0
+      ("g" + i, "L", lat0, lon0, dlat, dlon,
+        0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    } :+ (("gn", "N", 0.0, 0.0, 0.0, 0.0,
+      12.34, 56.78, 47520.0, 123.45, 0.0, 0.0, 0.0, 0.0))
+    val df = rows.toDF("grid", "grtyp", "lat0", "lon0", "dlat", "dlon",
+      "pi", "pj", "d60", "dgrw", "lat1", "lon1", "lat2", "lon2")
+    val back = Grids.igDecode(Grids.igEncode(df)
+      .select("grid", "grtyp", "ig1", "ig2", "ig3", "ig4"))
+    val cols = Seq("grid", "grtyp", "lat0", "lon0", "dlat", "dlon",
+      "pi", "pj", "d60", "dgrw", "lat1", "lon1", "lat2", "lon2")
+    val exp = df.select(cols.map(col): _*).collect().toSeq
+      .map(_.toSeq).sortBy(_.head.toString)
+    val got = back.select(cols.map(col): _*).collect().toSeq
+      .map(_.toSeq).sortBy(_.head.toString)
+    // decode(encode(x)) reproduces x at the packing resolution; the
+    // comparison is tolerance-based because ig/1000 and the original
+    // double can differ by an ulp even when both print identically
+    exp.zip(got).foreach { case (e, g) =>
+      assert(e.take(2) == g.take(2), s"key ${e.head}")
+      e.drop(2).zip(g.drop(2)).zip(cols.drop(2)).foreach {
+        case ((ev: Double, gv: Double), c) =>
+          assert(math.abs(ev - gv) < 1e-9, s"${e.head}.$c: $ev != $gv")
+        case ((ev, gv), c) => fail(s"${e.head}.$c: $ev/$gv not doubles")
+      }
+    }
+  }
+
   test("latLon2d with zero ^> rows leaves the Z path untouched") {
     import spark.implicits._
     val recs = Seq(
