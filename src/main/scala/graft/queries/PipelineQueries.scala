@@ -608,6 +608,55 @@ object PipelineQueries {
       a2.select(col("vec_id"), col("cluster"))
     }),
 
+    // SemDeDup-style semantic dedup: k-means coarse clusters (one
+    // deterministic assign against seed centroids), then cosine
+    // near-dup collapse WITHIN each cluster only — candidate volume
+    // is cluster-bounded, never all-pairs; at 100 TB k grows with the
+    // corpus so mean cluster size stays fixed, and the centroid table
+    // stays a broadcast. Perturbed copies prove the collapse (p12's
+    // construction); canonical id = min id among cosine>=0.99
+    // cluster-mates.
+    "p42_semantic_dedup" -> ((s, dir) => {
+      val k = 8
+      val base = emb(s, dir).select("vec_id", "embedding")
+      val near = base.select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          x => (x + lit(0.01f)).cast("float")).as("embedding"))
+      val e = base.unionByName(near)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .transform(graft.core.CacheRegistry.persist(_))
+      val cent = e.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("cluster"), col("v").as("c"))
+      val assigned = e.crossJoin(broadcast(cent))
+        .withColumn("dist", aggregate(
+          zip_with(col("v"), col("c"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cluster"))).as("m"))
+        .select(col("vec_id"), col("m.cluster").as("cluster"))
+        .join(e, Seq("vec_id"))
+        .withColumn("nrm", sqrt(aggregate(
+          transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+        .transform(graft.core.CacheRegistry.persist(_))
+      val a = assigned.select(col("cluster"), col("vec_id").as("a"),
+        col("v").as("va"), col("nrm").as("na_"))
+      val b = assigned.select(col("cluster"), col("vec_id").as("b"),
+        col("v").as("vb"), col("nrm").as("nb_"))
+      val dups = a.join(b, Seq("cluster")).filter(col("a") < col("b"))
+        .withColumn("cos", aggregate(
+          zip_with(col("va"), col("vb"), (x, y) => x * y),
+          lit(0.0), (p, x) => p + x) / (col("na_") * col("nb_")))
+        .filter(col("cos") >= 0.99)
+        .groupBy(col("b").as("vec_id")).agg(min("a").as("dup_of"))
+      assigned.select("vec_id", "cluster")
+        .join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"),
+          coalesce(col("dup_of"), col("vec_id")).as("canonical_id"),
+          col("dup_of").isNull.as("kept"))
+    }),
+
     // training-window chunking: fixed-size overlapping token windows
     // (W=16, stride 12) per document, one output row per chunk. Pure
     // map work — tokenize once per row (let-bound), derive the chunk
@@ -1375,6 +1424,43 @@ a2 AS (SELECT vec_id, cluster FROM
     (SELECT *, row_number() OVER (PARTITION BY vec_id
       ORDER BY dist ASC, cluster ASC) AS rn FROM d2) WHERE rn = 1)
 SELECT vec_id, cluster FROM a2"""
+    },
+
+    "p42_semantic_dedup" -> {
+      def dist(v: String, c: String) =
+        s"""list_reduce(list_transform(range(1, 65),
+      i -> ($v[CAST(i AS INT)] - $c[CAST(i AS INT)])
+        * ($v[CAST(i AS INT)] - $c[CAST(i AS INT)])),
+      (a, b) -> a + b)"""
+      s"""WITH e0 AS (SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id,
+      list_transform(embedding, x -> CAST(x + CAST(0.01 AS FLOAT)
+        AS FLOAT)) AS embedding
+    FROM embeddings),
+e AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM e0),
+c0 AS (SELECT CAST(vec_id AS INT) AS cluster, v AS c FROM e
+  WHERE vec_id < 8),
+d1 AS (SELECT e.vec_id, e.v, c0.cluster,
+    ${dist("e.v", "c0.c")} AS dist FROM e, c0),
+a1 AS (SELECT vec_id, v, cluster FROM
+    (SELECT *, row_number() OVER (PARTITION BY vec_id
+      ORDER BY dist ASC, cluster ASC) AS rn FROM d1) WHERE rn = 1),
+an AS (SELECT *, sqrt(list_reduce(list_transform(v, x -> x * x),
+    (a, b) -> a + b)) AS nrm FROM a1),
+p AS (SELECT x.vec_id AS a, y.vec_id AS b,
+    list_reduce(list_transform(range(1, 65),
+      i -> x.v[CAST(i AS INT)] * y.v[CAST(i AS INT)]),
+      (a, b) -> a + b) / (x.nrm * y.nrm) AS cos
+  FROM an x JOIN an y ON x.cluster = y.cluster
+    AND x.vec_id < y.vec_id),
+d AS (SELECT b AS vec_id, min(a) AS dup_of FROM p
+  WHERE cos >= 0.99 GROUP BY b)
+SELECT a1.vec_id, a1.cluster,
+  coalesce(d.dup_of, a1.vec_id) AS canonical_id,
+  d.dup_of IS NULL AS kept
+FROM a1 LEFT JOIN d USING (vec_id)"""
     },
 
     "p23_decontamination" -> {

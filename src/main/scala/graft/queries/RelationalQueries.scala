@@ -203,6 +203,51 @@ object RelationalQueries {
           r(col("p_retailprice"), 2).as("retail"))
     }),
 
+    // Rollup (grouping sets): subtotals per (flag, status), per flag,
+    // and grand total in ONE pass — partial aggregation handles the
+    // rollup expansion map-side, so it costs the same single shuffle
+    // as the plain groupBy.
+    "q20_rollup_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_quantity"), 3).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"))
+    }),
+
+    // Exact interpolated percentiles per group. Spark's percentile
+    // aggregates a value->count map per group (memory bounded by
+    // DISTINCT values, not rows — prices here are bounded); at true
+    // 100 TB cardinality switch to approx_percentile, which this
+    // oracle-exact variant deliberately does not use.
+    "q21_price_percentiles" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.9))")
+          .as("ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("p25"),
+          round(element_at(col("ps"), 2), 4).as("p50"),
+          round(element_at(col("ps"), 3), 4).as("p75"),
+          round(element_at(col("ps"), 4), 4).as("p90"))
+    }),
+
+    // Pivot with EXPLICIT values: no extra distinct-scan pass to
+    // discover the pivot domain, and the output schema is static —
+    // both required for a sane 100 TB plan.
+    "q22_pivot_revenue" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(dsum(col("l_extendedprice"), 2))
+        .select(col("l_linestatus"),
+          coalesce(col("A"), lit(0.0)).as("rev_a"),
+          coalesce(col("N"), lit(0.0)).as("rev_n"),
+          coalesce(col("R"), lit(0.0)).as("rev_r"))
+    }),
+
     // As-of join (union + running-last window; one keyed shuffle):
     // each click matched to the latest same-or-earlier view per user.
     "q16_asof_click_view" -> ((s, d) => {
@@ -403,6 +448,28 @@ object RelationalQueries {
          FROM (SELECT *, row_number() OVER (PARTITION BY p_brand
                ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk FROM part) t
          WHERE rnk <= 2""",
+    "q20_rollup_summary" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+         coalesce(l_linestatus, 'ALL') AS status,
+         count(*) AS n,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))),3) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q21_price_percentiles" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.25),4) AS p25,
+         round(quantile_cont(l_extendedprice, 0.5),4) AS p50,
+         round(quantile_cont(l_extendedprice, 0.75),4) AS p75,
+         round(quantile_cont(l_extendedprice, 0.9),4) AS p90
+         FROM lineitem GROUP BY l_returnflag""",
+    "q22_pivot_revenue" ->
+      """SELECT l_linestatus,
+         coalesce(CAST(round(sum(CASE WHEN l_returnflag = 'A'
+           THEN CAST(l_extendedprice AS DECIMAL(18,6)) END),2) AS DOUBLE), 0.0) AS rev_a,
+         coalesce(CAST(round(sum(CASE WHEN l_returnflag = 'N'
+           THEN CAST(l_extendedprice AS DECIMAL(18,6)) END),2) AS DOUBLE), 0.0) AS rev_n,
+         coalesce(CAST(round(sum(CASE WHEN l_returnflag = 'R'
+           THEN CAST(l_extendedprice AS DECIMAL(18,6)) END),2) AS DOUBLE), 0.0) AS rev_r
+         FROM lineitem GROUP BY l_linestatus""",
     // ts -> micros mirrors Tables.events's floor(ns/1000) conversion
     "q16_asof_click_view" ->
       """WITH v0 AS (SELECT user_id,
