@@ -657,6 +657,63 @@ object PipelineQueries {
           col("dup_of").isNull.as("kept"))
     }),
 
+    // incremental (batch-vs-corpus) near-dup: dedupe an INCOMING batch
+    // against the EXISTING corpus without ever self-joining the
+    // corpus — the asymmetric production shape (daily crawl vs 100 TB
+    // archive). Corpus band keys are the big fixed side (at scale a
+    // bucketed/sorted asset reused across batches; the bucket cap
+    // rides its shuffle); the small incoming side joins in on
+    // (band, bkey). Candidates verify by exact Jaccard; best match =
+    // max jaccard with min-corpus-id tiebreak. Perturbed copies
+    // (tail-suffixed) must match; word-reversed docs must come out
+    // novel.
+    "p43_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      def shingleify(df: DataFrame) = df
+        .withColumn("sh", hashedShingles(shingles(words(col("text")))))
+        .filter(size(col("sh")) > 0)
+        .withColumn("bks", bandKeys(col("sh")))
+        .select("doc_id", "sh", "bks")
+      val corpusSh = shingleify(d)
+        .transform(graft.core.CacheRegistry.persist(_))
+      val incoming = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" zzz extra tail qq")).as("text"))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
+      val incSh = shingleify(incoming)
+        .transform(graft.core.CacheRegistry.persist(_))
+      // materialize before fan-out (each cache feeds 2 plan branches)
+      corpusSh.count(); incSh.count()
+      val cb = corpusSh.select(col("doc_id").as("corpus_id"),
+          posexplode(col("bks")).as(Seq("band", "bkey")))
+        .withColumn("bn",
+          count(lit(1)).over(Window.partitionBy("band", "bkey")))
+        .filter(col("bn") <= lit(LshBucketCap)).drop("bn")
+      val ib = incSh.select(col("doc_id").as("new_id"),
+        posexplode(col("bks")).as(Seq("band", "bkey")))
+      val cand = ib.join(cb, Seq("band", "bkey"))
+        .select("new_id", "corpus_id").distinct()
+      val best = cand
+        .join(incSh.select(col("doc_id").as("new_id"),
+          col("sh").as("sh_n")), Seq("new_id"))
+        .join(corpusSh.select(col("doc_id").as("corpus_id"),
+          col("sh").as("sh_c")), Seq("corpus_id"))
+        .withColumn("jaccard", jaccard(col("sh_n"), col("sh_c")))
+        .filter(col("jaccard") >= 0.5)
+        .groupBy("new_id")
+        .agg(max(struct(col("jaccard"),
+          (-col("corpus_id")).as("nid"))).as("m"))
+        .select(col("new_id"), (-col("m.nid")).as("match_id"),
+          col("m.jaccard").as("jaccard"))
+      incSh.select(col("doc_id").as("new_id"))
+        .join(best, Seq("new_id"), "left")
+        .select(col("new_id"), col("match_id").isNotNull.as("matched"),
+          coalesce(col("match_id"), lit(-1L)).as("match_id"),
+          coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
+    }),
+
     // training-window chunking: fixed-size overlapping token windows
     // (W=16, stride 12) per document, one output row per chunk. Pure
     // map work — tokenize once per row (let-bound), derive the chunk
@@ -1461,6 +1518,47 @@ SELECT a1.vec_id, a1.cluster,
   coalesce(d.dup_of, a1.vec_id) AS canonical_id,
   d.dup_of IS NULL AS kept
 FROM a1 LEFT JOIN d USING (vec_id)"""
+    },
+
+    "p43_incremental_dedup" -> {
+      val sh = hashedShinglesSql(shinglesSql(wordsSql("text")))
+      s"""WITH inc0 AS (
+    SELECT doc_id + 2000000 AS doc_id,
+      text || ' zzz extra tail qq' AS text
+    FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 3000000 AS doc_id,
+      array_to_string(list_reverse(string_split(text, ' ')), ' ')
+        AS text
+    FROM documents WHERE doc_id % 7 = 0),
+csh0 AS (SELECT doc_id, $sh AS sh FROM documents),
+csh AS (SELECT * FROM csh0 WHERE len(sh) > 0),
+ish0 AS (SELECT doc_id, $sh AS sh FROM inc0),
+ish AS (SELECT * FROM ish0 WHERE len(sh) > 0),
+cb0 AS (SELECT doc_id AS corpus_id,
+  CAST(unnest(range(0, $LshBands)) AS INT) AS band,
+  unnest(${bandKeysSql("sh")}) AS bkey FROM csh),
+cbsz AS (SELECT band, bkey FROM cb0 GROUP BY band, bkey
+  HAVING count(*) <= $LshBucketCap),
+cb AS (SELECT cb0.* FROM cb0 JOIN cbsz USING (band, bkey)),
+ib AS (SELECT doc_id AS new_id,
+  CAST(unnest(range(0, $LshBands)) AS INT) AS band,
+  unnest(${bandKeysSql("sh")}) AS bkey FROM ish),
+cand AS (SELECT DISTINCT new_id, corpus_id
+  FROM ib JOIN cb USING (band, bkey)),
+v AS (SELECT new_id, corpus_id,
+    ${jaccardSql("sn.sh", "sc.sh")} AS jaccard
+  FROM cand JOIN ish sn ON sn.doc_id = new_id
+    JOIN csh sc ON sc.doc_id = corpus_id
+  WHERE ${jaccardSql("sn.sh", "sc.sh")} >= 0.5),
+best AS (SELECT new_id, corpus_id AS match_id, jaccard FROM
+    (SELECT *, row_number() OVER (PARTITION BY new_id
+      ORDER BY jaccard DESC, corpus_id ASC) AS rn FROM v)
+  WHERE rn = 1)
+SELECT ish.doc_id AS new_id, best.match_id IS NOT NULL AS matched,
+  coalesce(best.match_id, -1) AS match_id,
+  coalesce(best.jaccard, 0.0) AS jaccard
+FROM ish LEFT JOIN best ON best.new_id = ish.doc_id"""
     },
 
     "p23_decontamination" -> {
