@@ -627,6 +627,7 @@ object PipelineQueries {
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("v"))
         .transform(graft.core.CacheRegistry.persist(_))
+      e.count() // materialize before fan-out (centroids + 2 branches)
       val cent = e.filter(col("vec_id") < k)
         .select(col("vec_id").cast("int").as("cluster"), col("v").as("c"))
       val assigned = e.crossJoin(broadcast(cent))
@@ -640,6 +641,7 @@ object PipelineQueries {
         .withColumn("nrm", sqrt(aggregate(
           transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
         .transform(graft.core.CacheRegistry.persist(_))
+      assigned.count() // materialize before the pair join's two sides
       val a = assigned.select(col("cluster"), col("vec_id").as("a"),
         col("v").as("va"), col("nrm").as("na_"))
       val b = assigned.select(col("cluster"), col("vec_id").as("b"),
