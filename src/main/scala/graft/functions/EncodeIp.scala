@@ -89,13 +89,19 @@ object GraftFunctions {
       : Seq[Expression] => Expression =
     exprs => DecodeIpKindExpr(Cast(exprs.head, IntegerType))
 
+  private[functions] val shingleSigBuilder
+      : Seq[Expression] => Expression =
+    exprs => ShingleSigExpr(
+      Cast(exprs.head, org.apache.spark.sql.types.StringType))
+
   private[functions] val all: Seq[(String, Seq[Expression] => Expression,
       Class[_])] = Seq(
     ("graft_encode_ip", encodeIpBuilder, classOf[EncodeIpExpr]),
     ("graft_decode_ip_value", decodeIpValueBuilder,
       classOf[DecodeIpValueExpr]),
     ("graft_decode_ip_kind", decodeIpKindBuilder,
-      classOf[DecodeIpKindExpr]))
+      classOf[DecodeIpKindExpr]),
+    ("graft_shingle_sig", shingleSigBuilder, classOf[ShingleSigExpr]))
 
   def install(spark: SparkSession): Unit =
     all.foreach { case (name, builder, _) =>
@@ -109,6 +115,14 @@ object GraftFunctions {
   def encodeIp(value: Column, kind: Column): Column = {
     SparkSession.getActiveSession.foreach(install)
     call_function("graft_encode_ip", value, kind)
+  }
+
+  /** text -> struct(sh: array<long>, bks: array<string>) via the fused
+    * native LSH kernel (installs it on the active session on first use).
+    */
+  def shingleSig(text: Column): Column = {
+    SparkSession.getActiveSession.foreach(install)
+    call_function("graft_shingle_sig", text)
   }
 }
 

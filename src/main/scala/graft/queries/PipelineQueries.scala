@@ -78,11 +78,15 @@ object PipelineQueries {
     */
   private def lshPairs(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
+    // fused native kernel (graft.functions.ShingleSig): bit-identical
+    // to hashedShingles(shingles(words(text))) + bandKeys, one
+    // codegen'd call per row instead of five HOFs
     val sh = corpus(s, dir)
-      .withColumn("sh", hashedShingles(shingles(words(col("text")))))
+      .withColumn("sig",
+        graft.functions.GraftFunctions.shingleSig(col("text")))
+      .select(col("doc_id"), col("sig.sh").as("sh"),
+        col("sig.bks").as("bks"))
       .filter(size(col("sh")) > 0)
-      .withColumn("bks", bandKeys(col("sh")))
-      .select("doc_id", "sh", "bks")
       .transform(graft.core.CacheRegistry.persist(_))
     // materialize BEFORE fan-out: four plan branches (band explode x2,
     // verify join x2) scan this cache; if the first job races two
@@ -672,10 +676,11 @@ object PipelineQueries {
     "p43_incremental_dedup" -> ((s, dir) => {
       val d = docs(s, dir).select("doc_id", "text")
       def shingleify(df: DataFrame) = df
-        .withColumn("sh", hashedShingles(shingles(words(col("text")))))
+        .withColumn("sig",
+          graft.functions.GraftFunctions.shingleSig(col("text")))
+        .select(col("doc_id"), col("sig.sh").as("sh"),
+          col("sig.bks").as("bks"))
         .filter(size(col("sh")) > 0)
-        .withColumn("bks", bandKeys(col("sh")))
-        .select("doc_id", "sh", "bks")
       val corpusSh = shingleify(d)
         .transform(graft.core.CacheRegistry.persist(_))
       val incoming = d.filter(pmod(col("doc_id"), lit(5)) === 0)
