@@ -1128,6 +1128,44 @@ object PipelineQueries {
             .as("avg_nll"))
     }),
 
+    // bigram-LM cross-entropy (the CCNet-style quality signal, one
+    // order up from p40's unigram): self-trained bigram counts with
+    // add-0.5 smoothing over the corpus vocabulary, per-doc mean NLL
+    // of its bigrams. Same inverted-index shape as p40 — explode →
+    // count-keyed joins → per-doc aggregate; corpus scalars (vocab
+    // size) ride a single-row broadcast; per-occurrence NLL rounds to
+    // 9 decimals into DECIMAL so accumulation order cannot shift the
+    // double result.
+    "p44_bigram_nll" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+        transform(words(col("text")), w => lower(w)).as("w"))
+        .transform(graft.core.CacheRegistry.persist(_))
+      toks.count() // feeds unigram counts, bigram counts, and scoring
+      val uni = toks.select(explode(col("w")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c1"))
+      val vocab = uni.agg(count(lit(1)).cast("double").as("v"))
+      val bg = toks
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), posexplode(
+          transform(sequence(lit(1), size(col("w")) - 1),
+            i => concat_ws(" ", element_at(col("w"), i),
+              element_at(col("w"), i + 1)))))
+        .select(col("doc_id"), col("col").as("bg"))
+      val cnt = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
+      bg.join(cnt, Seq("bg"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+        .join(uni.withColumnRenamed("term", "w1"), Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("nll", round(lit(0.0) - log(
+          (col("c12").cast("double") + 0.5) /
+            (col("c1").cast("double") + col("v") * 0.5)), 9)
+          .cast("decimal(28,9)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("nll")).cast("double") / count(lit(1)), 6)
+            .as("avg_nll"))
+    }),
+
     // token-budget corpus selection: rank documents by quality (the
     // p08 score, DECIMAL-rounded so ordering is engine-exact) and
     // keep the best prefix whose cumulative token count fits a 60%
@@ -1934,6 +1972,26 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
   round(CAST(sum(CAST(round(0.0 - ln(CAST(cnt AS DOUBLE) / n_corpus),
     9) AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) AS avg_nll
 FROM toks JOIN vocab USING (term), tot
+GROUP BY doc_id"""
+    },
+
+    "p44_bigram_nll" -> {
+      val w = wordsSql("text")
+      s"""WITH tk AS (SELECT doc_id,
+    list_transform($w, w -> lower(w)) AS w FROM documents),
+toks AS (SELECT doc_id, unnest(w) AS term FROM tk),
+uni AS (SELECT term, count(*) AS c1 FROM toks GROUP BY term),
+vocab AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+    i -> w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)])) AS bg
+  FROM tk WHERE len(w) >= 2),
+cnt AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+  round(CAST(sum(CAST(round(0.0 - ln(
+    (CAST(c12 AS DOUBLE) + 0.5) / (CAST(c1 AS DOUBLE) + 0.5 * v)),
+    9) AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) AS avg_nll
+FROM bg JOIN cnt USING (bg)
+JOIN uni ON uni.term = string_split(bg.bg, ' ')[1], vocab
 GROUP BY doc_id"""
     },
 
