@@ -1128,6 +1128,25 @@ object PipelineQueries {
             .as("avg_nll"))
     }),
 
+    // leakage-safe train/test split: hash-split by DUPLICATE CLUSTER,
+    // not by document, so no near-dup pair ever straddles the split
+    // (the standard fix for eval contamination that per-doc splitting
+    // cannot give). Composes p16's connected components with p20's
+    // deterministic content-hash split: every member of a cluster
+    // inherits the canonical id's bucket.
+    "p45_leakage_safe_split" -> ((s, dir) => {
+      val (sh, _, pairs) = lshPairs(s, dir)
+      val clusters = graft.pipeline.Clusters.connectedComponents(
+        sh.select(col("doc_id").as("id")),
+        pairs.select(col("doc_id_a").as("a"), col("doc_id_b").as("b")))
+      clusters.select(col("id").as("doc_id"),
+          col("label").as("cluster_id"))
+        .withColumn("split",
+          when(pmod(h64(col("cluster_id").cast("string"), 7),
+            lit(10)) >= 8,
+            lit("test")).otherwise(lit("train")))
+    }),
+
     // bigram-LM cross-entropy (the CCNet-style quality signal, one
     // order up from p40's unigram): self-trained bigram counts with
     // add-0.5 smoothing over the corpus vocabulary, per-doc mean NLL
@@ -1974,6 +1993,20 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
 FROM toks JOIN vocab USING (term), tot
 GROUP BY doc_id"""
     },
+
+    "p45_leakage_safe_split" ->
+      s"""WITH RECURSIVE $lshPairsCtes,
+dedges AS (SELECT doc_id_a AS a, doc_id_b AS b FROM lshpairs
+  UNION ALL SELECT doc_id_b AS a, doc_id_a AS b FROM lshpairs),
+reach(v, l) AS (
+  SELECT doc_id, doc_id FROM sh2
+  UNION
+  SELECT e.a, r.l FROM dedges e JOIN reach r ON r.v = e.b),
+cl AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v)
+SELECT doc_id, cluster_id,
+  CASE WHEN ${h64Sql("CAST(cluster_id AS VARCHAR)", 7)} % 10 >= 8
+    THEN 'test' ELSE 'train' END AS split
+FROM cl""",
 
     "p44_bigram_nll" -> {
       val w = wordsSql("text")
