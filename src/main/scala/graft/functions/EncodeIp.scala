@@ -101,7 +101,10 @@ object GraftFunctions {
       classOf[DecodeIpValueExpr]),
     ("graft_decode_ip_kind", decodeIpKindBuilder,
       classOf[DecodeIpKindExpr]),
-    ("graft_shingle_sig", shingleSigBuilder, classOf[ShingleSigExpr]))
+    ("graft_shingle_sig", shingleSigBuilder, classOf[ShingleSigExpr]),
+    ("graft_jaccard_long",
+      exprs => JaccardLongExpr(exprs.head, exprs(1)),
+      classOf[JaccardLongExpr]))
 
   def install(spark: SparkSession): Unit =
     all.foreach { case (name, builder, _) =>
@@ -123,6 +126,14 @@ object GraftFunctions {
   def shingleSig(text: Column): Column = {
     SparkSession.getActiveSession.foreach(install)
     call_function("graft_shingle_sig", text)
+  }
+
+  /** Exact Jaccard of two distinct-element long arrays via the native
+    * primitive-hash kernel.
+    */
+  def jaccardLong(a: Column, b: Column): Column = {
+    SparkSession.getActiveSession.foreach(install)
+    call_function("graft_jaccard_long", a, b)
   }
 }
 

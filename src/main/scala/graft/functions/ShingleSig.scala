@@ -123,6 +123,52 @@ object ShingleSig {
   }
 }
 
+object JaccardLong {
+  /** Exact Jaccard over two DISTINCT-element long arrays — the same
+    * value as `size(array_intersect(a, b)) / (size(a) + size(b) − ∩)`
+    * ([[graft.pipeline.PipelineOps.jaccard]]) and of the DuckDB
+    * `list_intersect` twin, without the per-pair boxed set those
+    * build: one primitive hash probe per element of the smaller side.
+    */
+  def compute(a: org.apache.spark.sql.catalyst.util.ArrayData,
+              b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val (small, big, ns, nbg) =
+      if (na <= nb) (a, b, na, nb) else (b, a, nb, na)
+    val set = new java.util.HashSet[java.lang.Long](ns * 2)
+    var i = 0
+    while (i < ns) { set.add(small.getLong(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < nbg) {
+      if (set.contains(big.getLong(i))) inter += 1
+      i += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+}
+
+/** `graft_jaccard_long(a, b)` → double, for distinct long arrays. */
+case class JaccardLongExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_jaccard_long"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaccardLong.compute(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.JaccardLong.compute($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardLongExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `graft_shingle_sig(text)` →
   * `struct<sh: array<bigint>, bks: array<string>>`.
   */

@@ -116,7 +116,8 @@ object PipelineQueries {
         col("sh").as("sh_a")), Seq("doc_id_a"))
       .join(sh.select(col("doc_id").as("doc_id_b"),
         col("sh").as("sh_b")), Seq("doc_id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", graft.functions.GraftFunctions
+        .jaccardLong(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.5)
       .select("doc_id_a", "doc_id_b", "jaccard")
     (sh, cand, pairs)
@@ -707,7 +708,8 @@ object PipelineQueries {
           col("sh").as("sh_n")), Seq("new_id"))
         .join(corpusSh.select(col("doc_id").as("corpus_id"),
           col("sh").as("sh_c")), Seq("corpus_id"))
-        .withColumn("jaccard", jaccard(col("sh_n"), col("sh_c")))
+        .withColumn("jaccard", graft.functions.GraftFunctions
+          .jaccardLong(col("sh_n"), col("sh_c")))
         .filter(col("jaccard") >= 0.5)
         .groupBy("new_id")
         .agg(max(struct(col("jaccard"),
@@ -1086,7 +1088,8 @@ object PipelineQueries {
         .join(sh.select((col("doc_id") - 1000000L).as("doc_id_a"),
           col("doc_id").as("doc_id_b"), col("sh").as("sh_b")),
           Seq("doc_id_a"))
-        .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.5)
+        .filter(graft.functions.GraftFunctions
+          .jaccardLong(col("sh_a"), col("sh_b")) >= 0.5)
         .select("doc_id_a", "doc_id_b")
       val found = planted
         .join(pairs, Seq("doc_id_a", "doc_id_b"), "left_semi")

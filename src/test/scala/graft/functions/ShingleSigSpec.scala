@@ -52,6 +52,24 @@ class ShingleSigSpec extends AnyFunSuite with BeforeAndAfterAll {
       bad.select("text").limit(5).collect().mkString("; "))
   }
 
+  test("native jaccard equals the HOF intersect formula") {
+    import spark.implicits._
+    val rows = (0 until 200).map { i =>
+      val a = (0 until (i % 37 + 1)).map(k => (k * 7919L + i) % 1000)
+        .distinct
+      val b = (0 until (i % 23 + 1)).map(k => (k * 104729L + i) % 1000)
+        .distinct
+      (a, b)
+    } :+ ((Seq(1L, 2L, 3L), Seq(1L, 2L, 3L))) :+
+      ((Seq(5L), Seq(9L)))
+    val df = rows.toDF("a", "b")
+    val bad = df.select(
+      jaccard(col("a"), col("b")).as("hof"),
+      GraftFunctions.jaccardLong(col("a"), col("b")).as("nat"))
+      .filter(!(col("hof") === col("nat")))
+    assert(bad.count() == 0)
+  }
+
   test("whole-stage codegen keeps the native call inline") {
     // non-literal input: a literal would be constant-folded at plan
     // time (which already proves eval works) and leave no codegen span
