@@ -248,6 +248,36 @@ object RelationalQueries {
           coalesce(col("R"), lit(0.0)).as("rev_r"))
     }),
 
+    // Correlation/covariance via DECIMAL-exact moment sums: the five
+    // moments accumulate exactly (order-independent), then both
+    // engines run the IDENTICAL double formula — so corr is
+    // bit-deterministic where a streaming Welford implementation
+    // would differ per partition order. One partial-agg pass.
+    "q23_correlation" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("l_quantity").cast("decimal(18,6)"))
+            .cast("double").as("sx"),
+          sum(col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("double").as("sy"),
+          sum((col("l_quantity") * col("l_quantity"))
+            .cast("decimal(28,6)")).cast("double").as("sxx"),
+          sum((col("l_extendedprice") * col("l_extendedprice"))
+            .cast("decimal(28,6)")).cast("double").as("syy"),
+          sum((col("l_quantity") * col("l_extendedprice"))
+            .cast("decimal(28,6)")).cast("double").as("sxy"))
+        .select(col("l_returnflag"),
+          col("n").cast("long").as("n_rows"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("corr_qty_price"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * (col("n") - 1)), 4).as("covar_samp"))
+    }),
+
     // As-of join (union + running-last window; one keyed shuffle):
     // each click matched to the latest same-or-earlier view per user.
     "q16_asof_click_view" -> ((s, d) => {
@@ -470,6 +500,21 @@ object RelationalQueries {
          coalesce(CAST(round(sum(CASE WHEN l_returnflag = 'R'
            THEN CAST(l_extendedprice AS DECIMAL(18,6)) END),2) AS DOUBLE), 0.0) AS rev_r
          FROM lineitem GROUP BY l_linestatus""",
+    "q23_correlation" ->
+      """WITH m AS (SELECT l_returnflag,
+           CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS syy,
+           CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+         FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           round((n * sxy - sx * sy) /
+             sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS corr_qty_price,
+           round((n * sxy - sx * sy) / (n * (n - 1)), 4) AS covar_samp
+         FROM m""",
     // ts -> micros mirrors Tables.events's floor(ns/1000) conversion
     "q16_asof_click_view" ->
       """WITH v0 AS (SELECT user_id,
