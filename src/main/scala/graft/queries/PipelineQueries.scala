@@ -613,6 +613,47 @@ object PipelineQueries {
       a2.select(col("vec_id"), col("cluster"))
     }),
 
+    // streaming near-dup detection, driver-checked end-to-end: the
+    // doubled corpus staged as ONE parquet file => ONE micro-batch,
+    // drained through flatMapGroupsWithState keyed on LSH band keys
+    // (StreamingDedup.nearDupHits). Within a batch the smallest
+    // doc_id claims each new key, so the hit set is deterministic and
+    // batch-SQL-expressible: every doc colliding with an earlier
+    // (smaller-id) doc on >=1 band, with its per-band first partners.
+    "p46_stream_neardup" -> ((s, dir) => {
+      val path = s"/tmp/graft_stream_neardup_${
+        dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      corpus(s, dir).select(col("doc_id"), col("text"))
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val qn = "stream_neardup_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.pipeline.StreamingDedup
+          .nearDupHits(s.readStream.schema(schema).parquet(path))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("append")
+          .option("checkpointLocation", java.nio.file.Files
+            .createTempDirectory("graft_stream_nd").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(300000)) {
+          q.stop()
+          throw new IllegalStateException(
+            "streaming drain did not finish within 300 s")
+        }
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
+      s.table(qn).groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bands"),
+          min(col("first_id")).as("partner"))
+    }),
+
     // SemDeDup-style semantic dedup: k-means coarse clusters (one
     // deterministic assign against seed centroids), then cosine
     // near-dup collapse WITHIN each cluster only — candidate volume
@@ -1548,6 +1589,26 @@ a2 AS (SELECT vec_id, cluster FROM
     (SELECT *, row_number() OVER (PARTITION BY vec_id
       ORDER BY dist ASC, cluster ASC) AS rn FROM d2) WHERE rn = 1)
 SELECT vec_id, cluster FROM a2"""
+    },
+
+    // batch twin of the single-micro-batch streaming semantics:
+    // min doc_id per (band, bkey) is the key's owner; every other
+    // doc in the group is a hit against it (no bucket cap — the
+    // streaming path probes state per key, it never self-joins)
+    "p46_stream_neardup" -> {
+      val sh = hashedShinglesSql(shinglesSql(wordsSql("text")))
+      s"""WITH $corpusSql,
+sh0 AS (SELECT doc_id, $sh AS sh FROM corpus),
+sh2 AS (SELECT * FROM sh0 WHERE len(sh) > 0),
+bands0 AS (SELECT doc_id,
+  CAST(unnest(range(0, $LshBands)) AS INT) AS band,
+  unnest(${bandKeysSql("sh")}) AS bkey FROM sh2),
+hits AS (SELECT doc_id, band, bkey,
+    min(doc_id) OVER (PARTITION BY band, bkey) AS first_id
+  FROM bands0)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bands,
+  min(first_id) AS partner
+FROM hits WHERE doc_id <> first_id GROUP BY doc_id"""
     },
 
     "p42_semantic_dedup" -> {

@@ -30,7 +30,8 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     * full execution. Their plan posture is covered by StreamingSpec.
     */
   private val streamingDrains =
-    Set("f43_stream_agg", "f45_stream_dedup", "q19_stream_sessions")
+    Set("f43_stream_agg", "f45_stream_dedup", "q19_stream_sessions",
+      "p46_stream_neardup")
 
   test("every declared query analyzes+plans cleanly, with no CartesianProduct") {
     val dir = "/root/testdata/sf0.001"
