@@ -34,12 +34,15 @@ object StreamingDedup {
   def nearDupHits(docs: DataFrame): Dataset[BandHit] = {
     val session = docs.sparkSession
     import session.implicits._
+    // fused native kernel — bit-identical to
+    // bandKeys(hashedShingles(shingles(words(text)))), one codegen'd
+    // call per row (see graft.functions.ShingleSig)
     val bands = docs
-      .withColumn("sh", hashedShingles(shingles(words(col("text")))))
-      .filter(size(col("sh")) > 0)
-      .withColumn("bks", bandKeys(col("sh")))
+      .withColumn("sig",
+        graft.functions.GraftFunctions.shingleSig(col("text")))
+      .filter(size(col("sig.sh")) > 0)
       .select(col("doc_id").cast("long").as("doc_id"),
-        posexplode(col("bks")).as(Seq("band", "bkey")))
+        posexplode(col("sig.bks")).as(Seq("band", "bkey")))
       .as[(Long, Int, String)]
     bands.groupByKey(r => (r._2, r._3))
       .flatMapGroupsWithState[Long, BandHit](

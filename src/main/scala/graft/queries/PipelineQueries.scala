@@ -633,7 +633,11 @@ object PipelineQueries {
       val qn = "stream_neardup_" +
         java.util.UUID.randomUUID.toString.replace("-", "")
       val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      // state-store parallelism: one store per shuffle partition, and
+      // this drain's per-key work (tens of thousands of band keys) is
+      // store-bound — 16 stores beat the 4 the other drains use for
+      // their handful of keys
+      s.conf.set("spark.sql.shuffle.partitions", "16")
       try {
         val q = graft.pipeline.StreamingDedup
           .nearDupHits(s.readStream.schema(schema).parquet(path))
