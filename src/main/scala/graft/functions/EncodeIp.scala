@@ -103,7 +103,14 @@ object GraftFunctions {
       classOf[DecodeIpKindExpr]),
     ("graft_shingle_sig", shingleSigBuilder, classOf[ShingleSigExpr]),
     ("graft_jaccard_long",
-      exprs => JaccardLongExpr(exprs.head, exprs(1)),
+      // cast to array<long>: compute() reads elements via getLong, and
+      // an UNCAST array<int> argument from SQL would be read as
+      // misaligned 8-byte words — silent garbage, not an error
+      exprs => JaccardLongExpr(
+        Cast(exprs.head, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+        Cast(exprs(1), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType))),
       classOf[JaccardLongExpr]))
 
   def install(spark: SparkSession): Unit =

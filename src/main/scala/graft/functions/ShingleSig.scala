@@ -39,9 +39,16 @@ object ShingleSig {
 
   private val HexDigits = "0123456789abcdef".toCharArray
 
+  // one digest instance per thread, reset per use: getInstance does a
+  // provider lookup + allocation, and this kernel calls it once per
+  // shingle — exactly the per-row overhead the expression exists to cut
+  private val Md5 = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
   private def md5Hex(s: String): String = {
-    val d = MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(StandardCharsets.UTF_8))
+    val md = Md5.get()
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
     val out = new Array[Char](32)
     var i = 0
     while (i < 16) {
@@ -54,8 +61,9 @@ object ShingleSig {
 
   /** First 48 bits of md5("0|" + s) — `h64(s, 0)` exactly. */
   private def h48(s: String): Long = {
-    val d = MessageDigest.getInstance("MD5")
-      .digest(("0|" + s).getBytes(StandardCharsets.UTF_8))
+    val md = Md5.get()
+    md.reset()
+    val d = md.digest(("0|" + s).getBytes(StandardCharsets.UTF_8))
     ((d(0) & 0xFFL) << 40) | ((d(1) & 0xFFL) << 32) |
       ((d(2) & 0xFFL) << 24) | ((d(3) & 0xFFL) << 16) |
       ((d(4) & 0xFFL) << 8) | (d(5) & 0xFFL)
@@ -145,6 +153,13 @@ object JaccardLong {
       if (set.contains(big.getLong(i))) inter += 1
       i += 1
     }
+    // two empty sets: |A|+|B|-∩ = 0. The HOF twin's double division
+    // raises DIVIDE_BY_ZERO under ANSI; silently returning NaN would
+    // instead PASS `>= threshold` filters (NaN sorts greatest), so
+    // match the engine semantics and fail loudly.
+    if (na + nb - inter == 0)
+      throw new ArithmeticException(
+        "graft_jaccard_long: Jaccard of two empty sets is undefined")
     inter.toDouble / (na + nb - inter).toDouble
   }
 }

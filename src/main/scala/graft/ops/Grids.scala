@@ -58,9 +58,14 @@ object Grids {
     // ni = 0 even yields a DESCENDING [0, -1] — Spark infers step
     // -1 — and then divides by zero), lookups are try_element_at,
     // and slice starts stay positive by construction.
+    // clamp in DOUBLE first: a foreign row's payload float can be NaN
+    // or exceed int range, and a direct .cast("int") would throw under
+    // ANSI. least(dSz, NaN) picks dSz (NaN sorts greatest), so the
+    // final int cast only ever sees a finite value <= size(d).
     val dSz = size(col("d"))
-    def dim(idx: Column) = least(dSz, greatest(lit(0),
-      coalesce(try_element_at(col("d"), idx).cast("int"), lit(0))))
+    def dim(idx: Column) = least(dSz.cast("double"), greatest(lit(0.0),
+      coalesce(try_element_at(col("d"), idx).cast("double"), lit(0.0))))
+      .cast("int")
     val u = g.filter(col("nomvar") === "^>")
       .withColumn("u_ni1", dim(lit(1)))
       .withColumn("u_nj1", dim(lit(2)))
@@ -76,7 +81,13 @@ object Grids {
         slice(col("d"), col("u_b2") + col("u_ni2") + 3, col("u_nj2")))
     def outer(ni: Column, nj: Column, lonAx: Column, latAx: Column)
         : (Column, Column) = {
-      val kk = when(ni > 0 && nj > 0, sequence(lit(0), ni * nj - 1))
+      // the product is guarded in LONG: two clamped-but-garbage dims
+      // (each <= size(d)) can multiply past Int.MaxValue, which would
+      // ANSI-overflow — and a plausible ^> record can't reach 2^26
+      // field points (its payload would need >= 2*sqrt(n) axis floats)
+      val n = ni.cast("long") * nj.cast("long")
+      val kk = when(n > 0 && n <= (1L << 26),
+        sequence(lit(0), (n - 1).cast("int")))
         .otherwise(array().cast("array<int>"))
       (transform(kk, k =>
         try_element_at(latAx, (k / ni).cast("int") + 1)),

@@ -24,6 +24,7 @@ class ShingleSigSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("native kernel equals the HOF chain on documents + edge cases") {
     import spark.implicits._
+    assume(new java.io.File("/root/testdata/sf0.001").exists())
     val edge = Seq(
       "", " ", "a", "a b", "a b c", "a b c d",
       "  leading and trailing  ",
@@ -68,6 +69,17 @@ class ShingleSigSpec extends AnyFunSuite with BeforeAndAfterAll {
       GraftFunctions.jaccardLong(col("a"), col("b")).as("nat"))
       .filter(!(col("hof") === col("nat")))
     assert(bad.count() == 0)
+    // empty-vs-empty parity: the HOF twin's 0/0 double division
+    // raises DIVIDE_BY_ZERO under ANSI; the kernel must fail the same
+    // way, not return NaN (which would PASS >= filters silently)
+    val empty = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
+    intercept[Exception] {
+      empty.select(jaccard(col("a"), col("b"))).head()
+    }
+    intercept[Exception] {
+      empty.select(GraftFunctions.jaccardLong(col("a"), col("b")))
+        .head()
+    }
   }
 
   test("whole-stage codegen keeps the native call inline") {

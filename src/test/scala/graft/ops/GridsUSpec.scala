@@ -68,6 +68,23 @@ class GridsUSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("hostile payloads on non-^> rows cannot break the U branch") {
+    import spark.implicits._
+    // NaN dims, > int-range dims, and big-product dims — all on DATA
+    // rows the nomvar filter discards, but which pushed generate-
+    // filters + predicate subexpression elimination still evaluate
+    val recs = Seq(
+      ("g1", ">>", 3, 1, Seq(10f, 20f, 30f)),
+      ("g1", "^^", 1, 2, Seq(45f, 46f)),
+      ("g1", "TT", 3, 2, Seq(Float.NaN, Float.NaN, 3e9f,
+        -7f, 1f, 2f)),
+      ("g1", "HU", 3, 2, Seq(46656f, 46656f, 1f, 1f, 1f, 1f)))
+      .toDF("grid", "nomvar", "ni", "nj", "d")
+    val out = Grids.latLon2d(recs)
+      .select(col("nomvar"), posexplode(col("d")))
+    assert(out.count() == 12) // LA + LO of the Z grid only
+  }
+
   test("latLon2d with zero ^> rows leaves the Z path untouched") {
     import spark.implicits._
     val recs = Seq(
