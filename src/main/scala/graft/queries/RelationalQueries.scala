@@ -248,6 +248,19 @@ object RelationalQueries {
           coalesce(col("R"), lit(0.0)).as("rev_r"))
     }),
 
+    // Set operations: INTERSECT/EXCEPT both plan as hash aggregates +
+    // a single shuffle on the compared column (semi/anti join under
+    // the hood) — never a sort-based distinct.
+    "q24_set_ops" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_nationkey").cast("int").as("nationkey"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_nationkey").cast("int").as("nationkey"))
+      c.intersect(sup).withColumn("which", lit("both"))
+        .unionByName(c.except(sup).withColumn("which", lit("customer_only")))
+        .unionByName(sup.except(c).withColumn("which", lit("supplier_only")))
+    }),
+
     // Correlation/covariance via DECIMAL-exact moment sums: the five
     // moments accumulate exactly (order-independent), then both
     // engines run the IDENTICAL double formula — so corr is
@@ -500,6 +513,20 @@ object RelationalQueries {
          coalesce(CAST(round(sum(CASE WHEN l_returnflag = 'R'
            THEN CAST(l_extendedprice AS DECIMAL(18,6)) END),2) AS DOUBLE), 0.0) AS rev_r
          FROM lineitem GROUP BY l_linestatus""",
+    "q24_set_ops" ->
+      """SELECT CAST(c_nationkey AS INT) AS nationkey, 'both' AS which
+         FROM customer INTERSECT SELECT CAST(s_nationkey AS INT), 'both'
+         FROM supplier
+         UNION ALL
+         (SELECT CAST(c_nationkey AS INT) AS nationkey,
+            'customer_only' AS which FROM customer
+          EXCEPT SELECT CAST(s_nationkey AS INT), 'customer_only'
+          FROM supplier)
+         UNION ALL
+         (SELECT CAST(s_nationkey AS INT) AS nationkey,
+            'supplier_only' AS which FROM supplier
+          EXCEPT SELECT CAST(c_nationkey AS INT), 'supplier_only'
+          FROM customer)""",
     "q23_correlation" ->
       """WITH m AS (SELECT l_returnflag,
            CAST(count(*) AS DOUBLE) AS n,
