@@ -613,6 +613,69 @@ object PipelineQueries {
       a2.select(col("vec_id"), col("cluster"))
     }),
 
+    // the curation funnel end-to-end: raw -> exact dedup (min id per
+    // content hash) -> near-dup canonical election (connected
+    // components over the survivors' LSH pairs; keep label owners) ->
+    // quality gate (lang + length), with doc/token accounting per
+    // stage. This is the composition a production corpus build runs;
+    // every stage reuses the library op (content-hash groupBy, fused
+    // shingle kernel, CC label propagation) and the whole funnel is
+    // one declarative plan per stage over cached survivors.
+    "p47_curation_funnel" -> ((s, dir) => {
+      val d0 = docs(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"),
+          size(words(col("text"))).cast("long").as("n_tok"))
+        .transform(graft.core.CacheRegistry.persist(_))
+      d0.count()
+      val s1 = d0.groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("doc_id"))
+        .join(d0, Seq("doc_id"))
+        .transform(graft.core.CacheRegistry.persist(_))
+      s1.count()
+      val sh = s1.withColumn("sig",
+          graft.functions.GraftFunctions.shingleSig(col("text")))
+        .select(col("doc_id"), col("sig.sh").as("sh"),
+          col("sig.bks").as("bks"))
+        .filter(size(col("sh")) > 0)
+        .transform(graft.core.CacheRegistry.persist(_))
+      sh.count()
+      val bands = sh.select(col("doc_id"),
+        posexplode(col("bks")).as(Seq("band", "bkey")))
+        .withColumn("bn",
+          count(lit(1)).over(Window.partitionBy("band", "bkey")))
+        .filter(col("bn") <= lit(LshBucketCap)).drop("bn")
+      val cand = bands.alias("a").join(bands.alias("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id_a"),
+          col("b.doc_id").as("doc_id_b"))
+        .distinct()
+      val pairs = cand
+        .join(sh.select(col("doc_id").as("doc_id_a"),
+          col("sh").as("sh_a")), Seq("doc_id_a"))
+        .join(sh.select(col("doc_id").as("doc_id_b"),
+          col("sh").as("sh_b")), Seq("doc_id_b"))
+        .filter(graft.functions.GraftFunctions
+          .jaccardLong(col("sh_a"), col("sh_b")) >= 0.5)
+        .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+      val labels = graft.pipeline.Clusters.connectedComponents(
+        s1.select(col("doc_id").as("id")), pairs)
+      val s2 = s1.join(labels.filter(col("id") === col("label"))
+        .select(col("id").as("doc_id")), Seq("doc_id"))
+        .transform(graft.core.CacheRegistry.persist(_))
+      s2.count()
+      val s3 = s2.filter(col("lang") === "en" && col("n_tok") >= 50)
+      def stage(name: String, df: DataFrame) =
+        df.agg(lit(name).as("stage"),
+          count(lit(1)).as("n_docs"),
+          coalesce(sum("n_tok"), lit(0L)).as("n_tokens"))
+      stage("s0_raw", d0)
+        .unionByName(stage("s1_exact", s1))
+        .unionByName(stage("s2_neardup", s2))
+        .unionByName(stage("s3_quality", s3))
+    }),
+
     // streaming near-dup detection, driver-checked end-to-end: the
     // doubled corpus staged as ONE parquet file => ONE micro-batch,
     // drained through flatMapGroupsWithState keyed on LSH band keys
@@ -1599,6 +1662,48 @@ SELECT vec_id, cluster FROM a2"""
     // min doc_id per (band, bkey) is the key's owner; every other
     // doc in the group is a hit against it (no bucket cap — the
     // streaming path probes state per key, it never self-joins)
+    "p47_curation_funnel" -> {
+      val w = wordsSql("text")
+      val sh = hashedShinglesSql(shinglesSql(wordsSql("text")))
+      s"""WITH RECURSIVE d0 AS (SELECT doc_id, text, lang,
+    CAST(len($w) AS BIGINT) AS n_tok FROM documents),
+s1 AS (SELECT d0.* FROM (SELECT min(doc_id) AS doc_id FROM d0
+    GROUP BY md5(text)) k JOIN d0 USING (doc_id)),
+sh0 AS (SELECT doc_id, $sh AS sh FROM s1),
+sh2 AS (SELECT * FROM sh0 WHERE len(sh) > 0),
+bands0 AS (SELECT doc_id,
+  CAST(unnest(range(0, $LshBands)) AS INT) AS band,
+  unnest(${bandKeysSql("sh")}) AS bkey FROM sh2),
+bsz AS (SELECT band, bkey FROM bands0 GROUP BY band, bkey
+  HAVING count(*) <= $LshBucketCap),
+bands AS (SELECT bands0.* FROM bands0 JOIN bsz USING (band, bkey)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+    AND a.doc_id < b.doc_id),
+prs AS (SELECT doc_id_a AS a, doc_id_b AS b
+  FROM cand JOIN sh2 sa ON sa.doc_id = doc_id_a
+    JOIN sh2 sb ON sb.doc_id = doc_id_b
+  WHERE ${jaccardSql("sa.sh", "sb.sh")} >= 0.5),
+dedges AS (SELECT a, b FROM prs
+  UNION ALL SELECT b AS a, a AS b FROM prs),
+reach(v, l) AS (
+  SELECT doc_id, doc_id FROM s1
+  UNION
+  SELECT e.a, r.l FROM dedges e JOIN reach r ON r.v = e.b),
+cl AS (SELECT v AS doc_id, min(l) AS label FROM reach GROUP BY v),
+s2 AS (SELECT s1.* FROM s1 JOIN cl USING (doc_id)
+  WHERE cl.label = cl.doc_id),
+s3 AS (SELECT * FROM s2 WHERE lang = 'en' AND n_tok >= 50)
+SELECT 's0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens FROM d0
+UNION ALL SELECT 's1_exact', CAST(count(*) AS BIGINT),
+  CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM s1
+UNION ALL SELECT 's2_neardup', CAST(count(*) AS BIGINT),
+  CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM s2
+UNION ALL SELECT 's3_quality', CAST(count(*) AS BIGINT),
+  CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM s3"""
+    },
+
     "p46_stream_neardup" -> {
       val sh = hashedShinglesSql(shinglesSql(wordsSql("text")))
       s"""WITH $corpusSql,
