@@ -77,11 +77,18 @@ object PipelineQueries {
     * scale the same reuse is a checkpoint of the signature table.
     */
   private def lshPairs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    lshPairsOf(corpus(s, dir))
+
+  /** The LSH chain over ANY (doc_id, text) source — shared by the
+    * corpus-doubled queries above and the funnel's survivor set (p47).
+    */
+  private def lshPairsOf(source: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
     // fused native kernel (graft.functions.ShingleSig): bit-identical
     // to hashedShingles(shingles(words(text))) + bandKeys, one
     // codegen'd call per row instead of five HOFs
-    val sh = corpus(s, dir)
+    val sh = source
       .withColumn("sig",
         graft.functions.GraftFunctions.shingleSig(col("text")))
       .select(col("doc_id"), col("sig.sh").as("sh"),
@@ -622,45 +629,27 @@ object PipelineQueries {
     // shingle kernel, CC label propagation) and the whole funnel is
     // one declarative plan per stage over cached survivors.
     "p47_curation_funnel" -> ((s, dir) => {
-      val d0 = docs(s, dir)
+      // raw input doubled with EXACT copies (ids +2M, same text) so
+      // the s1 content-hash stage provably collapses — the fixture's
+      // own texts are all distinct, and an unexercised stage would
+      // pass its oracle no matter how broken
+      val base = docs(s, dir)
         .select(col("doc_id"), col("text"), col("lang"),
           size(words(col("text"))).cast("long").as("n_tok"))
+      val d0 = base.unionByName(base
+          .withColumn("doc_id", col("doc_id") + 2000000L))
         .transform(graft.core.CacheRegistry.persist(_))
       d0.count()
-      val s1 = d0.groupBy(md5(col("text")).as("h"))
+      val s1 = d0.groupBy(md5(col("text")))
         .agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
         .join(d0, Seq("doc_id"))
         .transform(graft.core.CacheRegistry.persist(_))
       s1.count()
-      val sh = s1.withColumn("sig",
-          graft.functions.GraftFunctions.shingleSig(col("text")))
-        .select(col("doc_id"), col("sig.sh").as("sh"),
-          col("sig.bks").as("bks"))
-        .filter(size(col("sh")) > 0)
-        .transform(graft.core.CacheRegistry.persist(_))
-      sh.count()
-      val bands = sh.select(col("doc_id"),
-        posexplode(col("bks")).as(Seq("band", "bkey")))
-        .withColumn("bn",
-          count(lit(1)).over(Window.partitionBy("band", "bkey")))
-        .filter(col("bn") <= lit(LshBucketCap)).drop("bn")
-      val cand = bands.alias("a").join(bands.alias("b"),
-          col("a.band") === col("b.band") &&
-            col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_id_a"),
-          col("b.doc_id").as("doc_id_b"))
-        .distinct()
-      val pairs = cand
-        .join(sh.select(col("doc_id").as("doc_id_a"),
-          col("sh").as("sh_a")), Seq("doc_id_a"))
-        .join(sh.select(col("doc_id").as("doc_id_b"),
-          col("sh").as("sh_b")), Seq("doc_id_b"))
-        .filter(graft.functions.GraftFunctions
-          .jaccardLong(col("sh_a"), col("sh_b")) >= 0.5)
-        .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+      val (_, _, pairs) = lshPairsOf(s1.select("doc_id", "text"))
       val labels = graft.pipeline.Clusters.connectedComponents(
-        s1.select(col("doc_id").as("id")), pairs)
+        s1.select(col("doc_id").as("id")),
+        pairs.select(col("doc_id_a").as("a"), col("doc_id_b").as("b")))
       val s2 = s1.join(labels.filter(col("id") === col("label"))
         .select(col("id").as("doc_id")), Seq("doc_id"))
         .transform(graft.core.CacheRegistry.persist(_))
@@ -1342,10 +1331,15 @@ object PipelineQueries {
     * (verified near-dup pairs) — the SQL twin of [[lshPairs]], shared
     * by the p02 and p16 oracles.
     */
-  private def lshPairsCtes: String = {
+  private def lshPairsCtes: String =
+    s"$corpusSql,\n${lshPairsCtesFrom("corpus")}"
+
+  /** The SQL twin of [[lshPairsOf]]: the CTE chain (sh/sh2/bands0/
+    * bsz/bands/cand/lshpairs) over any (doc_id, text) source CTE.
+    */
+  private def lshPairsCtesFrom(src: String): String = {
     val sh = hashedShinglesSql(shinglesSql(wordsSql("text")))
-    s"""$corpusSql,
-sh AS (SELECT doc_id, $sh AS sh FROM corpus),
+    s"""sh AS (SELECT doc_id, $sh AS sh FROM $src),
 sh2 AS (SELECT * FROM sh WHERE len(sh) > 0),
 bands0 AS (SELECT doc_id,
   CAST(unnest(range(0, $LshBands)) AS INT) AS band,
@@ -1664,28 +1658,18 @@ SELECT vec_id, cluster FROM a2"""
     // streaming path probes state per key, it never self-joins)
     "p47_curation_funnel" -> {
       val w = wordsSql("text")
-      val sh = hashedShinglesSql(shinglesSql(wordsSql("text")))
-      s"""WITH RECURSIVE d0 AS (SELECT doc_id, text, lang,
-    CAST(len($w) AS BIGINT) AS n_tok FROM documents),
+      s"""WITH RECURSIVE d0 AS (
+    SELECT doc_id, text, lang, CAST(len($w) AS BIGINT) AS n_tok
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text, lang,
+      CAST(len($w) AS BIGINT) AS n_tok
+    FROM documents),
 s1 AS (SELECT d0.* FROM (SELECT min(doc_id) AS doc_id FROM d0
     GROUP BY md5(text)) k JOIN d0 USING (doc_id)),
-sh0 AS (SELECT doc_id, $sh AS sh FROM s1),
-sh2 AS (SELECT * FROM sh0 WHERE len(sh) > 0),
-bands0 AS (SELECT doc_id,
-  CAST(unnest(range(0, $LshBands)) AS INT) AS band,
-  unnest(${bandKeysSql("sh")}) AS bkey FROM sh2),
-bsz AS (SELECT band, bkey FROM bands0 GROUP BY band, bkey
-  HAVING count(*) <= $LshBucketCap),
-bands AS (SELECT bands0.* FROM bands0 JOIN bsz USING (band, bkey)),
-cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
-    AND a.doc_id < b.doc_id),
-prs AS (SELECT doc_id_a AS a, doc_id_b AS b
-  FROM cand JOIN sh2 sa ON sa.doc_id = doc_id_a
-    JOIN sh2 sb ON sb.doc_id = doc_id_b
-  WHERE ${jaccardSql("sa.sh", "sb.sh")} >= 0.5),
-dedges AS (SELECT a, b FROM prs
-  UNION ALL SELECT b AS a, a AS b FROM prs),
+${lshPairsCtesFrom("s1")},
+dedges AS (SELECT doc_id_a AS a, doc_id_b AS b FROM lshpairs
+  UNION ALL SELECT doc_id_b AS a, doc_id_a AS b FROM lshpairs),
 reach(v, l) AS (
   SELECT doc_id, doc_id FROM s1
   UNION
