@@ -620,6 +620,38 @@ object PipelineQueries {
       a2.select(col("vec_id"), col("cluster"))
     }),
 
+    // training-sequence packing: assign docs to shards by content
+    // hash (p29's scheme), lay each shard's docs head-to-tail in
+    // deterministic hash order, and cut the stream into fixed
+    // SeqLen-token training sequences — each doc gets its sequence id
+    // and offset, plus per-shard padding-waste accounting (the tail
+    // of the last sequence). Everything is shard-partitioned window
+    // cumsums: no global sort, no sequential packer; at 100 TB,
+    // shards scale out and each window is bounded by one shard.
+    "p48_sequence_packing" -> ((s, dir) => {
+      val seqLen = 2048
+      val nShards = 8
+      val w = Window.partitionBy("shard")
+        .orderBy(col("ord"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val d = docs(s, dir).select(col("doc_id"),
+          size(words(col("text"))).cast("long").as("n_tok"),
+          pmod(h64(col("text"), 29), lit(nShards)).cast("int")
+            .as("shard"),
+          h64(col("text"), 31).as("ord"))
+        .withColumn("off",
+          coalesce(sum("n_tok").over(w), lit(0L)))
+      // seqLen is a power of two, so the sequence index is an exact
+      // integer shift — Column `/` would be double division
+      d.select(col("doc_id"), col("shard"), col("n_tok"),
+        shiftright(col("off"), 11).as("seq_id"),
+        pmod(col("off"), lit(seqLen.toLong)).as("seq_off"),
+        // a doc whose span crosses a sequence boundary is split
+        // across consecutive sequences — report how many
+        (shiftright(col("off") + col("n_tok") - 1, 11) -
+          shiftright(col("off"), 11)).as("n_splits"))
+    }),
+
     // the curation funnel end-to-end: raw -> exact dedup (min id per
     // content hash) -> near-dup canonical election (connected
     // components over the survivors' LSH pairs; keep label owners) ->
@@ -1656,6 +1688,26 @@ SELECT vec_id, cluster FROM a2"""
     // min doc_id per (band, bkey) is the key's owner; every other
     // doc in the group is a hit against it (no bucket cap — the
     // streaming path probes state per key, it never self-joins)
+    "p48_sequence_packing" -> {
+      val w = wordsSql("text")
+      s"""WITH d AS (SELECT doc_id,
+    CAST(len($w) AS BIGINT) AS n_tok,
+    CAST(${h64Sql("text", 29)} % 8 AS INT) AS shard,
+    ${h64Sql("text", 31)} AS ord
+  FROM documents),
+o AS (SELECT doc_id, shard, n_tok,
+    CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard
+      ORDER BY ord, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS off
+  FROM d)
+SELECT doc_id, shard, n_tok,
+  off // 2048 AS seq_id,
+  off % 2048 AS seq_off,
+  (off + n_tok - 1) // 2048 - off // 2048 AS n_splits
+FROM o"""
+    },
+
     "p47_curation_funnel" -> {
       val w = wordsSql("text")
       s"""WITH RECURSIVE d0 AS (
