@@ -44,7 +44,11 @@ class GridsUSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("g" + i, "L", lat0, lon0, dlat, dlon,
         0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
     } :+ (("gn", "N", 0.0, 0.0, 0.0, 0.0,
-      12.34, 56.78, 47520.0, 123.45, 0.0, 0.0, 0.0, 0.0))
+      12.34, 56.78, 47520.0, 123.45, 0.0, 0.0, 0.0, 0.0)) :+
+      (("gs", "S", 0.0, 0.0, 0.0, 0.0,
+        0.07, 981.44, 120370.0, 359.99, 0.0, 0.0, 0.0, 0.0)) :+
+      (("ge", "E", 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+        -89.99, 0.01, 45.67, 359.99))
     val df = rows.toDF("grid", "grtyp", "lat0", "lon0", "dlat", "dlon",
       "pi", "pj", "d60", "dgrw", "lat1", "lon1", "lat2", "lon2")
     val back = Grids.igDecode(Grids.igEncode(df)
