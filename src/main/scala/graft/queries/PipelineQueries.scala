@@ -652,6 +652,93 @@ object PipelineQueries {
           shiftright(col("off"), 11)).as("n_splits"))
     }),
 
+    // DSIR-style importance resampling: hashed-unigram bag features
+    // (B=256 buckets), target distribution = the src0 slice; per-doc
+    // importance weight = sum over word instances of
+    // log P_tgt(b)/P_raw(b) with add-1 smoothing, accumulated as
+    // round-9 DECIMALs so partition order cannot move the double.
+    // Scale shape: the bucket log-ratio table is 256 rows at ANY
+    // corpus size (broadcast), the per-doc pass is explode ->
+    // broadcast join -> one doc_id-keyed aggregate, and top-100
+    // selection is a TakeOrdered threshold broadcast back — never a
+    // global sort of the scored corpus.
+    "p49_dsir_resample" -> ((s, dir) => {
+      val b = 256
+      val toks = docs(s, dir).select(col("doc_id"), col("source"),
+          explode(transform(words(col("text")), w => lower(w)))
+            .as("w"))
+        .withColumn("b", pmod(h64(col("w"), 7), lit(b.toLong)))
+      val buckets = toks.groupBy("b").agg(
+        count(lit(1)).as("raw_cnt"),
+        sum(when(col("source") === "src0", 1L).otherwise(0L))
+          .as("tgt_cnt"))
+      val tot = buckets.agg(
+        sum("raw_cnt").cast("double").as("raw_n"),
+        sum("tgt_cnt").cast("double").as("tgt_n"))
+      val lr = buckets.crossJoin(broadcast(tot))
+        .select(col("b"),
+          round(log((col("tgt_cnt").cast("double") + 1.0) /
+              (col("tgt_n") + b)) -
+            log((col("raw_cnt").cast("double") + 1.0) /
+              (col("raw_n") + b)), 9)
+            .cast("decimal(28,9)").as("lr"))
+      val scored = toks.join(broadcast(lr), Seq("b"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          round(sum(col("lr")).cast("double"), 6).as("weight"))
+        .transform(graft.core.CacheRegistry.persist(_))
+      scored.count() // materialize before the threshold + flag branches
+      // 100th-best (weight desc, doc_id asc) as a broadcast threshold:
+      // TakeOrdered top-k, not a window over the whole corpus
+      val th = scored
+        .select(struct((-col("weight")).as("nw"),
+          col("doc_id").as("d")).as("k"))
+        .orderBy(col("k")).limit(100)
+        .agg(max(col("k")).as("kmax"))
+      scored.crossJoin(broadcast(th))
+        .select(col("doc_id"), col("n_tok"), col("weight"),
+          (struct((-col("weight")).as("nw"), col("doc_id").as("d"))
+            <= col("kmax")).as("selected"))
+    }),
+
+    // BPE-style first-merge statistics: adjacent character-pair
+    // frequencies over word occurrences (the counts the first BPE
+    // merge iteration maximizes). Pure scan work (explode + two
+    // integer aggregations); the pair domain is alphabet-bounded so
+    // the final top-20 is a TakeOrdered over a tiny key set.
+    "p50_bpe_pair_stats" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(explode(words(lower(col("text")))).as("w"))
+      toks.filter(length(col("w")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(20)
+    }),
+
+    // tokenizer vocabulary coverage: top-50 words by frequency with
+    // the cumulative fraction of all token occurrences they cover
+    // (the OOV-rate curve a vocab-size decision reads). The corpus
+    // pass is one word-keyed aggregate; the cumulative window runs
+    // over the 50 SELECTED rows only, never the full vocabulary.
+    "p51_vocab_coverage" -> ((s, dir) => {
+      val vocab = docs(s, dir)
+        .select(explode(words(lower(col("text")))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .transform(graft.core.CacheRegistry.persist(_))
+      vocab.count() // materialize before the total + top-50 branches
+      val tot = vocab.agg(sum("cnt").cast("double").as("n_corpus"))
+      val top = vocab.orderBy(col("cnt").desc, col("word")).limit(50)
+      top.crossJoin(broadcast(tot))
+        .withColumn("cum", sum("cnt").over(
+          Window.orderBy(col("cnt").desc, col("word"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("word"), col("cnt"),
+          round(col("cum").cast("double") / col("n_corpus"), 6)
+            .as("cum_coverage"))
+    }),
+
     // the curation funnel end-to-end: raw -> exact dedup (min id per
     // content hash) -> near-dup canonical election (connected
     // components over the survivors' LSH pairs; keep label owners) ->
@@ -672,10 +759,14 @@ object PipelineQueries {
           .withColumn("doc_id", col("doc_id") + 2000000L))
         .transform(graft.core.CacheRegistry.persist(_))
       d0.count()
+      // min-struct aggregate: doc_id leads the struct, so min() elects
+      // the min-id row per content hash in ONE shuffle — no join back
+      // to d0, no second scan of the full text
       val s1 = d0.groupBy(md5(col("text")))
-        .agg(min("doc_id").as("doc_id"))
-        .select("doc_id")
-        .join(d0, Seq("doc_id"))
+        .agg(min(struct(col("doc_id"), col("text"), col("lang"),
+          col("n_tok"))).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
+          col("r.lang").as("lang"), col("r.n_tok").as("n_tok"))
         .transform(graft.core.CacheRegistry.persist(_))
       s1.count()
       val (_, _, pairs) = lshPairsOf(s1.select("doc_id", "text"))
@@ -1706,6 +1797,56 @@ SELECT doc_id, shard, n_tok,
   off % 2048 AS seq_off,
   (off + n_tok - 1) // 2048 - off // 2048 AS n_splits
 FROM o"""
+    },
+
+    // selection = row_number by (weight desc, doc_id) <= 100: the
+    // declarative twin of the Spark side's TakeOrdered threshold
+    "p49_dsir_resample" -> {
+      val w = wordsSql("text")
+      val h = h64Sql("w", 7)
+      s"""WITH tk AS (SELECT doc_id, source,
+    $h % 256 AS b
+  FROM (SELECT doc_id, source,
+      unnest(list_transform($w, w -> lower(w))) AS w
+    FROM documents)),
+buckets AS (SELECT b, count(*) AS raw_cnt,
+    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS tgt_cnt
+  FROM tk GROUP BY b),
+tot AS (SELECT CAST(sum(raw_cnt) AS DOUBLE) AS raw_n,
+    CAST(sum(tgt_cnt) AS DOUBLE) AS tgt_n FROM buckets),
+lr AS (SELECT b, CAST(round(
+    ln((CAST(tgt_cnt AS DOUBLE) + 1.0) / (tgt_n + 256)) -
+    ln((CAST(raw_cnt AS DOUBLE) + 1.0) / (raw_n + 256)), 9)
+    AS DECIMAL(28,9)) AS lr FROM buckets, tot),
+scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+    round(CAST(sum(lr) AS DOUBLE), 6) AS weight
+  FROM tk JOIN lr USING (b) GROUP BY doc_id)
+SELECT doc_id, n_tok, weight,
+  row_number() OVER (ORDER BY weight DESC, doc_id) <= 100 AS selected
+FROM scored"""
+    },
+
+    "p50_bpe_pair_stats" -> {
+      val w = wordsSql("lower(text)")
+      s"""WITH toks AS (SELECT unnest($w) AS w FROM documents),
+pairs AS (SELECT unnest(list_transform(range(1, length(w)),
+    i -> w[CAST(i AS INT):CAST(i + 1 AS INT)])) AS pair
+  FROM toks WHERE length(w) >= 2)
+SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+FROM pairs GROUP BY pair
+ORDER BY cnt DESC, pair LIMIT 20"""
+    },
+
+    "p51_vocab_coverage" -> {
+      val w = wordsSql("lower(text)")
+      s"""WITH vocab AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest($w) AS word FROM documents) GROUP BY word),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_corpus FROM vocab),
+top AS (SELECT word, cnt FROM vocab ORDER BY cnt DESC, word LIMIT 50)
+SELECT word, cnt, round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, word
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+  / n_corpus, 6) AS cum_coverage
+FROM top, tot"""
     },
 
     "p47_curation_funnel" -> {

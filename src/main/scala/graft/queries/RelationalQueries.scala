@@ -291,6 +291,31 @@ object RelationalQueries {
             (col("n") * (col("n") - 1)), 4).as("covar_samp"))
     }),
 
+    // Salted skew join (graft.ops.Skew.saltedJoin): half of all
+    // lineitem rows are collapsed onto supplier 0 — the hot-key shape
+    // that stalls one reducer at scale. The fact side is salted into 8
+    // deterministic sub-keys (derived from l_orderkey, no rand()) and
+    // the dim side replicated 8x, so key 0 spreads over 8 reducers;
+    // the merge hint forces the shuffle join the pattern exists for
+    // (a broadcastable dim would hide the skew entirely).
+    "q25_salted_skew_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(
+          when(pmod(col("l_suppkey"), lit(10)) < 5, lit(0L))
+            .otherwise(col("l_suppkey")).as("suppkey"),
+          col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("rev"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      graft.ops.Skew
+        .saltedJoin(li.hint("merge"), sup, "suppkey",
+          col("l_orderkey"), 8)
+        .groupBy(col("s_nationkey").cast("int").as("nationkey"))
+        .agg(dsum(col("rev"), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // As-of join (union + running-last window; one keyed shuffle):
     // each click matched to the latest same-or-earlier view per user.
     "q16_asof_click_view" -> ((s, d) => {
@@ -542,6 +567,20 @@ object RelationalQueries {
              AS corr_qty_price,
            round((n * sxy - sx * sy) / (n * (n - 1)), 4) AS covar_samp
          FROM m""",
+    // the salt never appears here: salting changes the physical
+    // distribution only, so the oracle is the plain join
+    "q25_salted_skew_join" ->
+      """WITH li AS (SELECT
+           CASE WHEN l_suppkey % 10 < 5 THEN 0 ELSE l_suppkey END
+             AS suppkey,
+           l_extendedprice * (1 - l_discount) AS rev FROM lineitem),
+         sup AS (SELECT s_suppkey AS suppkey, s_nationkey FROM supplier)
+         SELECT CAST(s_nationkey AS INT) AS nationkey,
+           CAST(round(sum(CAST(rev AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+         FROM li JOIN sup USING (suppkey)
+         GROUP BY 1""",
     // ts -> micros mirrors Tables.events's floor(ns/1000) conversion
     "q16_asof_click_view" ->
       """WITH v0 AS (SELECT user_id,
