@@ -422,6 +422,72 @@ object RelationalQueries {
         }
       } finally s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
       s.table(qn)
+    }),
+
+    // Watermarked stream-stream interval self-join: the events stream
+    // split into purchases and clicks, inner-joined on user within a
+    // 10-minute lookback. Both sides carry a watermark and the join
+    // condition bounds event time on BOTH, so the state store evicts
+    // buffered rows as the watermark advances — the unbounded-state
+    // trap a naive stream join hits at scale. One staged file => one
+    // micro-batch, so the drain's output is the complete batch join
+    // and the oracle is the plain interval join.
+    "q26_stream_stream_join" -> ((s, d) => {
+      val path = s"/tmp/graft_stream_ssj_${
+        d.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(path)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts_us",
+          org.apache.spark.sql.types.LongType)))
+      val src = s.readStream.schema(schema)
+        .option("header", "true").csv(path)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("ts_us").as("c_us"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("ts_us").as("p_us"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = purchases.join(clicks,
+        col("c_user") === col("p_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("c_ts") <= col("p_ts"))
+        .select(col("purchase_id"), col("click_id"),
+          col("p_user").as("user_id"),
+          (col("p_us") - col("c_us")).as("gap_us"))
+      val qn = "stream_ssj_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = joined.writeStream.format("memory").queryName(qn)
+          .outputMode("append")
+          .option("checkpointLocation", java.nio.file.Files
+            .createTempDirectory("graft_ssj_ck").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(300000)) {
+          q.stop()
+          throw new IllegalStateException(
+            "streaming drain did not finish within 300 s")
+        }
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
+      s.table(qn)
     })
   )
 
@@ -648,6 +714,17 @@ object RelationalQueries {
            GROUP BY user_id)
          SELECT a.user_id, a.start_us, a.end_us, a.n_events
          FROM agg a JOIN mx ON a.user_id = mx.user_id
-           AND a.session_idx < mx.mxs"""
+           AND a.session_idx < mx.mxs""",
+    // the batch twin of the one-micro-batch stream-stream drain
+    "q26_stream_stream_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id,
+             CAST(epoch_ns(ts) // 1000 AS BIGINT) AS c_us
+           FROM events WHERE event_type = 'click'),
+         p AS (SELECT event_id AS purchase_id, user_id,
+             CAST(epoch_ns(ts) // 1000 AS BIGINT) AS p_us
+           FROM events WHERE event_type = 'purchase')
+         SELECT purchase_id, click_id, user_id, p_us - c_us AS gap_us
+         FROM p JOIN c USING (user_id)
+         WHERE c_us BETWEEN p_us - 600000000 AND p_us"""
   )
 }
