@@ -739,6 +739,72 @@ object PipelineQueries {
             .as("cum_coverage"))
     }),
 
+    // SimHash LSH near-dup: the 16-bit signature banded into 2x8-bit
+    // keys, candidates = pairs sharing a band value, verified by
+    // Hamming distance <= 3 (bit_count of xor — one codegen'd
+    // expression, no array compare). Same shuffle shape as MinHash
+    // LSH: band-keyed self-join with the bucket-cap window riding the
+    // join's own exchange. At production scale the signature widens
+    // to 64 bits (4x16 bands) so buckets stay small; the 16-bit
+    // fixture keeps the oracle cheap and relies on the cap guard.
+    "p52_simhash_neardup" -> ((s, dir) => {
+      val d = corpus(s, dir)
+        .select(col("doc_id"), simhash16(words(col("text"))).as("sig"))
+        .transform(graft.core.CacheRegistry.persist(_))
+      d.count() // materialize before the two self-join branches
+      val bands = d.select(col("doc_id"), col("sig"),
+          explode(array(
+            struct(lit(0).as("band"),
+              col("sig").bitwiseAND(lit(255)).as("bv")),
+            struct(lit(1).as("band"),
+              shiftright(col("sig"), 8).bitwiseAND(lit(255)).as("bv"))))
+            .as("bk"))
+        .select(col("doc_id"), col("sig"),
+          col("bk.band").as("band"), col("bk.bv").as("bv"))
+      val capped = bands.withColumn("bn",
+          count(lit(1)).over(Window.partitionBy("band", "bv")))
+        .filter(col("bn") <= lit(LshBucketCap)).drop("bn")
+      capped.alias("a").join(capped.alias("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id_a"),
+          col("b.doc_id").as("doc_id_b"),
+          bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
+            .as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+    }),
+
+    // int8 embedding quantization (the 4x storage cut a 100 TB
+    // embedding store takes): per-vector absmax scale, q =
+    // round(x/scale*127), per-vector reconstruction MSE. Pure
+    // per-row expression work — one scan, no shuffle; the sequential
+    // array fold makes the double sum order-deterministic on both
+    // engines.
+    "p53_int8_quant" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val withScale = e.withColumn("sc0",
+          array_max(transform(col("v"), x => abs(x))))
+        .withColumn("sc",
+          when(col("sc0") === 0.0, lit(1.0)).otherwise(col("sc0")))
+      withScale
+        .withColumn("q", transform(col("v"),
+          x => round(x / col("sc") * 127).cast("int")))
+        .withColumn("mse", round(
+          aggregate(zip_with(col("v"), col("q"),
+            (x, qq) => (x - qq.cast("double") * col("sc") / 127.0) *
+              (x - qq.cast("double") * col("sc") / 127.0)),
+            lit(0.0), (a, x) => a + x) /
+            size(col("v")).cast("double"), 9))
+        .select(col("vec_id"), size(col("v")).as("n_dims"),
+          round(col("sc"), 9).as("scale"),
+          array_min(col("q")).as("q_min"),
+          array_max(col("q")).as("q_max"),
+          col("mse"))
+    }),
+
     // the curation funnel end-to-end: raw -> exact dedup (min id per
     // content hash) -> near-dup canonical election (connected
     // components over the survivors' LSH pairs; keep label owners) ->
@@ -1847,6 +1913,45 @@ SELECT word, cnt, round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, word
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
   / n_corpus, 6) AS cum_coverage
 FROM top, tot"""
+    },
+
+    "p52_simhash_neardup" -> {
+      val sig = simhash16Sql(wordsSql("text"))
+      s"""WITH $corpusSql,
+sigs AS (SELECT doc_id, $sig AS sig FROM corpus),
+bands AS (SELECT doc_id, sig, band,
+    CASE WHEN band = 0 THEN sig & 255 ELSE (sig >> 8) & 255 END AS bv
+  FROM sigs, (SELECT unnest([0, 1]) AS band)),
+capped AS (SELECT doc_id, sig, band, bv FROM (SELECT *,
+    count(*) OVER (PARTITION BY band, bv) AS bn FROM bands)
+  WHERE bn <= $LshBucketCap)
+SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM capped a JOIN capped b
+  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+WHERE CAST(bit_count(xor(a.sig, b.sig)) AS INT) <= 3"""
+    },
+
+    "p53_int8_quant" -> {
+      s"""WITH e AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+s AS (SELECT vec_id, v,
+    list_max(list_transform(v, x -> abs(x))) AS sc0 FROM e),
+sc AS (SELECT vec_id, v,
+    CASE WHEN sc0 = 0 THEN 1.0 ELSE sc0 END AS sc FROM s),
+q AS (SELECT vec_id, v, sc, list_transform(v,
+    x -> CAST(round(x / sc * 127) AS INT)) AS q FROM sc)
+SELECT vec_id, CAST(len(v) AS INT) AS n_dims,
+  round(sc, 9) AS scale,
+  list_min(q) AS q_min, list_max(q) AS q_max,
+  round(list_reduce(list_transform(range(1, len(v) + 1), i ->
+      (v[CAST(i AS INT)] - CAST(q[CAST(i AS INT)] AS DOUBLE) * sc
+        / 127.0) *
+      (v[CAST(i AS INT)] - CAST(q[CAST(i AS INT)] AS DOUBLE) * sc
+        / 127.0)),
+    (a, b) -> a + b) / CAST(len(v) AS DOUBLE), 9) AS mse
+FROM q"""
     },
 
     "p47_curation_funnel" -> {
