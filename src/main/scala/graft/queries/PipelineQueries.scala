@@ -805,6 +805,60 @@ object PipelineQueries {
           col("mse"))
     }),
 
+    // n-gram novelty: per doc, the fraction of its distinct 3-shingles
+    // whose first corpus occurrence (min doc_id) is the doc itself —
+    // the marginal-diversity score a dedup-then-keep pipeline ranks
+    // by. Inverted-index shape: shingle-keyed min aggregate, join
+    // back on the shingle (first owner is unique per shingle, so the
+    // join fanout is exactly 1 — linear at any scale), doc-keyed
+    // fraction.
+    "p54_ngram_novelty" -> ((s, dir) => {
+      val sh = docs(s, dir)
+        .withColumn("sh", hashedShingles(shingles(words(col("text")))))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"), explode(col("sh")).as("h"))
+        .transform(graft.core.CacheRegistry.persist(_))
+      sh.count() // materialize before the min-agg + join branches
+      val first = sh.groupBy("h").agg(min("doc_id").as("first_id"))
+      sh.join(first, Seq("h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          round(sum(when(col("first_id") === col("doc_id"), 1L)
+            .otherwise(0L)).cast("double") / count(lit(1)), 6)
+            .as("novelty"))
+    }),
+
+    // cross-source duplication matrix: distinct (source, shingle)
+    // pairs self-joined on the shingle — each shingle appears in at
+    // most n_sources rows after the distinct, so the join is bounded
+    // by sources^2 per shingle regardless of corpus size. Overlap
+    // coefficient = shared / min(|A|, |B|); the per-source totals are
+    // a broadcast.
+    "p55_source_overlap" -> ((s, dir) => {
+      val sh = docs(s, dir)
+        .withColumn("sh", hashedShingles(shingles(words(col("text")))))
+        .filter(size(col("sh")) > 0)
+        .select(col("source"), explode(col("sh")).as("h"))
+        .distinct()
+        .transform(graft.core.CacheRegistry.persist(_))
+      sh.count() // materialize before totals + two self-join branches
+      val totals = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      sh.alias("a").join(sh.alias("b"),
+          col("a.h") === col("b.h") &&
+            col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(totals.select(col("source").as("source_a"),
+          col("n").as("na"))), Seq("source_a"))
+        .join(broadcast(totals.select(col("source").as("source_b"),
+          col("n").as("nb"))), Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("n_shared"),
+          round(col("n_shared").cast("double") /
+            least(col("na"), col("nb")).cast("double"), 6)
+            .as("overlap"))
+    }),
+
     // the curation funnel end-to-end: raw -> exact dedup (min id per
     // content hash) -> near-dup canonical election (connected
     // components over the survivors' LSH pairs; keep label owners) ->
@@ -1952,6 +2006,37 @@ SELECT vec_id, CAST(len(v) AS INT) AS n_dims,
         / 127.0)),
     (a, b) -> a + b) / CAST(len(v) AS DOUBLE), 9) AS mse
 FROM q"""
+    },
+
+    "p54_ngram_novelty" -> {
+      val sh = hashedShinglesSql(shinglesSql(wordsSql("text")))
+      s"""WITH sh0 AS (SELECT doc_id, $sh AS sh FROM documents),
+sh AS (SELECT doc_id, unnest(sh) AS h FROM sh0 WHERE len(sh) > 0),
+first AS (SELECT h, min(doc_id) AS first_id FROM sh GROUP BY h)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+  round(CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
+    AS DOUBLE) / count(*), 6) AS novelty
+FROM sh JOIN first USING (h) GROUP BY doc_id"""
+    },
+
+    "p55_source_overlap" -> {
+      val sh = hashedShinglesSql(shinglesSql(wordsSql("text")))
+      s"""WITH sh0 AS (SELECT source, $sh AS sh FROM documents),
+shd AS (SELECT DISTINCT source, unnest(sh) AS h FROM sh0
+  WHERE len(sh) > 0),
+totals AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM shd
+  GROUP BY source),
+shared AS (SELECT a.source AS source_a, b.source AS source_b,
+    CAST(count(*) AS BIGINT) AS n_shared
+  FROM shd a JOIN shd b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT source_a, source_b, n_shared,
+  round(CAST(n_shared AS DOUBLE) /
+    CAST(CASE WHEN ta.n < tb.n THEN ta.n ELSE tb.n END AS DOUBLE), 6)
+    AS overlap
+FROM shared
+JOIN totals ta ON ta.source = shared.source_a
+JOIN totals tb ON tb.source = shared.source_b"""
     },
 
     "p47_curation_funnel" -> {
