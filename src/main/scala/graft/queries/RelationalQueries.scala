@@ -424,6 +424,32 @@ object RelationalQueries {
       s.table(qn)
     }),
 
+    // Sketch surface (the documented 100 TB path where exact distinct
+    // counts / percentiles stop scaling): HyperLogLog++ distinct users
+    // and an approx percentile per event type. Sketch estimates are
+    // engine-specific, so the driver-checked contract is the
+    // within-tolerance FLAG against the exact value computed in the
+    // same pass — the oracle asserts the exact values and that both
+    // flags hold (Spark's sketches are deterministic on fixed data,
+    // so the flags are stable).
+    "q27_approx_sketches" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users_exact"),
+          approx_count_distinct(col("user_id"), 0.05)
+            .as("n_users_hll"),
+          expr("percentile(value, 0.5)").as("p50_exact"),
+          expr("approx_percentile(value, 0.5, 10000)").as("p50_approx"))
+        .select(col("event_type"), col("n_users_exact"),
+          (abs(col("n_users_hll") - col("n_users_exact"))
+            .cast("double") / col("n_users_exact").cast("double")
+            <= 0.05).as("hll_within_5pct"),
+          round(col("p50_exact"), 4).as("p50"),
+          (abs(col("p50_approx") - col("p50_exact")) /
+            abs(col("p50_exact")) <= 0.01).as("p50_within_1pct"))
+    }),
+
     // Watermarked stream-stream interval self-join: the events stream
     // split into purchases and clicks, inner-joined on user within a
     // 10-minute lookback. Both sides carry a watermark and the join
@@ -715,6 +741,15 @@ object RelationalQueries {
          SELECT a.user_id, a.start_us, a.end_us, a.n_events
          FROM agg a JOIN mx ON a.user_id = mx.user_id
            AND a.session_idx < mx.mxs""",
+    // exact values + literal-true flags: the sketch estimates are
+    // engine-specific, so the checked contract is "within tolerance"
+    "q27_approx_sketches" ->
+      """SELECT event_type,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+         TRUE AS hll_within_5pct,
+         round(quantile_cont(value, 0.5), 4) AS p50,
+         TRUE AS p50_within_1pct
+         FROM events GROUP BY event_type""",
     // the batch twin of the one-micro-batch stream-stream drain
     "q26_stream_stream_join" ->
       """WITH c AS (SELECT event_id AS click_id, user_id,
