@@ -381,6 +381,66 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dsir: target-slice docs score a higher mean weight") {
+    val dir = "/root/testdata/sf0.001"
+    val w = graft.queries.PipelineQueries
+      .queries("p49_dsir_resample")(spark, dir)
+      .join(spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source") === "src0")
+      .agg(avg("weight").as("mw"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // the weight IS log-likelihood-ratio toward the src0 unigram
+    // distribution — if target docs don't outscore the rest on
+    // average, the feature hashing or smoothing is broken
+    assert(w(true) > w(false))
+  }
+
+  test("int8 quant: codes within [-127,127], mse bounded by step^2") {
+    val rows = graft.queries.PipelineQueries
+      .queries("p53_int8_quant")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getDouble(2)
+      assert(r.getInt(3) >= -127 && r.getInt(4) <= 127)
+      // worst-case per-dim error is half a quantization step
+      val step = scale / 127.0
+      assert(r.getDouble(5) <= step * step / 4.0 + 1e-12)
+    }
+  }
+
+  test("simhash near-dup pairs every perturbed copy with its base") {
+    val out = graft.queries.PipelineQueries
+      .queries("p52_simhash_neardup")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // corpus() pairs doc k with doc k+1000000 (same text + 3 words):
+    // a 3-word tail on a ~150-word doc moves few simhash bits, so at
+    // least half the planted pairs must survive banding + hamming<=3
+    val base = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val caught = base.count(id => out.contains((id, id + 1000000L)))
+    assert(caught * 2 >= base.length,
+      s"only $caught of ${base.length} planted near-dup pairs found")
+  }
+
+  test("ngram novelty: values in [0,1]; the earliest doc scores 1.0") {
+    val rows = graft.queries.PipelineQueries
+      .queries("p54_ngram_novelty")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nov = r.getDouble(2)
+      assert(nov >= 0.0 && nov <= 1.0)
+    }
+    // every shingle of the minimum doc_id is first-seen there
+    val minDoc = rows.map(_.getLong(0)).min
+    val novMin = rows.find(_.getLong(0) == minDoc).get.getDouble(2)
+    assert(novMin == 1.0)
+  }
+
   test("corpus report: shares sum to one, rates within [0, 1]") {
     val rows = graft.queries.PipelineQueries
       .queries("p35_corpus_report")(spark, "/root/testdata/sf0.001")
