@@ -450,6 +450,24 @@ object RelationalQueries {
             abs(col("p50_exact")) <= 0.01).as("p50_within_1pct"))
     }),
 
+    // Semi-structured extraction: the events `props` JSON parsed with
+    // an EXPLICIT schema (from_json + StructType — one codegen'd pass,
+    // no schema-inference scan, the only JSON pattern that survives
+    // 100 TB), then aggregated per event type.
+    "q28_json_extract" -> ((s, d) => {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType)))
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"), schema).getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+    }),
+
     // Watermarked stream-stream interval self-join: the events stream
     // split into purchases and clicks, inner-joined on user within a
     // 10-minute lookback. Both sides carry a watermark and the join
@@ -750,6 +768,14 @@ object RelationalQueries {
          round(quantile_cont(value, 0.5), 4) AS p50,
          TRUE AS p50_within_1pct
          FROM events GROUP BY event_type""",
+    "q28_json_extract" ->
+      """WITH e AS (SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+         SELECT event_type,
+           CAST(count(k) AS BIGINT) AS n_with_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           min(k) AS min_k, max(k) AS max_k
+         FROM e GROUP BY event_type""",
     // the batch twin of the one-micro-batch stream-stream drain
     "q26_stream_stream_join" ->
       """WITH c AS (SELECT event_id AS click_id, user_id,
