@@ -145,14 +145,16 @@ object PipelineOps {
 
   // ---- SimHash (16-bit) ----
 
-  def simhash16(w: Column): Column = {
-    val wh = transform(w, x => h64(x, 99))
-    (0 until 16).map { k =>
-      when(size(filter(wh,
-        h => shiftright(h, k).bitwiseAND(lit(1L)) === 1L)) * 2
-        > size(wh), lit(1 << k)).otherwise(lit(0))
-    }.reduce(_ + _)
-  }
+  def simhash16(w: Column): Column =
+    // let-bind the hashed-word array: inlining it into the 16 bit
+    // filters would run the md5 transform 16x per row
+    bind(transform(w, x => h64(x, 99))) { wh =>
+      (0 until 16).map { k =>
+        when(size(filter(wh,
+          h => shiftright(h, k).bitwiseAND(lit(1L)) === 1L)) * 2
+          > size(wh), lit(1 << k)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
 
   def simhash16Sql(w: String): String = {
     val wh = s"list_transform($w, x -> ${h64Sql("x", 99)})"
