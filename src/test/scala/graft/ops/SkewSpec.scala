@@ -49,6 +49,46 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(salts == Set(0, 1, 2, 3))
   }
 
+  test("AQE splits the hot key at runtime (the complement to salting)") {
+    import spark.implicits._
+    // 50k rows on ONE key vs 50 rows elsewhere; thresholds lowered so
+    // local data sizes trip the same skew detection a real cluster
+    // sees at TB scale. Salting (q25) is the plan-level fix when skew
+    // is known up front; this pins that the AQE runtime fix is also
+    // live for the unknown-skew case.
+    val before = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> None,
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> None,
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> None,
+      "spark.sql.autoBroadcastJoinThreshold" -> None
+    ).map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "16KB")
+      spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = spark.range(50050).select(
+        when(col("id") < 50000, 0L).otherwise(col("id")).as("k"),
+        col("id").as("row_id"))
+      val dim = spark.range(51000).select(col("id").as("k"),
+        (col("id") * 2).as("payload"))
+      val joined = fact.join(dim, Seq("k"))
+      // collect() drives joined's OWN QueryExecution, so its adaptive
+      // plan is final afterwards (count() would plan a separate query)
+      assert(joined.collect().length == 50050)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected a skew-split SortMergeJoin in:\n$plan")
+    } finally before.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("keys missing from the dim drop out (inner-join semantics)") {
     val (fact, dim) = data()
     val out = Skew.saltedJoin(
