@@ -859,6 +859,32 @@ object PipelineQueries {
             .as("overlap"))
     }),
 
+    // tokenizer encode: map every word to its id in the top-50
+    // frequency vocab (p51's construction), OOV -> 0. The vocab
+    // travels as ONE single-row broadcast array, so the encode pass
+    // is a scan-side transform — no explode, no shuffle, no
+    // per-word join; at 100 TB the cost is exactly one array probe
+    // per token. Output pins the full id sequence via an md5 of the
+    // comma-joined ids.
+    "p56_tokenize_encode" -> ((s, dir) => {
+      val vocab = docs(s, dir)
+        .select(explode(words(lower(col("text")))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word")).limit(50)
+        .agg(transform(array_sort(collect_list(
+          struct((-col("cnt")).as("nc"), col("word").as("w")))),
+          x => x.getField("w")).as("varr"))
+      docs(s, dir).crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          transform(words(lower(col("text"))),
+            w => array_position(col("varr"), w)).as("ids"))
+        .select(col("doc_id"), size(col("ids")).as("n_tok"),
+          size(filter(col("ids"), i => i === 0L)).as("n_oov"),
+          md5(concat_ws(",",
+            transform(col("ids"), i => i.cast("string"))))
+            .as("ids_hash"))
+    }),
+
     // the curation funnel end-to-end: raw -> exact dedup (min id per
     // content hash) -> near-dup canonical election (connected
     // components over the survivors' LSH pairs; keep label owners) ->
@@ -2037,6 +2063,21 @@ SELECT source_a, source_b, n_shared,
 FROM shared
 JOIN totals ta ON ta.source = shared.source_a
 JOIN totals tb ON tb.source = shared.source_b"""
+    },
+
+    "p56_tokenize_encode" -> {
+      val w = wordsSql("lower(text)")
+      s"""WITH toks AS (SELECT unnest($w) AS word FROM documents),
+vocab AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM toks
+  GROUP BY word ORDER BY cnt DESC, word LIMIT 50),
+varr AS (SELECT list(word ORDER BY cnt DESC, word) AS v FROM vocab),
+enc AS (SELECT doc_id,
+    list_transform($w, x -> list_position(v, x)) AS ids
+  FROM documents, varr)
+SELECT doc_id, CAST(len(ids) AS INT) AS n_tok,
+  CAST(len(list_filter(ids, i -> i = 0)) AS INT) AS n_oov,
+  md5(array_to_string(ids, ',')) AS ids_hash
+FROM enc"""
     },
 
     "p47_curation_funnel" -> {
