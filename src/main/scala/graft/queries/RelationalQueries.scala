@@ -437,14 +437,18 @@ object RelationalQueries {
         .groupBy(col("event_type"))
         .agg(
           countDistinct(col("user_id")).as("n_users_exact"),
-          approx_count_distinct(col("user_id"), 0.05)
+          // rsd 0.02 against a 10% check = a 5-sigma margin, so the
+          // flag holds at ANY scale factor (a margin equal to the rsd
+          // is a coin flip once the sketch leaves sparse mode — seen
+          // failing at sf0.1)
+          approx_count_distinct(col("user_id"), 0.02)
             .as("n_users_hll"),
           expr("percentile(value, 0.5)").as("p50_exact"),
           expr("approx_percentile(value, 0.5, 10000)").as("p50_approx"))
         .select(col("event_type"), col("n_users_exact"),
           (abs(col("n_users_hll") - col("n_users_exact"))
             .cast("double") / col("n_users_exact").cast("double")
-            <= 0.05).as("hll_within_5pct"),
+            <= 0.10).as("hll_within_10pct"),
           round(col("p50_exact"), 4).as("p50"),
           (abs(col("p50_approx") - col("p50_exact")) /
             abs(col("p50_exact")) <= 0.01).as("p50_within_1pct"))
@@ -764,7 +768,7 @@ object RelationalQueries {
     "q27_approx_sketches" ->
       """SELECT event_type,
          CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
-         TRUE AS hll_within_5pct,
+         TRUE AS hll_within_10pct,
          round(quantile_cont(value, 0.5), 4) AS p50,
          TRUE AS p50_within_1pct
          FROM events GROUP BY event_type""",
