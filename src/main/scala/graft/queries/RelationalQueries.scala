@@ -472,6 +472,39 @@ object RelationalQueries {
           max(col("k")).as("max_k"))
     }),
 
+    // SCD2 interval construction: each user's purchase history turned
+    // into validity intervals [valid_from, valid_to) via lead() over
+    // ONE keyed window — the slowly-changing-dimension build a
+    // warehouse load runs, one shuffle on the entity key.
+    "q29_scd2_intervals" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          r(col("value"), 3).as("value"))
+        .withColumn("valid_to_us",
+          coalesce(lead(col("ts_us"), 1).over(w), lit(Long.MaxValue)))
+        .select(col("user_id"), col("event_id"),
+          col("ts_us").as("valid_from_us"), col("valid_to_us"),
+          col("value"),
+          (col("valid_to_us") === Long.MaxValue).as("is_current"))
+    }),
+
+    // Sliding-window aggregation (10-min windows every 5 min): Spark's
+    // window() plans an Expand (each event lands in len/slide = 2
+    // windows) before the partial aggregate — same single-exchange
+    // shape as a plain groupBy, scaled by the overlap factor.
+    "q30_sliding_windows" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 3).as("v"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("n"), col("v"))
+    }),
+
     // Watermarked stream-stream interval self-join: the events stream
     // split into purchases and clicks, inner-joined on user within a
     // 10-minute lookback. Both sides carry a watermark and the join
@@ -772,6 +805,32 @@ object RelationalQueries {
          round(quantile_cont(value, 0.5), 4) AS p50,
          TRUE AS p50_within_1pct
          FROM events GROUP BY event_type""",
+    "q29_scd2_intervals" ->
+      """WITH p AS (SELECT user_id, event_id,
+           CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us,
+           round(value, 3) AS value
+         FROM events WHERE event_type = 'purchase')
+         SELECT user_id, event_id, ts_us AS valid_from_us,
+           coalesce(lead(ts_us) OVER (PARTITION BY user_id
+             ORDER BY ts_us, event_id), 9223372036854775807)
+             AS valid_to_us,
+           value,
+           lead(ts_us) OVER (PARTITION BY user_id
+             ORDER BY ts_us, event_id) IS NULL AS is_current
+         FROM p""",
+    // each event lands in exactly len/slide = 2 overlapping windows;
+    // k in [0,1] enumerates them from the event's own 5-min bucket
+    "q30_sliding_windows" ->
+      """WITH e AS (SELECT event_type, value,
+           CAST(epoch_ns(ts) // 1000 AS BIGINT) AS t_us FROM events),
+         w AS (SELECT event_type, value,
+           ((t_us // 300000000) - k) * 300000000 AS win_start_us
+         FROM e, (SELECT unnest([0, 1]) AS k))
+         SELECT win_start_us, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 3) AS DOUBLE)
+             AS v
+         FROM w GROUP BY win_start_us, event_type""",
     "q28_json_extract" ->
       """WITH e AS (SELECT event_type,
            CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
