@@ -39,6 +39,22 @@ object PipelineQueries {
   /** Fixed keyword set for the BM25 search query (p19). */
   private val BM25Terms = Seq("spark", "merge", "window")
 
+  /** Stopword-ratio argmax language prediction over a bound word
+    * array — the single definition p07 (per-doc report) and p57
+    * (confusion matrix vs ground truth) both evaluate, twinned with
+    * `predSql`.
+    */
+  private def langidPred(w: Column): Column = {
+    val scores = Stopwords.map { case (l, _) => l -> stopRatio(w, l) }
+    scores.foldRight(lit(Stopwords.last._1): Column) {
+      case ((l, sc), acc) =>
+        val rest = scores.dropWhile(_._1 != l).drop(1)
+        if (rest.isEmpty) acc
+        else when(rest.map(r => sc >= r._2).reduce(_ && _), lit(l))
+          .otherwise(acc)
+    }
+  }
+
   /** Gopher-rule metric struct over a bound word array — shared by
     * p31 (per-doc report) and p35 (corpus accounting), so the pass
     * flag is one definition computed in one scan wherever it's used.
@@ -240,18 +256,9 @@ object PipelineQueries {
 
     // language ID via stopword-ratio heuristic
     "p07_langid" -> ((s, dir) => {
-      val w = words(col("text"))
-      val scores = Stopwords.map { case (l, _) => l -> stopRatio(w, l) }
-      val pred = scores.foldRight(lit(Stopwords.last._1): Column) {
-        case ((l, sc), acc) =>
-          val rest = scores.dropWhile(_._1 != l).drop(1)
-          if (rest.isEmpty) acc
-          else when(rest.map(r => sc >= r._2).reduce(_ && _), lit(l))
-            .otherwise(acc)
-      }
       docs(s, dir).select(col("doc_id"), col("lang"),
-        pred.as("predicted"),
-        scores.toMap.apply("en").as("score_en"))
+        langidPred(words(col("text"))).as("predicted"),
+        stopRatio(words(col("text")), "en").as("score_en"))
     }),
 
     // quality scoring: length/punctuation/stopword metrics
@@ -883,6 +890,36 @@ object PipelineQueries {
           md5(concat_ws(",",
             transform(col("ids"), i => i.cast("string"))))
             .as("ids_hash"))
+    }),
+
+    // langid evaluation: confusion matrix of the library's own
+    // stopword-argmax predictor against the ground-truth lang column
+    // — the accuracy report a pipeline owner reads before trusting a
+    // language gate. One scan, one (lang, predicted)-keyed aggregate
+    // over a languages^2-bounded domain.
+    "p57_langid_confusion" -> ((s, dir) => {
+      docs(s, dir).select(col("lang"),
+          langidPred(words(col("text"))).as("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("correct", col("lang") === col("predicted"))
+    }),
+
+    // dedup threshold sensitivity: how many near-dup pairs (and at
+    // what mean similarity) survive each candidate Jaccard cutoff —
+    // the sweep that picks a production threshold. One pass over the
+    // LSH pair set; the threshold explode multiplies the SMALL pair
+    // table, never the corpus.
+    "p58_dedup_threshold_sweep" -> ((s, dir) => {
+      val (_, _, pairs) = lshPairs(s, dir)
+      val th = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+      pairs.select(col("jaccard"),
+          explode(array(th.map(lit): _*)).as("threshold"))
+        .filter(col("jaccard") >= col("threshold"))
+        .groupBy("threshold")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(round(col("jaccard"), 9).cast("decimal(28,9)"))
+            .cast("double") / count(lit(1)), 6).as("mean_jaccard"))
     }),
 
     // the curation funnel end-to-end: raw -> exact dedup (min id per
@@ -2078,6 +2115,24 @@ SELECT doc_id, CAST(len(ids) AS INT) AS n_tok,
   CAST(len(list_filter(ids, i -> i = 0)) AS INT) AS n_oov,
   md5(array_to_string(ids, ',')) AS ids_hash
 FROM enc"""
+    },
+
+    "p57_langid_confusion" -> {
+      s"""WITH p AS (SELECT lang, $predSql AS predicted FROM documents)
+SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n,
+  lang = predicted AS correct
+FROM p GROUP BY lang, predicted"""
+    },
+
+    "p58_dedup_threshold_sweep" -> {
+      s"""WITH $corpusSql,
+${lshPairsCtesFrom("corpus")},
+t AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE)
+  AS threshold)
+SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs,
+  round(CAST(sum(CAST(round(jaccard, 9) AS DECIMAL(28,9))) AS DOUBLE)
+    / count(*), 6) AS mean_jaccard
+FROM lshpairs, t WHERE jaccard >= threshold GROUP BY threshold"""
     },
 
     "p47_curation_funnel" -> {
