@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.pipeline.PipelineOps.LshBucketCap
+
+/** Public MinHash-LSH near-duplicate API over any (doc_id, text)
+  * DataFrame — the machinery behind the p02/p16/p33/p39/p43/p46/p47
+  * driver queries, exposed so a pipeline owner can call it directly.
+  *
+  * Scale shape (100 TB posture): the signature table is persisted and
+  * materialized once (four plan branches read it; at cluster scale
+  * the same reuse is a checkpoint), candidates shuffle on band keys
+  * with a per-bucket cap riding that same exchange, and verification
+  * is a native primitive-hash Jaccard in the join condition — the
+  * corpus is never all-paired.
+  */
+object NearDup {
+
+  /** The full LSH chain: returns (signatures, candidates, pairs).
+    *
+    *  - `signatures`: doc_id, sh (hashed shingle set), bks (band
+    *    keys) — persisted AND materialized (see below).
+    *  - `candidates`: distinct (doc_id_a < doc_id_b) sharing >= 1
+    *    band bucket (bucket size capped at [[LshBucketCap]]).
+    *  - `pairs`: candidates with exact Jaccard >= `threshold`.
+    */
+  def lshPairs(source: DataFrame, threshold: Double = 0.5)
+      : (DataFrame, DataFrame, DataFrame) = {
+    // fused native kernel (graft.functions.ShingleSig): bit-identical
+    // to hashedShingles(shingles(words(text))) + bandKeys, one
+    // codegen'd call per row instead of five HOFs
+    val sh = source
+      .withColumn("sig",
+        graft.functions.GraftFunctions.shingleSig(col("text")))
+      .select(col("doc_id"), col("sig.sh").as("sh"),
+        col("sig.bks").as("bks"))
+      .filter(size(col("sh")) > 0)
+      .transform(graft.core.CacheRegistry.persist(_))
+    // materialize BEFORE fan-out: four plan branches (band explode x2,
+    // verify join x2) scan this cache; if the first job races two
+    // branches through the uncached plan, the shingle/minhash chain —
+    // the dominant per-row cost — executes twice
+    sh.count()
+    val bands0 = sh.select(col("doc_id"),
+      posexplode(col("bks")).as(Seq("band", "bkey")))
+    // degenerate-bucket guard (LshBucketCap): the bucket self-join
+    // below is quadratic in bucket size — skip pathological buckets.
+    // Expressed as a window count over the bucket key: it rides the
+    // same (band, bkey) shuffle the self-join needs anyway, where a
+    // separate aggregate + join would add an exchange per run
+    val bands = bands0.withColumn("bn",
+      count(lit(1)).over(Window.partitionBy("band", "bkey")))
+      .filter(col("bn") <= lit(LshBucketCap)).drop("bn")
+    val cand = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_a"),
+        col("b.doc_id").as("doc_id_b"))
+      .distinct()
+    val pairs = cand
+      .join(sh.select(col("doc_id").as("doc_id_a"),
+        col("sh").as("sh_a")), Seq("doc_id_a"))
+      .join(sh.select(col("doc_id").as("doc_id_b"),
+        col("sh").as("sh_b")), Seq("doc_id_b"))
+      .withColumn("jaccard", graft.functions.GraftFunctions
+        .jaccardLong(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+    (sh, cand, pairs)
+  }
+
+  /** Canonical-survivor set: connected components over the near-dup
+    * pairs, keeping each component's minimum doc_id (the p16 -> p47
+    * composition as one call). Returns the surviving doc_ids.
+    */
+  def canonicalIds(source: DataFrame, threshold: Double = 0.5)
+      : DataFrame = {
+    val (_, _, pairs) = lshPairs(source, threshold)
+    Clusters.connectedComponents(
+      source.select(col("doc_id").as("id")),
+      pairs.select(col("doc_id_a").as("a"), col("doc_id_b").as("b")))
+      .filter(col("id") === col("label"))
+      .select(col("id").as("doc_id"))
+  }
+}

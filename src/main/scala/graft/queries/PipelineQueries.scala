@@ -96,55 +96,13 @@ object PipelineQueries {
       : (DataFrame, DataFrame, DataFrame) =
     lshPairsOf(corpus(s, dir))
 
-  /** The LSH chain over ANY (doc_id, text) source — shared by the
+  /** The LSH chain over ANY (doc_id, text) source — the public
+    * [[graft.pipeline.NearDup.lshPairs]] API, shared by the
     * corpus-doubled queries above and the funnel's survivor set (p47).
     */
   private def lshPairsOf(source: DataFrame)
-      : (DataFrame, DataFrame, DataFrame) = {
-    // fused native kernel (graft.functions.ShingleSig): bit-identical
-    // to hashedShingles(shingles(words(text))) + bandKeys, one
-    // codegen'd call per row instead of five HOFs
-    val sh = source
-      .withColumn("sig",
-        graft.functions.GraftFunctions.shingleSig(col("text")))
-      .select(col("doc_id"), col("sig.sh").as("sh"),
-        col("sig.bks").as("bks"))
-      .filter(size(col("sh")) > 0)
-      .transform(graft.core.CacheRegistry.persist(_))
-    // materialize BEFORE fan-out: four plan branches (band explode x2,
-    // verify join x2) scan this cache; if the first job races two
-    // branches through the uncached plan, the shingle/minhash chain —
-    // the dominant per-row cost — executes twice
-    sh.count()
-    val bands0 = sh.select(col("doc_id"),
-      posexplode(col("bks")).as(Seq("band", "bkey")))
-    // degenerate-bucket guard (LshBucketCap): the bucket self-join
-    // below is quadratic in bucket size — skip pathological buckets.
-    // Expressed as a window count over the bucket key: it rides the
-    // same (band, bkey) shuffle the self-join needs anyway, where a
-    // separate aggregate + join would add an exchange per run
-    val bands = bands0.withColumn("bn",
-      count(lit(1)).over(Window.partitionBy("band", "bkey")))
-      .filter(col("bn") <= lit(LshBucketCap)).drop("bn")
-    val cand = bands.alias("a")
-      .join(bands.alias("b"),
-        col("a.band") === col("b.band") &&
-          col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_id_a"),
-        col("b.doc_id").as("doc_id_b"))
-      .distinct()
-    val pairs = cand
-      .join(sh.select(col("doc_id").as("doc_id_a"),
-        col("sh").as("sh_a")), Seq("doc_id_a"))
-      .join(sh.select(col("doc_id").as("doc_id_b"),
-        col("sh").as("sh_b")), Seq("doc_id_b"))
-      .withColumn("jaccard", graft.functions.GraftFunctions
-        .jaccardLong(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= 0.5)
-      .select("doc_id_a", "doc_id_b", "jaccard")
-    (sh, cand, pairs)
-  }
+      : (DataFrame, DataFrame, DataFrame) =
+    graft.pipeline.NearDup.lshPairs(source)
 
   val queries: Map[String, Q] = Map(
     // exact dedup by content hash (input doubled to prove collapse)

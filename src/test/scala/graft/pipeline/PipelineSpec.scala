@@ -441,6 +441,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(novMin == 1.0)
   }
 
+  test("NearDup.canonicalIds keeps one id per near-dup component") {
+    val dir = "/root/testdata/sf0.001"
+    import spark.implicits._
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // plant near-dups: each doc + a tailed copy at id+1e6
+    val corpus = d.unionByName(d.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" zzz extra tail qq")).as("text")))
+    val kept = NearDup.canonicalIds(corpus).as[Long].collect().toSet
+    val nBase = d.count()
+    // survivors are ids of the corpus, and the planted copies must
+    // collapse substantially (>= half of them lose to their base;
+    // short docs can legitimately fall under Jaccard 0.5, and
+    // near-dup BASES can merge with each other, so exact-set claims
+    // don't hold — the collapse volume does)
+    val allIds = corpus.select("doc_id").as[Long].collect().toSet
+    assert(kept.subsetOf(allIds) && kept.nonEmpty)
+    assert(kept.size <= nBase * 3 / 2,
+      s"only ${2 * nBase - kept.size} of $nBase planted copies collapsed")
+    // the exact pair relation is driver-checked (p02/p16 oracles);
+    // here: every eliminated id must have a smaller surviving partner
+    // transitively, so the minimum id overall always survives
+    assert(kept.contains(allIds.min))
+    graft.core.CacheRegistry.releaseAll()
+  }
+
   test("corpus report: shares sum to one, rates within [0, 1]") {
     val rows = graft.queries.PipelineQueries
       .queries("p35_corpus_report")(spark, "/root/testdata/sf0.001")
