@@ -880,6 +880,58 @@ object PipelineQueries {
             .cast("double") / count(lit(1)), 6).as("mean_jaccard"))
     }),
 
+    // Bloom-filter decontamination (the constant-size alternative to
+    // p23's shingle equi-join): the held-out split's shingles build a
+    // 1024-bit / 2-hash Bloom filter as ONE single-row broadcast map
+    // — at 100 TB the filter stays KB-to-MB-sized while the join
+    // approach shuffles the full held-out shingle set. Train docs
+    // probe the filter scan-side (two map lookups + bit tests per
+    // shingle, no join). False positives are inherent to the sketch;
+    // both engines compute the IDENTICAL filter, so the per-doc hit
+    // counts are exact-deterministic.
+    "p59_bloom_decontamination" -> ((s, dir) => {
+      val bucket = h64(col("text"), 13) % 100
+      val d = docs(s, dir)
+        .withColumn("sh", hashedShingles(shingles(words(col("text")))))
+        .filter(size(col("sh")) > 0)
+        .withColumn("is_test", bucket >= 90)
+        .transform(graft.core.CacheRegistry.persist(_))
+      d.count() // materialize before the build + probe branches
+      val bloom = d.filter(col("is_test"))
+        .select(explode(col("sh")).as("h"))
+        .select(explode(array(pmod(col("h"), lit(1024L)),
+          pmod(shiftright(col("h"), 10), lit(1024L)))).as("b"))
+        .distinct()
+        .select(shiftright(col("b"), 5).as("word"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(b % 32 AS INT))")
+            .as("mask"))
+        .groupBy("word").agg(expr("bit_or(mask)").as("bits"))
+        .agg(map_from_entries(collect_list(
+          struct(col("word"), col("bits")))).as("fm"))
+      d.filter(!col("is_test"))
+        .select(col("doc_id"), size(col("sh")).as("n_shingles"),
+          explode(col("sh")).as("h"))
+        .crossJoin(broadcast(bloom))
+        .withColumn("b1", pmod(col("h"), lit(1024L)))
+        .withColumn("b2", pmod(shiftright(col("h"), 10), lit(1024L)))
+        .withColumn("hit",
+          (coalesce(element_at(col("fm"), shiftright(col("b1"), 5)),
+            lit(0L)).bitwiseAND(expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(b1 % 32 AS INT))"))
+            =!= 0L) &&
+          (coalesce(element_at(col("fm"), shiftright(col("b2"), 5)),
+            lit(0L)).bitwiseAND(expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(b2 % 32 AS INT))"))
+            =!= 0L))
+        .groupBy("doc_id", "n_shingles")
+        .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"))
+        .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+          round(col("n_hits").cast("double") /
+            col("n_shingles").cast("double"), 6).as("hit_frac"),
+          (col("n_hits").cast("double") /
+            col("n_shingles").cast("double") >= 0.2).as("flagged"))
+    }),
+
     // the curation funnel end-to-end: raw -> exact dedup (min id per
     // content hash) -> near-dup canonical election (connected
     // components over the survivors' LSH pairs; keep label owners) ->
@@ -2091,6 +2143,38 @@ SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs,
   round(CAST(sum(CAST(round(jaccard, 9) AS DECIMAL(28,9))) AS DOUBLE)
     / count(*), 6) AS mean_jaccard
 FROM lshpairs, t WHERE jaccard >= threshold GROUP BY threshold"""
+    },
+
+    "p59_bloom_decontamination" -> {
+      val sh = hashedShinglesSql(shinglesSql(wordsSql("text")))
+      val h13 = h64Sql("text", 13)
+      s"""WITH d AS (SELECT doc_id, sh, ($h13 % 100 >= 90) AS is_test
+  FROM (SELECT doc_id, text, $sh AS sh FROM documents)
+  WHERE len(sh) > 0),
+tb AS (SELECT DISTINCT
+    unnest([h % 1024, (h // 1024) % 1024]) AS b
+  FROM (SELECT unnest(sh) AS h FROM d WHERE is_test)),
+fm AS (SELECT b // 32 AS word,
+    bit_or(CAST(1 AS BIGINT) << CAST(b % 32 AS INT)) AS bits
+  FROM tb GROUP BY 1),
+tr AS (SELECT doc_id, CAST(len(sh) AS INT) AS n_shingles,
+    unnest(sh) AS h FROM d WHERE NOT is_test),
+pr AS (SELECT doc_id, n_shingles,
+    h % 1024 AS b1, (h // 1024) % 1024 AS b2 FROM tr),
+hits AS (SELECT doc_id, n_shingles,
+    CASE WHEN
+      coalesce(f1.bits, 0) &
+        (CAST(1 AS BIGINT) << CAST(b1 % 32 AS INT)) <> 0
+      AND coalesce(f2.bits, 0) &
+        (CAST(1 AS BIGINT) << CAST(b2 % 32 AS INT)) <> 0
+    THEN 1 ELSE 0 END AS hit
+  FROM pr
+  LEFT JOIN fm f1 ON f1.word = b1 // 32
+  LEFT JOIN fm f2 ON f2.word = b2 // 32)
+SELECT doc_id, n_shingles, CAST(sum(hit) AS BIGINT) AS n_hits,
+  round(CAST(sum(hit) AS DOUBLE) / n_shingles, 6) AS hit_frac,
+  CAST(sum(hit) AS DOUBLE) / n_shingles >= 0.2 AS flagged
+FROM hits GROUP BY doc_id, n_shingles"""
     },
 
     "p47_curation_funnel" -> {
