@@ -882,7 +882,9 @@ object PipelineQueries {
 
     // Bloom-filter decontamination (the constant-size alternative to
     // p23's shingle equi-join): the held-out split's shingles build a
-    // 1024-bit / 2-hash Bloom filter as ONE single-row broadcast map
+    // 2^20-bit / 2-hash Bloom filter as ONE single-row broadcast map
+    // (~13% fill at sf0.1 -> ~2% false positives; a saturated filter
+    // would flag everything, so m must stay ~10x the element count)
     // — at 100 TB the filter stays KB-to-MB-sized while the join
     // approach shuffles the full held-out shingle set. Train docs
     // probe the filter scan-side (two map lookups + bit tests per
@@ -899,8 +901,8 @@ object PipelineQueries {
       d.count() // materialize before the build + probe branches
       val bloom = d.filter(col("is_test"))
         .select(explode(col("sh")).as("h"))
-        .select(explode(array(pmod(col("h"), lit(1024L)),
-          pmod(shiftright(col("h"), 10), lit(1024L)))).as("b"))
+        .select(explode(array(pmod(col("h"), lit(1048576L)),
+          pmod(shiftright(col("h"), 20), lit(1048576L)))).as("b"))
         .distinct()
         .select(shiftright(col("b"), 5).as("word"),
           expr("shiftleft(CAST(1 AS BIGINT), CAST(b % 32 AS INT))")
@@ -912,8 +914,8 @@ object PipelineQueries {
         .select(col("doc_id"), size(col("sh")).as("n_shingles"),
           explode(col("sh")).as("h"))
         .crossJoin(broadcast(bloom))
-        .withColumn("b1", pmod(col("h"), lit(1024L)))
-        .withColumn("b2", pmod(shiftright(col("h"), 10), lit(1024L)))
+        .withColumn("b1", pmod(col("h"), lit(1048576L)))
+        .withColumn("b2", pmod(shiftright(col("h"), 20), lit(1048576L)))
         .withColumn("hit",
           (coalesce(element_at(col("fm"), shiftright(col("b1"), 5)),
             lit(0L)).bitwiseAND(expr(
@@ -2152,7 +2154,7 @@ FROM lshpairs, t WHERE jaccard >= threshold GROUP BY threshold"""
   FROM (SELECT doc_id, text, $sh AS sh FROM documents)
   WHERE len(sh) > 0),
 tb AS (SELECT DISTINCT
-    unnest([h % 1024, (h // 1024) % 1024]) AS b
+    unnest([h % 1048576, (h // 1048576) % 1048576]) AS b
   FROM (SELECT unnest(sh) AS h FROM d WHERE is_test)),
 fm AS (SELECT b // 32 AS word,
     bit_or(CAST(1 AS BIGINT) << CAST(b % 32 AS INT)) AS bits
@@ -2160,7 +2162,7 @@ fm AS (SELECT b // 32 AS word,
 tr AS (SELECT doc_id, CAST(len(sh) AS INT) AS n_shingles,
     unnest(sh) AS h FROM d WHERE NOT is_test),
 pr AS (SELECT doc_id, n_shingles,
-    h % 1024 AS b1, (h // 1024) % 1024 AS b2 FROM tr),
+    h % 1048576 AS b1, (h // 1048576) % 1048576 AS b2 FROM tr),
 hits AS (SELECT doc_id, n_shingles,
     CASE WHEN
       coalesce(f1.bits, 0) &
