@@ -33,7 +33,16 @@ object CacheRegistry {
     * that re-execute afterwards simply recompute.
     */
   def releaseAll(): Unit = synchronized {
-    registered.foreach(_.unpersist(false))
+    // best-effort: a frame may belong to a session that has since
+    // been stopped (one service winding down while another starts) —
+    // unpersisting it then throws from the dead context's RPC layer,
+    // and a release point must never propagate that
+    registered.foreach { ds =>
+      try {
+        if (!ds.sparkSession.sparkContext.isStopped)
+          ds.unpersist(false)
+      } catch { case _: Throwable => () }
+    }
     registered.clear()
   }
 
