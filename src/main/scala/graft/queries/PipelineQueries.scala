@@ -139,7 +139,8 @@ object PipelineQueries {
     // have jaccard 0 and are (identically) excluded by the threshold.
     "p04_ngram_jaccard" -> ((s, dir) => {
       val d = docs(s, dir)
-        .withColumn("sh", hashedShingles(shingles(words(col("text")))))
+        .withColumn("sh", graft.functions.GraftFunctions
+          .shingleSig(col("text")).getField("sh"))
         .filter(size(col("sh")) > 0)
         .select("source", "doc_id", "sh")
         .transform(graft.core.CacheRegistry.persist(_))
@@ -470,7 +471,8 @@ object PipelineQueries {
     "p23_decontamination" -> ((s, dir) => {
       val bucket = h64(col("text"), 13) % 100
       val d = docs(s, dir)
-        .withColumn("sh", hashedShingles(shingles(words(col("text")))))
+        .withColumn("sh", graft.functions.GraftFunctions
+          .shingleSig(col("text")).getField("sh"))
         .filter(size(col("sh")) > 0)
         .withColumn("is_test", bucket >= 90)
       val testSh = d.filter(col("is_test"))
@@ -779,7 +781,8 @@ object PipelineQueries {
     // fraction.
     "p54_ngram_novelty" -> ((s, dir) => {
       val sh = docs(s, dir)
-        .withColumn("sh", hashedShingles(shingles(words(col("text")))))
+        .withColumn("sh", graft.functions.GraftFunctions
+          .shingleSig(col("text")).getField("sh"))
         .filter(size(col("sh")) > 0)
         .select(col("doc_id"), explode(col("sh")).as("h"))
         .transform(graft.core.CacheRegistry.persist(_))
@@ -801,7 +804,8 @@ object PipelineQueries {
     // a broadcast.
     "p55_source_overlap" -> ((s, dir) => {
       val sh = docs(s, dir)
-        .withColumn("sh", hashedShingles(shingles(words(col("text")))))
+        .withColumn("sh", graft.functions.GraftFunctions
+          .shingleSig(col("text")).getField("sh"))
         .filter(size(col("sh")) > 0)
         .select(col("source"), explode(col("sh")).as("h"))
         .distinct()
@@ -894,7 +898,8 @@ object PipelineQueries {
     "p59_bloom_decontamination" -> ((s, dir) => {
       val bucket = h64(col("text"), 13) % 100
       val d = docs(s, dir)
-        .withColumn("sh", hashedShingles(shingles(words(col("text")))))
+        .withColumn("sh", graft.functions.GraftFunctions
+          .shingleSig(col("text")).getField("sh"))
         .filter(size(col("sh")) > 0)
         .withColumn("is_test", bucket >= 90)
         .transform(graft.core.CacheRegistry.persist(_))
