@@ -31,7 +31,15 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     */
   private val streamingDrains =
     Set("f43_stream_agg", "f45_stream_dedup", "q19_stream_sessions",
-      "p46_stream_neardup")
+      "p46_stream_neardup", "q26_stream_stream_join")
+
+  /** Queries allowed to plan a GLOBAL sort. Only the human-listing op
+    * qualifies: `voir` IS a sorted display (the reference sorts the
+    * whole catalog to print it); every other operator must express
+    * ordering as TakeOrdered / keyed windows / bounded-domain sorts,
+    * or it stops scaling.
+    */
+  private val globalSortAllowed = Set("f14_voir")
 
   test("every declared query analyzes+plans cleanly, with no CartesianProduct") {
     val dir = "/root/testdata/sf0.001"
@@ -45,8 +53,13 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
       .flatMap { case (name, fn) =>
         try {
           val plan = fn(spark, dir).queryExecution.executedPlan.toString
+          val globalSort = plan.linesIterator.exists(l =>
+            l.contains("Sort [") && l.contains("], true, 0"))
           if (plan.contains("CartesianProduct"))
             Some(s"$name: plans a CartesianProduct")
+          else if (globalSort && !globalSortAllowed(name))
+            Some(s"$name: plans a GLOBAL Sort (scale-killer; use " +
+              "TakeOrdered / keyed windows, or whitelist a display op)")
           else None
         } catch { case e: Throwable =>
           Some(s"$name: failed analysis/planning — " +
