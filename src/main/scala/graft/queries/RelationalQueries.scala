@@ -424,6 +424,16 @@ object RelationalQueries {
       s.table(qn)
     }),
 
+    // Unpivot (q22's inverse): wide per-flag revenue back to long
+    // form via Dataset.unpivot — a Generate/Expand over the wide
+    // rows, no shuffle beyond q22's own aggregate.
+    "q31_unpivot_revenue" -> ((s, d) => {
+      queries("q22_pivot_revenue")(s, d)
+        .unpivot(Array(col("l_linestatus")),
+          Array(col("rev_a"), col("rev_n"), col("rev_r")),
+          "metric", "revenue")
+    }),
+
     // Sketch surface (the documented 100 TB path where exact distinct
     // counts / percentiles stop scaling): HyperLogLog++ distinct users
     // and an approx percentile per event type. Sketch estimates are
@@ -805,6 +815,23 @@ object RelationalQueries {
          round(quantile_cont(value, 0.5), 4) AS p50,
          TRUE AS p50_within_1pct
          FROM events GROUP BY event_type""",
+    "q31_unpivot_revenue" ->
+      """WITH w AS (SELECT l_linestatus,
+           coalesce(CAST(round(sum(CASE WHEN l_returnflag = 'A'
+             THEN CAST(l_extendedprice AS DECIMAL(18,6)) END),2)
+             AS DOUBLE), 0.0) AS rev_a,
+           coalesce(CAST(round(sum(CASE WHEN l_returnflag = 'N'
+             THEN CAST(l_extendedprice AS DECIMAL(18,6)) END),2)
+             AS DOUBLE), 0.0) AS rev_n,
+           coalesce(CAST(round(sum(CASE WHEN l_returnflag = 'R'
+             THEN CAST(l_extendedprice AS DECIMAL(18,6)) END),2)
+             AS DOUBLE), 0.0) AS rev_r
+           FROM lineitem GROUP BY l_linestatus)
+         SELECT l_linestatus, 'rev_a' AS metric, rev_a AS revenue FROM w
+         UNION ALL
+         SELECT l_linestatus, 'rev_n', rev_n FROM w
+         UNION ALL
+         SELECT l_linestatus, 'rev_r', rev_r FROM w""",
     "q29_scd2_intervals" ->
       """WITH p AS (SELECT user_id, event_id,
            CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us,
