@@ -316,6 +316,116 @@ object RelationalQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // Explicit GROUPING SETS with grouping_id: (flag,status), (flag),
+    // and grand total in ONE pass — like q20's rollup, the Expand node
+    // multiplies rows map-side and the partial aggregate combines
+    // before the single shuffle. gid disambiguates subtotal levels
+    // (Spark and DuckDB both put the FIRST grouping column in the
+    // most significant bit).
+    "q32_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n"),
+          dsum(col("l_quantity"), 3).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("gid"), col("n"), col("sum_qty"))
+    }),
+
+    // RANGE-frame window: each event's rolling 30-minute trailing
+    // sum/count over the SAME user partition q13/q18 already shuffle
+    // on — one keyed exchange, one sort, a linear frame scan. The
+    // range bound is on epoch-µs (numeric), so tied timestamps are
+    // frame peers on both engines. The windowed sum accumulates in
+    // DECIMAL: a sliding double sum would drift with add order.
+    "q33_range_frame_windows" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"))
+        .rangeBetween(-1800000000L, 0L)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          count(lit(1)).over(w).as("n_30m"),
+          round(sum(col("value").cast("decimal(18,6)")).over(w), 3)
+            .cast("double").as("sum_30m"))
+    }),
+
+    // Forward fill (pandas `ffill` per group): 'view' events carry no
+    // value here; each takes the latest prior non-null value in its
+    // user's stream. running last(ignoreNulls) over one keyed window —
+    // the gap-fill idiom that never self-joins.
+    "q34_forward_fill" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          when(col("event_type") =!= "view", round(col("value"), 3))
+            .as("v"))
+        .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+    }),
+
+    // Linear interpolation (pandas `interpolate(method='values')` per
+    // group): null values get prev + (next-prev)*(ts-ts_prev)/
+    // (ts_next-ts_prev); a lone-sided gap falls back to the existing
+    // neighbor (ffill/bfill). Two frames over ONE keyed sort — the
+    // backward pass reuses the forward pass's partitioning, so the
+    // whole repair costs a single shuffle at any scale.
+    "q35_interpolate" -> ((s, d) => {
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          when(col("event_type") =!= "view", round(col("value"), 3))
+            .as("v"))
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+        .withColumn("pt", last(when(col("v").isNotNull, col("ts_us")),
+          ignoreNulls = true).over(back))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+        .withColumn("nt", first(when(col("v").isNotNull, col("ts_us")),
+          ignoreNulls = true).over(fwd))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          round(when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNotNull && col("nv").isNotNull,
+              col("pv") + (col("nv") - col("pv")) *
+                (col("ts_us") - col("pt")).cast("double") /
+                (col("nt") - col("pt")).cast("double"))
+            .otherwise(coalesce(col("pv"), col("nv"))), 4)
+            .as("interp"))
+    }),
+
+    // As-of join with tolerance (pandas `merge_asof(tolerance=...)`):
+    // q16's match, voided when the prior view is more than 10 minutes
+    // stale. The tolerance is a post-window predicate on the SAME
+    // single-shuffle as-of plan — it never becomes a join condition.
+    "q36_asof_tolerance" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"))
+        .groupBy("user_id", "ts_us")
+        .agg(max("event_id").as("view_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      val tolOk = col("asof_ts_us").isNotNull &&
+        col("ts_us") - col("asof_ts_us") <= 600000000L
+      graft.ops.Temporal.asofJoin(clicks, views, Seq("user_id"),
+        "ts_us", Seq("view_id"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          when(tolOk, col("asof_ts_us")).as("matched_ts_us"),
+          when(tolOk, col("asof_view_id")).as("matched_view_id"))
+    }),
+
     // As-of join (union + running-last window; one keyed shuffle):
     // each click matched to the latest same-or-earlier view per user.
     "q16_asof_click_view" -> ((s, d) => {
@@ -739,6 +849,81 @@ object RelationalQueries {
          FROM li JOIN sup USING (suppkey)
          GROUP BY 1""",
     // ts -> micros mirrors Tables.events's floor(ns/1000) conversion
+    "q32_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+         coalesce(l_linestatus, 'ALL') AS status,
+         CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         count(*) AS n,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))),3) AS DOUBLE)
+           AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+           (l_returnflag), ())""",
+    "q33_range_frame_windows" ->
+      """WITH e AS (SELECT event_id, user_id,
+             CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us, value
+           FROM events)
+         SELECT event_id, user_id, ts_us,
+           count(*) OVER w AS n_30m,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 3)
+             AS DOUBLE) AS sum_30m
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+           RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)""",
+    "q34_forward_fill" ->
+      """WITH e AS (SELECT event_id, user_id,
+             CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us,
+             CASE WHEN event_type <> 'view' THEN round(value, 3) END AS v
+           FROM events)
+         SELECT event_id, user_id, ts_us, v,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+             ORDER BY ts_us ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         FROM e""",
+    "q35_interpolate" ->
+      """WITH e AS (SELECT event_id, user_id,
+             CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us,
+             CASE WHEN event_type <> 'view' THEN round(value, 3) END AS v
+           FROM events),
+         f AS (SELECT *,
+           last_value(v IGNORE NULLS) OVER wb AS pv,
+           last_value(CASE WHEN v IS NOT NULL THEN ts_us END
+             IGNORE NULLS) OVER wb AS pt,
+           first_value(v IGNORE NULLS) OVER wf AS nv,
+           first_value(CASE WHEN v IS NOT NULL THEN ts_us END
+             IGNORE NULLS) OVER wf AS nt
+         FROM e
+         WINDOW wb AS (PARTITION BY user_id
+             ORDER BY ts_us ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wf AS (PARTITION BY user_id
+             ORDER BY ts_us ASC, event_id ASC
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT event_id, user_id, ts_us,
+           round(CASE WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv) * CAST(ts_us - pt AS DOUBLE)
+                 / CAST(nt - pt AS DOUBLE)
+             ELSE coalesce(pv, nv) END, 4) AS interp
+         FROM f""",
+    "q36_asof_tolerance" ->
+      """WITH v0 AS (SELECT user_id,
+             CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us,
+             max(event_id) AS view_id
+           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         c AS (SELECT event_id, user_id,
+             CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us
+           FROM events WHERE event_type = 'click'),
+         m AS (SELECT c.event_id, c.user_id, c.ts_us,
+             v.ts_us AS a_ts, v.view_id AS a_id
+           FROM c ASOF LEFT JOIN v0 v
+             ON c.user_id = v.user_id AND v.ts_us <= c.ts_us)
+         SELECT event_id, user_id, ts_us,
+           CASE WHEN a_ts IS NOT NULL AND ts_us - a_ts <= 600000000
+             THEN a_ts END AS matched_ts_us,
+           CASE WHEN a_ts IS NOT NULL AND ts_us - a_ts <= 600000000
+             THEN a_id END AS matched_view_id
+         FROM m""",
     "q16_asof_click_view" ->
       """WITH v0 AS (SELECT user_id,
              CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us,
