@@ -895,6 +895,176 @@ object PipelineQueries {
     // shingle, no join). False positives are inherent to the sketch;
     // both engines compute the IDENTICAL filter, so the per-doc hit
     // counts are exact-deterministic.
+    // normalization-aware exact dedup (the RefinedWeb/CCNet "fuzzy
+    // exact" stage): case-fold, strip punctuation, collapse
+    // whitespace, THEN content-hash — collapses trivially-perturbed
+    // copies that a raw md5 (p01) treats as distinct. The input is
+    // doubled with uppercased/punctuated copies (ids +2M) so the
+    // normalization provably does the collapsing. Expression-only
+    // scan work + ONE hash groupBy — the same single-exchange shape
+    // as p01 at any corpus size.
+    "p60_normalized_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val c2 = d.unionByName(d.select(
+        (col("doc_id") + 2000000L).as("doc_id"),
+        upper(concat(lit("  "), col("text"), lit("!!  "))).as("text")))
+      val norm = trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[^a-z0-9\\s]", ""), "\\s+", " "))
+      c2.withColumn("k", md5(norm))
+        .groupBy("k")
+        .agg(min("doc_id").as("canonical_id"),
+          count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") >= 2)
+    }),
+
+    // MinHash estimator accuracy audit: over the LSH candidate pairs,
+    // compare the 16-component signature-agreement Jaccard estimate
+    // to the exact shingle Jaccard, bucketed by the true similarity.
+    // This is the harness that justifies the band/row parameters p02
+    // ships with (est error ~1/sqrt(16)). The signature table is the
+    // SAME persisted frame the candidate join reads — the estimate
+    // costs one zip_with per candidate pair, never a corpus rescan.
+    // Per-pair terms round to 9 decimals into DECIMAL so the bucket
+    // means are order-independent.
+    "p61_minhash_accuracy" -> ((s, dir) => {
+      val (sh, cand, _) = lshPairs(s, dir)
+      val sig = sh.select(col("doc_id"),
+        array((0 until MinHashFns).map(i =>
+          minhash(col("sh"), i)): _*).as("mh"),
+        col("sh"))
+      def d9(c: Column): Column = round(c, 9).cast("decimal(18,9)")
+      val est = aggregate(
+        zip_with(col("mh_a"), col("mh_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (a, x) => a + x).cast("double") / MinHashFns
+      cand
+        .join(sig.select(col("doc_id").as("doc_id_a"),
+          col("mh").as("mh_a"), col("sh").as("sh_a")), Seq("doc_id_a"))
+        .join(sig.select(col("doc_id").as("doc_id_b"),
+          col("mh").as("mh_b"), col("sh").as("sh_b")), Seq("doc_id_b"))
+        .withColumn("est", est)
+        .withColumn("exact", graft.functions.GraftFunctions
+          .jaccardLong(col("sh_a"), col("sh_b")))
+        .groupBy(floor(col("exact") * 5).as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(d9(col("est"))).cast("double") /
+            count(lit(1)), 4).as("mean_est"),
+          round(sum(d9(col("exact"))).cast("double") /
+            count(lit(1)), 4).as("mean_exact"),
+          round(sum(d9(abs(col("est") - col("exact"))))
+            .cast("double") / count(lit(1)), 4).as("mean_abs_err"))
+    }),
+
+    // embedding outlier detection: cosine distance to the per-label
+    // centroid, 20 most-anomalous vectors. The centroid is a
+    // (label, dim)-keyed DECIMAL mean — one posexplode + partial
+    // aggregate, dims bounded (64), so the exchange carries
+    // labels x dims rows no matter the corpus size; centroids then
+    // BROADCAST back against the full table (they are tiny by
+    // construction). The classic embedding-space QA pass before
+    // training on scraped data.
+    "p62_embedding_outliers" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val cent = e.select(col("label"), posexplode(col("v"))
+          .as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg((sum(col("x").cast("decimal(28,9)")).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(
+          struct(col("pos"), col("m")))), st => st.getField("m"))
+          .as("cv"))
+      val rn = row_number().over(Window.orderBy(
+        col("cos_c").asc, col("vec_id").asc))
+      e.join(broadcast(cent), Seq("label"))
+        .withColumn("cos_c", round(cosine(col("v"), col("cv")), 6))
+        .withColumn("rn", rn)
+        .filter(col("rn") <= 20)
+        .select(col("vec_id"), col("label"), col("cos_c"))
+    }),
+
+    // dedup-savings accounting: per source, what fraction of tokens
+    // sits in redundant exact-duplicate copies (the "how much does
+    // dedup buy us" report every corpus build starts with). The
+    // canonical election is a min-over-content-hash window — the
+    // per-copy attribution and the per-source rollup ride one hash
+    // exchange each; all-long arithmetic, no float drift possible.
+    "p63_dup_inflation" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        col("text"))
+      val c2 = d.unionByName(d.select(
+        (col("doc_id") + 1000000L).as("doc_id"), col("source"),
+        col("text")))
+      c2.withColumn("k", md5(col("text")))
+        .withColumn("ntok", size(words(col("text"))).cast("long"))
+        .withColumn("canon",
+          min("doc_id").over(Window.partitionBy("k")))
+        .groupBy("source")
+        .agg(sum(col("ntok")).as("total_tokens"),
+          sum(when(col("doc_id") =!= col("canon"), col("ntok"))
+            .otherwise(0L)).as("dup_tokens"))
+        .select(col("source"), col("total_tokens"), col("dup_tokens"),
+          round(col("dup_tokens").cast("double") /
+            col("total_tokens").cast("double"), 6).as("inflation"))
+    }),
+
+    // hard-negative mining for contrastive training: per query, the
+    // 5 highest-cosine vectors with a DIFFERENT label (the near-miss
+    // negatives an embedding trainer pairs with each anchor). Same
+    // broadcast-query shape as p05 — the corpus side never
+    // self-joins, and at scale the label predicate composes with the
+    // p06 IVF bucketing untouched.
+    "p64_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir).withColumn("nrm", norm(col("embedding")))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          col("label").as("qlabel"), col("embedding").as("qv"),
+          col("nrm").as("qn"))
+      val rn = row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("vec_id").asc))
+      broadcast(q).join(e,
+          col("vec_id") =!= col("query_id") &&
+            col("label") =!= col("qlabel"))
+        .withColumn("cos",
+          dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")))
+        .withColumn("rank", rn)
+        .filter(col("rank") <= 5)
+        .select("query_id", "vec_id", "label", "rank", "cos")
+    }),
+
+    // k-NN label-consistency audit (embedding-quality smoke test):
+    // each vector's 5 nearest IN-BUCKET neighbors vote; purity =
+    // fraction sharing its label, reported per label. Neighbor search
+    // is IVF-bucketed exactly like p06 — candidate pairs are bounded
+    // per coarse bucket, never corpus x corpus; per-vector purity
+    // rounds to 9 decimals into DECIMAL before the label mean.
+    "p65_knn_label_purity" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("label"),
+        col("embedding"),
+        argmaxBucket(col("embedding")).as("bucket"),
+        norm(col("embedding")).as("nrm"))
+      val rn = row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("cos").desc, col("nb_id").asc))
+      val knn = e.alias("a")
+        .join(e.select(col("vec_id").as("nb_id"),
+          col("label").as("nb_label"), col("bucket"),
+          col("embedding").as("nb_v"), col("nrm").as("nb_n"))
+          .alias("b"), Seq("bucket"))
+        .filter(col("nb_id") =!= col("vec_id"))
+        .withColumn("cos", dot(col("embedding"), col("nb_v")) /
+          (col("nrm") * col("nb_n")))
+        .withColumn("rank", rn)
+        .filter(col("rank") <= 5)
+      knn.groupBy(col("vec_id"), col("label"))
+        .agg((sum(when(col("nb_label") === col("label"), 1)
+          .otherwise(0)).cast("double") / count(lit(1))).as("purity"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(round(col("purity"), 9).cast("decimal(18,9)"))
+            .cast("double") / count(lit(1)), 4).as("mean_purity"))
+    }),
+
     "p59_bloom_decontamination" -> ((s, dir) => {
       val bucket = h64(col("text"), 13) % 100
       val d = docs(s, dir)
@@ -2151,6 +2321,98 @@ SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs,
     / count(*), 6) AS mean_jaccard
 FROM lshpairs, t WHERE jaccard >= threshold GROUP BY threshold"""
     },
+
+    "p60_normalized_dedup" ->
+      """WITH c2 AS (SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 2000000 AS doc_id,
+    upper('  ' || text || '!!  ') AS text FROM documents),
+n AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
+    lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS k
+  FROM c2)
+SELECT k, min(doc_id) AS canonical_id, count(*) AS n_copies
+FROM n GROUP BY k HAVING count(*) >= 2""",
+
+    "p61_minhash_accuracy" -> {
+      val estSql = "(" + (0 until MinHashFns).map(i =>
+        s"(CASE WHEN ${minhashSql("sa.sh", i)} = " +
+          s"${minhashSql("sb.sh", i)} THEN 1 ELSE 0 END)")
+        .mkString(" + ") + s") / ${MinHashFns}.0"
+      val exact = jaccardSql("sa.sh", "sb.sh")
+      s"""WITH $lshPairsCtes,
+j AS (SELECT $estSql AS est, $exact AS exact
+  FROM cand JOIN sh2 sa ON sa.doc_id = doc_id_a
+    JOIN sh2 sb ON sb.doc_id = doc_id_b)
+SELECT CAST(floor(exact * 5) AS BIGINT) AS bucket,
+  count(*) AS n_pairs,
+  round(CAST(sum(CAST(round(est, 9) AS DECIMAL(18,9))) AS DOUBLE)
+    / count(*), 4) AS mean_est,
+  round(CAST(sum(CAST(round(exact, 9) AS DECIMAL(18,9))) AS DOUBLE)
+    / count(*), 4) AS mean_exact,
+  round(CAST(sum(CAST(round(abs(est - exact), 9) AS DECIMAL(18,9)))
+    AS DOUBLE) / count(*), 4) AS mean_abs_err
+FROM j GROUP BY 1"""
+    },
+
+    "p62_embedding_outliers" ->
+      s"""WITH e AS (SELECT vec_id, label,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+d AS (SELECT label, CAST(p AS INT) AS pos, v[CAST(p + 1 AS INT)] AS x
+  FROM e, LATERAL (SELECT unnest(range(0, len(v))) AS p) t),
+c0 AS (SELECT label, pos,
+    CAST(sum(CAST(x AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS m
+  FROM d GROUP BY label, pos),
+cent AS (SELECT label, list(m ORDER BY pos) AS cv
+  FROM c0 GROUP BY label),
+sc AS (SELECT vec_id, e.label,
+    round(${cosineSql("e.v", "cent.cv")}, 6) AS cos_c
+  FROM e JOIN cent USING (label)),
+r AS (SELECT *, row_number() OVER (ORDER BY cos_c ASC, vec_id ASC)
+    AS rn FROM sc)
+SELECT vec_id, label, cos_c FROM r WHERE rn <= 20""",
+
+    "p63_dup_inflation" ->
+      s"""WITH c2 AS (SELECT doc_id, source, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, source, text FROM documents),
+t AS (SELECT source, doc_id, md5(text) AS k,
+    CAST(len(${wordsSql("text")}) AS BIGINT) AS ntok FROM c2),
+w AS (SELECT *, min(doc_id) OVER (PARTITION BY k) AS canon FROM t)
+SELECT source, CAST(sum(ntok) AS BIGINT) AS total_tokens,
+  CAST(sum(CASE WHEN doc_id <> canon THEN ntok ELSE 0 END)
+    AS BIGINT) AS dup_tokens,
+  round(CAST(sum(CASE WHEN doc_id <> canon THEN ntok ELSE 0 END)
+      AS DOUBLE) / CAST(sum(ntok) AS DOUBLE), 6) AS inflation
+FROM w GROUP BY source""",
+
+    "p64_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+    embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT q.query_id, e.vec_id, e.label,
+    ${cosineSql("q.qv", "e.embedding")} AS cos
+  FROM q JOIN embeddings e
+    ON e.vec_id <> q.query_id AND e.label <> q.qlabel),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
+SELECT query_id, vec_id, label, rank, cos FROM r WHERE rank <= 5""",
+
+    "p65_knn_label_purity" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding,
+    ${argmaxBucketSql("embedding")} AS bucket,
+    ${normSql("embedding")} AS nrm FROM embeddings),
+p AS (SELECT a.vec_id, a.label, b.vec_id AS nb_id,
+    b.label AS nb_label,
+    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+  FROM e a JOIN e b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id),
+k AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+    ORDER BY cos DESC, nb_id ASC) AS rank FROM p),
+pu AS (SELECT vec_id, label,
+    CAST(sum(CASE WHEN nb_label = label THEN 1 ELSE 0 END) AS DOUBLE)
+      / count(*) AS purity
+  FROM k WHERE rank <= 5 GROUP BY vec_id, label)
+SELECT label, count(*) AS n_vecs,
+  round(CAST(sum(CAST(round(purity, 9) AS DECIMAL(18,9))) AS DOUBLE)
+    / count(*), 4) AS mean_purity
+FROM pu GROUP BY label""",
 
     "p59_bloom_decontamination" -> {
       val sh = hashedShinglesSql(shinglesSql(wordsSql("text")))
