@@ -30,10 +30,17 @@ object Temporal {
     * The right side must be unique per (keys, tsCol) — deduplicate
     * upstream (e.g. keep the max id per instant) for deterministic
     * results.
+    *
+    * `tolerance` (pandas `merge_asof(tolerance=...)`): when set, a
+    * prior right row more than `tolerance` units of `tsCol` behind
+    * the left row is voided (all matched columns null) — a post-
+    * window predicate on the same single-shuffle plan, never a join
+    * condition.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, payload: Seq[String],
-               prefix: String = "asof_"): DataFrame = {
+               prefix: String = "asof_",
+               tolerance: Option[Long] = None): DataFrame = {
     graft.core.Checks.requireColumns(left, "asof_join",
       (keys :+ tsCol): _*)
     graft.core.Checks.requireColumns(right, "asof_join",
@@ -53,8 +60,14 @@ object Temporal {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("__is_l").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = tolerance match {
+      case Some(tol) =>
+        when(col(tsCol) - col("__m").getField(tsCol) <= tol, col("__m"))
+      case None => col("__m")
+    }
     rs.unionByName(ls, allowMissingColumns = true)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__m", matched)
       .filter(col("__is_l") === 1)
       .select(lCols.map(col) ++
         (tsCol +: payload).map(f =>

@@ -360,15 +360,14 @@ object RelationalQueries {
     // user's stream. running last(ignoreNulls) over one keyed window —
     // the gap-fill idiom that never self-joins.
     "q34_forward_fill" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts_us").asc, col("event_id").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, d)
-        .select(col("event_id"), col("user_id"),
-          unix_micros(col("ts")).as("ts_us"),
-          when(col("event_type") =!= "view", round(col("value"), 3))
-            .as("v"))
-        .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+      graft.ops.Fill.forwardFill(
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            when(col("event_type") =!= "view", round(col("value"), 3))
+              .as("v")),
+        keys = Seq("user_id"), order = Seq("ts_us", "event_id"),
+        valueCol = "v", outCol = "filled")
     }),
 
     // Linear interpolation (pandas `interpolate(method='values')` per
@@ -378,29 +377,17 @@ object RelationalQueries {
     // backward pass reuses the forward pass's partitioning, so the
     // whole repair costs a single shuffle at any scale.
     "q35_interpolate" -> ((s, d) => {
-      val ord = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts_us").asc, col("event_id").asc)
-      val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      Tables.events(s, d)
-        .select(col("event_id"), col("user_id"),
-          unix_micros(col("ts")).as("ts_us"),
-          when(col("event_type") =!= "view", round(col("value"), 3))
-            .as("v"))
-        .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
-        .withColumn("pt", last(when(col("v").isNotNull, col("ts_us")),
-          ignoreNulls = true).over(back))
-        .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
-        .withColumn("nt", first(when(col("v").isNotNull, col("ts_us")),
-          ignoreNulls = true).over(fwd))
+      graft.ops.Fill.interpolate(
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            when(col("event_type") =!= "view", round(col("value"), 3))
+              .as("v")),
+        keys = Seq("user_id"), tsCol = "ts_us",
+        order = Seq("ts_us", "event_id"), valueCol = "v",
+        outCol = "interp")
         .select(col("event_id"), col("user_id"), col("ts_us"),
-          round(when(col("v").isNotNull, col("v"))
-            .when(col("pv").isNotNull && col("nv").isNotNull,
-              col("pv") + (col("nv") - col("pv")) *
-                (col("ts_us") - col("pt")).cast("double") /
-                (col("nt") - col("pt")).cast("double"))
-            .otherwise(coalesce(col("pv"), col("nv"))), 4)
-            .as("interp"))
+          round(col("interp"), 4).as("interp"))
     }),
 
     // As-of join with tolerance (pandas `merge_asof(tolerance=...)`):
@@ -417,13 +404,11 @@ object RelationalQueries {
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("ts_us"))
-      val tolOk = col("asof_ts_us").isNotNull &&
-        col("ts_us") - col("asof_ts_us") <= 600000000L
       graft.ops.Temporal.asofJoin(clicks, views, Seq("user_id"),
-        "ts_us", Seq("view_id"))
+        "ts_us", Seq("view_id"), tolerance = Some(600000000L))
         .select(col("event_id"), col("user_id"), col("ts_us"),
-          when(tolOk, col("asof_ts_us")).as("matched_ts_us"),
-          when(tolOk, col("asof_view_id")).as("matched_view_id"))
+          col("asof_ts_us").as("matched_ts_us"),
+          col("asof_view_id").as("matched_view_id"))
     }),
 
     // As-of join (union + running-last window; one keyed shuffle):
