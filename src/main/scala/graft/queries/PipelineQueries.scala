@@ -975,13 +975,13 @@ object PipelineQueries {
         .agg(transform(array_sort(collect_list(
           struct(col("pos"), col("m")))), st => st.getField("m"))
           .as("cv"))
-      val rn = row_number().over(Window.orderBy(
-        col("cos_c").asc, col("vec_id").asc))
       e.join(broadcast(cent), Seq("label"))
         .withColumn("cos_c", round(cosine(col("v"), col("cv")), 6))
-        .withColumn("rn", rn)
-        .filter(col("rn") <= 20)
         .select(col("vec_id"), col("label"), col("cos_c"))
+        // top-20 most anomalous: TakeOrderedAndProject (per-partition
+        // heaps + driver merge of 20), never a global sort
+        .orderBy(col("cos_c").asc, col("vec_id").asc)
+        .limit(20)
     }),
 
     // dedup-savings accounting: per source, what fraction of tokens
