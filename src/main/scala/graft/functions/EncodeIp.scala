@@ -102,6 +102,13 @@ object GraftFunctions {
     ("graft_decode_ip_kind", decodeIpKindBuilder,
       classOf[DecodeIpKindExpr]),
     ("graft_shingle_sig", shingleSigBuilder, classOf[ShingleSigExpr]),
+    ("graft_dot",
+      // no casts: DotProductExpr accepts float/double arrays as-is
+      // (a blanket cast to array<double> would change nothing
+      // numerically — dot casts per element — but would widen the
+      // scan schema for float embeddings)
+      exprs => DotProductExpr(exprs.head, exprs(1)),
+      classOf[DotProductExpr]),
     ("graft_jaccard_long",
       // cast to array<long>: compute() reads elements via getLong, and
       // an UNCAST array<int> argument from SQL would be read as
@@ -133,6 +140,14 @@ object GraftFunctions {
   def shingleSig(text: Column): Column = {
     SparkSession.getActiveSession.foreach(install)
     call_function("graft_shingle_sig", text)
+  }
+
+  /** Dot product of two float/double array columns via the native
+    * codegen kernel (bit-identical to the HOF form it replaces).
+    */
+  def dot(a: Column, b: Column): Column = {
+    SparkSession.getActiveSession.foreach(install)
+    call_function("graft_dot", a, b)
   }
 
   /** Exact Jaccard of two distinct-element long arrays via the native

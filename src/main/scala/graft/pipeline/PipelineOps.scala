@@ -166,10 +166,14 @@ object PipelineOps {
 
   // ---- cosine similarity ----
 
+  /** Dot product — the native codegen kernel
+    * ([[graft.functions.DotProductExpr]]), bit-identical to the HOF
+    * form `aggregate(zip_with(a, b, (x, y) => x.cast(double) *
+    * y.cast(double)), 0.0, _ + _)` it replaces (per-element double
+    * cast, left-to-right accumulation) and to `dotSql`.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b,
-      (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.dot(a, b)
   def norm(a: Column): Column = sqrt(dot(a, a))
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
