@@ -1065,6 +1065,63 @@ object PipelineQueries {
             .cast("double") / count(lit(1)), 4).as("mean_purity"))
     }),
 
+    // asymmetric containment (|A∩B| / |A|): catches quote/subset
+    // duplication that symmetric Jaccard under-scores — a short doc
+    // fully embedded in a long one has high containment but low
+    // Jaccard. Runs over the SAME LSH candidate set and persisted
+    // signature table as p02; one array_intersect per candidate pair.
+    "p66_containment_dedup" -> ((s, dir) => {
+      val (sh, cand, _) = lshPairs(s, dir)
+      cand
+        .join(sh.select(col("doc_id").as("doc_id_a"),
+          col("sh").as("sh_a")), Seq("doc_id_a"))
+        .join(sh.select(col("doc_id").as("doc_id_b"),
+          col("sh").as("sh_b")), Seq("doc_id_b"))
+        .withColumn("i",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .select(col("doc_id_a"), col("doc_id_b"),
+          round(col("i").cast("double") /
+            size(col("sh_a")).cast("double"), 6).as("cont_a_in_b"),
+          round(col("i").cast("double") /
+            size(col("sh_b")).cast("double"), 6).as("cont_b_in_a"))
+        .filter(col("cont_a_in_b") >= 0.8 || col("cont_b_in_a") >= 0.8)
+    }),
+
+    // duplicate-cluster size histogram: how much of the corpus sits
+    // in pairs vs large clusters (the shape that decides whether
+    // near-dup removal is worth its cost). Reuses the p16 component
+    // labels; the histogram is two tiny keyed aggregates on top.
+    "p67_cluster_histogram" -> ((s, dir) => {
+      val (sh, _, pairs) = lshPairs(s, dir)
+      graft.pipeline.Clusters.connectedComponents(
+        sh.select(col("doc_id").as("id")),
+        pairs.select(col("doc_id_a").as("a"), col("doc_id_b").as("b")))
+        .groupBy("label").agg(count(lit(1)).as("csize"))
+        .filter(col("csize") >= 2)
+        .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
+    }),
+
+    // per-dimension embedding statistics: DECIMAL-exact moment sums
+    // (mean/std via the q23 formula — order-independent), near-dead
+    // dims flagged. 64 output rows regardless of corpus size; one
+    // posexplode + partial aggregate, exchange bounded by the dim
+    // count. The table-health check run before any ANN index build.
+    "p68_embedding_dim_stats" -> ((s, dir) => {
+      emb(s, dir)
+        .select(posexplode(transform(col("embedding"),
+          x => x.cast("double"))).as(Seq("pos", "x")))
+        .groupBy("pos")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("x").cast("decimal(28,9)")).cast("double").as("sx"),
+          sum((col("x") * col("x")).cast("decimal(28,9)"))
+            .cast("double").as("sxx"))
+        .select(col("pos"),
+          round(col("sx") / col("n"), 6).as("mean"),
+          round(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+            (col("n") * (col("n") - 1))), 6).as("std"))
+        .withColumn("near_dead", col("std") < 0.1)
+    }),
+
     "p59_bloom_decontamination" -> ((s, dir) => {
       val bucket = h64(col("text"), 13) % 100
       val d = docs(s, dir)
@@ -2413,6 +2470,48 @@ SELECT label, count(*) AS n_vecs,
   round(CAST(sum(CAST(round(purity, 9) AS DECIMAL(18,9))) AS DOUBLE)
     / count(*), 4) AS mean_purity
 FROM pu GROUP BY label""",
+
+    "p66_containment_dedup" ->
+      s"""WITH $lshPairsCtes,
+c AS (SELECT doc_id_a, doc_id_b,
+    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS i,
+    len(sa.sh) AS na, len(sb.sh) AS nb
+  FROM cand JOIN sh2 sa ON sa.doc_id = doc_id_a
+    JOIN sh2 sb ON sb.doc_id = doc_id_b)
+SELECT doc_id_a, doc_id_b,
+  round(CAST(i AS DOUBLE) / CAST(na AS DOUBLE), 6) AS cont_a_in_b,
+  round(CAST(i AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS cont_b_in_a
+FROM c
+WHERE round(CAST(i AS DOUBLE) / CAST(na AS DOUBLE), 6) >= 0.8
+   OR round(CAST(i AS DOUBLE) / CAST(nb AS DOUBLE), 6) >= 0.8""",
+
+    "p67_cluster_histogram" ->
+      s"""WITH RECURSIVE $lshPairsCtes,
+dedges AS (SELECT doc_id_a AS a, doc_id_b AS b FROM lshpairs
+  UNION ALL SELECT doc_id_b AS a, doc_id_a AS b FROM lshpairs),
+reach(v, l) AS (
+  SELECT doc_id, doc_id FROM sh2
+  UNION
+  SELECT e.a, r.l FROM dedges e JOIN reach r ON r.v = e.b),
+lab AS (SELECT v AS id, min(l) AS label FROM reach GROUP BY v),
+cs AS (SELECT label, count(*) AS csize FROM lab GROUP BY label
+  HAVING count(*) >= 2)
+SELECT csize, count(*) AS n_clusters FROM cs GROUP BY csize""",
+
+    "p68_embedding_dim_stats" ->
+      """WITH e AS (SELECT list_transform(embedding,
+    x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+d AS (SELECT CAST(p AS INT) AS pos, v[CAST(p + 1 AS INT)] AS x
+  FROM e, LATERAL (SELECT unnest(range(0, len(v))) AS p) t),
+m AS (SELECT pos, CAST(count(*) AS DOUBLE) AS n,
+    CAST(sum(CAST(x AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(x * x AS DECIMAL(28,9))) AS DOUBLE) AS sxx
+  FROM d GROUP BY pos)
+SELECT pos, round(sx / n, 6) AS mean,
+  round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6) AS std,
+  round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6) < 0.1
+    AS near_dead
+FROM m""",
 
     "p59_bloom_decontamination" -> {
       val sh = hashedShinglesSql(shinglesSql(wordsSql("text")))
