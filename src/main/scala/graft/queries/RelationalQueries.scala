@@ -411,6 +411,44 @@ object RelationalQueries {
           col("asof_view_id").as("matched_view_id"))
     }),
 
+    // Rank-function battery (pandas groupby.rank analogs): dense_rank,
+    // percent_rank, cume_dist, ntile over ONE keyed window ordering —
+    // four functions, one exchange + one sort. Ties broken by partkey
+    // where the function itself doesn't define tie behavior (ntile).
+    "q37_rank_functions" -> ((s, d) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").asc, col("p_partkey").asc)
+      Tables.part(s, d)
+        .select(col("p_brand"), col("p_partkey"),
+          r(col("p_retailprice"), 2).as("retail"),
+          dense_rank().over(w).cast("long").as("drank"),
+          round(percent_rank().over(w), 6).as("prank"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          ntile(4).over(w).cast("long").as("quartile"))
+    }),
+
+    // Ordered array aggregation (pandas groupby.agg(list)): each
+    // user's last-3 event types, oldest-first. collect_list carries
+    // (ts, id, type) structs so the order is pinned INSIDE the
+    // aggregate (collect_list alone is partition-order-dependent);
+    // the window top-3 bounds the carried state before collection.
+    "q38_event_history" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(transform(array_sort(collect_list(struct(col("ts_us"),
+            col("event_id"), col("event_type")))),
+          st => st.getField("event_type")).as("last3"))
+        .select(col("user_id"),
+          concat_ws(",", col("last3")).as("history"),
+          size(col("last3")).cast("long").as("n"))
+    }),
+
     // As-of join (union + running-last window; one keyed shuffle):
     // each click matched to the latest same-or-earlier view per user.
     "q16_asof_click_view" -> ((s, d) => {
@@ -909,6 +947,26 @@ object RelationalQueries {
            CASE WHEN a_ts IS NOT NULL AND ts_us - a_ts <= 600000000
              THEN a_id END AS matched_view_id
          FROM m""",
+    "q37_rank_functions" ->
+      """SELECT p_brand, p_partkey, round(p_retailprice, 2) AS retail,
+         CAST(dense_rank() OVER w AS BIGINT) AS drank,
+         round(percent_rank() OVER w, 6) AS prank,
+         round(cume_dist() OVER w, 6) AS cdist,
+         CAST(ntile(4) OVER w AS BIGINT) AS quartile
+         FROM part
+         WINDOW w AS (PARTITION BY p_brand
+           ORDER BY p_retailprice ASC, p_partkey ASC)""",
+    "q38_event_history" ->
+      """WITH e AS (SELECT user_id, event_id,
+             CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us, event_type
+           FROM events),
+         r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+             ORDER BY ts_us DESC, event_id DESC) AS rn FROM e)
+         SELECT user_id,
+           string_agg(event_type, ','
+             ORDER BY ts_us ASC, event_id ASC) AS history,
+           count(*) AS n
+         FROM r WHERE rn <= 3 GROUP BY user_id""",
     "q16_asof_click_view" ->
       """WITH v0 AS (SELECT user_id,
              CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us,
