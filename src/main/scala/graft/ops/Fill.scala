@@ -21,13 +21,21 @@ object Fill {
   /** Forward fill (pandas `ffill` per group): `outCol` = the latest
     * non-null `valueCol` at-or-before each row in its `keys` group,
     * ordered by `order`. Leading nulls (no prior value) stay null.
+    * `limit` (pandas `ffill(limit=n)`): a value only propagates
+    * forward across at most n consecutive null rows — expressed as a
+    * bounded frame (the current row plus the n rows before it), so
+    * the plan is the same single keyed window either way.
     */
   def forwardFill(df: DataFrame, keys: Seq[String], order: Seq[String],
-                  valueCol: String, outCol: String): DataFrame = {
+                  valueCol: String, outCol: String,
+                  limit: Option[Int] = None): DataFrame = {
     graft.core.Checks.requireColumns(df, "forward_fill",
       (keys ++ order :+ valueCol): _*)
-    val w = ord(keys, order)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    limit.foreach(n => require(n > 0,
+      s"forward_fill: limit must be positive, got $n"))
+    val w = ord(keys, order).rowsBetween(
+      limit.map(n => -n.toLong).getOrElse(Window.unboundedPreceding),
+      Window.currentRow)
     df.withColumn(outCol, last(col(valueCol), ignoreNulls = true).over(w))
   }
 

@@ -45,6 +45,18 @@ class FillSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 10L, None)))
   }
 
+  test("forwardFill limit bounds the propagation distance") {
+    val got = Fill.forwardFill(frame(), Seq("k"), Seq("ts"), "v", "f",
+      limit = Some(1))
+      .orderBy("k", "ts").collect()
+      .map(r => Option(r.get(r.fieldIndex("f")))
+        .map(_.asInstanceOf[Double]))
+    // ts=20 is 1 row after the value at ts=10 -> filled; ts=30 is 2
+    // rows after -> beyond limit, stays null; ts=50 is 1 after 40
+    assert(got.toSeq == Seq(None, Some(1.0), Some(1.0), None,
+      Some(4.0), Some(4.0), None))
+  }
+
   test("interpolate: linear by ts position, one-sided fallback, " +
     "all-null group stays null") {
     val got = Fill.interpolate(frame(), Seq("k"), "ts", Seq("ts"),
