@@ -19,11 +19,19 @@ import graft.pipeline.PipelineOps.h64
 object CorpusSink {
 
   /** Write `df` (must have doc_id and text) as `nShards` hash-sharded
-    * parquet directories under `path` (shard=K subdirs, one file per
-    * shard). Returns the shard assignment for verification.
+    * directories under `path` (shard=K subdirs, one file per shard).
+    * `format` is "parquet" (default) or "json" — JSON-lines being the
+    * interchange format most LLM-training toolchains ingest; the
+    * shard layout, one-task-per-shard plan, and in-shard training
+    * order are IDENTICAL for both (the format only swaps the
+    * FileFormat at the sink). Returns the shard assignment for
+    * verification.
     */
-  def writeSharded(df: DataFrame, path: String, nShards: Int)
-      : DataFrame = {
+  def writeSharded(df: DataFrame, path: String, nShards: Int,
+                   format: String = "parquet"): DataFrame = {
+    require(format == "parquet" || format == "json",
+      s"corpus_sink: unsupported format '$format' " +
+        "(parquet and json-lines are the corpus layouts)")
     val sharded = df
       .withColumn("shard",
         pmod(h64(col("text"), 29), lit(nShards.toLong)).cast("int"))
@@ -32,7 +40,8 @@ object CorpusSink {
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("ord"), col("doc_id"))
       .drop("ord")
-      .write.mode("overwrite").partitionBy("shard").parquet(path)
+      .write.mode("overwrite").partitionBy("shard").format(format)
+      .save(path)
     sharded.select(col("doc_id"), col("shard"))
   }
 }

@@ -52,4 +52,36 @@ class CorpusSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shard0.sameElements(shard0.sortBy(identity)),
       "shard file rows are not in (ord, doc_id) order")
   }
+
+  test("json-lines layout: same shards and order, interchange format") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_corpus_sink_jsonl").toString
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val n = 4
+    val assign = CorpusSink.writeSharded(docs, dir, n, format = "json")
+
+    // one .json file per shard, each line a JSON object
+    (0 until n).foreach { k =>
+      val files = new java.io.File(s"$dir/shard=$k")
+        .listFiles().filter(_.getName.endsWith(".json"))
+      assert(files.length == 1, s"shard $k has ${files.length} files")
+      val first = scala.io.Source.fromFile(files.head)
+        .getLines().next()
+      assert(first.startsWith("{") && first.contains("\"doc_id\""))
+    }
+
+    // lossless + identical shard assignment to the parquet layout
+    val back = spark.read.json(dir)
+    assert(back.count() == docs.count())
+    val mismatch = back.select(col("doc_id"), col("shard"))
+      .join(assign.withColumnRenamed("shard", "shard2"), "doc_id")
+      .filter(col("shard") =!= col("shard2")).count()
+    assert(mismatch == 0L)
+
+    intercept[IllegalArgumentException] {
+      CorpusSink.writeSharded(docs, dir, n, format = "csv")
+    }
+  }
 }
