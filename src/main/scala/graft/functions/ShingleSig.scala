@@ -20,7 +20,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * to their DuckDB SQL twins (the oracle side is untouched):
   * space-trim + `\s+` split, distinct 3-word shingles in first-seen
   * order, one md5 per shingle with the 48-bit `h64` seed-0 prefix
-  * parse, 16 odd-multiplier affine MinHashes, 8 two-row band digests.
+  * parse, 16 mod-Mersenne-prime MinHashes (see
+  * [[graft.pipeline.PipelineOps.minhash]] for why the mod is
+  * load-bearing), 8 two-row band digests.
   *
   * Why native: the HOF chain is five higher-order functions per row —
   * each breaks whole-stage codegen and materializes an intermediate
@@ -110,7 +112,8 @@ object ShingleSig {
           var m = Long.MaxValue
           var k = 0
           while (k < nh) {
-            val v = hs(k) * (2L * f + 1) + f * 99991L
+            val v = (hs(k) * (2L * f + 1) + f * 99991L) %
+              graft.pipeline.PipelineOps.MinHashP
             if (v < m) m = v
             k += 1
           }

@@ -86,4 +86,74 @@ object NearDup {
       .filter(col("id") === col("label"))
       .select(col("id").as("doc_id"))
   }
+
+  private def shingleify(df: DataFrame): DataFrame = df
+    .withColumn("sig",
+      graft.functions.GraftFunctions.shingleSig(col("text")))
+    .select(col("doc_id"), col("sig.sh").as("sh"),
+      col("sig.bks").as("bks"))
+    .filter(size(col("sh")) > 0)
+
+  /** Asymmetric batch-vs-corpus matching — the production shape for
+    * CONTINUOUS corpus builds: the incoming batch's band keys probe
+    * the corpus band table (the corpus NEVER self-joins), candidates
+    * verify by exact Jaccard, and each new doc reports its best match
+    * (max jaccard, ties to the smallest corpus id). Returns one row
+    * per incoming doc with a non-empty shingle set:
+    * (new_id, matched, match_id, jaccard).
+    *
+    * Scale posture: corpus-side band buckets are capped
+    * ([[LshBucketCap]]) so a degenerate bucket cannot go quadratic;
+    * at cluster scale the corpus signature/band tables are the
+    * precomputed index a stream job joins against each micro-batch.
+    */
+  def matchesAgainst(corpus: DataFrame, incoming: DataFrame,
+                     threshold: Double = 0.5): DataFrame = {
+    val corpusSh = shingleify(corpus)
+      .transform(graft.core.CacheRegistry.persist(_))
+    val incSh = shingleify(incoming)
+      .transform(graft.core.CacheRegistry.persist(_))
+    // materialize before fan-out (each cache feeds 2 plan branches)
+    corpusSh.count(); incSh.count()
+    val cb = corpusSh.select(col("doc_id").as("corpus_id"),
+        posexplode(col("bks")).as(Seq("band", "bkey")))
+      .withColumn("bn",
+        count(lit(1)).over(Window.partitionBy("band", "bkey")))
+      .filter(col("bn") <= lit(LshBucketCap)).drop("bn")
+    val ib = incSh.select(col("doc_id").as("new_id"),
+      posexplode(col("bks")).as(Seq("band", "bkey")))
+    val cand = ib.join(cb, Seq("band", "bkey"))
+      .select("new_id", "corpus_id").distinct()
+    val best = cand
+      .join(incSh.select(col("doc_id").as("new_id"),
+        col("sh").as("sh_n")), Seq("new_id"))
+      .join(corpusSh.select(col("doc_id").as("corpus_id"),
+        col("sh").as("sh_c")), Seq("corpus_id"))
+      .withColumn("jaccard", graft.functions.GraftFunctions
+        .jaccardLong(col("sh_n"), col("sh_c")))
+      .filter(col("jaccard") >= threshold)
+      .groupBy("new_id")
+      .agg(max(struct(col("jaccard"),
+        (-col("corpus_id")).as("nid"))).as("m"))
+      .select(col("new_id"), (-col("m.nid")).as("match_id"),
+        col("m.jaccard").as("jaccard"))
+    incSh.select(col("doc_id").as("new_id"))
+      .join(best, Seq("new_id"), "left")
+      .select(col("new_id"), col("match_id").isNotNull.as("matched"),
+        coalesce(col("match_id"), lit(-1L)).as("match_id"),
+        coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
+  }
+
+  /** The survivors of [[matchesAgainst]]: incoming rows whose text
+    * near-dups nothing in `corpus` (docs too short to shingle have
+    * nothing to match and survive). The foreachBatch body of a
+    * streaming corpus build: append these, skip the rest.
+    */
+  def dedupAgainst(corpus: DataFrame, incoming: DataFrame,
+                   threshold: Double = 0.5): DataFrame = {
+    val matched = matchesAgainst(corpus, incoming, threshold)
+      .filter(col("matched")).select(col("new_id"))
+    incoming.join(matched,
+      incoming("doc_id") === matched("new_id"), "left_anti")
+  }
 }

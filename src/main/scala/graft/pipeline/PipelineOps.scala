@@ -97,14 +97,27 @@ object PipelineOps {
   val GopherStopwords =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
-  /** i-th MinHash from the 48-bit base hashes via an odd-multiplier
-    * affine mix — products stay < 2^54, so the arithmetic is exact and
-    * overflow-free in both the JVM and DuckDB.
+  /** i-th MinHash from the 48-bit base hashes:
+    * min over ((2i+1)·h + i·99991) mod (2^31 − 1).
+    *
+    * The mod-Mersenne-prime reduction is what makes the 16 functions
+    * INDEPENDENT: a plain affine map (2i+1)·h + c is order-preserving,
+    * so every i would elect the SAME argmin element and the 16
+    * "signatures" would collapse to 16 relabelings of one minhash —
+    * band agreement becomes all-or-nothing and LSH recall drops to
+    * single-hash levels (a tail-perturbed near-dup whose new shingle
+    * hashes below the shared minimum misses on EVERY band). With the
+    * mod, each multiplier wraps the key space differently and argmins
+    * decorrelate. Products stay < 31·2^48 < 2^53 — exact and
+    * overflow-free in the JVM, DuckDB BIGINT, and the fused kernel.
     */
+  val MinHashP = 2147483647L // 2^31 - 1
   def minhash(hs: Column, i: Int): Column =
-    array_min(transform(hs, h => h * lit(2L * i + 1) + lit(i * 99991L)))
+    array_min(transform(hs,
+      h => (h * lit(2L * i + 1) + lit(i * 99991L)) % lit(MinHashP)))
   def minhashSql(hs: String, i: Int): String =
-    s"list_min(list_transform($hs, h -> h * ${2 * i + 1} + ${i * 99991}))"
+    s"list_min(list_transform($hs, h -> " +
+      s"(h * ${2 * i + 1} + ${i * 99991}) % $MinHashP))"
 
   /** Let-binding: evaluate `e` ONCE and feed it to `f` as a lambda
     * variable. Defeats CollapseProject's alias inlining, which would

@@ -1323,51 +1323,16 @@ object PipelineQueries {
     // novel.
     "p43_incremental_dedup" -> ((s, dir) => {
       val d = docs(s, dir).select("doc_id", "text")
-      def shingleify(df: DataFrame) = df
-        .withColumn("sig",
-          graft.functions.GraftFunctions.shingleSig(col("text")))
-        .select(col("doc_id"), col("sig.sh").as("sh"),
-          col("sig.bks").as("bks"))
-        .filter(size(col("sh")) > 0)
-      val corpusSh = shingleify(d)
-        .transform(graft.core.CacheRegistry.persist(_))
       val incoming = d.filter(pmod(col("doc_id"), lit(5)) === 0)
         .select((col("doc_id") + 2000000L).as("doc_id"),
           concat(col("text"), lit(" zzz extra tail qq")).as("text"))
         .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 0)
           .select((col("doc_id") + 3000000L).as("doc_id"),
             concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
-      val incSh = shingleify(incoming)
-        .transform(graft.core.CacheRegistry.persist(_))
-      // materialize before fan-out (each cache feeds 2 plan branches)
-      corpusSh.count(); incSh.count()
-      val cb = corpusSh.select(col("doc_id").as("corpus_id"),
-          posexplode(col("bks")).as(Seq("band", "bkey")))
-        .withColumn("bn",
-          count(lit(1)).over(Window.partitionBy("band", "bkey")))
-        .filter(col("bn") <= lit(LshBucketCap)).drop("bn")
-      val ib = incSh.select(col("doc_id").as("new_id"),
-        posexplode(col("bks")).as(Seq("band", "bkey")))
-      val cand = ib.join(cb, Seq("band", "bkey"))
-        .select("new_id", "corpus_id").distinct()
-      val best = cand
-        .join(incSh.select(col("doc_id").as("new_id"),
-          col("sh").as("sh_n")), Seq("new_id"))
-        .join(corpusSh.select(col("doc_id").as("corpus_id"),
-          col("sh").as("sh_c")), Seq("corpus_id"))
-        .withColumn("jaccard", graft.functions.GraftFunctions
-          .jaccardLong(col("sh_n"), col("sh_c")))
-        .filter(col("jaccard") >= 0.5)
-        .groupBy("new_id")
-        .agg(max(struct(col("jaccard"),
-          (-col("corpus_id")).as("nid"))).as("m"))
-        .select(col("new_id"), (-col("m.nid")).as("match_id"),
-          col("m.jaccard").as("jaccard"))
-      incSh.select(col("doc_id").as("new_id"))
-        .join(best, Seq("new_id"), "left")
-        .select(col("new_id"), col("match_id").isNotNull.as("matched"),
-          coalesce(col("match_id"), lit(-1L)).as("match_id"),
-          coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
+      // the public batch-vs-corpus API (graft.pipeline.NearDup):
+      // incoming band keys probe the corpus band table, corpus never
+      // self-joins, best match = max jaccard then min corpus id
+      graft.pipeline.NearDup.matchesAgainst(d, incoming)
     }),
 
     // training-window chunking: fixed-size overlapping token windows

@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The continuous-corpus-build loop end-to-end: micro-batches of
+  * documents arrive as a stream, each batch near-dup-dedups against
+  * the corpus accumulated so far (`NearDup.dedupAgainst` inside
+  * foreachBatch), and only survivors append. This is the production
+  * composition of the streaming source, the asymmetric LSH probe,
+  * and the corpus sink — at cluster scale the same foreachBatch body
+  * runs against a precomputed corpus signature index.
+  */
+class IncrementalCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("foreachBatch curation: only novel docs accumulate") {
+    import spark.implicits._
+    val stageDir = java.nio.file.Files
+      .createTempDirectory("graft_inc_cur_src").toString
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft_inc_cur_corpus").toString + "/c"
+
+    // batch 1: two distinct docs; batch 2: one near-dup of doc 1
+    // (tail perturbation), one novel; batch 3: exact copy of doc 10
+    // and a near-dup of batch 2's novel doc
+    def doc(n: Int): String =
+      (1 to 30).map(i => s"w${(i * n) % 17}").mkString(" ")
+    val batches = Seq(
+      Seq((1L, doc(3)), (2L, doc(5))),
+      Seq((3L, doc(3) + " zzz tail"), (4L, doc(11))),
+      Seq((5L, doc(5)), (6L, doc(11) + " qq end")))
+
+    // stage each batch as its own file; one file per trigger ->
+    // batches arrive in order
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$stageDir/b$i")
+    }
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+
+    def corpusNow(s: SparkSession): Option[DataFrame] =
+      if (new java.io.File(corpusDir).exists())
+        Some(s.read.parquet(corpusDir))
+      else None
+
+    // drive the batches through the foreachBatch body IN ORDER by
+    // running one AvailableNow drain per staged directory (a single
+    // multi-file drain could order files arbitrarily within a batch)
+    batches.indices.foreach { i =>
+      val q = spark.readStream.schema(schema)
+        .parquet(s"$stageDir/b$i")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // the micro-batch executes on a CLONED session whose
+          // function registry lacks the outer session's temp
+          // functions — install graft's natives on it explicitly,
+          // and read the corpus through the same session
+          val bs = batch.sparkSession
+          graft.functions.GraftFunctions.install(bs)
+          val survivors = corpusNow(bs) match {
+            case Some(c) => NearDup.dedupAgainst(c, batch)
+            case None => batch
+          }
+          survivors.write.mode("append").parquet(corpusDir)
+          graft.core.CacheRegistry.releaseAll()
+          ()
+        }
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory(s"graft_inc_cur_ck$i").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), s"batch $i drain timed out")
+    }
+
+    val ids = spark.read.parquet(corpusDir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // 3 (near-dup of 1), 5 (exact dup of 2), 6 (near-dup of 4) must
+    // be rejected; 1, 2, 4 accumulate
+    assert(ids == Seq(1L, 2L, 4L))
+
+    // and the final corpus is internally near-dup-free
+    val (_, _, pairs) = NearDup.lshPairs(spark.read.parquet(corpusDir))
+    assert(pairs.count() == 0L)
+  }
+}
