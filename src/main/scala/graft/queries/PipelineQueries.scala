@@ -1122,6 +1122,53 @@ object PipelineQueries {
         .withColumn("near_dead", col("std") < 0.1)
     }),
 
+    // LSH S-curve calibration — the third leg of the dedup-eval
+    // trilogy (p39 recall, p61 estimator accuracy): per true-Jaccard
+    // bucket, the EMPIRICAL probability that a pair becomes an LSH
+    // candidate vs the THEORETICAL banding curve 1-(1-s^2)^8. The
+    // ground-truth pair sample is the shingle-sharing join with the
+    // p04 document-frequency cap (join fanout bounded — never
+    // all-pairs); candidacy is a left-semi probe of the p02 candidate
+    // set over the SAME signature table. This is the chart that
+    // justifies (or indicts) the band/row operating point.
+    "p69_lsh_scurve" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val (sh, cand, _) = lshPairsOf(d)
+      val ex0 = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+      val ex = ex0.withColumn("dfh",
+          count(lit(1)).over(Window.partitionBy("h")))
+        .filter(col("dfh") <= lit(ShingleDfCap)).drop("dfh")
+      val inter = ex.alias("a")
+        .join(ex.alias("b"), col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_id_a"),
+          col("b.doc_id").as("doc_id_b"))
+        .agg(count(lit(1)).as("i"))
+      val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+      val pairs = inter
+        .join(sizes.select(col("doc_id").as("doc_id_a"),
+          col("n").as("na")), Seq("doc_id_a"))
+        .join(sizes.select(col("doc_id").as("doc_id_b"),
+          col("n").as("nb")), Seq("doc_id_b"))
+        .withColumn("j", col("i").cast("double") /
+          (col("na") + col("nb") - col("i")).cast("double"))
+        .filter(col("j") > 0.05)
+      val isCand = cand.withColumn("is_cand", lit(1L))
+      pairs.join(isCand, Seq("doc_id_a", "doc_id_b"), "left")
+        .withColumn("c", coalesce(col("is_cand"), lit(0L)))
+        .groupBy(floor(col("j") * 10).as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("c")).as("n_cand"),
+          round(sum(round(col("j"), 9).cast("decimal(18,9)"))
+            .cast("double") / count(lit(1)), 6).as("mean_j"))
+        .withColumn("empirical_rate",
+          round(col("n_cand").cast("double") /
+            col("n_pairs").cast("double"), 6))
+        .withColumn("theoretical_rate",
+          round(lit(1.0) - pow(lit(1.0) - col("mean_j") *
+            col("mean_j"), 8), 6))
+    }),
+
     "p59_bloom_decontamination" -> ((s, dir) => {
       val bucket = h64(col("text"), 13) % 100
       val d = docs(s, dir)
@@ -2477,6 +2524,39 @@ SELECT pos, round(sx / n, 6) AS mean,
   round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6) < 0.1
     AS near_dead
 FROM m""",
+
+    "p69_lsh_scurve" ->
+      s"""WITH ${lshPairsCtesFrom("documents")},
+ex0 AS (SELECT doc_id, unnest(sh) AS h FROM sh2),
+okh AS (SELECT h FROM ex0 GROUP BY h
+  HAVING count(*) <= $ShingleDfCap),
+ex AS (SELECT ex0.* FROM ex0 JOIN okh USING (h)),
+inter AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+    count(*) AS i
+  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pj AS (SELECT inter.doc_id_a, inter.doc_id_b,
+    CAST(i AS DOUBLE) / CAST(len(sa.sh) + len(sb.sh) - i AS DOUBLE)
+      AS j
+  FROM inter JOIN sh2 sa ON sa.doc_id = inter.doc_id_a
+    JOIN sh2 sb ON sb.doc_id = inter.doc_id_b
+  WHERE CAST(i AS DOUBLE) / CAST(len(sa.sh) + len(sb.sh) - i
+    AS DOUBLE) > 0.05),
+pc AS (SELECT pj.*, CASE WHEN c.doc_id_a IS NULL THEN 0 ELSE 1 END
+    AS c
+  FROM pj LEFT JOIN cand c ON c.doc_id_a = pj.doc_id_a
+    AND c.doc_id_b = pj.doc_id_b),
+agg AS (SELECT CAST(floor(j * 10) AS BIGINT) AS bucket,
+    count(*) AS n_pairs, CAST(sum(c) AS BIGINT) AS n_cand,
+    round(CAST(sum(CAST(round(j, 9) AS DECIMAL(18,9))) AS DOUBLE)
+      / count(*), 6) AS mean_j
+  FROM pc GROUP BY 1)
+SELECT bucket, n_pairs, n_cand, mean_j,
+  round(CAST(n_cand AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)
+    AS empirical_rate,
+  round(1.0 - power(1.0 - mean_j * mean_j, 8), 6)
+    AS theoretical_rate
+FROM agg""",
 
     "p59_bloom_decontamination" -> {
       val sh = hashedShinglesSql(shinglesSql(wordsSql("text")))
