@@ -449,6 +449,31 @@ object RelationalQueries {
           size(col("last3")).cast("long").as("n"))
     }),
 
+    // Z-order layout key (ops/Layout.zOrderKey): user and time
+    // bucketed to 10 bits each, bits interleaved — the sort key that
+    // makes parquet row-group min/max ranges tight in BOTH dimensions
+    // (write-side: sortWithinPartitions(zkey)). Per-event key output
+    // plus a per-zregion rollup proving locality: each 4096-key
+    // Z region touches a BOUNDED band of users and times.
+    "q39_zorder_layout" -> ((s, d) => {
+      val zk = graft.ops.Layout.zOrderKey(
+        pmod(col("user_id"), lit(1024L)),
+        pmod(expr("ts_us div 3600000000"), lit(1024L)), bits = 10)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("zkey", zk)
+        .groupBy(expr("zkey div 4096").as("zregion"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(pmod(col("user_id"), lit(1024L)))
+            .as("n_user_buckets"),
+          (max(pmod(col("user_id"), lit(1024L))) -
+            min(pmod(col("user_id"), lit(1024L)))).as("user_span"),
+          (max(pmod(expr("ts_us div 3600000000"), lit(1024L))) -
+            min(pmod(expr("ts_us div 3600000000"), lit(1024L))))
+            .as("hour_span"))
+    }),
+
     // As-of join (union + running-last window; one keyed shuffle):
     // each click matched to the latest same-or-earlier view per user.
     "q16_asof_click_view" -> ((s, d) => {
@@ -967,6 +992,20 @@ object RelationalQueries {
              ORDER BY ts_us ASC, event_id ASC) AS history,
            count(*) AS n
          FROM r WHERE rn <= 3 GROUP BY user_id""",
+    "q39_zorder_layout" -> {
+      val z = graft.ops.Layout.zOrderKeySql("ub", "hb", bits = 10)
+      s"""WITH e AS (SELECT event_id, user_id,
+             CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us
+           FROM events),
+         k AS (SELECT *, user_id % 1024 AS ub,
+             (ts_us // 3600000000) % 1024 AS hb FROM e),
+         z AS (SELECT *, $z AS zkey FROM k)
+         SELECT zkey // 4096 AS zregion, count(*) AS n,
+           CAST(count(DISTINCT ub) AS BIGINT) AS n_user_buckets,
+           max(ub) - min(ub) AS user_span,
+           max(hb) - min(hb) AS hour_span
+         FROM z GROUP BY 1"""
+    },
     "q16_asof_click_view" ->
       """WITH v0 AS (SELECT user_id,
              CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us,
