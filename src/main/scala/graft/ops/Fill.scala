@@ -58,7 +58,9 @@ object Fill {
     val onTs = when(v.isNotNull, col(tsCol))
     val interp = (pv: Column, pt: Column, nv: Column, nt: Column) =>
       when(v.isNotNull, v)
-        .when(pv.isNotNull && nv.isNotNull,
+        // nt == pt (anchors at the same position value) would divide
+        // by zero and null the row; fall through to the prior anchor
+        .when(pv.isNotNull && nv.isNotNull && nt =!= pt,
           pv + (nv - pv) * (col(tsCol) - pt).cast("double") /
             (nt - pt).cast("double"))
         .otherwise(coalesce(pv, nv))

@@ -31,12 +31,7 @@ object NearDup {
     // fused native kernel (graft.functions.ShingleSig): bit-identical
     // to hashedShingles(shingles(words(text))) + bandKeys, one
     // codegen'd call per row instead of five HOFs
-    val sh = source
-      .withColumn("sig",
-        graft.functions.GraftFunctions.shingleSig(col("text")))
-      .select(col("doc_id"), col("sig.sh").as("sh"),
-        col("sig.bks").as("bks"))
-      .filter(size(col("sh")) > 0)
+    val sh = shingleify(source)
       .transform(graft.core.CacheRegistry.persist(_))
     // materialize BEFORE fan-out: four plan branches (band explode x2,
     // verify join x2) scan this cache; if the first job races two
@@ -106,6 +101,12 @@ object NearDup {
     * ([[LshBucketCap]]) so a degenerate bucket cannot go quadratic;
     * at cluster scale the corpus signature/band tables are the
     * precomputed index a stream job joins against each micro-batch.
+    *
+    * Caching contract: both signature tables persist through
+    * [[graft.core.CacheRegistry]] and stay pinned until the caller
+    * releases them — a per-micro-batch loop MUST call
+    * `CacheRegistry.releaseAll()` after consuming each batch's
+    * result, or N batches pin N re-shingled corpus caches.
     */
   def matchesAgainst(corpus: DataFrame, incoming: DataFrame,
                      threshold: Double = 0.5): DataFrame = {
@@ -144,16 +145,22 @@ object NearDup {
         coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
   }
 
-  /** The survivors of [[matchesAgainst]]: incoming rows whose text
-    * near-dups nothing in `corpus` (docs too short to shingle have
-    * nothing to match and survive). The foreachBatch body of a
-    * streaming corpus build: append these, skip the rest.
+  /** The survivors of [[matchesAgainst]], additionally deduped
+    * WITHIN the batch (canonical-min-id election over the survivors'
+    * own near-dup components) — two mutual near-dups arriving in one
+    * micro-batch must not both append, or the corpus stops being
+    * near-dup-free. Docs too short to shingle have nothing to match
+    * and survive. The foreachBatch body of a streaming corpus build:
+    * append these, skip the rest (and release the batch's caches —
+    * see [[matchesAgainst]]).
     */
   def dedupAgainst(corpus: DataFrame, incoming: DataFrame,
                    threshold: Double = 0.5): DataFrame = {
     val matched = matchesAgainst(corpus, incoming, threshold)
       .filter(col("matched")).select(col("new_id"))
-    incoming.join(matched,
+    val vsCorpus = incoming.join(matched,
       incoming("doc_id") === matched("new_id"), "left_anti")
+    vsCorpus.join(canonicalIds(vsCorpus, threshold),
+      Seq("doc_id"), "left_semi")
   }
 }

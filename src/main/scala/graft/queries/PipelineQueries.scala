@@ -977,6 +977,10 @@ object PipelineQueries {
           .as("cv"))
       e.join(broadcast(cent), Seq("label"))
         .withColumn("cos_c", round(cosine(col("v"), col("cv")), 6))
+        // a zero-norm vector yields a NULL cosine; drop it explicitly
+        // — Spark sorts NULLS FIRST ascending, DuckDB NULLS LAST, so
+        // an unfiltered null would land in one engine's top-20 only
+        .filter(col("cos_c").isNotNull)
         .select(col("vec_id"), col("label"), col("cos_c"))
         // top-20 most anomalous: TakeOrderedAndProject (per-partition
         // heaps + driver merge of 20), never a global sort
@@ -2435,7 +2439,8 @@ cent AS (SELECT label, list(m ORDER BY pos) AS cv
   FROM c0 GROUP BY label),
 sc AS (SELECT vec_id, e.label,
     round(${cosineSql("e.v", "cent.cv")}, 6) AS cos_c
-  FROM e JOIN cent USING (label)),
+  FROM e JOIN cent USING (label)
+  WHERE ${cosineSql("e.v", "cent.cv")} IS NOT NULL),
 r AS (SELECT *, row_number() OVER (ORDER BY cos_c ASC, vec_id ASC)
     AS rn FROM sc)
 SELECT vec_id, label, cos_c FROM r WHERE rn <= 20""",

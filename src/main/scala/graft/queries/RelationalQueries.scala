@@ -949,7 +949,7 @@ object RelationalQueries {
              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
          SELECT event_id, user_id, ts_us,
            round(CASE WHEN v IS NOT NULL THEN v
-             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+             WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt <> pt THEN
                pv + (nv - pv) * CAST(ts_us - pt AS DOUBLE)
                  / CAST(nt - pt AS DOUBLE)
              ELSE coalesce(pv, nv) END, 4) AS interp

@@ -74,6 +74,19 @@ class FillSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 10L, None)))     // no neighbor at all
   }
 
+  test("interpolate: equal anchor positions fall back to the prior " +
+    "anchor instead of dividing by zero") {
+    import spark.implicits._
+    // three rows at the SAME ts; ordering tiebreak is the id column
+    val df = Seq((1L, 10L, 1L, Some(1.0)), (1L, 10L, 2L, None),
+      (1L, 10L, 3L, Some(2.0))).toDF("k", "ts", "id", "v")
+    val got = Fill.interpolate(df, Seq("k"), "ts", Seq("ts", "id"),
+      "v", "i").orderBy("id").collect()
+      .map(r => Option(r.get(r.fieldIndex("i")))
+        .map(_.asInstanceOf[Double]))
+    assert(got.toSeq == Seq(Some(1.0), Some(1.0), Some(2.0)))
+  }
+
   test("asofJoin tolerance voids stale matches, keeps fresh ones") {
     import spark.implicits._
     val left = Seq((1L, 100L, "a"), (1L, 250L, "b"))

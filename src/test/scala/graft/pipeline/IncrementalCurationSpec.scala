@@ -31,14 +31,17 @@ class IncrementalCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .createTempDirectory("graft_inc_cur_corpus").toString + "/c"
 
     // batch 1: two distinct docs; batch 2: one near-dup of doc 1
-    // (tail perturbation), one novel; batch 3: exact copy of doc 10
-    // and a near-dup of batch 2's novel doc
+    // (tail perturbation), one novel; batch 3: exact copy of doc 2
+    // and a near-dup of batch 2's novel doc; batch 4: two MUTUAL
+    // near-dups, both novel vs the corpus — only the min-id one may
+    // append (intra-batch election)
     def doc(n: Int): String =
       (1 to 30).map(i => s"w${(i * n) % 17}").mkString(" ")
     val batches = Seq(
       Seq((1L, doc(3)), (2L, doc(5))),
       Seq((3L, doc(3) + " zzz tail"), (4L, doc(11))),
-      Seq((5L, doc(5)), (6L, doc(11) + " qq end")))
+      Seq((5L, doc(5)), (6L, doc(11) + " qq end")),
+      Seq((7L, doc(13)), (8L, doc(13) + " tail x")))
 
     // stage each batch as its own file; one file per trigger ->
     // batches arrive in order
@@ -89,9 +92,10 @@ class IncrementalCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val ids = spark.read.parquet(corpusDir)
       .select("doc_id").as[Long].collect().sorted.toSeq
-    // 3 (near-dup of 1), 5 (exact dup of 2), 6 (near-dup of 4) must
-    // be rejected; 1, 2, 4 accumulate
-    assert(ids == Seq(1L, 2L, 4L))
+    // 3 (near-dup of 1), 5 (exact dup of 2), 6 (near-dup of 4), and
+    // 8 (intra-batch near-dup of 7) must be rejected; 1, 2, 4, 7
+    // accumulate
+    assert(ids == Seq(1L, 2L, 4L, 7L))
 
     // and the final corpus is internally near-dup-free
     val (_, _, pairs) = NearDup.lshPairs(spark.read.parquet(corpusDir))
