@@ -1173,6 +1173,66 @@ object PipelineQueries {
             col("mean_j"), 8), 6))
     }),
 
+    // fastText-style quality-classifier INFERENCE: hashed
+    // bag-of-words features (B=64 buckets) scored by a linear model
+    // whose per-bucket weights derive deterministically from the
+    // bucket id (a stand-in for trained weights — the container ships
+    // no model artifact; the Spark-side plumbing is the real thing).
+    // Per-token weights are integer milli-units folded with the
+    // aggregate HOF, so the per-doc sum is exact long arithmetic
+    // computed inline — NO explode, NO join, NO shuffle: model-based
+    // filtering at pure scan bandwidth, the shape a 100 TB
+    // quality-filter pass must have. The keep decision compares the
+    // integer sum to zero (exact on both engines); only the reported
+    // score/prob round doubles.
+    "p70_quality_classifier" -> ((s, dir) => {
+      val bias = 50L // milli-units
+      def wMilli(w: Column): Column =
+        pmod(h64(pmod(h64(w, 53), lit(64L)).cast("string"), 59),
+          lit(2001L)) - 1000L
+      docs(s, dir)
+        .select(col("doc_id"), words(lower(col("text"))).as("ws"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_tok"),
+          (aggregate(col("ws"), lit(0L), (a, w) => a + wMilli(w)) +
+            lit(bias)).as("sm"))
+        .select(col("doc_id"), col("n_tok"),
+          round(col("sm").cast("double") /
+            (col("n_tok").cast("double") * 1000.0), 6).as("score"),
+          round(lit(1.0) / (lit(1.0) + exp(col("sm").cast("double") /
+            (col("n_tok").cast("double") * -1000.0))), 6).as("prob"),
+          (col("sm") >= 0L).as("keep"))
+    }),
+
+    // Corpus snapshot drift monitor: token-distribution KL divergence
+    // between two crawl snapshots (hash-split halves stand in for
+    // consecutive crawls). One explode + ONE word-keyed aggregate
+    // (map-side combined; output bounded by VOCABULARY size at any
+    // corpus scale); the three corpus scalars ride a single-row
+    // broadcast. Per token: add-1-smoothed P_old/P_new and the signed
+    // contribution P_new·ln(P_new/P_old) whose sum is KL(new‖old) —
+    // the table a distribution-shift dashboard reads between crawls.
+    "p71_token_kl_drift" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .withColumn("snap", pmod(h64(col("text"), 41), lit(2L)))
+        .select(col("snap"),
+          explode(words(lower(col("text")))).as("word"))
+      val vocab = toks.groupBy("word").agg(
+        sum(when(col("snap") === 0L, 1L).otherwise(0L)).as("cnt_old"),
+        sum(when(col("snap") === 1L, 1L).otherwise(0L)).as("cnt_new"))
+      val tot = vocab.agg(
+        sum("cnt_old").cast("double").as("n_old"),
+        sum("cnt_new").cast("double").as("n_new"),
+        count(lit(1)).cast("double").as("v"))
+      val pOld = (col("cnt_old") + 1.0) / (col("n_old") + col("v"))
+      val pNew = (col("cnt_new") + 1.0) / (col("n_new") + col("v"))
+      vocab.crossJoin(broadcast(tot))
+        .select(col("word"), col("cnt_old"), col("cnt_new"),
+          round(pOld, 9).as("p_old"),
+          round(pNew, 9).as("p_new"),
+          round(pNew * log(pNew / pOld), 9).as("kl_term"))
+    }),
+
     "p59_bloom_decontamination" -> ((s, dir) => {
       val bucket = h64(col("text"), 13) % 100
       val d = docs(s, dir)
@@ -2562,6 +2622,44 @@ SELECT bucket, n_pairs, n_cand, mean_j,
   round(1.0 - power(1.0 - mean_j * mean_j, 8), 6)
     AS theoretical_rate
 FROM agg""",
+
+    "p70_quality_classifier" -> {
+      val w = wordsSql("lower(text)")
+      val b = s"(${h64Sql("w", 53)} % 64)"
+      val wm = s"((${h64Sql(s"CAST($b AS VARCHAR)", 59)} % 2001) - 1000)"
+      s"""WITH t AS (SELECT doc_id, len(ws) AS n_tok,
+    list_sum(list_transform(ws, w -> $wm)) + 50 AS sm
+  FROM (SELECT doc_id, $w AS ws FROM documents))
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+  round(CAST(sm AS DOUBLE) /
+    (CAST(n_tok AS DOUBLE) * 1000.0), 6) AS score,
+  round(1.0 / (1.0 + exp(CAST(sm AS DOUBLE) /
+    (CAST(n_tok AS DOUBLE) * -1000.0))), 6) AS prob,
+  (sm >= 0) AS keep
+FROM t"""
+    },
+
+    "p71_token_kl_drift" -> {
+      val w = wordsSql("lower(text)")
+      val h = h64Sql("text", 41)
+      s"""WITH toks AS (SELECT $h % 2 AS snap, unnest($w) AS word
+    FROM documents),
+vocab AS (SELECT word,
+    sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS cnt_old,
+    sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS cnt_new
+  FROM toks GROUP BY word),
+tot AS (SELECT CAST(sum(cnt_old) AS DOUBLE) AS n_old,
+    CAST(sum(cnt_new) AS DOUBLE) AS n_new,
+    CAST(count(*) AS DOUBLE) AS v FROM vocab)
+SELECT word, CAST(cnt_old AS BIGINT) AS cnt_old,
+  CAST(cnt_new AS BIGINT) AS cnt_new,
+  round((cnt_old + 1.0) / (n_old + v), 9) AS p_old,
+  round((cnt_new + 1.0) / (n_new + v), 9) AS p_new,
+  round(((cnt_new + 1.0) / (n_new + v)) *
+    ln(((cnt_new + 1.0) / (n_new + v)) /
+       ((cnt_old + 1.0) / (n_old + v))), 9) AS kl_term
+FROM vocab, tot"""
+    },
 
     "p59_bloom_decontamination" -> {
       val sh = hashedShinglesSql(shinglesSql(wordsSql("text")))

@@ -474,6 +474,57 @@ object RelationalQueries {
             .as("hour_span"))
     }),
 
+    // Cube (all four grouping sets of flag x status) in ONE pass —
+    // like q20's rollup, Expand + partial aggregation keeps it a
+    // single shuffle; the keys are never genuinely NULL in this
+    // schema, so coalesce-to-ALL labels subtotal rows unambiguously.
+    "q40_cube_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice"), 2).as("rev"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("rev"))
+    }),
+
+    // The six-table star join (TPC-H Q5 shape): revenue from
+    // intra-nation supply chains, by nation, for one region. Scale
+    // shape: region/nation/customer/supplier are all broadcast (small
+    // dims at any corpus scale), so the ONLY shuffle joins are
+    // orders⋈lineitem keyed on the order key and the final nation
+    // rollup — dims prune both fact sides BEFORE the fact-fact join,
+    // and the s_nationkey = c_nationkey identity rides the broadcast
+    // supplier join as a residual condition, never a separate pass.
+    "q41_local_supplier_volume" -> ((s, d) => {
+      val asiaNations = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val custN = Tables.customer(s, d)
+        .join(broadcast(asiaNations),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val ordC = Tables.orders(s, d)
+        .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"), col("n_name"))
+      val suppN = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(ordC, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(suppN),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum((col("l_extendedprice") *
+            (lit(1.0) - col("l_discount"))).cast("decimal(18,6)")), 2)
+            .cast("double").as("revenue"))
+    }),
+
     // As-of join (union + running-last window; one keyed shuffle):
     // each click matched to the latest same-or-earlier view per user.
     "q16_asof_click_view" -> ((s, d) => {
@@ -1143,6 +1194,25 @@ object RelationalQueries {
            FROM events WHERE event_type = 'purchase')
          SELECT purchase_id, click_id, user_id, p_us - c_us AS gap_us
          FROM p JOIN c USING (user_id)
-         WHERE c_us BETWEEN p_us - 600000000 AND p_us"""
+         WHERE c_us BETWEEN p_us - 600000000 AND p_us""",
+    "q40_cube_summary" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+         coalesce(l_linestatus, 'ALL') AS status,
+         count(*) AS n,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))),2) AS DOUBLE) AS rev
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "q41_local_supplier_volume" ->
+      """SELECT n_name, count(*) AS n_lines,
+         CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+           AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+           AND s_nationkey = c_nationkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name"""
   )
 }

@@ -481,4 +481,41 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getDouble(5) > 0.0)
     }
   }
+
+  test("quality classifier: prob is sigmoid(score); keep = score>=0") {
+    val rows = graft.queries.PipelineQueries
+      .queries("p70_quality_classifier")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (score, prob, keep) =
+        (r.getDouble(2), r.getDouble(3), r.getBoolean(4))
+      assert(prob > 0.0 && prob < 1.0)
+      assert(math.abs(prob - 1.0 / (1.0 + math.exp(-score))) < 1e-4)
+      // keep is decided on the EXACT integer sum, score on the
+      // rounded double — they must agree in sign
+      assert(keep == (score >= 0.0) || math.abs(score) < 1e-6)
+    }
+  }
+
+  test("kl drift: smoothed probabilities positive, each sums to one") {
+    val rows = graft.queries.PipelineQueries
+      .queries("p71_token_kl_drift")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    val (sumOld, sumNew) =
+      (rows.map(_.getDouble(3)).sum, rows.map(_.getDouble(4)).sum)
+    // add-1 smoothing leaves (V_unseen)/(n+V) unclaimed only for
+    // words absent from BOTH snapshots — every vocab word appears in
+    // at least one, so each side's mass is <= 1 and close to it
+    assert(sumOld > 0.5 && sumOld <= 1.0 + 1e-6)
+    assert(sumNew > 0.5 && sumNew <= 1.0 + 1e-6)
+    rows.foreach { r =>
+      assert(r.getDouble(3) > 0.0 && r.getDouble(4) > 0.0)
+      // kl_term sign matches which snapshot the word leans toward
+      val lean = r.getDouble(4) - r.getDouble(3)
+      if (math.abs(r.getDouble(5)) > 1e-9)
+        assert((r.getDouble(5) > 0) == (lean > 0))
+    }
+  }
 }
