@@ -1233,6 +1233,68 @@ object PipelineQueries {
           round(pNew * log(pNew / pOld), 9).as("kl_term"))
     }),
 
+    // Top principal component of the embedding table via two
+    // deterministic power-iteration rounds over CENTERED vectors —
+    // the PCA precursor to whitening / dimensionality reduction
+    // before an ANN index build. Scale shape: the per-dim mean and
+    // each iteration's X^T(Xv) are pos-keyed aggregates whose
+    // exchange is bounded by the DIM COUNT (64 rows) at ANY corpus
+    // size; the mean vector and each iterate ride single-row
+    // broadcasts; no row ever joins another row. Cross-row sums
+    // accumulate round-9 DECIMALs (order-independent); within-row
+    // folds are left-to-right in BOTH engines (graft_dot / aggregate
+    // HOF vs list_reduce), so the doubles agree bit-for-bit.
+    "p72_pca_power_iteration" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val dimd = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      val mu64 = dimd.groupBy("pos").agg(
+        round(sum(col("x").cast("decimal(28,9)")).cast("double") /
+          count(lit(1)), 9).as("mu"),
+        count(lit(1)).as("n"))
+      val muArr = mu64.agg(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("mu")))),
+          t => t.getField("mu")).as("mu"),
+        max("n").as("n"))
+      val cv = e.crossJoin(broadcast(muArr))
+        .select(col("vec_id"), col("n"),
+          zip_with(col("v"), col("mu"), (a, b) => a - b).as("cv"))
+        .transform(graft.core.CacheRegistry.persist(_))
+      cv.count() // materialize once; both iterations re-scan it
+      // one power step: w = X^T(X v) as a pos-keyed DECIMAL
+      // aggregate, then normalize within the single collected row
+      def step(vdf: DataFrame): DataFrame =
+        cv.crossJoin(broadcast(vdf.select("vec")))
+          .select(col("n"), col("cv"),
+            dot(col("cv"), col("vec")).as("s"))
+          .select(col("n"), posexplode(
+            transform(col("cv"), x => x * col("s")))
+            .as(Seq("pos", "t")))
+          .groupBy("pos").agg(max("n").as("n"),
+            round(sum(round(col("t"), 9).cast("decimal(28,9)"))
+              .cast("double"), 9).as("w"))
+          .agg(max("n").as("n"),
+            transform(
+              array_sort(collect_list(struct(col("pos"), col("w")))),
+              t => t.getField("w")).as("w"))
+          .select(col("n"), col("w"),
+            sqrt(aggregate(col("w"), lit(0.0), (a, x) => a + x * x))
+              .as("nrm"))
+          .select(col("n"), col("nrm"),
+            transform(col("w"), x => round(x / col("nrm"), 9))
+              .as("vec"))
+      val v0 = muArr.select(
+        transform(col("mu"), _ => lit(0.125)).as("vec"))
+      val v2 = step(step(v0))
+      mu64.crossJoin(broadcast(v2.select("nrm", "vec")))
+        .select(col("pos"), col("mu"),
+          round(element_at(col("vec"), col("pos") + 1), 6)
+            .as("loading"),
+          round(col("nrm") / (col("n") - 1).cast("double"), 6)
+            .as("eigval"))
+    }),
+
     "p59_bloom_decontamination" -> ((s, dir) => {
       val bucket = h64(col("text"), 13) % 100
       val d = docs(s, dir)
@@ -2659,6 +2721,43 @@ SELECT word, CAST(cnt_old AS BIGINT) AS cnt_old,
     ln(((cnt_new + 1.0) / (n_new + v)) /
        ((cnt_old + 1.0) / (n_old + v))), 9) AS kl_term
 FROM vocab, tot"""
+    },
+
+    "p72_pca_power_iteration" -> {
+      def foldSq(a: String) =
+        s"list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y)"
+      def stepSql(num: Int, vecFrom: String) =
+        s"""s$num AS (SELECT c.n, cv, ${dotSql("cv", "vec")} AS s
+    FROM c, $vecFrom),
+w${num}d AS (SELECT CAST(p AS INT) AS pos, max(n) AS n,
+    round(CAST(sum(CAST(round(cv[CAST(p + 1 AS INT)] * s, 9)
+      AS DECIMAL(28,9))) AS DOUBLE), 9) AS w
+  FROM s$num, LATERAL (SELECT unnest(range(0, len(cv))) AS p) t
+  GROUP BY 1),
+w${num}a AS (SELECT list(w ORDER BY pos) AS w, max(n) AS n
+  FROM w${num}d),
+n$num AS (SELECT n, w, sqrt(${foldSq("w")}) AS nrm FROM w${num}a),
+v$num AS (SELECT n, nrm,
+    list_transform(w, x -> round(x / nrm, 9)) AS vec FROM n$num)"""
+      s"""WITH e AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+d AS (SELECT CAST(p AS INT) AS pos, v[CAST(p + 1 AS INT)] AS x
+  FROM e, LATERAL (SELECT unnest(range(0, len(v))) AS p) t),
+mu64 AS (SELECT pos,
+    round(CAST(sum(CAST(x AS DECIMAL(28,9))) AS DOUBLE) / count(*), 9)
+      AS mu,
+    count(*) AS n FROM d GROUP BY pos),
+mua AS (SELECT list(mu ORDER BY pos) AS mu, max(n) AS n FROM mu64),
+c AS (SELECT vec_id, n, list_transform(range(1, len(v) + 1),
+    i -> v[CAST(i AS INT)] - mu[CAST(i AS INT)]) AS cv FROM e, mua),
+v0 AS (SELECT list_transform(range(1, 65), i -> 0.125) AS vec),
+${stepSql(1, "v0")},
+${stepSql(2, "v1")}
+SELECT mu64.pos, mu64.mu,
+  round(v2.vec[mu64.pos + 1], 6) AS loading,
+  round(v2.nrm / (mu64.n - 1), 6) AS eigval
+FROM mu64, v2"""
     },
 
     "p59_bloom_decontamination" -> {

@@ -525,6 +525,51 @@ object RelationalQueries {
             .cast("double").as("revenue"))
     }),
 
+    // Funnel analytics: view → click (within 10 min) → purchase
+    // (within 10 min of a matched click), as TWO CHAINED tolerance
+    // as-of joins — each stage is the q36 single-shuffle plan keyed
+    // on user, so the whole funnel costs three keyed exchanges and
+    // never an inequality nested loop. Per-user conversion counts at
+    // every stage; outer joins keep users who drop out early.
+    "q42_event_funnel" -> ((s, d) => {
+      val tol = 600000000L // 10 min in µs
+      val ev = Tables.events(s, d)
+      def typed(t: String) = ev.filter(col("event_type") === t)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      val views = typed("view")
+        .groupBy("user_id", "ts_us").agg(max("event_id").as("view_id"))
+      val mc = graft.ops.Temporal.asofJoin(typed("click"), views,
+        Seq("user_id"), "ts_us", Seq("view_id"),
+        tolerance = Some(tol))
+        .withColumn("has_view", col("asof_view_id").isNotNull)
+      val matchedClicks = mc.filter(col("has_view"))
+        .groupBy("user_id", "ts_us")
+        .agg(max("event_id").as("click_id"))
+      val mp = graft.ops.Temporal.asofJoin(typed("purchase"),
+        matchedClicks, Seq("user_id"), "ts_us", Seq("click_id"),
+        tolerance = Some(tol))
+      val va = typed("view").groupBy("user_id")
+        .agg(count(lit(1)).as("n_views"))
+      val ca = mc.groupBy("user_id").agg(
+        count(lit(1)).as("n_clicks"),
+        sum(when(col("has_view"), 1L).otherwise(0L))
+          .as("n_clicks_with_view"))
+      val pa = mp.groupBy("user_id").agg(
+        count(lit(1)).as("n_purchases"),
+        sum(when(col("asof_click_id").isNotNull, 1L).otherwise(0L))
+          .as("n_full_chain"))
+      va.join(ca, Seq("user_id"), "full_outer")
+        .join(pa, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("n_views"), lit(0L)).as("n_views"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("n_clicks_with_view"), lit(0L))
+            .as("n_clicks_with_view"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+          coalesce(col("n_full_chain"), lit(0L)).as("n_full_chain"))
+    }),
+
     // As-of join (union + running-last window; one keyed shuffle):
     // each click matched to the latest same-or-earlier view per user.
     "q16_asof_click_view" -> ((s, d) => {
@@ -1213,6 +1258,50 @@ object RelationalQueries {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          WHERE r_name = 'ASIA'
-         GROUP BY n_name"""
+         GROUP BY n_name""",
+    "q42_event_funnel" ->
+      """WITH v0 AS (SELECT user_id,
+             CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us,
+             max(event_id) AS view_id
+           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         c AS (SELECT event_id, user_id,
+             CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us
+           FROM events WHERE event_type = 'click'),
+         mc AS (SELECT c.event_id, c.user_id, c.ts_us,
+             (v.ts_us IS NOT NULL AND c.ts_us - v.ts_us <= 600000000)
+               AS has_view
+           FROM c ASOF LEFT JOIN v0 v
+             ON c.user_id = v.user_id AND v.ts_us <= c.ts_us),
+         mcr AS (SELECT user_id, ts_us, max(event_id) AS click_id
+           FROM mc WHERE has_view GROUP BY 1, 2),
+         p AS (SELECT event_id, user_id,
+             CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us
+           FROM events WHERE event_type = 'purchase'),
+         mp AS (SELECT p.event_id, p.user_id, p.ts_us,
+             (m.ts_us IS NOT NULL AND p.ts_us - m.ts_us <= 600000000)
+               AS full_chain
+           FROM p ASOF LEFT JOIN mcr m
+             ON p.user_id = m.user_id AND m.ts_us <= p.ts_us),
+         va AS (SELECT user_id, count(*) AS n_views FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         ca AS (SELECT user_id, count(*) AS n_clicks,
+             sum(CASE WHEN has_view THEN 1 ELSE 0 END)
+               AS n_clicks_with_view
+           FROM mc GROUP BY 1),
+         pa AS (SELECT user_id, count(*) AS n_purchases,
+             sum(CASE WHEN full_chain THEN 1 ELSE 0 END)
+               AS n_full_chain
+           FROM mp GROUP BY 1)
+         SELECT coalesce(va.user_id, ca.user_id, pa.user_id)
+             AS user_id,
+           CAST(coalesce(n_views, 0) AS BIGINT) AS n_views,
+           CAST(coalesce(n_clicks, 0) AS BIGINT) AS n_clicks,
+           CAST(coalesce(n_clicks_with_view, 0) AS BIGINT)
+             AS n_clicks_with_view,
+           CAST(coalesce(n_purchases, 0) AS BIGINT) AS n_purchases,
+           CAST(coalesce(n_full_chain, 0) AS BIGINT) AS n_full_chain
+         FROM va
+         FULL JOIN ca ON va.user_id = ca.user_id
+         FULL JOIN pa ON coalesce(va.user_id, ca.user_id) = pa.user_id"""
   )
 }

@@ -498,6 +498,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pca power iteration: unit loading vector, positive eigval") {
+    val rows = graft.queries.PipelineQueries
+      .queries("p72_pca_power_iteration")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == 64)
+    val norm2 = rows.map(r => r.getDouble(2) * r.getDouble(2)).sum
+    // loadings are a normalized vector (round-6 per component)
+    assert(math.abs(norm2 - 1.0) < 1e-4, s"||v||^2 = $norm2")
+    val eig = rows.map(_.getDouble(3)).distinct
+    assert(eig.length == 1 && eig.head > 0.0)
+    graft.core.CacheRegistry.releaseAll()
+  }
+
   test("kl drift: smoothed probabilities positive, each sums to one") {
     val rows = graft.queries.PipelineQueries
       .queries("p71_token_kl_drift")(spark, "/root/testdata/sf0.001")
