@@ -1295,6 +1295,95 @@ object PipelineQueries {
             .as("eigval"))
     }),
 
+    // Cross-modal dedup agreement: the embeddings table is row-aligned
+    // with documents (vec_id = doc_id), so for every hyperplane-LSH
+    // candidate pair (same sign bucket — bucket-bounded, never
+    // all-pairs) compute BOTH the embedding cosine and the exact text
+    // shingle Jaccard, then report per-cosine-bucket text-similarity
+    // stats. This is the diagnostic that decides whether SemDeDup-style
+    // embedding dedup and MinHash text dedup would remove the same
+    // pairs — run before trusting either alone. Scale shape: the pair
+    // join keys on the sign bucket, shingle sets attach via two
+    // doc_id equi-joins, output is bucket-bounded.
+    "p73_crossmodal_agreement" -> ((s, dir) => {
+      val planes = hyperplanes(4, 64)
+      def d9(c: Column): Column = round(c, 9).cast("decimal(18,9)")
+      val e = emb(s, dir)
+        .withColumn("sig", hyperplaneSig(col("embedding"), planes))
+        .withColumn("nrm", norm(col("embedding")))
+      val a = e.select(col("vec_id").as("id_a"),
+        col("embedding").as("va"), col("nrm").as("na"), col("sig"))
+      val b = e.select(col("vec_id").as("id_b"),
+        col("embedding").as("vb"), col("nrm").as("nb"), col("sig"))
+      val pairs = a.join(b, Seq("sig"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos",
+          dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .select("id_a", "id_b", "cos")
+      val sh = docs(s, dir).select(col("doc_id"),
+        hashedShingles(shingles(words(col("text")))).as("sh"))
+      pairs
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+          Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+          Seq("id_b"))
+        .withColumn("j", graft.functions.GraftFunctions
+          .jaccardLong(col("sh_a"), col("sh_b")))
+        .groupBy(floor(col("cos") * 5).cast("bigint").as("cos_bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(d9(col("cos"))).cast("double") /
+            count(lit(1)), 4).as("mean_cos"),
+          round(sum(d9(col("j"))).cast("double") /
+            count(lit(1)), 4).as("mean_jaccard"),
+          sum(when(col("j") >= 0.5, 1L).otherwise(0L))
+            .as("n_text_neardup"))
+    }),
+
+    // Temperature-based mixture sampling (multilingual α-sampling,
+    // α=0.5): per-source sampling rates q_s ∝ p_s^α that upweight
+    // tail sources under a 50%-of-tokens budget, then a
+    // content-hash Bernoulli realizes the plan deterministically.
+    // Scale shape: source shares are ONE source-keyed aggregate
+    // (source-bounded output), the rate table rides a broadcast back
+    // over the corpus scan, and the realized counts are a second
+    // source-keyed aggregate — re-run/re-partition stable, no RNG
+    // state. All cross-source sums round-9 DECIMAL.
+    "p74_temperature_mixture" -> ((s, dir) => {
+      val budgetFrac = 0.5
+      val st = docs(s, dir)
+        .select(col("source"), col("doc_id"), col("text"),
+          size(words(col("text"))).cast("long").as("n_tok"))
+        .transform(graft.core.CacheRegistry.persist(_))
+      st.count() // feeds the share aggregate AND the realized pass
+      val bySrc = st.groupBy("source").agg(
+        count(lit(1)).as("n_docs"), sum("n_tok").as("src_tok"))
+      val tot = bySrc.agg(sum("src_tok").cast("double").as("all_tok"))
+      val withW = bySrc.crossJoin(broadcast(tot))
+        .withColumn("p", round(col("src_tok").cast("double") /
+          col("all_tok"), 9))
+        .withColumn("w", round(sqrt(col("p")), 9))
+      val z = withW.agg(sum(col("w").cast("decimal(18,9)"))
+        .cast("double").as("z"))
+      val rates = withW.crossJoin(broadcast(z))
+        .withColumn("q", round(col("w") / col("z"), 9))
+        .withColumn("rate", round(least(lit(1.0),
+          lit(budgetFrac) * col("all_tok") * col("q") /
+            col("src_tok").cast("double")), 9))
+      val realized = st
+        .withColumn("u", (h64(col("text"), 83) % 1000000L)
+          .cast("double") / 1000000.0)
+        .join(broadcast(rates.select("source", "rate")), Seq("source"))
+        .groupBy("source").agg(
+          sum(when(col("u") < col("rate"), 1L).otherwise(0L))
+            .as("n_sampled"),
+          sum(when(col("u") < col("rate"), col("n_tok"))
+            .otherwise(0L)).as("tok_sampled"))
+      rates.join(realized, Seq("source"))
+        .select(col("source"), col("n_docs"), col("src_tok"),
+          col("p"), col("q"), col("rate"),
+          col("n_sampled"), col("tok_sampled"))
+    }),
+
     "p59_bloom_decontamination" -> ((s, dir) => {
       val bucket = h64(col("text"), 13) % 100
       val d = docs(s, dir)
@@ -2758,6 +2847,60 @@ SELECT mu64.pos, mu64.mu,
   round(v2.vec[mu64.pos + 1], 6) AS loading,
   round(v2.nrm / (mu64.n - 1), 6) AS eigval
 FROM mu64, v2"""
+    },
+
+    "p73_crossmodal_agreement" -> {
+      val planes = hyperplanes(4, 64)
+      val sh = hashedShinglesSql(shinglesSql(wordsSql("text")))
+      def d9(c: String) = s"CAST(round($c, 9) AS DECIMAL(18,9))"
+      s"""WITH e AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+es AS (SELECT vec_id, v, ${hyperplaneSigSql("v", planes)} AS sig,
+    ${normSql("v")} AS nrm FROM e),
+pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+  FROM es a JOIN es b ON a.sig = b.sig AND a.vec_id < b.vec_id),
+sh AS (SELECT doc_id, $sh AS sh FROM documents),
+pj AS (SELECT pairs.cos, ${jaccardSql("sa.sh", "sb.sh")} AS j
+  FROM pairs JOIN sh sa ON sa.doc_id = pairs.id_a
+    JOIN sh sb ON sb.doc_id = pairs.id_b)
+SELECT CAST(floor(cos * 5) AS BIGINT) AS cos_bucket,
+  count(*) AS n_pairs,
+  round(CAST(sum(${d9("cos")}) AS DOUBLE) / count(*), 4) AS mean_cos,
+  round(CAST(sum(${d9("j")}) AS DOUBLE) / count(*), 4)
+    AS mean_jaccard,
+  CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_text_neardup
+FROM pj GROUP BY 1"""
+    },
+
+    "p74_temperature_mixture" -> {
+      val w = wordsSql("text")
+      val u = s"(${h64Sql("text", 83)} % 1000000) / 1000000.0"
+      s"""WITH st AS (SELECT source, doc_id, text,
+    CAST(len($w) AS BIGINT) AS n_tok FROM documents),
+bysrc AS (SELECT source, count(*) AS n_docs,
+    CAST(sum(n_tok) AS BIGINT) AS src_tok FROM st GROUP BY source),
+tot AS (SELECT CAST(sum(src_tok) AS DOUBLE) AS all_tok FROM bysrc),
+ww AS (SELECT bysrc.*, all_tok,
+    round(CAST(src_tok AS DOUBLE) / all_tok, 9) AS p,
+    round(sqrt(round(CAST(src_tok AS DOUBLE) / all_tok, 9)), 9) AS w
+  FROM bysrc, tot),
+z AS (SELECT CAST(sum(CAST(w AS DECIMAL(18,9))) AS DOUBLE) AS z
+  FROM ww),
+rates AS (SELECT source, n_docs, src_tok, p, q,
+    round(least(1.0, 0.5 * all_tok * q / CAST(src_tok AS DOUBLE)), 9)
+      AS rate
+  FROM (SELECT ww.*, round(w / z, 9) AS q FROM ww, z)),
+realized AS (SELECT source,
+    sum(CASE WHEN $u < rate THEN 1 ELSE 0 END) AS n_sampled,
+    sum(CASE WHEN $u < rate THEN n_tok ELSE 0 END) AS tok_sampled
+  FROM st JOIN rates USING (source) GROUP BY source)
+SELECT source, n_docs, src_tok, p, q, rate,
+  CAST(n_sampled AS BIGINT) AS n_sampled,
+  CAST(tok_sampled AS BIGINT) AS tok_sampled
+FROM rates JOIN realized USING (source)"""
     },
 
     "p59_bloom_decontamination" -> {

@@ -511,6 +511,42 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.core.CacheRegistry.releaseAll()
   }
 
+  test("crossmodal agreement: buckets within [-5,4], stats bounded") {
+    val rows = graft.queries.PipelineQueries
+      .queries("p73_crossmodal_agreement")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      assert(b >= -5 && b <= 4) // floor(cos*5) for cos in [-1,1]
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getLong(4) <= r.getLong(1))
+      // mean cosine must actually fall in its own bucket
+      val mc = r.getDouble(2)
+      assert(mc >= b / 5.0 - 1e-4 && mc < (b + 1) / 5.0 + 1e-4)
+    }
+  }
+
+  test("temperature mixture: tail sources upweighted, rates in (0,1]") {
+    val rows = graft.queries.PipelineQueries
+      .queries("p74_temperature_mixture")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    val byShare = rows.sortBy(_.getDouble(3)) // ascending p
+    byShare.foreach { r =>
+      val (p, q, rate) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(p > 0 && q > 0 && rate > 0 && rate <= 1.0)
+      assert(r.getLong(6) <= r.getLong(1)) // sampled <= docs
+    }
+    // alpha=0.5 flattens the distribution: q/p grows as p shrinks
+    val ratios = byShare.map(r => r.getDouble(4) / r.getDouble(3))
+    assert(ratios.head >= ratios.last,
+      "smallest source must get the largest relative upweight")
+    graft.core.CacheRegistry.releaseAll()
+  }
+
   test("kl drift: smoothed probabilities positive, each sums to one") {
     val rows = graft.queries.PipelineQueries
       .queries("p71_token_kl_drift")(spark, "/root/testdata/sf0.001")
