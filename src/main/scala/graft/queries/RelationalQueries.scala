@@ -570,6 +570,58 @@ object RelationalQueries {
           coalesce(col("n_full_chain"), lit(0L)).as("n_full_chain"))
     }),
 
+    // Stream-static enrichment: the arriving event stream joins a
+    // PRECOMPUTED per-user profile snapshot via broadcast — the
+    // standard production enrichment shape (stateless, no watermark,
+    // no shuffle on the stream side; the profile refreshes as a
+    // separate batch job). Drained with Trigger.AvailableNow into a
+    // memory sink; the oracle is the batch twin of the same join.
+    "q43_stream_enrich" -> ((s, d) => {
+      val path = s"/tmp/graft_stream_enr_${
+        d.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+      ev.coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(path)
+      val profile = ev.groupBy("user_id").agg(
+        count(lit(1)).as("n_hist"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        min("ts_us").as("first_us"))
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("ts_us", LongType)))
+      val src = s.readStream.schema(schema)
+        .option("header", "true").csv(path)
+      val enriched = src.join(broadcast(profile), Seq("user_id"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts_us"), col("n_hist"), col("n_purchases"),
+          (col("ts_us") === col("first_us")).as("is_first_event"),
+          (col("n_purchases") >= 2L).as("repeat_purchaser"))
+      val qn = "stream_enr_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = enriched.writeStream.format("memory").queryName(qn)
+          .outputMode("append")
+          .option("checkpointLocation", java.nio.file.Files
+            .createTempDirectory("graft_enr_ck").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(300000)) {
+          q.stop()
+          throw new IllegalStateException(
+            "streaming drain did not finish within 300 s")
+        }
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
+      s.table(qn)
+    }),
+
     // As-of join (union + running-last window; one keyed shuffle):
     // each click matched to the latest same-or-earlier view per user.
     "q16_asof_click_view" -> ((s, d) => {
@@ -1302,6 +1354,22 @@ object RelationalQueries {
            CAST(coalesce(n_full_chain, 0) AS BIGINT) AS n_full_chain
          FROM va
          FULL JOIN ca ON va.user_id = ca.user_id
-         FULL JOIN pa ON coalesce(va.user_id, ca.user_id) = pa.user_id"""
+         FULL JOIN pa ON coalesce(va.user_id, ca.user_id) = pa.user_id""",
+    // the batch twin of the stream-static broadcast enrichment
+    "q43_stream_enrich" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+             CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us
+           FROM events),
+         prof AS (SELECT user_id, count(*) AS n_hist,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS n_purchases,
+             min(ts_us) AS first_us
+           FROM e GROUP BY 1)
+         SELECT event_id, e.user_id, event_type, ts_us,
+           CAST(n_hist AS BIGINT) AS n_hist,
+           CAST(n_purchases AS BIGINT) AS n_purchases,
+           (ts_us = first_us) AS is_first_event,
+           (n_purchases >= 2) AS repeat_purchaser
+         FROM e JOIN prof ON e.user_id = prof.user_id"""
   )
 }

@@ -31,7 +31,8 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     */
   private val streamingDrains =
     Set("f43_stream_agg", "f45_stream_dedup", "q19_stream_sessions",
-      "p46_stream_neardup", "q26_stream_stream_join")
+      "p46_stream_neardup", "q26_stream_stream_join",
+      "q43_stream_enrich")
 
   /** Queries allowed to plan a GLOBAL sort. Only the human-listing op
     * qualifies: `voir` IS a sorted display (the reference sorts the

@@ -16,6 +16,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", 2)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .getOrCreate()
 
   override def afterAll(): Unit = spark.stop()
@@ -424,5 +425,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(closed().size == 4 ||
       closed().contains((2L, base + 200000000L, base + 200000000L, 1L)))
     q.stop()
+  }
+
+  test("stream-static enrichment equals its batch twin exactly") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).exists())
+    val got = graft.queries.RelationalQueries
+      .queries("q43_stream_enrich")(spark, dir)
+    val ev = graft.queries.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val prof = ev.groupBy("user_id").agg(
+      count(lit(1)).as("n_hist"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("n_purchases"),
+      min("ts_us").as("first_us"))
+    val want = ev.join(prof, Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_us"), col("n_hist"), col("n_purchases"),
+        (col("ts_us") === col("first_us")).as("is_first_event"),
+        (col("n_purchases") >= 2L).as("repeat_purchaser"))
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 }
