@@ -190,6 +190,14 @@ object PipelineOps {
   def norm(a: Column): Column = sqrt(dot(a, a))
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Round to 9 decimals and cast DECIMAL(18,9) — the exact,
+    * order-independent accumulator both engines sum identically
+    * before a mean/ratio is taken. SQL twin: [[d9Sql]].
+    */
+  def d9(c: Column): Column = round(c, 9).cast("decimal(18,9)")
+  def d9Sql(c: String): String =
+    s"CAST(round($c, 9) AS DECIMAL(18,9))"
+
   def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a) + 1), i -> " +
       s"CAST($a[CAST(i AS INT)] AS DOUBLE) * " +

@@ -932,7 +932,6 @@ object PipelineQueries {
         array((0 until MinHashFns).map(i =>
           minhash(col("sh"), i)): _*).as("mh"),
         col("sh"))
-      def d9(c: Column): Column = round(c, 9).cast("decimal(18,9)")
       val est = aggregate(
         zip_with(col("mh_a"), col("mh_b"),
           (x, y) => when(x === y, 1).otherwise(0)),
@@ -1252,6 +1251,8 @@ object PipelineQueries {
         round(sum(col("x").cast("decimal(28,9)")).cast("double") /
           count(lit(1)), 9).as("mu"),
         count(lit(1)).as("n"))
+        .transform(graft.core.CacheRegistry.persist(_))
+      mu64.count() // one corpus scan serves muArr, v0 AND the output
       val muArr = mu64.agg(
         transform(
           array_sort(collect_list(struct(col("pos"), col("mu")))),
@@ -1307,10 +1308,13 @@ object PipelineQueries {
     // doc_id equi-joins, output is bucket-bounded.
     "p73_crossmodal_agreement" -> ((s, dir) => {
       val planes = hyperplanes(4, 64)
-      def d9(c: Column): Column = round(c, 9).cast("decimal(18,9)")
       val e = emb(s, dir)
         .withColumn("sig", hyperplaneSig(col("embedding"), planes))
         .withColumn("nrm", norm(col("embedding")))
+        // a zero-norm vector would make cos NULL on Spark but inf on
+        // ieee-mode DuckDB — exclude it on BOTH engines (p62 does the
+        // same for the same hazard)
+        .filter(col("nrm") > 0)
       val a = e.select(col("vec_id").as("id_a"),
         col("embedding").as("va"), col("nrm").as("na"), col("sig"))
       val b = e.select(col("vec_id").as("id_b"),
@@ -1351,8 +1355,12 @@ object PipelineQueries {
     "p74_temperature_mixture" -> ((s, dir) => {
       val budgetFrac = 0.5
       val st = docs(s, dir)
-        .select(col("source"), col("doc_id"), col("text"),
-          size(words(col("text"))).cast("long").as("n_tok"))
+        .select(col("source"),
+          size(words(col("text"))).cast("long").as("n_tok"),
+          // hash the text at scan time so the persisted projection is
+          // three narrow columns, never the corpus text itself
+          ((h64(col("text"), 83) % 1000000L).cast("double") /
+            1000000.0).as("u"))
         .transform(graft.core.CacheRegistry.persist(_))
       st.count() // feeds the share aggregate AND the realized pass
       val bySrc = st.groupBy("source").agg(
@@ -1370,8 +1378,6 @@ object PipelineQueries {
           lit(budgetFrac) * col("all_tok") * col("q") /
             col("src_tok").cast("double")), 9))
       val realized = st
-        .withColumn("u", (h64(col("text"), 83) % 1000000L)
-          .cast("double") / 1000000.0)
         .join(broadcast(rates.select("source", "rate")), Seq("source"))
         .groupBy("source").agg(
           sum(when(col("u") < col("rate"), 1L).otherwise(0L))
@@ -2852,12 +2858,12 @@ FROM mu64, v2"""
     "p73_crossmodal_agreement" -> {
       val planes = hyperplanes(4, 64)
       val sh = hashedShinglesSql(shinglesSql(wordsSql("text")))
-      def d9(c: String) = s"CAST(round($c, 9) AS DECIMAL(18,9))"
       s"""WITH e AS (SELECT vec_id,
     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings),
-es AS (SELECT vec_id, v, ${hyperplaneSigSql("v", planes)} AS sig,
+es0 AS (SELECT vec_id, v, ${hyperplaneSigSql("v", planes)} AS sig,
     ${normSql("v")} AS nrm FROM e),
+es AS (SELECT * FROM es0 WHERE nrm > 0),
 pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
     ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
   FROM es a JOIN es b ON a.sig = b.sig AND a.vec_id < b.vec_id),
@@ -2867,8 +2873,9 @@ pj AS (SELECT pairs.cos, ${jaccardSql("sa.sh", "sb.sh")} AS j
     JOIN sh sb ON sb.doc_id = pairs.id_b)
 SELECT CAST(floor(cos * 5) AS BIGINT) AS cos_bucket,
   count(*) AS n_pairs,
-  round(CAST(sum(${d9("cos")}) AS DOUBLE) / count(*), 4) AS mean_cos,
-  round(CAST(sum(${d9("j")}) AS DOUBLE) / count(*), 4)
+  round(CAST(sum(${d9Sql("cos")}) AS DOUBLE) / count(*), 4)
+    AS mean_cos,
+  round(CAST(sum(${d9Sql("j")}) AS DOUBLE) / count(*), 4)
     AS mean_jaccard,
   CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
     AS n_text_neardup

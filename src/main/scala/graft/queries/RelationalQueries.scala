@@ -543,6 +543,8 @@ object RelationalQueries {
         Seq("user_id"), "ts_us", Seq("view_id"),
         tolerance = Some(tol))
         .withColumn("has_view", col("asof_view_id").isNotNull)
+        .transform(graft.core.CacheRegistry.persist(_))
+      mc.count() // the as-of window feeds ca AND the purchase stage
       val matchedClicks = mc.filter(col("has_view"))
         .groupBy("user_id", "ts_us")
         .agg(max("event_id").as("click_id"))

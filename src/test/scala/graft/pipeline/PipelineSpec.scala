@@ -518,7 +518,9 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val b = r.getLong(0)
-      assert(b >= -5 && b <= 4) // floor(cos*5) for cos in [-1,1]
+      // floor(cos*5) for cos in [-1,1]; bucket 5 IS reachable at
+      // cos = 1.0 exactly (duplicate embeddings)
+      assert(b >= -5 && b <= 5)
       assert(r.getLong(1) > 0)
       assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
       assert(r.getLong(4) <= r.getLong(1))
