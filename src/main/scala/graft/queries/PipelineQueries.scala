@@ -1390,6 +1390,35 @@ object PipelineQueries {
           col("n_sampled"), col("tok_sampled"))
     }),
 
+    // ANN index-health report: bucket-occupancy balance for BOTH
+    // coarse quantizers the ANN queries rely on (IVF argmax buckets
+    // p06/p34, hyperplane sign buckets p15/p18). Imbalance =
+    // max-bucket / mean-bucket is the number that decides whether a
+    // bucketed index scales — a hot bucket is a hidden all-pairs. Two
+    // bucket-keyed aggregates (bucket-bounded exchanges) collapsed to
+    // one row each; run this BEFORE building the index at 100 TB.
+    "p75_ann_index_report" -> ((s, dir) => {
+      val planes = hyperplanes(4, 64)
+      val e = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      def report(buckets: DataFrame, idx: String): DataFrame =
+        buckets.groupBy("b").agg(count(lit(1)).as("n"))
+          .agg(sum("n").as("n_vectors"),
+            count(lit(1)).as("n_buckets"),
+            max("n").as("max_bucket"),
+            round(sum("n").cast("double") / count(lit(1)), 4)
+              .as("mean_bucket"),
+            round(max("n").cast("double") * count(lit(1)) /
+              sum("n").cast("double"), 4).as("imbalance"))
+          .select(lit(idx).as("index_type"), col("n_vectors"),
+            col("n_buckets"), col("max_bucket"), col("mean_bucket"),
+            col("imbalance"))
+      report(e.select(argmaxBucket(col("v")).as("b")), "ivf_argmax")
+        .unionByName(report(
+          e.select(hyperplaneSig(col("v"), planes).as("b")),
+          "lsh_hyperplane"))
+    }),
+
     "p59_bloom_decontamination" -> ((s, dir) => {
       val bucket = h64(col("text"), 13) % 100
       val d = docs(s, dir)
@@ -2908,6 +2937,26 @@ SELECT source, n_docs, src_tok, p, q, rate,
   CAST(n_sampled AS BIGINT) AS n_sampled,
   CAST(tok_sampled AS BIGINT) AS tok_sampled
 FROM rates JOIN realized USING (source)"""
+    },
+
+    "p75_ann_index_report" -> {
+      val planes = hyperplanes(4, 64)
+      def rep(bucketExpr: String, idx: String) =
+        s"""(SELECT '$idx' AS index_type,
+    CAST(sum(n) AS BIGINT) AS n_vectors,
+    count(*) AS n_buckets,
+    CAST(max(n) AS BIGINT) AS max_bucket,
+    round(CAST(sum(n) AS DOUBLE) / count(*), 4) AS mean_bucket,
+    round(CAST(max(n) AS DOUBLE) * count(*) /
+      CAST(sum(n) AS DOUBLE), 4) AS imbalance
+  FROM (SELECT b, count(*) AS n
+    FROM (SELECT $bucketExpr AS b FROM e) GROUP BY b))"""
+      s"""WITH e AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings)
+${rep(argmaxBucketSql("v"), "ivf_argmax")}
+UNION ALL
+${rep(hyperplaneSigSql("v", planes), "lsh_hyperplane")}"""
     },
 
     "p59_bloom_decontamination" -> {

@@ -624,6 +624,22 @@ object RelationalQueries {
       s.table(qn)
     }),
 
+    // The pandas groupby.transform analog: attach a group aggregate
+    // to every row WITHOUT a join — one keyed window exchange (vs the
+    // aggregate + broadcast-join alternative, which costs a second
+    // pass); filter rows above their own brand's mean price.
+    "q44_group_transform" -> ((s, d) => {
+      val w = Window.partitionBy("p_brand")
+      Tables.part(s, d)
+        .withColumn("brand_avg", round(
+          sum(col("p_retailprice").cast("decimal(18,6)")).over(w)
+            .cast("double") / count(lit(1)).over(w), 4))
+        .filter(col("p_retailprice") > col("brand_avg"))
+        .select(col("p_brand"), col("p_partkey"),
+          round(col("p_retailprice"), 2).as("retail"),
+          col("brand_avg"))
+    }),
+
     // As-of join (union + running-last window; one keyed shuffle):
     // each click matched to the latest same-or-earlier view per user.
     "q16_asof_click_view" -> ((s, d) => {
@@ -1372,6 +1388,15 @@ object RelationalQueries {
            CAST(n_purchases AS BIGINT) AS n_purchases,
            (ts_us = first_us) AS is_first_event,
            (n_purchases >= 2) AS repeat_purchaser
-         FROM e JOIN prof ON e.user_id = prof.user_id"""
+         FROM e JOIN prof ON e.user_id = prof.user_id""",
+    "q44_group_transform" ->
+      """WITH t AS (SELECT p_brand, p_partkey, p_retailprice,
+             round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,6)))
+                 OVER (PARTITION BY p_brand) AS DOUBLE) /
+               count(*) OVER (PARTITION BY p_brand), 4) AS brand_avg
+           FROM part)
+         SELECT p_brand, p_partkey,
+           round(p_retailprice, 2) AS retail, brand_avg
+         FROM t WHERE p_retailprice > brand_avg"""
   )
 }

@@ -549,6 +549,24 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.core.CacheRegistry.releaseAll()
   }
 
+  test("ann index report: imbalance >= 1, bucket domains bounded") {
+    val rows = graft.queries.PipelineQueries
+      .queries("p75_ann_index_report")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("ivf_argmax", "lsh_hyperplane"))
+    val nVec = rows.values.map(_.getLong(1)).toSet
+    assert(nVec.size == 1, "both indexes must cover every vector")
+    rows.values.foreach { r =>
+      val (buckets, maxB, mean, imb) =
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))
+      assert(buckets > 0 && maxB >= 1)
+      assert(imb >= 1.0 - 1e-9) // max/mean can never be below 1
+      assert(math.abs(mean * buckets - r.getLong(1)) < 1e-2)
+    }
+    assert(rows("ivf_argmax").getLong(2) <= 64)    // dim-bounded
+    assert(rows("lsh_hyperplane").getLong(2) <= 16) // 2^4 planes
+  }
+
   test("kl drift: smoothed probabilities positive, each sums to one") {
     val rows = graft.queries.PipelineQueries
       .queries("p71_token_kl_drift")(spark, "/root/testdata/sf0.001")
