@@ -1196,11 +1196,20 @@ object PipelineQueries {
           (aggregate(col("ws"), lit(0L), (a, w) => a + wMilli(w)) +
             lit(bias)).as("sm"))
         .select(col("doc_id"), col("n_tok"),
-          round(col("sm").cast("double") /
-            (col("n_tok").cast("double") * 1000.0), 6).as("score"),
-          round(lit(1.0) / (lit(1.0) + exp(col("sm").cast("double") /
-            (col("n_tok").cast("double") * -1000.0))), 6).as("prob"),
-          (col("sm") >= 0L).as("keep"))
+          // round-half-up entirely in BIGINT space: score6 =
+          // round(1e6 * sm / (1000 n)). Rounding the DOUBLE ratio
+          // diverges between engines at half-way shortest-reprs
+          // (Spark rounds the decimal repr, DuckDB the binary value
+          // — observed at sf0.1); integer arithmetic cannot.
+          (when(col("sm") >= 0L,
+            expr("(sm * 2000 + n_tok) div (2 * n_tok)"))
+            .otherwise(-expr("(-sm * 2000 + n_tok) div (2 * n_tok)"))
+            .cast("double") / 1000000.0).as("score"),
+          (col("sm") >= 0L).as("keep")) // exact, pre-rounding sign
+        .select(col("doc_id"), col("n_tok"), col("score"),
+          round(lit(1.0) / (lit(1.0) + exp(-col("score"))), 6)
+            .as("prob"),
+          col("keep"))
     }),
 
     // Corpus snapshot drift monitor: token-distribution KL divergence
@@ -2815,14 +2824,17 @@ FROM agg""",
       val wm = s"((${h64Sql(s"CAST($b AS VARCHAR)", 59)} % 2001) - 1000)"
       s"""WITH t AS (SELECT doc_id, len(ws) AS n_tok,
     list_sum(list_transform(ws, w -> $wm)) + 50 AS sm
-  FROM (SELECT doc_id, $w AS ws FROM documents))
-SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
-  round(CAST(sm AS DOUBLE) /
-    (CAST(n_tok AS DOUBLE) * 1000.0), 6) AS score,
-  round(1.0 / (1.0 + exp(CAST(sm AS DOUBLE) /
-    (CAST(n_tok AS DOUBLE) * -1000.0))), 6) AS prob,
-  (sm >= 0) AS keep
-FROM t"""
+  FROM (SELECT doc_id, $w AS ws FROM documents)),
+s AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+    CAST(CASE WHEN sm >= 0
+        THEN (sm * 2000 + n_tok) // (2 * n_tok)
+        ELSE -((-sm * 2000 + n_tok) // (2 * n_tok)) END AS DOUBLE)
+      / 1000000.0 AS score,
+    (sm >= 0) AS keep
+  FROM t)
+SELECT doc_id, n_tok, score,
+  round(1.0 / (1.0 + exp(-score)), 6) AS prob, keep
+FROM s"""
     },
 
     "p71_token_kl_drift" -> {
