@@ -23,8 +23,14 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// 177 bench queries run in one JVM with MEMORY_AND_DISK caches; a
+// small heap ages badly across the run (GC pressure inflated the
+// q-series ~28% in round 5's driver bench). Fixed 24g heap
+// (-Xms=-Xmx avoids resize pauses) on the 128 GiB box.
+val benchHeap = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx$benchHeap", s"-Xms$benchHeap",
+  "-XX:+UseG1GC",
 )

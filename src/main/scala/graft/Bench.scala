@@ -15,6 +15,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // let AQE coalesce tiny post-shuffle partitions even when the
+      // result is being persisted (small cached intermediates
+      // otherwise schedule full-width near-empty shuffle tasks)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_CACHE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def esc(s: String): String = s.flatMap {

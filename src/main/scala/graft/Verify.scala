@@ -15,6 +15,10 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); Spark 4 only reads it
       // via the legacy long path (converted in Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // same AQE cached-plan coalescing as Bench: correctness results
+      // must come from the same planning mode the bench measures
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_CACHE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -11,31 +11,52 @@ import org.apache.spark.storage.StorageLevel
   *
   * Algorithm: iterative min-label propagation with label-edge doubling
   * (hash-to-min). Each round a node adopts the smallest label among
-  * itself, its neighbors' labels, and its current label's label; the
-  * label-edge term doubles the propagation distance per round, so
-  * convergence is O(log component diameter) rounds rather than
-  * O(diameter).
+  * its neighbors' labels and its current label's label; the label-edge
+  * term doubles the propagation distance per round, so convergence is
+  * O(log component diameter) rounds rather than O(diameter).
   *
-  * Scale shape (100 TB posture): each round is one shuffle join on the
-  * node id plus a partial (map-side combining) min-aggregation — no
-  * all-pairs step, no driver-side collection of nodes or edges. The
-  * convergence probe is a single scalar aggregate (labels are
-  * monotonically non-increasing, so an unchanged label sum means a
-  * fixpoint). Label sums accumulate in DECIMAL(38,0) so the probe
-  * cannot overflow at any realistic node-id range.
+  * Scale shape (100 TB posture):
+  *  - ONLY nodes incident to at least one pair enter the loop — in a
+  *    real corpus dedup the overwhelming majority of documents are
+  *    isolated (no near-dup pair) and must not be shuffled once per
+  *    round; they self-label through the final left join's null
+  *    branch.
+  *  - Each round is one shuffle join on the node id plus a partial
+  *    (map-side combining) min-aggregation — no all-pairs step, no
+  *    driver-side collection of nodes or edges.
+  *  - Each round's label table is `localCheckpoint`ed, not cached:
+  *    the round's plan collapses to an RDD leaf, so plan size and
+  *    Catalyst analysis cost stay CONSTANT per round, and an
+  *    iterative chain of cached plans never builds up in the cache
+  *    manager (unpersisting an ancestor there invalidates every
+  *    dependent cached round — an O(rounds^2) recompile storm this
+  *    design structurally avoids). Superseded rounds' blocks are
+  *    dropped by the context cleaner once unreferenced; on executor
+  *    loss the job re-runs from the last checkpoint, the standard
+  *    trade for iterative graph jobs.
+  *  - The single action per round both materializes the checkpoint
+  *    and returns the convergence probe (labels are monotonically
+  *    non-increasing, so an unchanged label sum means a fixpoint).
+  *    Label sums accumulate in DECIMAL(38,0) so the probe cannot
+  *    overflow at any realistic node-id range.
   */
 object Clusters {
 
   /** Connected components of the undirected graph over `nodes`
-    * (column `id`) induced by `pairs` (columns `a`, `b`). Returns one
-    * row per node: (id, label) with label = minimum id reachable.
-    * Nodes absent from every pair keep their own id as label.
+    * (column `id`) induced by `pairs` (columns `a`, `b`; endpoints
+    * are expected to be drawn from `nodes`). Returns one row per
+    * node: (id, label) with label = minimum id reachable. Nodes
+    * absent from every pair keep their own id as label.
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           maxIter: Int = 25): DataFrame = {
     graft.core.Checks.requireColumns(nodes, "connected_components", "id")
     graft.core.Checks.requireColumns(pairs, "connected_components",
       "a", "b")
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    val tA = System.nanoTime()
+    def dbg(msg: String, t0: Long): Unit =
+      if (debug) println(f"[cc] $msg: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     // the symmetrized edge view scans `pairs` twice (a->b and b->a):
     // persist the pair set so an expensive upstream pair generator
     // (LSH candidate join + verify) runs once, not twice. The count()
@@ -45,45 +66,60 @@ object Clusters {
     val p = pairs.select(col("a"), col("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     p.count()
+    dbg("pairs materialize", tA)
     val edges = p
       .unionByName(p.select(col("b").as("a"), col("a").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = nodes.select(col("id"), col("id").as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // only edge-incident nodes iterate (lazy localCheckpoint: the
+    // first labelSum action below materializes the blocks)
+    val tB = System.nanoTime()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(false)
     def labelSum(df: org.apache.spark.sql.DataFrame)
         : java.math.BigDecimal =
       Option(df.agg(sum(col("label").cast("decimal(38,0)")))
         .collect()(0).getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO) // empty graph -> 0
     var prevSum = labelSum(labels)
+    dbg("active labels materialize", tB)
 
-    val debug = sys.env.contains("GRAFT_CC_DEBUG")
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val t0 = System.nanoTime()
-      // pointer-jumping edges: every node also "neighbors" its label
+      // pointer-jumping edges: every node also "neighbors" its label.
+      // Because every active node x contributes jump edge
+      // (x, label(x)) and label(label(x)) <= label(x) <= x (labels
+      // are ids within x's component and non-increasing), the min
+      // below already covers x's own label — no second join with the
+      // previous labels is needed to keep monotonicity or coverage.
       val jump = labels.select(col("id").as("a"), col("label").as("b"))
-      val nbrMin = edges.unionByName(jump)
+      val next = edges.unionByName(jump)
         .join(labels.select(col("id").as("b"),
           col("label").as("blab")), Seq("b"))
-        .groupBy(col("a").as("id")).agg(min("blab").as("nbr"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr"), col("label")))
-            .as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .groupBy(col("a").as("id")).agg(min("blab").as("label"))
+        .localCheckpoint(false)
+      // ONE action per round: this agg materializes the checkpoint
+      // AND returns the convergence probe
       val nextSum = labelSum(next)
-      labels.unpersist()
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       labels = next
       iter += 1
       if (debug) println(f"[cc] iter $iter: ${(System.nanoTime() - t0) / 1e9}%.2f s converged=$converged")
     }
+    // isolated nodes (the bulk of a deduped corpus) self-label via
+    // the left join's null branch; restricting to `nodes` also keeps
+    // stray pair endpoints outside the node set out of the output.
+    // `labels` is an RDD leaf here, so releasing p/edges cannot
+    // invalidate the result the caller is about to scan.
+    val out = nodes.select(col("id"))
+      .join(labels.withColumnRenamed("label", "alab"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("alab"), col("id")).as("label"))
     p.unpersist()
     edges.unpersist()
-    labels
+    out
   }
 }
