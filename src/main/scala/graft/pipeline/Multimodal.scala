@@ -1,8 +1,7 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: treat media as opaque `binary` payloads
   * with typed metadata, processed by per-partition batch functions.
@@ -40,27 +39,27 @@ object Multimodal {
 
   val FeatureDim = 8
 
-  private val decodedSchema = StructType(Seq(
-    StructField("doc_id", LongType, false),
-    StructField("features", ArrayType(FloatType, false), false)))
-
   /** Batch "decode" per partition: the production shape for media
     * decoding (one codec init per partition, streaming rows through).
-    * STUB: features are a deterministic hash-based fake — replace the
-    * body of `fakeFeatures` with a real image/audio decode when codec
+    * Typed `Dataset.mapPartitions`, NOT `.rdd` — rows stay Tungsten
+    * end to end (deserialize/serialize at the codec boundary only,
+    * no RDD↔DataFrame plan break). STUB: features are a
+    * deterministic hash-based fake — replace the body of
+    * `fakeFeatures` with a real image/audio decode when codec
     * libraries are available.
     */
   def decodeStub(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    val rdd = df.select("doc_id", "payload").rdd.mapPartitions { it =>
-      // real impl: initialize codec once here
-      it.map { r =>
-        val id = r.getLong(0)
-        val payload = r.getAs[Array[Byte]](1)
-        Row(id, fakeFeatures(payload))
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real impl: initialize codec once here
+        it.map { case (id, payload) =>
+          (id, fakeFeatures(payload).toArray)
+        }
       }
-    }
-    spark.createDataFrame(rdd, decodedSchema)
+      .toDF("doc_id", "features")
   }
 
   private def fakeFeatures(payload: Array[Byte]): Seq[Float] = {

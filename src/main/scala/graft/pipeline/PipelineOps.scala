@@ -193,6 +193,16 @@ object PipelineOps {
   /** Round to 9 decimals and cast DECIMAL(18,9) — the exact,
     * order-independent accumulator both engines sum identically
     * before a mean/ratio is taken. SQL twin: [[d9Sql]].
+    *
+    * Portability caveat: this rounds a DOUBLE, so it is only
+    * engine-exact for inputs whose shortest decimal representation
+    * cannot land on a 9-decimal half-way point (Spark rounds the
+    * shortest repr, DuckDB the binary value — the divergence class
+    * DESIGN.md documents at scale 6). At 9 decimals a half-way
+    * shortest repr requires >=10 significant trailing digits and has
+    * not been observed at any tested sf; if an input family can
+    * produce them, cast to a wider DECIMAL first and round the
+    * DECIMAL instead.
     */
   def d9(c: Column): Column = round(c, 9).cast("decimal(18,9)")
   def d9Sql(c: String): String =

@@ -697,33 +697,17 @@ object FstQueries {
       // but fewer files also means a cheaper staging write
       graft.sources.fst.FstWriter.write(base, path, cleanup = false,
         maxRecordsPerFile = 4096)
-      val qn = "stream_agg_" +
-        java.util.UUID.randomUUID.toString.replace("-", "")
       // 3 output groups: a handful of state-store partitions is
       // plenty, and each HDFS-backed store costs checkpoint files
-      val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
-        val q = s.readStream.format("fstrec").load(path)
+      graft.streaming.StreamDrain.drain(s,
+        s.readStream.format("fstrec").load(path)
           .groupBy("nomvar")
           .agg(count(lit(1)).as("n_records"),
             sum(col("ip2").cast("long")).as("sum_ip2"),
             round(sum(aggregate(col("d"), lit(0.0),
               (a, x) => a + x.cast("double")).cast("decimal(18,6)")), 3)
-              .cast("double").as("payload_sum"))
-          .writeStream.format("memory").queryName(qn)
-          .outputMode("complete")
-          .option("checkpointLocation", java.nio.file.Files
-            .createTempDirectory("graft_stream_ck").toString)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        if (!q.awaitTermination(300000)) {
-          q.stop()
-          throw new IllegalStateException(
-            "streaming drain did not finish within 300 s")
-        }
-      } finally s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
-      s.table(qn)
+              .cast("double").as("payload_sum")),
+        "complete", "stream_agg", shufflePartitions = 4)
     }),
 
     // §2.10 streaming dedup: the staged input holds every record
@@ -739,26 +723,11 @@ object FstQueries {
         s"/tmp/graft_stream_dedup_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
       graft.sources.fst.FstWriter.write(base.unionByName(base), path,
         cleanup = false, maxRecordsPerFile = 4096)
-      val qn = "stream_dedup_" +
-        java.util.UUID.randomUUID.toString.replace("-", "")
-      val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
-        val q = s.readStream.format("fstrec").load(path)
-          .dropDuplicates(graft.core.Constants.DedupColumns)
-          .writeStream.format("memory").queryName(qn)
-          .outputMode("append")
-          .option("checkpointLocation", java.nio.file.Files
-            .createTempDirectory("graft_stream_dd").toString)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        if (!q.awaitTermination(300000)) {
-          q.stop()
-          throw new IllegalStateException(
-            "streaming drain did not finish within 300 s")
-        }
-      } finally s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
-      s.table(qn).groupBy("nomvar")
+      graft.streaming.StreamDrain.drain(s,
+        s.readStream.format("fstrec").load(path)
+          .dropDuplicates(graft.core.Constants.DedupColumns),
+        "append", "stream_dedup", shufflePartitions = 4)
+        .groupBy("nomvar")
         .agg(count(lit(1)).as("n_records"),
           sum(col("ip3").cast("long")).as("sum_ip3"))
     }),

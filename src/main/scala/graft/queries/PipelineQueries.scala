@@ -1196,7 +1196,8 @@ object PipelineQueries {
           (aggregate(col("ws"), lit(0L), (a, w) => a + wMilli(w)) +
             lit(bias)).as("sm"))
         .select(col("doc_id"), col("n_tok"),
-          // round-half-up entirely in BIGINT space: score6 =
+          // round half-away-from-zero entirely in BIGINT space (the
+          // negative branch mirrors the positive one): score6 =
           // round(1e6 * sm / (1000 n)). Rounding the DOUBLE ratio
           // diverges between engines at half-way shortest-reprs
           // (Spark rounds the decimal repr, DuckDB the binary value
@@ -1538,30 +1539,16 @@ object PipelineQueries {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("text",
           org.apache.spark.sql.types.StringType)))
-      val qn = "stream_neardup_" +
-        java.util.UUID.randomUUID.toString.replace("-", "")
-      val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
       // state-store parallelism: one store per shuffle partition, and
       // this drain's per-key work (tens of thousands of band keys) is
       // store-bound — 16 stores beat the 4 the other drains use for
       // their handful of keys
-      s.conf.set("spark.sql.shuffle.partitions", "16")
-      try {
-        val q = graft.pipeline.StreamingDedup
+      graft.streaming.StreamDrain.drain(s,
+        graft.pipeline.StreamingDedup
           .nearDupHits(s.readStream.schema(schema).parquet(path))
-          .writeStream.format("memory").queryName(qn)
-          .outputMode("append")
-          .option("checkpointLocation", java.nio.file.Files
-            .createTempDirectory("graft_stream_nd").toString)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        if (!q.awaitTermination(300000)) {
-          q.stop()
-          throw new IllegalStateException(
-            "streaming drain did not finish within 300 s")
-        }
-      } finally s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
-      s.table(qn).groupBy("doc_id")
+          .toDF(),
+        "append", "stream_neardup", shufflePartitions = 16)
+        .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bands"),
           min(col("first_id")).as("partner"))
     }),

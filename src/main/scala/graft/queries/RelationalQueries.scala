@@ -476,15 +476,22 @@ object RelationalQueries {
 
     // Cube (all four grouping sets of flag x status) in ONE pass —
     // like q20's rollup, Expand + partial aggregation keeps it a
-    // single shuffle; the keys are never genuinely NULL in this
-    // schema, so coalesce-to-ALL labels subtotal rows unambiguously.
+    // single shuffle. Subtotal rows are labeled via grouping() (the
+    // aggregation bitmask), NOT coalesce-to-sentinel: a genuinely
+    // NULL key value can never be conflated with a subtotal row even
+    // if the schema's never-NULL invariant changes.
     "q40_cube_summary" -> ((s, d) => {
       Tables.lineitem(s, d)
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-          dsum(col("l_extendedprice"), 2).as("rev"))
-        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
-          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          dsum(col("l_extendedprice"), 2).as("rev"),
+          grouping(col("l_returnflag")).as("gf"),
+          grouping(col("l_linestatus")).as("gs"))
+        .select(
+          when(col("gf") === 1, lit("ALL"))
+            .otherwise(col("l_returnflag")).as("flag"),
+          when(col("gs") === 1, lit("ALL"))
+            .otherwise(col("l_linestatus")).as("status"),
           col("n"), col("rev"))
     }),
 
@@ -584,7 +591,11 @@ object RelationalQueries {
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("ts_us"))
-      ev.coalesce(1).write.mode("overwrite")
+      // N-shard staging (NOT coalesce(1)): this stream is stateless
+      // (broadcast enrich, no watermark), so batch split order cannot
+      // change the result, and a single-task staging write is the
+      // pattern that becomes a bottleneck if copied to production
+      ev.repartition(4).write.mode("overwrite")
         .option("header", "true").csv(path)
       val profile = ev.groupBy("user_id").agg(
         count(lit(1)).as("n_hist"),
@@ -604,24 +615,8 @@ object RelationalQueries {
           col("ts_us"), col("n_hist"), col("n_purchases"),
           (col("ts_us") === col("first_us")).as("is_first_event"),
           (col("n_purchases") >= 2L).as("repeat_purchaser"))
-      val qn = "stream_enr_" +
-        java.util.UUID.randomUUID.toString.replace("-", "")
-      val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
-        val q = enriched.writeStream.format("memory").queryName(qn)
-          .outputMode("append")
-          .option("checkpointLocation", java.nio.file.Files
-            .createTempDirectory("graft_enr_ck").toString)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        if (!q.awaitTermination(300000)) {
-          q.stop()
-          throw new IllegalStateException(
-            "streaming drain did not finish within 300 s")
-        }
-      } finally s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
-      s.table(qn)
+      graft.streaming.StreamDrain.drain(s, enriched,
+        "append", "stream_enr", shufflePartitions = 4)
     }),
 
     // The pandas groupby.transform analog: attach a group aggregate
@@ -721,31 +716,15 @@ object RelationalQueries {
       val stream = s.readStream.schema(schema)
         .option("header", "true").csv(path)
         .withColumn("ts", timestamp_micros(col("ts_us")))
-      val qn = "stream_sessions_" +
-        java.util.UUID.randomUUID.toString.replace("-", "")
-      val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
-        // huge watermark delay: the timeout-close path depends on the
-        // drain's final watermark (not oracle-expressible), so this
-        // query pins the arrival-close path only — timeouts are
-        // covered by StreamingSpec
-        val q = graft.streaming.StreamingRecords
+      // huge watermark delay: the timeout-close path depends on the
+      // drain's final watermark (not oracle-expressible), so this
+      // query pins the arrival-close path only — timeouts are
+      // covered by StreamingSpec
+      graft.streaming.StreamDrain.drain(s,
+        graft.streaming.StreamingRecords
           .sessions(stream, gapUs = 1800000000L,
-            watermarkDelay = "36500 days")
-          .writeStream.format("memory").queryName(qn)
-          .outputMode("append")
-          .option("checkpointLocation", java.nio.file.Files
-            .createTempDirectory("graft_sess_ck").toString)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        if (!q.awaitTermination(300000)) {
-          q.stop()
-          throw new IllegalStateException(
-            "streaming drain did not finish within 300 s")
-        }
-      } finally s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
-      s.table(qn)
+            watermarkDelay = "36500 days").toDF(),
+        "append", "stream_sessions", shufflePartitions = 4)
     }),
 
     // Unpivot (q22's inverse): wide per-flag revenue back to long
@@ -885,24 +864,8 @@ object RelationalQueries {
         .select(col("purchase_id"), col("click_id"),
           col("p_user").as("user_id"),
           (col("p_us") - col("c_us")).as("gap_us"))
-      val qn = "stream_ssj_" +
-        java.util.UUID.randomUUID.toString.replace("-", "")
-      val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
-        val q = joined.writeStream.format("memory").queryName(qn)
-          .outputMode("append")
-          .option("checkpointLocation", java.nio.file.Files
-            .createTempDirectory("graft_ssj_ck").toString)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        if (!q.awaitTermination(300000)) {
-          q.stop()
-          throw new IllegalStateException(
-            "streaming drain did not finish within 300 s")
-        }
-      } finally s.conf.set("spark.sql.shuffle.partitions", oldShuffle)
-      s.table(qn)
+      graft.streaming.StreamDrain.drain(s, joined,
+        "append", "stream_ssj", shufflePartitions = 4)
     })
   )
 
@@ -1311,8 +1274,10 @@ object RelationalQueries {
          FROM p JOIN c USING (user_id)
          WHERE c_us BETWEEN p_us - 600000000 AND p_us""",
     "q40_cube_summary" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
-         coalesce(l_linestatus, 'ALL') AS status,
+      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+                ELSE l_returnflag END AS flag,
+         CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+                ELSE l_linestatus END AS status,
          count(*) AS n,
          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))),2) AS DOUBLE) AS rev
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
