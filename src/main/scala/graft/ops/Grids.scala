@@ -109,6 +109,53 @@ object Grids {
     la.unionByName(lo).unionByName(uLa).unionByName(uLo)
   }
 
+  /** Per-tile 2D lat/lon for `#` (tile) grids — the reference
+    * dispatches `#` through the same per-record grid definition as
+    * Z/Y/U (std_grid.py:74-79): a tile record's ni x nj window starts
+    * at 1-BASED offsets (ig3, ig4) into the parent `>>`/`^^` axes it
+    * references via ig1/ig2 (the LAM tiling convention). One LA + LO
+    * pair per DISTINCT tile geometry (grid, i0, j0, ni, nj); the
+    * offsets ride along in the output so downstream code can place
+    * each tile in the parent plane.
+    *
+    * Scale shape: the distinct() collapses the (bounded) tile
+    * geometry set before any axis join, the axes join is keyed on
+    * `grid`, and the outer product is expression-only — same totality
+    * guards as the U path (clamped slice starts/lengths, sizes taken
+    * from the actually-sliced arrays).
+    */
+  def latLonTiles(df: DataFrame): DataFrame = {
+    val g = if (df.columns.contains("grid")) df else Decode.addGrid(df)
+    val lon = g.filter(col("nomvar") === ">>").select(
+      col("grid"), col("d").as("lon_ax"))
+    val lat = g.filter(col("nomvar") === "^^").select(
+      col("grid").as("lat_grid"), col("d").as("lat_ax"))
+    // meta records never carry grtyp '#' (their grtyp is the
+    // reference grid type), so the grtyp filter alone isolates tiles
+    val tiles = g.filter(col("grtyp") === "#")
+      .select(col("grid"), col("ni").as("t_ni"), col("nj").as("t_nj"),
+        col("ig3").as("i0"), col("ig4").as("j0"))
+      .distinct()
+    val j = tiles.join(lon, Seq("grid"))
+      .join(lat, col("grid") === col("lat_grid"))
+      .withColumn("t_lon", slice(col("lon_ax"),
+        greatest(col("i0"), lit(1)), greatest(col("t_ni"), lit(0))))
+      .withColumn("t_lat", slice(col("lat_ax"),
+        greatest(col("j0"), lit(1)), greatest(col("t_nj"), lit(0))))
+    val ni = size(col("t_lon"))
+    val nj = size(col("t_lat"))
+    val n = ni * nj
+    val kk = when(n > 0, sequence(lit(0), n - 1))
+      .otherwise(array().cast("array<int>"))
+    def rec(nomvar: String, d: Column) =
+      j.select(col("grid"), lit(nomvar).as("nomvar"),
+        col("i0"), col("j0"), ni.as("ni"), nj.as("nj"), d.as("d"))
+    rec("LA", transform(kk, k =>
+        try_element_at(col("t_lat"), (k / ni).cast("int") + 1)))
+      .unionByName(rec("LO", transform(kk, k =>
+        try_element_at(col("t_lon"), pmod(k, ni).cast("int") + 1))))
+  }
+
   val Epsilon = 0.001
 
   private def eq(a: Column, b: Column): Column =
@@ -472,7 +519,11 @@ object Grids {
       col("ig3ref").cast("int").as("ig3"),
       col("ig4ref").cast("int").as("ig4"),
       lit(0L).as("datev"), d.as("d"))
-    val zy = params.filter(col("grtyp").isin("Z", "Y"))
+    // '#' (tile) grids share the Z/Y axes-record shape: the parent
+    // `>>`/`^^` cover the FULL plane and tiles window into them via
+    // ig3/ig4 (std_grid.py:74-79), so their grid-params emit the same
+    // records
+    val zy = params.filter(col("grtyp").isin("Z", "Y", "#"))
     val xx = zy.select(rec(">>", col("ni"), lit(1), col("ax")): _*)
     val yy = zy.select(rec("^^", lit(1), col("nj"), col("ay")): _*)
     val u = params.filter(col("grtyp") === "U")

@@ -601,6 +601,29 @@ object FstQueries {
           col("lon2"))
     }),
 
+    // M13/M14 closure for '#' (tile) grids (std_grid.py:74-79): the
+    // parent `>>`/`^^` axes cover the full plane; each tile windows
+    // into them at 1-based (ig3, ig4) offsets with its own ni x nj
+    // extent. Two tiles of one parent, disjoint offsets — the LA/LO
+    // fields must be the exact axis slices' outer products.
+    "f59_latlon_tile" -> ((s, dir) => {
+      import s.implicits._
+      val lonAx = (0 until 8).map(i => 10f + i)
+      val latAx = (0 until 6).map(j => 40f + j)
+      val recs = Seq(
+        ("gT", ">>", "L", 8, 1, 0, 0, lonAx),
+        ("gT", "^^", "L", 1, 6, 0, 0, latAx),
+        ("gT", "TT", "#", 4, 3, 1, 1, Seq.fill(12)(0f)),
+        ("gT", "TT", "#", 4, 3, 5, 4, Seq.fill(12)(0f)))
+        .toDF("grid", "nomvar", "grtyp", "ni", "nj", "ig3", "ig4", "d")
+      graft.ops.Grids.latLonTiles(recs)
+        .select(col("grid"), col("nomvar"), col("i0"), col("j0"),
+          col("ni"), col("nj"), posexplode(col("d")))
+        .select(col("grid"), col("nomvar"), col("i0"), col("j0"),
+          col("ni"), col("nj"), (col("pos") + 1).as("pos"),
+          col("col").as("value"))
+    }),
+
     // M16: vgrid descriptor -> !! record round-trip (descriptor parsed
     // back out of the catalog's own !! record)
     "f35_df_from_vgrid" -> ((s, dir) => {
@@ -1609,6 +1632,27 @@ SELECT 'u1' AS grid, nomvar, CAST(4 AS INT) AS ni, CAST(6 AS INT) AS nj,
   CAST(unnest(range(1, len(vals) + 1)) AS INT) AS pos,
   CAST(unnest(vals) AS FLOAT) AS value
 FROM f"""),
+
+    // tile windows indexed straight off the parent axes: LA at flat
+    // k is lat_ax[j0 + k div ni], LO is lon_ax[i0 + k mod ni]
+    // (1-based axes, 0-based k) — identical arithmetic to the
+    // slice-then-outer-product the Spark side performs
+    "f59_latlon_tile" ->
+      """WITH ax(lon_ax, lat_ax) AS (VALUES (
+    [10.0,11,12,13,14,15,16,17], [40.0,41,42,43,44,45])),
+t(i0, j0, ni, nj) AS (VALUES (1,1,4,3), (5,4,4,3)),
+recs AS (
+  SELECT 'gT' AS grid, 'LA' AS nomvar, i0, j0, ni, nj,
+    list_transform(range(0, ni*nj), k ->
+      CAST(lat_ax[j0 + (k // ni)] AS FLOAT)) AS d FROM t, ax
+  UNION ALL
+  SELECT 'gT', 'LO', i0, j0, ni, nj,
+    list_transform(range(0, ni*nj), k ->
+      CAST(lon_ax[i0 + (k % ni)] AS FLOAT)) FROM t, ax)
+SELECT grid, nomvar, CAST(i0 AS INT) AS i0, CAST(j0 AS INT) AS j0,
+  CAST(ni AS INT) AS ni, CAST(nj AS INT) AS nj,
+  CAST(unnest(range(1, len(d) + 1)) AS INT) AS pos,
+  unnest(d) AS value FROM recs""",
 
     // exactness argument: payloads are half-integers <= 55.5, so the
     // per-record reference-exponent step at 16 tokens is a power of

@@ -1429,6 +1429,27 @@ object PipelineQueries {
           "lsh_hyperplane"))
     }),
 
+    // end-of-pipeline sharded export, driver-checked end-to-end:
+    // write the corpus through CorpusSink (content-hash shards, one
+    // task -> one file per shard), read the shards BACK off disk, and
+    // report per-shard layout + content digests from the READ-BACK
+    // data. The oracle recomputes the same digests from the source
+    // table, so a lost, duplicated, or misrouted row — or a
+    // multi-file shard (n_files must be exactly 1) — breaks the row.
+    "p76_corpus_sink" -> ((s, dir) => {
+      val path = s"/tmp/graft_corpus_sink_${
+        dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      graft.pipeline.CorpusSink.writeSharded(
+        docs(s, dir).select("doc_id", "text"), path, nShards = 4)
+      s.read.parquet(path)
+        .withColumn("fname", input_file_name())
+        .groupBy(col("shard").cast("int").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fname")).as("n_files"),
+          sum(col("doc_id")).as("sum_doc_id"),
+          sum(length(col("text")).cast("long")).as("sum_chars"))
+    }),
+
     "p59_bloom_decontamination" -> ((s, dir) => {
       val bucket = h64(col("text"), 13) % 100
       val d = docs(s, dir)
@@ -2937,6 +2958,17 @@ SELECT source, n_docs, src_tok, p, q, rate,
   CAST(tok_sampled AS BIGINT) AS tok_sampled
 FROM rates JOIN realized USING (source)"""
     },
+
+    // per-shard digests recomputed from the SOURCE table (the Spark
+    // side reports them from the read-back shards); n_files pins the
+    // one-file-per-shard layout contract
+    "p76_corpus_sink" ->
+      s"""WITH d AS (SELECT doc_id, text,
+    CAST(${h64Sql("text", 29)} % 4 AS INT) AS shard FROM documents)
+SELECT shard, count(*) AS n_docs, CAST(1 AS BIGINT) AS n_files,
+  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+FROM d GROUP BY shard""",
 
     "p75_ann_index_report" -> {
       val planes = hyperplanes(4, 64)
