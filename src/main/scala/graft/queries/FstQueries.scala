@@ -819,6 +819,38 @@ object FstQueries {
     // payloads sit on the reference-exponent grid at 16 tokens, so the
     // round-trip is exact on both the float32 `d` surface and the
     // native `d64` column
+    // S4 closure: the four turbopack-family compressed datyps
+    // (129/130/133/134, std_io.py:548-563) through the XDF container
+    // — variable-length payloads carried by the directory lng, token
+    // streams via the library's own documented compressor (librmn's
+    // armn_compress bitstream stays the declared external boundary;
+    // see XdfFormat.scala). Exactness per datyp: 129 = half-integer
+    // offsets on the datyp-1 grid; 130 = floor()ed ints < 2^16;
+    // 133 = lossless IEEE 32; 134 = f56's step-multiple argument.
+    "f60_turbopack_roundtrip" -> ((s, dir) => {
+      val base = cat(s, dir).filter(col("rid") > 0)
+        .withColumn("ip3", col("rid").cast("int"))
+      def pick(nv: String, dt: Int, nb: Int) = base
+        .filter(col("nomvar") === nv)
+        .withColumn("datyp", lit(dt)).withColumn("nbits", lit(nb))
+      val staged = pick("TT", 129, 16)
+        .unionByName(pick("UU", 130, 16)
+          .withColumn("d", transform(col("d"),
+            x => floor(x).cast("float"))))
+        .unionByName(pick("VV", 133, 32))
+        .unionByName(pick("GZ", 134, 16))
+      val path =
+        s"/tmp/graft_xdf_turbo_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      graft.sources.fst.FstWriter.write(staged, path, cleanup = false,
+        container = "xdf")
+      s.read.format("fstrec")
+        .schema(graft.sources.fst.FstTable.ExtendedSchema).load(path)
+        .select(col("ip3").as("rid"), col("nomvar"), col("datyp"),
+          col("nbits"), posexplode(col("d")))
+        .select(col("rid"), col("nomvar"), col("datyp"), col("nbits"),
+          (col("pos") + 1).as("pos"), col("col").as("value"))
+    }),
+
     "f56_xdf_packed_float" -> ((s, dir) => {
       val base = cat(s, dir)
         .filter(col("nomvar") === "UU" && col("rid") > 0)
@@ -1653,6 +1685,24 @@ SELECT grid, nomvar, CAST(i0 AS INT) AS i0, CAST(j0 AS INT) AS j0,
   CAST(ni AS INT) AS ni, CAST(nj AS INT) AS nj,
   CAST(unnest(range(1, len(d) + 1)) AS INT) AS pos,
   unnest(d) AS value FROM recs""",
+
+    // round-trip identity for every compressed datyp (the UU branch
+    // mirrors the floor() staging the Spark side applies for the
+    // integer-domain datyp 130)
+    "f60_turbopack_roundtrip" -> W(
+      """, src AS (SELECT rid, nomvar,
+    CASE nomvar WHEN 'TT' THEN 129 WHEN 'UU' THEN 130
+      WHEN 'VV' THEN 133 ELSE 134 END AS datyp,
+    CASE WHEN nomvar = 'VV' THEN 32 ELSE 16 END AS nbits,
+    CASE WHEN nomvar = 'UU'
+      THEN list_transform(d, x -> CAST(floor(x) AS FLOAT))
+      ELSE d END AS d
+  FROM cat WHERE nomvar IN ('TT', 'UU', 'VV', 'GZ') AND rid > 0)
+SELECT CAST(rid AS INT) AS rid, nomvar,
+  CAST(datyp AS INT) AS datyp, CAST(nbits AS INT) AS nbits,
+  CAST(unnest(range(1, len(d) + 1)) AS INT) AS pos,
+  unnest(d) AS value
+FROM src"""),
 
     // exactness argument: payloads are half-integers <= 55.5, so the
     // per-record reference-exponent step at 16 tokens is a power of

@@ -113,6 +113,15 @@ object XdfFormat {
     ((nelm.toLong * nbits + 31) / 32).toInt
 
   /** Stored payload length in 32-bit words for one record. */
+  /** Compressed (turbopack-family) encodings: base datyp + 128
+    * (129/130/133/134, std_io.py:548-563). Their stored length is
+    * VARIABLE, carried by the directory entry's lng — use
+    * [[readPayload]] (which reads `lng32 - RecordHeaderWords`), not
+    * [[payloadWords]].
+    */
+  def isTurboDatyp(datyp: Int): Boolean =
+    Set(129, 130, 133, 134)(baseDatyp(datyp))
+
   def payloadWords(datyp: Int, nbits: Int, nelm: Int): Int =
     baseDatyp(datyp) match {
       case 0 => if (nbits > 32) 2 * nelm else nelm
@@ -123,11 +132,134 @@ object XdfFormat {
       case 7 => packedWords(nelm, 8) // chars pack 8-bit regardless
       // of declared nbits (the reference passes a literal 8,
       // std_io.py:546-547)
+      case other if isTurboDatyp(other) =>
+        throw new UnsupportedOperationException(
+          s"xdf: datyp $other payload length is variable " +
+            "(directory-carried lng) — read via readPayload")
       case other => throw new UnsupportedOperationException(
-        s"xdf: datyp $other payloads require librmn's " +
-          "turbopack compressors (std_io.py:548-563) — " +
-          "outside clean-room scope")
+        s"xdf: datyp $other payloads are not a documented FST " +
+          "encoding (std_io.py:492-563)")
     }
+
+  // ---------------------------------------------------------------
+  // turbopack-family token compression (datyps 129/130/133/134)
+  //
+  // The reference decodes these via librmn's armn_compress /
+  // c_armn_uncompress32 (std_io.py:548-563), whose exact bitstream
+  // lives only in librmn's C sources (not part of the reference, not
+  // available here) — librmn-WRITTEN compressed records therefore
+  // remain a declared external boundary. What IS public is the
+  // FORMAT STRUCTURE: a compressed stream of <=16-bit quantization
+  // tokens replacing the fixed-width token stream of the matching
+  // base datyp (129 ~ datyp 1 quantization, 134 ~ datyp 6 float
+  // tokens, 130 ~ 16-bit unsigned ints, 133 ~ raw IEEE 32 split into
+  // 16-bit halves). This library implements that structure with its
+  // OWN documented token codec, so compressed datyps round-trip
+  // within the library and a future bit-exact armn_compress port
+  // swaps in behind compressTokens/decompressTokens only.
+  //
+  // Token codec: word 0 = token count; then an MSB-first bit stream
+  // of 64-token blocks, each [blockMin:16][width:5] followed by
+  // (token - blockMin) at `width` bits — the min-offset + per-block
+  // bit-width reduction that makes smooth fields (the meteorological
+  // common case) compress well, with worst-case overhead bounded at
+  // 21 bits per 64 tokens over the uncompressed packing.
+  // ---------------------------------------------------------------
+
+  private final class BitWriter {
+    private val words = scala.collection.mutable.ArrayBuffer.empty[Int]
+    private var acc = 0L
+    private var nAcc = 0
+    def put(v: Int, width: Int): Unit = {
+      if (width == 0) return
+      val mask = if (width == 32) 0xFFFFFFFFL else (1L << width) - 1
+      acc = (acc << width) | (v & mask)
+      nAcc += width
+      while (nAcc >= 32) {
+        words += ((acc >>> (nAcc - 32)) & 0xFFFFFFFFL).toInt
+        nAcc -= 32
+      }
+    }
+    def result(): Array[Int] = {
+      if (nAcc > 0) {
+        words += (((acc & ((1L << nAcc) - 1)) << (32 - nAcc))
+          & 0xFFFFFFFFL).toInt
+        nAcc = 0
+      }
+      words.toArray
+    }
+  }
+
+  private final class BitReader(words: Array[Int]) {
+    private var pos = 0L
+    def get(width: Int): Int = {
+      if (width == 0) return 0
+      var v = 0L
+      var rem = width
+      while (rem > 0) {
+        val w = (pos / 32).toInt
+        val off = (pos % 32).toInt
+        val avail = 32 - off
+        val take = math.min(avail, rem)
+        val mask = if (take == 32) 0xFFFFFFFFL else (1L << take) - 1
+        v = (v << take) | ((words(w) >>> (avail - take)) & mask)
+        pos += take
+        rem -= take
+      }
+      v.toInt
+    }
+  }
+
+  /** Compress unsigned <=16-bit tokens (library-own bitstream, see
+    * block comment above).
+    */
+  def compressTokens(tokens: Array[Int]): Array[Int] = {
+    val bw = new BitWriter
+    bw.put(tokens.length, 32)
+    var i = 0
+    while (i < tokens.length) {
+      val end = math.min(i + 64, tokens.length)
+      var mn = Int.MaxValue
+      var mx = 0
+      var j = i
+      while (j < end) {
+        val t = tokens(j)
+        require(t >= 0 && t < 65536,
+          s"xdf: turbopack token $t outside the unsigned 16-bit domain")
+        if (t < mn) mn = t
+        if (t > mx) mx = t
+        j += 1
+      }
+      val width = 32 - Integer.numberOfLeadingZeros(mx - mn)
+      bw.put(mn, 16)
+      bw.put(width, 5)
+      j = i
+      while (j < end) { bw.put(tokens(j) - mn, width); j += 1 }
+      i = end
+    }
+    bw.result()
+  }
+
+  /** Inverse of [[compressTokens]]; `expected` cross-checks the
+    * stream's own token count against the directory's nelm.
+    */
+  def decompressTokens(words: Array[Int], expected: Int): Array[Int] = {
+    val br = new BitReader(words)
+    val n = br.get(32)
+    require(n == expected,
+      s"xdf: turbopack stream token count $n != directory $expected")
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val end = math.min(i + 64, n)
+      val mn = br.get(16)
+      val width = br.get(5)
+      var j = i
+      while (j < end) { out(j) = mn + br.get(width); j += 1 }
+      i = end
+    }
+    out
+  }
 
   /** Pack `ks` as nbits-wide fields, MSB-first, into 32-bit words. */
   def packBits(ks: Array[Long], nbits: Int): Array[Int] = {
@@ -242,9 +374,13 @@ object XdfFormat {
           s"xdf: datyp 7 value $v out of 8-bit character range")
         k
       }, 8)
-    case 1 =>
+    case 1 | 129 =>
+      val turbo = baseDatyp(datyp) == 129
       require(nbits <= 32, s"xdf: datyp 1 nbits $nbits > 32 " +
         "(the reference raises too, std_io.py:532-533)")
+      require(!turbo || nbits <= 16,
+        s"xdf: datyp 129 nbits $nbits > 16 (compressed tokens are " +
+          "16-bit, std_io.py:548-551)")
       // quantize against the min AS STORED (float32): decode adds the
       // stored header value back, so encoding against the unrounded
       // double would introduce a systematic offset of the float
@@ -258,9 +394,31 @@ object XdfFormat {
         math.max(0L, math.min(maxK,
           math.round((v - minS.toDouble) / step)))
       }
-      Array(java.lang.Float.floatToIntBits(minS), j,
-        values.length) ++ packBits(ks, nbits)
-    case 6 =>
+      Array(java.lang.Float.floatToIntBits(minS), j, values.length) ++
+        (if (turbo) compressTokens(ks.map(_.toInt))
+         else packBits(ks, nbits))
+    case 130 =>
+      // compressed unsigned-short field: tokens ARE the values
+      compressTokens(values.map { v =>
+        val k = math.round(v)
+        require(k >= 0 && k < 65536,
+          s"xdf: datyp 130 value $v out of unsigned 16-bit range")
+        k.toInt
+      })
+    case 133 =>
+      // compressed IEEE 32: lossless — each float's bits split into
+      // 16-bit halves; the hi halves (sign+exponent+mantissa head) of
+      // a smooth field are where the compression lands
+      val toks = new Array[Int](2 * values.length)
+      var i = 0
+      while (i < values.length) {
+        val bits = java.lang.Float.floatToIntBits(values(i).toFloat)
+        toks(2 * i) = bits >>> 16
+        toks(2 * i + 1) = bits & 0xFFFF
+        i += 1
+      }
+      compressTokens(toks)
+    case 6 | 134 =>
       // float_packer-shaped codec: the reference's decode call is
       // `c_float_unpacker(work, data, data[3:], nelm, &nbits)`
       // (std_io.py:546) — a 3-word header followed by an nbits-token
@@ -272,8 +430,12 @@ object XdfFormat {
       // quantization step (= 2^(refExpo-150+25-nbits)) round-trip
       // exactly; everything else truncates toward zero, bounded by
       // one step.
+      val turbo6 = baseDatyp(datyp) == 134
       require(nbits >= 2 && nbits <= 25,
         s"xdf: datyp 6 nbits $nbits outside the 2-25 token range")
+      require(!turbo6 || nbits <= 16,
+        s"xdf: datyp 134 nbits $nbits > 16 (compressed tokens are " +
+          "16-bit, std_io.py:558-560)")
       val refExpo = values.foldLeft(0) { (acc, v) =>
         val bits = java.lang.Float.floatToIntBits(v.toFloat)
         math.max(acc, (bits >>> 23) & 0xFF)
@@ -292,9 +454,11 @@ object XdfFormat {
         }
       }
       Array(FlpMagic | nbits, refExpo, values.length) ++
-        packBits(ks, nbits)
+        (if (turbo6) compressTokens(ks.map(_.toInt))
+         else packBits(ks, nbits))
     case other => throw new UnsupportedOperationException(
-      s"xdf: cannot encode datyp $other (librmn-only compressor)")
+      s"xdf: cannot encode datyp $other " +
+        "(not a documented FST encoding, std_io.py:492-563)")
   }
 
   /** Decode one record's stored words back to values. */
@@ -330,13 +494,29 @@ object XdfFormat {
         unpackBits(words, nbits, nelm).map { k =>
           (if (k >= lim) k - (lim << 1) else k).toDouble
         }
-      case 1 =>
+      case 1 | 129 =>
         val min = java.lang.Float.intBitsToFloat(words(0)).toDouble
         val step = math.pow(2, words(1).toDouble)
         require(words(2) == nelm,
           s"xdf: datyp 1 header nelm ${words(2)} != directory $nelm")
-        unpackBits(words.drop(3), nbits, nelm).map(min + _ * step)
-      case 6 =>
+        val ks =
+          if (baseDatyp(datyp) == 129)
+            decompressTokens(words.drop(3), nelm).map(_.toLong)
+          else unpackBits(words.drop(3), nbits, nelm)
+        ks.map(min + _ * step)
+      case 130 =>
+        decompressTokens(words, nelm).map(_.toDouble)
+      case 133 =>
+        val toks = decompressTokens(words, 2 * nelm)
+        val out = new Array[Double](nelm)
+        var i = 0
+        while (i < nelm) {
+          out(i) = java.lang.Float.intBitsToFloat(
+            (toks(2 * i) << 16) | toks(2 * i + 1)).toDouble
+          i += 1
+        }
+        out
+      case 6 | 134 =>
         require((words(0) & 0xFFFFFF00) == FlpMagic,
           f"xdf: datyp 6 header marker 0x${words(0)}%08x is not FLP")
         val hnbits = words(0) & 0xFF
@@ -347,13 +527,18 @@ object XdfFormat {
         val refExpo = words(1)
         val magBits = nbits - 1
         val step = math.pow(2, (refExpo - 126 - magBits).toDouble)
-        unpackBits(words.drop(3), nbits, nelm).map { k =>
+        val ks =
+          if (baseDatyp(datyp) == 134)
+            decompressTokens(words.drop(3), nelm).map(_.toLong)
+          else unpackBits(words.drop(3), nbits, nelm)
+        ks.map { k =>
           val mag = k & ((1L << magBits) - 1)
           val sign = if ((k >>> magBits) == 1L) -1.0 else 1.0
           sign * mag * step
         }
       case other => throw new UnsupportedOperationException(
-        s"xdf: cannot decode datyp $other (librmn-only compressor)")
+        s"xdf: cannot decode datyp $other " +
+          "(not a documented FST encoding, std_io.py:492-563)")
     }
 
   // ---------------------------------------------------------------
@@ -506,7 +691,11 @@ object XdfFormat {
     */
   def readPayload(readAt: ReadAt, m: FstFormat.Meta): Array[Double] = {
     val nelm = m.ni * math.max(m.nj, 1) * math.max(m.nk, 1)
-    val nwords = payloadWords(m.datyp, m.nbits, nelm)
+    // compressed (turbopack-family) records have variable length: the
+    // directory's lng carries it, exactly like librmn's reader
+    val nwords =
+      if (isTurboDatyp(m.datyp)) m.lng32 - RecordHeaderWords
+      else payloadWords(m.datyp, m.nbits, nelm)
     val bytes = readAt((m.addrWords - 1) * 8L + RecordHeaderWords * 4L,
       nwords * 4)
     val bb = ByteBuffer.wrap(bytes)

@@ -218,15 +218,58 @@ class XdfFormatSpec extends AnyFunSuite {
     }
   }
 
-  test("librmn-only compressed datyps are an explicit boundary") {
-    intercept[UnsupportedOperationException] {
-      XdfFormat.encodePayload(129, 16, Array(1.0))
+  test("turbopack token codec round-trips and compresses smooth runs") {
+    val smooth = (0 until 1000).map(i => 5000 + (i % 37)).toArray
+    val words = XdfFormat.compressTokens(smooth)
+    assert(XdfFormat.decompressTokens(words, 1000).toSeq == smooth.toSeq)
+    // 6-bit-wide blocks + 21-bit block headers ≈ 1/4 of the 16-bit
+    // uncompressed packing — the codec must actually compress
+    assert(words.length < 1000 * 16 / 32 / 2,
+      s"smooth field compressed to ${words.length} words")
+    // adversarial: full-range noise still round-trips (just no gain)
+    val noisy = (0 until 500).map(i => (i * 40503) % 65536).toArray
+    val nw = XdfFormat.compressTokens(noisy)
+    assert(XdfFormat.decompressTokens(nw, 500).toSeq == noisy.toSeq)
+    assert(XdfFormat.decompressTokens(
+      XdfFormat.compressTokens(Array.empty[Int]), 0).isEmpty)
+  }
+
+  test("compressed datyps 129/130/133/134 round-trip in-container") {
+    val recs = Seq[(Meta, Array[Double])](
+      // 129 ~ datyp 1 quantization: integer offsets sit on the grid
+      (meta(0, 4, 1, 129, 16), Array(3.0, 4050.0, 17.0, 20.0)),
+      (meta(1, 3, 1, 130, 16), Array(0.0, 65535.0, 1234.0)),
+      // 133 is lossless IEEE 32
+      (meta(2, 4, 1, 133, 32),
+        Array(1.5, -2.25, 3.0e7, 0.1f.toDouble)),
+      // 134 ~ datyp 6: step-multiple magnitudes decode exactly
+      (meta(3, 4, 1, 134, 16), Array(1.5, -2.25, 0.0, 100.0)),
+      // +64 missing-flag composes with the compressed bit too
+      (meta(4, 2, 1, 130 + 64, 16), Array(7.0, 9.0)))
+    val img = XdfFormat.writeFile(recs)
+    val dir = XdfFormat.readDirectory(img)
+    assert(dir.size == recs.size)
+    dir.sortBy(_._1.ip3).zip(recs).foreach { case ((m, _), (em, ed)) =>
+      assert(m.datyp == em.datyp && m.nbits == em.nbits)
+      val got = XdfFormat.readPayload(XdfFormat.byteReader(img), m)
+      assert(got.toSeq == ed.toSeq, s"payload of ip3=${m.ip3}")
     }
+  }
+
+  test("undocumented datyps and variable-length probes fail loudly") {
+    intercept[UnsupportedOperationException] {
+      XdfFormat.encodePayload(8, 16, Array(1.0))
+    }
+    // compressed lengths are directory-carried: the fixed-size probe
+    // must refuse rather than guess
     intercept[UnsupportedOperationException] {
       XdfFormat.payloadWords(133, 16, 4)
     }
-    intercept[UnsupportedOperationException] {
-      XdfFormat.decodePayload(134, 16, 1, Array(0))
+    intercept[IllegalArgumentException] {
+      XdfFormat.encodePayload(130, 16, Array(70000.0))
+    }
+    intercept[IllegalArgumentException] {
+      XdfFormat.encodePayload(129, 24, Array(1.0)) // tokens cap at 16
     }
     // integer encode is capped at the 32-bit packing domain: wider
     // widths would wrap the 1L << nbits range masks and mis-reject
