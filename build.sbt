@@ -33,4 +33,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx$benchHeap", s"-Xms$benchHeap",
   "-XX:+UseG1GC",
+  // 180 queries of whole-stage codegen in one JVM generate enough
+  // classes to exhaust the default 240 MB JIT code cache, after
+  // which late-alphabet queries run partially interpreted (the
+  // uniform ~1.5-2x late-run inflation seen on the LSH family)
+  "-XX:ReservedCodeCacheSize=1g",
 )
