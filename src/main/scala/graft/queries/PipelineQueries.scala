@@ -1450,6 +1450,154 @@ object PipelineQueries {
           sum(length(col("text")).cast("long")).as("sum_chars"))
     }),
 
+    // TRAINING of the p70-style quality classifier — full-batch
+    // logistic regression on hashed bag-of-words features (8 buckets
+    // + bias), 2 deterministic gradient rounds. Scale shape: the
+    // feature vector builds SCAN-LOCAL (one aggregate-HOF pass, no
+    // explode, no shuffle — the p70 posture); each round is ONE
+    // 9-row dim-keyed exchange (gradients, like p72's dim-keyed
+    // reductions) with the weight vector riding a single-row
+    // broadcast; nothing grows with corpus size except the scan.
+    // Exactness: per-doc residuals round to 9 decimals into DECIMAL
+    // before the gradient sum (order-independent, engine-exact);
+    // the sigmoid is the one transcendental (DESIGN.md rounding
+    // class (c)).
+    "p77_classifier_training" -> ((s, dir) => {
+      val B = 8
+      val lr = 0.0001 // on the SUMMED gradient (no 1/n): the update
+      // stays integer-exact-then-one-divide, see stepW
+      val ws = words(lower(col("text")))
+      val bucketOf = (w: Column) =>
+        pmod(h64(w, 53), lit(B.toLong)).cast("int")
+      val xCol = concat(
+        aggregate(ws, array_repeat(lit(0L), B),
+          (acc, w) => transform(acc,
+            (v, i) => when(i === bucketOf(w), v + 1L).otherwise(v))),
+        array(lit(1L)))
+      val f = docs(s, dir).select(col("doc_id"), xCol.as("x"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        .transform(graft.core.CacheRegistry.persist(_))
+      f.count() // one scan serves both rounds + the accuracy pass
+      def zOf(wv: Column): Column = aggregate(
+        zip_with(col("x"), wv, (a, b) => a.cast("double") * b),
+        lit(0.0), (a, t) => a + t)
+      // one full-batch gradient round: residuals -> 9-row exchange
+      // -> updated weights as a single-row array. The update
+      // extracts the gradient's exact 1e9-scaled integer and divides
+      // in DOUBLE (the scaled sum is < 2^53, so both engines land on
+      // the same correctly-rounded double), and weights are NEVER
+      // rounded — every weight is a bit-deterministic double; the
+      // sigmoid inside the DECIMAL-rounded residual is the one
+      // transcendental (DESIGN.md rounding class (c))
+      def stepW(prev: DataFrame): DataFrame = f
+        .crossJoin(broadcast(prev.select(col("wv"))))
+        .select(col("wv"),
+          round(lit(1.0) / (lit(1.0) + exp(-zOf(col("wv")))) -
+            col("y").cast("double"), 9).cast("decimal(18,9)").as("rr"),
+          posexplode(col("x")).as(Seq("j", "xj")))
+        .select(col("j"), (col("rr") * col("xj")).as("t"),
+          element_at(col("wv"), col("j") + 1).as("wj"))
+        .groupBy("j").agg(sum("t").as("g"), max("wj").as("wj"))
+        .select(col("j"), (col("wj") - lit(lr) *
+          ((col("g").cast("decimal(20,9)") * lit(1000000000L))
+            .cast("long").cast("double") / lit(1.0e9))).as("w"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("j"), col("w")))),
+          t => t.getField("w")).as("wv"))
+      val w0 = s.range(1).select(array_repeat(lit(0.0), B + 1).as("wv"))
+      val w1 = stepW(w0).transform(graft.core.CacheRegistry.persist(_))
+      w1.count() // feeds round 2 AND the output join
+      val w2 = stepW(w1).transform(graft.core.CacheRegistry.persist(_))
+      w2.count() // feeds the accuracy pass AND the output join
+      val acc = f
+        .crossJoin(broadcast(w2.select(col("wv"))))
+        .select(((zOf(col("wv")) >= 0.0) === (col("y") === 1L))
+          .cast("long").as("ok"))
+        .agg(round(sum("ok").cast("double") / count(lit(1)), 6)
+          .as("train_acc"), count(lit(1)).as("n_docs"))
+      w1.select(posexplode(col("wv")).as(Seq("j", "w1v")))
+        .join(w2.select(posexplode(col("wv")).as(Seq("j", "w2v"))),
+          Seq("j"))
+        .crossJoin(broadcast(acc))
+        .select(col("j").cast("int").as("bucket"),
+          col("w1v").as("w1"), col("w2v").as("w2"),
+          col("n_docs"), col("train_acc"))
+    }),
+
+    // packing-efficiency dashboard over the p48 scheme: per shard,
+    // bins used, tail padding, boundary-split rate, utilization.
+    // All accounting is INTEGER arithmetic (utilization rounds in
+    // BIGINT space, the p70 pattern) so the report is engine-exact;
+    // one keyed window + one aggregate, both on the shard key.
+    "p78_packing_report" -> ((s, dir) => {
+      val nShards = 8
+      val w = Window.partitionBy("shard")
+        .orderBy(col("ord"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs(s, dir).select(col("doc_id"),
+          size(words(col("text"))).cast("long").as("n_tok"),
+          pmod(h64(col("text"), 29), lit(nShards.toLong)).cast("int")
+            .as("shard"),
+          h64(col("text"), 31).as("ord"))
+        .withColumn("off", coalesce(sum("n_tok").over(w), lit(0L)))
+        .withColumn("n_splits",
+          shiftright(col("off") + col("n_tok") - 1, 11) -
+            shiftright(col("off"), 11))
+        .groupBy("shard").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tok").as("total_tok"),
+          sum(when(col("n_splits") > 0, 1L).otherwise(0L))
+            .as("n_split_docs"),
+          max("n_splits").as("max_splits"))
+        .withColumn("n_seqs", shiftright(col("total_tok") + 2047L, 11))
+        .withColumn("pad_tok",
+          col("n_seqs") * 2048L - col("total_tok"))
+        .withColumn("util",
+          expr("CAST((total_tok * 2000000 + n_seqs * 2048) div " +
+            "(2 * n_seqs * 2048) AS DOUBLE)") / lit(1.0e6))
+        .select("shard", "n_docs", "total_tok", "n_seqs", "pad_tok",
+          "n_split_docs", "max_splits", "util")
+    }),
+
+    // multi-suite decontamination matrix — the production dashboard
+    // one step up from p23's single test set: five held-out "suites"
+    // (hash buckets 90-99 paired off), and for every (source, suite)
+    // cell the count + rate of training docs sharing >= 20% of their
+    // shingles with that suite. The flag threshold compares in
+    // INTEGER space (5*shared >= shingles — no double division), and
+    // the rate rounds in BIGINT space. Scale shape: suite shingle
+    // sets join on the shingle hash (suite-bounded, never all-pairs),
+    // denominators are a per-source broadcast, output is
+    // |sources| x |suites| rows at any corpus size.
+    "p79_decontamination_matrix" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("sh", graft.functions.GraftFunctions
+          .shingleSig(col("text")).getField("sh"))
+        .filter(size(col("sh")) > 0)
+        .withColumn("bucket", pmod(h64(col("text"), 13), lit(100L)))
+        .transform(graft.core.CacheRegistry.persist(_))
+      d.count() // suites, train, and denominators all scan this
+      val suites = d.filter(col("bucket") >= 90)
+        .select(expr("CAST((bucket - 90) div 2 AS INT)").as("suite"),
+          explode(col("sh")).as("h"))
+        .distinct()
+      val train = d.filter(col("bucket") < 90)
+        .select(col("source"), col("doc_id"),
+          size(col("sh")).as("n_shingles"), explode(col("sh")).as("h"))
+      val denom = d.filter(col("bucket") < 90)
+        .groupBy("source").agg(count(lit(1)).as("n_train"))
+      train.join(suites, Seq("h"))
+        .groupBy("source", "suite", "doc_id", "n_shingles")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") * 5L >= col("n_shingles"))
+        .groupBy("source", "suite").agg(count(lit(1)).as("n_flagged"))
+        .join(broadcast(denom), Seq("source"))
+        .select(col("source"), col("suite"), col("n_flagged"),
+          col("n_train"),
+          (expr("CAST((n_flagged * 2000000 + n_train) div " +
+            "(2 * n_train) AS DOUBLE)") / lit(1.0e6)).as("rate"))
+    }),
+
     "p59_bloom_decontamination" -> ((s, dir) => {
       val bucket = h64(col("text"), 13) % 100
       val d = docs(s, dir)
@@ -2957,6 +3105,104 @@ SELECT source, n_docs, src_tok, p, q, rate,
   CAST(n_sampled AS BIGINT) AS n_sampled,
   CAST(tok_sampled AS BIGINT) AS tok_sampled
 FROM rates JOIN realized USING (source)"""
+    },
+
+    "p78_packing_report" -> {
+      val w = wordsSql("text")
+      s"""WITH d AS (SELECT doc_id,
+    CAST(len($w) AS BIGINT) AS n_tok,
+    CAST(${h64Sql("text", 29)} % 8 AS INT) AS shard,
+    ${h64Sql("text", 31)} AS ord
+  FROM documents),
+o AS (SELECT doc_id, shard, n_tok,
+    CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard
+      ORDER BY ord, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS off
+  FROM d),
+sp AS (SELECT shard, n_tok,
+    (off + n_tok - 1) // 2048 - off // 2048 AS n_splits FROM o),
+agg AS (SELECT shard, count(*) AS n_docs,
+    CAST(sum(n_tok) AS BIGINT) AS total_tok,
+    CAST(sum(CASE WHEN n_splits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_split_docs,
+    CAST(max(n_splits) AS BIGINT) AS max_splits
+  FROM sp GROUP BY shard)
+SELECT shard, n_docs, total_tok,
+  (total_tok + 2047) // 2048 AS n_seqs,
+  ((total_tok + 2047) // 2048) * 2048 - total_tok AS pad_tok,
+  n_split_docs, max_splits,
+  CAST((total_tok * 2000000 + ((total_tok + 2047) // 2048) * 2048)
+    // (2 * ((total_tok + 2047) // 2048) * 2048) AS DOUBLE)
+    / 1000000.0 AS util
+FROM agg"""
+    },
+
+    "p79_decontamination_matrix" -> {
+      val sh = hashedShinglesSql(shinglesSql(wordsSql("text")))
+      s"""WITH sh0 AS (SELECT doc_id, source,
+    ${h64Sql("text", 13)} % 100 AS bucket, $sh AS sh FROM documents),
+sh2 AS (SELECT * FROM sh0 WHERE len(sh) > 0),
+suites AS (SELECT DISTINCT (bucket - 90) // 2 AS suite,
+    unnest(sh) AS h FROM sh2 WHERE bucket >= 90),
+train AS (SELECT source, doc_id, CAST(len(sh) AS INT) AS n_shingles,
+    unnest(sh) AS h FROM sh2 WHERE bucket < 90),
+perdoc AS (SELECT source, suite, doc_id, n_shingles,
+    count(*) AS n_shared
+  FROM train JOIN suites USING (h)
+  GROUP BY source, suite, doc_id, n_shingles),
+denom AS (SELECT source, CAST(count(*) AS BIGINT) AS n_train
+  FROM sh2 WHERE bucket < 90 GROUP BY source),
+fl AS (SELECT source, CAST(suite AS INT) AS suite,
+    CAST(count(*) AS BIGINT) AS n_flagged
+  FROM perdoc WHERE n_shared * 5 >= n_shingles
+  GROUP BY source, suite)
+SELECT source, suite, n_flagged, n_train,
+  CAST((n_flagged * 2000000 + n_train) // (2 * n_train) AS DOUBLE)
+    / 1000000.0 AS rate
+FROM fl JOIN denom USING (source)"""
+    },
+
+    // two unrolled gradient rounds mirroring the Spark arithmetic
+    // op-for-op: residuals round to DECIMAL(18,9) BEFORE the
+    // gradient sum (order-independent); the weight update extracts
+    // the gradient's exact 1e9-scaled integer and divides in DOUBLE
+    // (both engines land on the same correctly-rounded value), and
+    // weights are never rounded — they are bit-deterministic doubles
+    "p77_classifier_training" -> {
+      val w = wordsSql("lower(text)")
+      val hb = s"(${h64Sql("w", 53)} % 8)"
+      val zExpr = "list_reduce(list_transform(range(1, 10), i -> " +
+        "CAST(x[CAST(i AS INT)] AS DOUBLE) * wv[CAST(i AS INT)]), " +
+        "(a, b) -> a + b)"
+      val grad = "CAST(CAST(CAST(sum(CAST(round(1/(1+exp(-z)) - y, 9) " +
+        "AS DECIMAL(18,9)) * x[CAST(j+1 AS INT)]) AS DECIMAL(20,9)) " +
+        "* 1000000000 AS BIGINT) AS DOUBLE) / 1000000000.0"
+      s"""WITH f AS (SELECT doc_id,
+    list_append(list_transform(range(0, 8), j ->
+      CAST(len(list_filter($w, w -> $hb = j)) AS BIGINT)),
+      CAST(1 AS BIGINT)) AS x,
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+w0v AS (SELECT list_transform(range(0, 9), j -> 0.0) AS wv),
+s1 AS (SELECT f.x, f.y, $zExpr AS z FROM f, w0v),
+g1 AS (SELECT j, $grad AS gd, count(*) AS n
+  FROM s1 CROSS JOIN range(0, 9) t(j) GROUP BY j),
+w1 AS (SELECT j, 0.0 - 0.0001 * gd AS w FROM g1),
+w1v AS (SELECT list(w ORDER BY j) AS wv FROM w1),
+s2 AS (SELECT f.x, f.y, $zExpr AS z FROM f, w1v),
+g2 AS (SELECT j, $grad AS gd, count(*) AS n
+  FROM s2 CROSS JOIN range(0, 9) t(j) GROUP BY j),
+w2 AS (SELECT g2.j, w1.w - 0.0001 * g2.gd AS w
+  FROM g2 JOIN w1 USING (j)),
+w2v AS (SELECT list(w ORDER BY j) AS wv FROM w2),
+s3 AS (SELECT f.y, $zExpr AS z FROM f, w2v),
+acc AS (SELECT round(CAST(sum(CASE WHEN (z >= 0) = (y = 1)
+      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS train_acc,
+    count(*) AS n_docs FROM s3)
+SELECT CAST(w1.j AS INT) AS bucket, w1.w AS w1, w2.w AS w2,
+  n_docs, train_acc
+FROM w1 JOIN w2 USING (j), acc"""
     },
 
     // per-shard digests recomputed from the SOURCE table (the Spark
