@@ -1598,6 +1598,56 @@ object PipelineQueries {
             "(2 * n_train) AS DOUBLE)") / lit(1.0e6)).as("rate"))
     }),
 
+    // BPE-style merge-loop TRAINING (the trainer p50's pair stats
+    // feed): 3 unrolled merge rounds over word tokens — the
+    // character-level case is the same plan with a different seed
+    // alphabet. Each round: adjacent-pair counting (explode ->
+    // map-side-combined aggregate), argmax merge election
+    // (TakeOrdered 1 row, tie-broken by pair string), then the merge
+    // applied SCAN-LOCAL via string replace — both engines replace
+    // left-to-right non-overlapping, which IS the BPE greedy rule,
+    // and the double-space token separator keeps adjacent
+    // occurrences independently matchable. Every value is
+    // integer/string arithmetic: engine-exact with no rounding
+    // anywhere.
+    "p80_bpe_merge_train" -> ((s, dir) => {
+      def toks(seq: Column) = split(trim(seq), "  ")
+      def pairsOf(t: Column) = transform(sequence(lit(1), size(t) - 1),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1)))
+      val t0 = docs(s, dir).select(col("doc_id"),
+          concat(lit(" "),
+            array_join(words(lower(col("text"))), "  "),
+            lit(" ")).as("seq"))
+        .transform(graft.core.CacheRegistry.persist(_))
+      t0.count()
+      def mergeRound(prev: DataFrame, r: Int)
+          : (DataFrame, DataFrame) = {
+        val m = prev.withColumn("t", toks(col("seq")))
+          .filter(size(col("t")) >= 2)
+          .select(explode(pairsOf(col("t"))).as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair").asc).limit(1)
+          .transform(graft.core.CacheRegistry.persist(_))
+        m.count() // feeds the rewrite AND the output row
+        val next = prev.crossJoin(broadcast(m))
+          .select(col("doc_id"), expr(
+            "replace(seq, ' ' || replace(pair, ' ', '  ') || ' ', " +
+              "' ' || replace(pair, ' ', chr(1)) || ' ')").as("seq"))
+          .transform(graft.core.CacheRegistry.persist(_))
+        next.count() // pair-counted next round AND vocab-counted here
+        val vocab = next.select(explode(toks(col("seq"))).as("tok"))
+          .agg(countDistinct(col("tok")).as("vocab_after"))
+        val out = m.crossJoin(broadcast(vocab))
+          .select(lit(r).cast("int").as("round"), col("pair"),
+            col("cnt"), col("vocab_after"))
+        (next, out)
+      }
+      val (t1, o1) = mergeRound(t0, 1)
+      val (t2, o2) = mergeRound(t1, 2)
+      val (_, o3) = mergeRound(t2, 3)
+      o1.unionByName(o2).unionByName(o3)
+    }),
+
     "p59_bloom_decontamination" -> ((s, dir) => {
       val bucket = h64(col("text"), 13) % 100
       val d = docs(s, dir)
@@ -3105,6 +3155,38 @@ SELECT source, n_docs, src_tok, p, q, rate,
   CAST(n_sampled AS BIGINT) AS n_sampled,
   CAST(tok_sampled AS BIGINT) AS tok_sampled
 FROM rates JOIN realized USING (source)"""
+    },
+
+    // three merge rounds unrolled; both engines' replace() is
+    // left-to-right non-overlapping = the BPE greedy rule, so the
+    // rewritten sequences agree byte-for-byte
+    "p80_bpe_merge_train" -> {
+      val w = wordsSql("lower(text)")
+      def roundSql(r: Int): String = {
+        val prev = s"t${r - 1}"
+        s"""p$r AS (SELECT pair, count(*) AS c FROM (
+    SELECT unnest(list_transform(range(1, len(t)), i ->
+      t[i] || ' ' || t[i+1])) AS pair
+    FROM (SELECT string_split(trim(seq), '  ') AS t FROM $prev)
+    WHERE len(t) >= 2) GROUP BY pair),
+m$r AS (SELECT pair, c FROM p$r ORDER BY c DESC, pair LIMIT 1),
+t$r AS (SELECT doc_id,
+    replace(seq, ' ' || replace(pair, ' ', '  ') || ' ',
+      ' ' || replace(pair, ' ', chr(1)) || ' ') AS seq
+  FROM $prev, m$r),
+v$r AS (SELECT count(DISTINCT tok) AS v FROM
+  (SELECT unnest(string_split(trim(seq), '  ')) AS tok FROM t$r)),
+o$r AS (SELECT CAST($r AS INT) AS round, pair,
+  CAST(c AS BIGINT) AS cnt, CAST(v AS BIGINT) AS vocab_after
+  FROM m$r, v$r)"""
+      }
+      s"""WITH t0 AS (SELECT doc_id,
+    ' ' || array_to_string($w, '  ') || ' ' AS seq FROM documents),
+${roundSql(1)},
+${roundSql(2)},
+${roundSql(3)}
+SELECT * FROM o1 UNION ALL SELECT * FROM o2
+UNION ALL SELECT * FROM o3"""
     },
 
     "p78_packing_report" -> {
