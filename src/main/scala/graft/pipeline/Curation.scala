@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-call corpus-curation facade over the pipeline primitives —
+  * the production funnel the p47 driver query runs, exposed so a
+  * pipeline owner gets the composition without wiring the stages:
+  * exact dedup (min-id election per content hash) -> near-dup
+  * canonical election (MinHash-LSH pairs + connected components,
+  * [[NearDup.canonicalIds]]) -> quality gate.
+  *
+  * Scale shape: stage 1 is one hash-keyed aggregate with the
+  * min-struct election (no join back, no second text scan); stage 2
+  * is the bucketed LSH chain (never all-pairs) + the localCheckpoint
+  * CC loop ([[Clusters.connectedComponents]]); stage 3 is a scan
+  * predicate. Intermediates persist through
+  * [[graft.core.CacheRegistry]] — the caller releases them after
+  * consuming the result.
+  */
+object Curation {
+
+  /** Per-stage doc/token accounting plus the surviving rows.
+    * `survivors` keeps the input schema (plus nothing); `accounting`
+    * is one row per stage: (stage, n_docs, n_tokens).
+    */
+  final case class FunnelResult(survivors: DataFrame,
+                                accounting: DataFrame)
+
+  /** Run the funnel over `docs` (must have doc_id, text; `langCol`
+    * rows failing the gate are dropped in stage 3 when `lang` is
+    * set). Token counts use whitespace tokenization, matching the
+    * library's other token accounting.
+    */
+  def curate(docs: DataFrame, threshold: Double = 0.5,
+             minTokens: Long = 50,
+             lang: Option[String] = Some("en")): FunnelResult = {
+    graft.core.Checks.requireColumns(docs, "curate", "doc_id", "text")
+    val base0 = docs.withColumn("n_tok",
+      size(PipelineOps.words(col("text"))).cast("long"))
+    // doc_id leads the column order so the stage-1 min-struct
+    // election elects the minimum id regardless of input layout
+    val base = base0.select(col("doc_id") +:
+      base0.columns.filterNot(_ == "doc_id").map(col): _*)
+    val d0 = base.transform(graft.core.CacheRegistry.persist(_))
+    d0.count()
+    // min-struct election: doc_id leads, so min() keeps the min-id
+    // row per content hash in ONE shuffle
+    val cols = d0.columns
+    val s1 = d0.groupBy(md5(col("text")))
+      .agg(min(struct(cols.map(col): _*)).as("r"))
+      .select(cols.map(c => col(s"r.$c").as(c)): _*)
+      .transform(graft.core.CacheRegistry.persist(_))
+    s1.count()
+    val s2 = s1.join(
+        NearDup.canonicalIds(s1.select("doc_id", "text"), threshold),
+        Seq("doc_id"), "left_semi")
+      .transform(graft.core.CacheRegistry.persist(_))
+    s2.count()
+    val s3 = s2.filter(col("n_tok") >= minTokens &&
+      lang.map(l => col("lang") === l).getOrElse(lit(true)))
+    def stage(name: String, df: DataFrame) =
+      df.agg(lit(name).as("stage"), count(lit(1)).as("n_docs"),
+        coalesce(sum("n_tok"), lit(0L)).as("n_tokens"))
+    val acct = stage("s0_raw", d0)
+      .unionByName(stage("s1_exact", s1))
+      .unionByName(stage("s2_neardup", s2))
+      .unionByName(stage("s3_quality", s3))
+    FunnelResult(s3.drop("n_tok"), acct)
+  }
+}

@@ -1704,41 +1704,16 @@ object PipelineQueries {
       // raw input doubled with EXACT copies (ids +2M, same text) so
       // the s1 content-hash stage provably collapses — the fixture's
       // own texts are all distinct, and an unexercised stage would
-      // pass its oracle no matter how broken
+      // pass its oracle no matter how broken. The funnel itself is
+      // the public one-call facade (pipeline.Curation.curate):
+      // min-struct exact dedup -> LSH+CC canonical election ->
+      // lang/length gate, with per-stage doc/token accounting —
+      // CurationSpec additionally pins facade == this oracle's rows.
       val base = docs(s, dir)
-        .select(col("doc_id"), col("text"), col("lang"),
-          size(words(col("text"))).cast("long").as("n_tok"))
+        .select(col("doc_id"), col("text"), col("lang"))
       val d0 = base.unionByName(base
-          .withColumn("doc_id", col("doc_id") + 2000000L))
-        .transform(graft.core.CacheRegistry.persist(_))
-      d0.count()
-      // min-struct aggregate: doc_id leads the struct, so min() elects
-      // the min-id row per content hash in ONE shuffle — no join back
-      // to d0, no second scan of the full text
-      val s1 = d0.groupBy(md5(col("text")))
-        .agg(min(struct(col("doc_id"), col("text"), col("lang"),
-          col("n_tok"))).as("r"))
-        .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
-          col("r.lang").as("lang"), col("r.n_tok").as("n_tok"))
-        .transform(graft.core.CacheRegistry.persist(_))
-      s1.count()
-      val (_, _, pairs) = lshPairsOf(s1.select("doc_id", "text"))
-      val labels = graft.pipeline.Clusters.connectedComponents(
-        s1.select(col("doc_id").as("id")),
-        pairs.select(col("doc_id_a").as("a"), col("doc_id_b").as("b")))
-      val s2 = s1.join(labels.filter(col("id") === col("label"))
-        .select(col("id").as("doc_id")), Seq("doc_id"))
-        .transform(graft.core.CacheRegistry.persist(_))
-      s2.count()
-      val s3 = s2.filter(col("lang") === "en" && col("n_tok") >= 50)
-      def stage(name: String, df: DataFrame) =
-        df.agg(lit(name).as("stage"),
-          count(lit(1)).as("n_docs"),
-          coalesce(sum("n_tok"), lit(0L)).as("n_tokens"))
-      stage("s0_raw", d0)
-        .unionByName(stage("s1_exact", s1))
-        .unionByName(stage("s2_neardup", s2))
-        .unionByName(stage("s3_quality", s3))
+        .withColumn("doc_id", col("doc_id") + 2000000L))
+      graft.pipeline.Curation.curate(d0).accounting
     }),
 
     // streaming near-dup detection, driver-checked end-to-end: the
