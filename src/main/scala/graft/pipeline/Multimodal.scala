@@ -56,24 +56,31 @@ object Multimodal {
       .mapPartitions { it =>
         // real impl: initialize codec once here
         it.map { case (id, payload) =>
-          (id, fakeFeatures(payload).toArray)
+          (id, fakeFeatures(payload))
         }
       }
       .toDF("doc_id", "features")
   }
 
-  private def fakeFeatures(payload: Array[Byte]): Seq[Float] = {
+  private def fakeFeatures(payload: Array[Byte]): Array[Float] = {
     // deterministic stand-in: strided byte averages. The sum is exact
     // (Long) and rounds once via a double divide, so any engine
     // computing sum/count in integer+double arithmetic agrees
-    // bit-for-bit with the emitted float.
-    (0 until FeatureDim).map { k =>
-      val slice = payload.indices.filter(_ % FeatureDim == k)
-      if (slice.isEmpty) 0f
-      else {
-        val s = slice.map(i => (payload(i) & 0xFF).toLong).sum
-        (s.toDouble / slice.size).toFloat
-      }
+    // bit-for-bit with the emitted float. Single pass over the
+    // payload (the per-feature filtered-slice formulation allocated
+    // 8 boxed index sequences per row and dominated the batch).
+    val sums = new Array[Long](FeatureDim)
+    val cnts = new Array[Int](FeatureDim)
+    var i = 0
+    while (i < payload.length) {
+      val k = i % FeatureDim
+      sums(k) += (payload(i) & 0xFF).toLong
+      cnts(k) += 1
+      i += 1
+    }
+    Array.tabulate(FeatureDim) { k =>
+      if (cnts(k) == 0) 0f
+      else (sums(k).toDouble / cnts(k)).toFloat
     }
   }
 
