@@ -298,7 +298,15 @@ class XdfFormatSpec extends AnyFunSuite {
       // datyp 6 at 25 tokens (24 magnitude bits, a full float32
       // mantissa): integer magnitudes up to 2^16 stay on the
       // reference-exponent grid, so they round-trip exactly
-      (6, 25, Gen.choose(-65535L, 65535L).map(_.toDouble)))
+      (6, 25, Gen.choose(-65535L, 65535L).map(_.toDouble)),
+      // turbopack family: 129 integers within a < 2^16 range sit on
+      // the datyp-1 grid; 130 is the integer domain; 133 is lossless
+      // IEEE 32; 134 integer magnitudes <= 2^14 stay on the 16-token
+      // reference-exponent grid
+      (129, 16, Gen.choose(0L, 60000L).map(_.toDouble)),
+      (130, 16, Gen.choose(0L, 65535L).map(_.toDouble)),
+      (133, 32, Gen.choose(-1e6f, 1e6f).map(_.toDouble)),
+      (134, 16, Gen.choose(-16383L, 16383L).map(_.toDouble)))
     cases.zipWithIndex.foreach { case ((datyp, nbits, gen), ci) =>
       (0 until 20).foreach { i =>
         val vals = Gen.listOfN(37, gen)
@@ -306,11 +314,15 @@ class XdfFormatSpec extends AnyFunSuite {
           .get.toArray
         val exact = datyp match {
           case 5 if nbits <= 32 => vals.map(v => v.toFloat.toDouble)
+          case 133 => vals.map(v => v.toFloat.toDouble)
           case _ => vals
         }
         val words = XdfFormat.encodePayload(datyp, nbits, vals)
-        assert(words.length ==
-          XdfFormat.payloadWords(datyp, nbits, vals.length))
+        // compressed lengths are variable (directory-carried), so
+        // only the fixed codecs check the fixed-size probe
+        if (!XdfFormat.isTurboDatyp(datyp))
+          assert(words.length ==
+            XdfFormat.payloadWords(datyp, nbits, vals.length))
         val back = XdfFormat.decodePayload(datyp, nbits,
           vals.length, words)
         assert(back.toSeq == exact.toSeq, s"datyp $datyp nbits $nbits")
