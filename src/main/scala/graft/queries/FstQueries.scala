@@ -221,7 +221,7 @@ object FstQueries {
           col("nomvar").isin("TT", "UU", "VV", "GZ"))
         .withColumn("ip3", col("rid").cast("int"))
       val path =
-        s"/tmp/graft_partitioned_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+        graft.core.Scratch.path(s"graft_partitioned_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}")
       graft.sources.fst.FstWriter.write(base, path, cleanup = false,
         maxRecordsPerFile = 4096, partitionBy = Seq("nomvar"))
       s.read.format("fstrec").load(path)
@@ -293,7 +293,7 @@ object FstQueries {
         .withColumn("level", IpColumns.decodeValue(col("ip1")))
         .drop("ip1")
       val path =
-        s"/tmp/graft_csv_roundtrip_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+        graft.core.Scratch.path(s"graft_csv_roundtrip_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}")
       graft.sources.CsvRecords.write(base, path,
         extraCols = Seq("level"))
       graft.sources.CsvRecords.read(s, path)
@@ -386,7 +386,7 @@ object FstQueries {
         .filter(col("nomvar") === "UU" && col("rid") > 0)
         .withColumn("ip3", col("rid").cast("int"))
       val path =
-        s"/tmp/graft_fst_roundtrip_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+        graft.core.Scratch.path(s"graft_fst_roundtrip_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}")
       graft.sources.fst.FstWriter.write(base, path, cleanup = false)
       s.read.format("fstrec").load(path)
         .select(col("ip3").as("rid"), col("nomvar"), col("typvar"),
@@ -407,7 +407,7 @@ object FstQueries {
     // a filter evaluated on directory entries before any payload read
     "f28_fst_pushdown" -> ((s, dir) => {
       val path =
-        s"/tmp/graft_fst_roundtrip_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+        graft.core.Scratch.path(s"graft_fst_roundtrip_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}")
       // reuses the files written by f27 (map ordering guarantees f27
       // runs first); re-write defensively if absent
       if (!new java.io.File(path).exists()) {
@@ -495,7 +495,7 @@ object FstQueries {
     // catalog's grids (second scan + left-semi join on grid)
     "f32_grid_metadata_rescan" -> ((s, dir) => {
       val path =
-        s"/tmp/graft_fst_meta_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+        graft.core.Scratch.path(s"graft_fst_meta_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}")
       val full = cat(s, dir)
       val toWrite = full.filter(col("rid") < 0 ||
         (col("nomvar") === "VV" && col("ig1") === 33793))
@@ -673,7 +673,7 @@ object FstQueries {
           when(col("rid") > 0, col("rid"))
             .otherwise(lit(1000000) - col("rid")).cast("int"))
       val path =
-        s"/tmp/graft_walkthrough_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+        graft.core.Scratch.path(s"graft_walkthrough_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}")
       // large record files for the staging write (the reference-default
       // 128-record batching layout is pinned by f27)
       graft.sources.fst.FstWriter.write(sel, path, cleanup = false,
@@ -715,7 +715,7 @@ object FstQueries {
         .filter(col("rid") > 0 && col("nomvar").isin("TT", "UU", "VV"))
         .withColumn("ip3", col("rid").cast("int"))
       val path =
-        s"/tmp/graft_stream_agg_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+        graft.core.Scratch.path(s"graft_stream_agg_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}")
       // stage with large record files — the streaming scan bin-packs,
       // but fewer files also means a cheaper staging write
       graft.sources.fst.FstWriter.write(base, path, cleanup = false,
@@ -743,7 +743,7 @@ object FstQueries {
         .filter(col("rid") > 0 && col("nomvar").isin("GZ", "HU"))
         .withColumn("ip3", col("rid").cast("int"))
       val path =
-        s"/tmp/graft_stream_dedup_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+        graft.core.Scratch.path(s"graft_stream_dedup_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}")
       graft.sources.fst.FstWriter.write(base.unionByName(base), path,
         cleanup = false, maxRecordsPerFile = 4096)
       graft.streaming.StreamDrain.drain(s,
@@ -761,7 +761,7 @@ object FstQueries {
         .filter(col("nomvar") === "GZ" && col("rid") > 0)
         .withColumn("ip3", col("rid").cast("int"))
       val path =
-        s"/tmp/graft_fst_update_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+        graft.core.Scratch.path(s"graft_fst_update_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}")
       graft.sources.fst.FstWriter.write(base, path, cleanup = false)
       val patched = s.read.format("fstrec").load(path)
         .withColumn("etiket", lit("UPDATED"))
@@ -796,7 +796,7 @@ object FstQueries {
           transform(col("d"), x => floor(x).cast("float")))
           .otherwise(col("d")))
       val path =
-        s"/tmp/graft_xdf_roundtrip_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+        graft.core.Scratch.path(s"graft_xdf_roundtrip_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}")
       graft.sources.fst.FstWriter.write(base, path, cleanup = false,
         container = "xdf")
       s.read.format("fstrec")
@@ -840,7 +840,7 @@ object FstQueries {
         .unionByName(pick("VV", 133, 32))
         .unionByName(pick("GZ", 134, 16))
       val path =
-        s"/tmp/graft_xdf_turbo_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+        graft.core.Scratch.path(s"graft_xdf_turbo_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}")
       graft.sources.fst.FstWriter.write(staged, path, cleanup = false,
         container = "xdf")
       s.read.format("fstrec")
@@ -857,7 +857,7 @@ object FstQueries {
         .withColumn("ip3", col("rid").cast("int"))
         .withColumn("datyp", lit(6)).withColumn("nbits", lit(16))
       val path =
-        s"/tmp/graft_xdf_fpack_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+        graft.core.Scratch.path(s"graft_xdf_fpack_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}")
       graft.sources.fst.FstWriter.write(base, path, cleanup = false,
         container = "xdf")
       s.read.format("fstrec")
@@ -935,7 +935,7 @@ object FstQueries {
         // encoding, so pin an IEEE payload for the staging write
         .withColumn("datyp", lit(5)).withColumn("nbits", lit(32))
       val path =
-        s"/tmp/graft_xdf_update_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+        graft.core.Scratch.path(s"graft_xdf_update_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}")
       graft.sources.fst.FstWriter.write(base, path, cleanup = false,
         container = "xdf")
       val patched = s.read.format("fstrec").load(path)

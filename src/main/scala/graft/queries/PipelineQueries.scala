@@ -1437,8 +1437,8 @@ object PipelineQueries {
     // table, so a lost, duplicated, or misrouted row — or a
     // multi-file shard (n_files must be exactly 1) — breaks the row.
     "p76_corpus_sink" -> ((s, dir) => {
-      val path = s"/tmp/graft_corpus_sink_${
-        dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      val path = graft.core.Scratch.path(s"graft_corpus_sink_${
+        dir.replaceAll("[^0-9a-zA-Z.]", "_")}")
       graft.pipeline.CorpusSink.writeSharded(
         docs(s, dir).select("doc_id", "text"), path, nShards = 4)
       s.read.parquet(path)
@@ -1759,8 +1759,8 @@ object PipelineQueries {
     // batch-SQL-expressible: every doc colliding with an earlier
     // (smaller-id) doc on >=1 band, with its per-band first partners.
     "p46_stream_neardup" -> ((s, dir) => {
-      val path = s"/tmp/graft_stream_neardup_${
-        dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      val path = graft.core.Scratch.path(s"graft_stream_neardup_${
+        dir.replaceAll("[^0-9a-zA-Z.]", "_")}")
       corpus(s, dir).select(col("doc_id"), col("text"))
         .coalesce(1).write.mode("overwrite").parquet(path)
       val schema = org.apache.spark.sql.types.StructType(Seq(

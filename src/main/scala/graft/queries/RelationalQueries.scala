@@ -586,8 +586,8 @@ object RelationalQueries {
     // separate batch job). Drained with Trigger.AvailableNow into a
     // memory sink; the oracle is the batch twin of the same join.
     "q43_stream_enrich" -> ((s, d) => {
-      val path = s"/tmp/graft_stream_enr_${
-        d.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      val path = graft.core.Scratch.path(s"graft_stream_enr_${
+        d.replaceAll("[^0-9a-zA-Z.]", "_")}")
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("ts_us"))
@@ -699,8 +699,8 @@ object RelationalQueries {
     // arrival, so the oracle is batch sessionization minus the last
     // session per user.
     "q19_stream_sessions" -> ((s, d) => {
-      val path = s"/tmp/graft_stream_sessions_${
-        d.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      val path = graft.core.Scratch.path(s"graft_stream_sessions_${
+        d.replaceAll("[^0-9a-zA-Z.]", "_")}")
       // ONE staged file => ONE micro-batch: with several files the
       // source could order a later batch before earlier event times
       // and the watermark would drop them (the oracle assumes none)
@@ -827,8 +827,8 @@ object RelationalQueries {
     // micro-batch, so the drain's output is the complete batch join
     // and the oracle is the plain interval join.
     "q26_stream_stream_join" -> ((s, d) => {
-      val path = s"/tmp/graft_stream_ssj_${
-        d.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      val path = graft.core.Scratch.path(s"graft_stream_ssj_${
+        d.replaceAll("[^0-9a-zA-Z.]", "_")}")
       Tables.events(s, d)
         .filter(col("event_type").isin("click", "purchase"))
         .select(col("event_id"), col("user_id"), col("event_type"),

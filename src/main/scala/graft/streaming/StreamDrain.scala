@@ -30,7 +30,11 @@ object StreamDrain {
             timeoutMs: Long = 300000L): DataFrame = {
     val qn = prefix + "_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
-    val ckDir = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_ck")
+    // checkpoint I/O on scratch (tmpfs where available): offset/state
+    // logs are pure overhead for a finite drain, and on the root disk
+    // their fsyncs dominate the small fixtures' drain time
+    val ckDir = java.nio.file.Files.createTempDirectory(
+      graft.core.Scratch.rootPath, s"graft_${prefix}_ck")
     val oldShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
     try {
