@@ -1683,6 +1683,37 @@ object PipelineQueries {
       o1.unionByName(o2).unionByName(o3)
     }),
 
+    // corpus snapshot diff — the dataset-versioning accounting step
+    // between two corpus builds (the documents-side twin of f48's
+    // record-catalog diff): per (source, status) counts of
+    // added / removed / changed / unchanged docs, decided by content
+    // hash. The "previous" snapshot derives deterministically from
+    // the fixture (hash bucket 9 = docs added since, 8 = removed
+    // since, 0 = text changed). Scale shape: both sides come from
+    // ONE cached scan, diff is a single doc_id-keyed full-outer
+    // join, output is |sources| x 4 rows at any corpus size.
+    "p81_snapshot_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("bucket", pmod(h64(col("text"), 41), lit(10L)))
+        .transform(graft.core.CacheRegistry.persist(_))
+      d.count() // both snapshot views scan this
+      val prev = d.filter(col("bucket") =!= 9)
+        .select(col("doc_id"), col("source"),
+          md5(when(col("bucket") === 0,
+            concat(col("text"), lit(" legacy suffix")))
+            .otherwise(col("text"))).as("h_prev"))
+      val cur = d.filter(col("bucket") =!= 8)
+        .select(col("doc_id"), col("source").as("src_cur"),
+          md5(col("text")).as("h_cur"))
+      prev.join(cur, Seq("doc_id"), "full_outer")
+        .select(coalesce(col("source"), col("src_cur")).as("source"),
+          when(col("h_prev").isNull, "added")
+            .when(col("h_cur").isNull, "removed")
+            .when(col("h_prev") =!= col("h_cur"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy("source", "status").agg(count(lit(1)).as("n_docs"))
+    }),
+
     "p59_bloom_decontamination" -> ((s, dir) => {
       val bucket = h64(col("text"), 13) % 100
       val d = docs(s, dir)
@@ -3197,6 +3228,25 @@ ${roundSql(2)},
 ${roundSql(3)}
 SELECT * FROM o1 UNION ALL SELECT * FROM o2
 UNION ALL SELECT * FROM o3"""
+    },
+
+    "p81_snapshot_diff" -> {
+      s"""WITH d AS (SELECT doc_id, source, text,
+    ${h64Sql("text", 41)} % 10 AS bucket FROM documents),
+prev AS (SELECT doc_id, source,
+    md5(CASE WHEN bucket = 0 THEN text || ' legacy suffix'
+        ELSE text END) AS h_prev
+  FROM d WHERE bucket <> 9),
+cur AS (SELECT doc_id, source AS src_cur, md5(text) AS h_cur
+  FROM d WHERE bucket <> 8)
+SELECT coalesce(prev.source, cur.src_cur) AS source,
+  CASE WHEN h_prev IS NULL THEN 'added'
+       WHEN h_cur IS NULL THEN 'removed'
+       WHEN h_prev <> h_cur THEN 'changed'
+       ELSE 'unchanged' END AS status,
+  count(*) AS n_docs
+FROM prev FULL OUTER JOIN cur USING (doc_id)
+GROUP BY 1, 2"""
     },
 
     "p78_packing_report" -> {
