@@ -73,6 +73,23 @@ class TrainOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("p81: statuses partition the union of both snapshots") {
+    val (df, rows) = run("p81_snapshot_diff")
+    val statuses = rows.map(_.getString(df.columns.indexOf("status")))
+    assert(statuses.toSet.subsetOf(
+      Set("added", "removed", "changed", "unchanged")))
+    val byStatus = rows.groupBy(_.getString(df.columns.indexOf("status")))
+      .view.mapValues(_.map(_.getLong(df.columns.indexOf("n_docs"))).sum)
+      .toMap
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    // every doc is in prev, cur, or both: total diff rows = corpus
+    assert(byStatus.values.sum == n)
+    // the fixture plants all four classes at ~10% each
+    assert(Set("added", "removed", "changed", "unchanged")
+      .forall(s => byStatus.getOrElse(s, 0L) > 0L))
+    assert(byStatus("unchanged") > byStatus("added"))
+  }
+
   test("p80: three rounds, counts non-increasing, merges distinct") {
     val (df, rows) = run("p80_bpe_merge_train")
     assert(rows.length == 3)
