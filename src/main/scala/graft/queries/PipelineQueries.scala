@@ -1714,6 +1714,29 @@ object PipelineQueries {
         .groupBy("source", "status").agg(count(lit(1)).as("n_docs"))
     }),
 
+    // safety/blocklist filtering accounting — the policy-filter pass
+    // of a curation pipeline (term list stands in for a real policy
+    // lexicon; two of the five terms never occur, pinning the
+    // zero-hit path). Pure per-row scan work: the token array splits
+    // once (subexpression elimination in the codegen'd Project), the
+    // per-source rollup is one keyed aggregate, and the flag rate
+    // rounds in BIGINT space.
+    "p82_blocklist_filter" -> ((s, dir) => {
+      val terms = Seq("secret", "password", "hash", "vector", "stream")
+      val ws = words(lower(col("text")))
+      val nHit = terms.map(t =>
+        when(array_contains(ws, t), 1).otherwise(0)).reduce(_ + _)
+      docs(s, dir).select(col("source"), nHit.as("n_terms_hit"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_terms_hit") > 0, 1L).otherwise(0L))
+            .as("n_flagged"),
+          max(col("n_terms_hit")).cast("long").as("max_terms_hit"))
+        .withColumn("flag_rate",
+          expr("CAST((n_flagged * 2000000 + n_docs) div " +
+            "(2 * n_docs) AS DOUBLE)") / lit(1.0e6))
+    }),
+
     "p59_bloom_decontamination" -> ((s, dir) => {
       val bucket = h64(col("text"), 13) % 100
       val d = docs(s, dir)
@@ -3228,6 +3251,24 @@ ${roundSql(2)},
 ${roundSql(3)}
 SELECT * FROM o1 UNION ALL SELECT * FROM o2
 UNION ALL SELECT * FROM o3"""
+    },
+
+    "p82_blocklist_filter" -> {
+      val w = wordsSql("lower(text)")
+      val hits = Seq("secret", "password", "hash", "vector", "stream")
+        .map(t => s"(CASE WHEN list_contains($w, '$t') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT source, $hits AS n_terms_hit
+  FROM documents),
+agg AS (SELECT source, count(*) AS n_docs,
+    CAST(sum(CASE WHEN n_terms_hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_flagged,
+    CAST(max(n_terms_hit) AS BIGINT) AS max_terms_hit
+  FROM d GROUP BY source)
+SELECT source, n_docs, n_flagged, max_terms_hit,
+  CAST((n_flagged * 2000000 + n_docs) // (2 * n_docs) AS DOUBLE)
+    / 1000000.0 AS flag_rate
+FROM agg"""
     },
 
     "p81_snapshot_diff" -> {
