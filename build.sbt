@@ -23,15 +23,27 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-// 177 bench queries run in one JVM with MEMORY_AND_DISK caches; a
+// 186 bench queries run in one JVM with MEMORY_AND_DISK caches; a
 // small heap ages badly across the run (GC pressure inflated the
 // q-series ~28% in round 5's driver bench). Fixed 24g heap
-// (-Xms=-Xmx avoids resize pauses) on the 128 GiB box.
+// (-Xms=-Xmx avoids resize pauses) on the 128 GiB box — but only
+// when the machine can actually reserve it: -Xms forces the full
+// reservation at JVM start, so on a <32 GiB dev box the pin is
+// dropped (the heap still grows to -Xmx on demand) instead of
+// failing sbt test/run outright. SPARK_DRIVER_MEM overrides both.
 val benchHeap = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
-javaOptions ++= jdk17AddOpens ++ Seq(
+val memKb: Long = try {
+  scala.io.Source.fromFile("/proc/meminfo").getLines()
+    .collectFirst { case l if l.startsWith("MemTotal:") =>
+      l.split("\\s+")(1).toLong }.getOrElse(0L)
+} catch { case _: Throwable => 0L }
+val heapPin: Seq[String] =
+  if (sys.env.contains("SPARK_DRIVER_MEM") || memKb >= (32L << 20))
+    Seq(s"-Xms$benchHeap") else Seq.empty
+javaOptions ++= jdk17AddOpens ++ heapPin ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx$benchHeap", s"-Xms$benchHeap",
+  s"-Xmx$benchHeap",
   "-XX:+UseG1GC",
   // 180 queries of whole-stage codegen in one JVM generate enough
   // classes to exhaust the default 240 MB JIT code cache, after

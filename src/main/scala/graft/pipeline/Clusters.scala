@@ -43,10 +43,13 @@ import org.apache.spark.storage.StorageLevel
 object Clusters {
 
   /** Connected components of the undirected graph over `nodes`
-    * (column `id`) induced by `pairs` (columns `a`, `b`; endpoints
-    * are expected to be drawn from `nodes`). Returns one row per
-    * node: (id, label) with label = minimum id reachable. Nodes
-    * absent from every pair keep their own id as label.
+    * (column `id`) induced by `pairs` (columns `a`, `b`). Returns
+    * one row per node: (id, label) with label = minimum id
+    * reachable. Nodes absent from every pair keep their own id as
+    * label. Endpoints outside `nodes` are ignored for labeling —
+    * they neither receive a label nor donate one (so a stray id can
+    * never become the returned label of a real node), and edges
+    * whose other end is a stray endpoint are inert.
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           maxIter: Int = 25): DataFrame = {
@@ -72,9 +75,20 @@ object Clusters {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // only edge-incident nodes iterate (lazy localCheckpoint: the
-    // first labelSum action below materializes the blocks)
+    // first labelSum action below materializes the blocks).
+    // The active set is semi-joined against `nodes` so a stray pair
+    // endpoint outside the node set can never seed a label: without
+    // the guard, a stray id smaller than every real id in a
+    // component would win the min election and the caller would get
+    // labels that are not node ids. Edges touching a stray endpoint
+    // stay in `edges` but are inert — each round's label join keys
+    // on the ACTIVE label table, so a label-less endpoint's rows are
+    // dropped by the inner join, and the final left join restricts
+    // output rows to `nodes`. The semi-join costs one shuffle of the
+    // (small, edge-incident) active set, not of `nodes`.
     val tB = System.nanoTime()
     var labels = edges.select(col("a").as("id")).distinct()
+      .join(nodes.select(col("id")), Seq("id"), "left_semi")
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(false)
     def labelSum(df: org.apache.spark.sql.DataFrame)

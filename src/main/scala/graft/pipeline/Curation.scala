@@ -27,15 +27,21 @@ object Curation {
   final case class FunnelResult(survivors: DataFrame,
                                 accounting: DataFrame)
 
-  /** Run the funnel over `docs` (must have doc_id, text; `langCol`
-    * rows failing the gate are dropped in stage 3 when `lang` is
-    * set). Token counts use whitespace tokenization, matching the
+  /** Run the funnel over `docs` (must have doc_id, text — plus a
+    * lang column whenever `lang` is set, since stage 3's gate drops
+    * rows whose lang differs; pass `lang = None` for frames without
+    * one). Token counts use whitespace tokenization, matching the
     * library's other token accounting.
     */
   def curate(docs: DataFrame, threshold: Double = 0.5,
              minTokens: Long = 50,
              lang: Option[String] = Some("en")): FunnelResult = {
-    graft.core.Checks.requireColumns(docs, "curate", "doc_id", "text")
+    // fail fast on the lang precondition too: stage 3 is the LAST
+    // stage, and a missing lang column would otherwise surface as an
+    // AnalysisException only after three stages computed and cached
+    val required = Seq("doc_id", "text") ++
+      (if (lang.isDefined) Seq("lang") else Nil)
+    graft.core.Checks.requireColumns(docs, "curate", required: _*)
     val base0 = docs.withColumn("n_tok",
       size(PipelineOps.words(col("text"))).cast("long"))
     // doc_id leads the column order so the stage-1 min-struct

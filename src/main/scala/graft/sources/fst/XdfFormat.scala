@@ -54,9 +54,18 @@ import java.nio.ByteBuffer
   *    this library's own — sign-magnitude mantissas aligned to the
   *    corpus's maximum binary exponent ('FLP' marker word, reference
   *    exponent, nelm);
-  *  - 129-134 (turbopack) stay an explicit external-algorithm
-  *    boundary: their compression algorithms only exist in librmn C
-  *    (std_io.py:548-563) and are rejected loudly.
+  *  - 129/130/133/134 (turbopack family): read AND written — as a
+  *    compressed stream of <=16-bit quantization tokens replacing
+  *    the fixed-width token stream of the matching base datyp (see
+  *    the codec block comment below). librmn's exact armn_compress
+  *    bitstream (std_io.py:548-563) lives only in its C sources and
+  *    stays the one declared external boundary: this library's OWN
+  *    magic-prefixed token codec round-trips exactly within the
+  *    library, and a future bit-exact armn_compress port swaps in
+  *    behind exactly two functions, [[XdfFormat.compressTokens]] /
+  *    [[XdfFormat.decompressTokens]]. A genuine librmn-compressed
+  *    record fails loudly on the missing magic word — it is never
+  *    silently mis-decoded.
   */
 object XdfFormat {
 
@@ -158,13 +167,19 @@ object XdfFormat {
   // within the library and a future bit-exact armn_compress port
   // swaps in behind compressTokens/decompressTokens only.
   //
-  // Token codec: word 0 = token count; then an MSB-first bit stream
-  // of 64-token blocks, each [blockMin:16][width:5] followed by
-  // (token - blockMin) at `width` bits — the min-offset + per-block
-  // bit-width reduction that makes smooth fields (the meteorological
-  // common case) compress well, with worst-case overhead bounded at
-  // 21 bits per 64 tokens over the uncompressed packing.
+  // Token codec: word 0 = magic 'GT16' (0x47543136 — distinguishes
+  // this library's stream from a librmn armn_compress bitstream,
+  // which is rejected loudly instead of mis-decoded); word 1 = token
+  // count; then an MSB-first bit stream of 64-token blocks, each
+  // [blockMin:16][width:5] followed by (token - blockMin) at `width`
+  // bits — the min-offset + per-block bit-width reduction that makes
+  // smooth fields (the meteorological common case) compress well,
+  // with worst-case overhead bounded at 21 bits per 64 tokens over
+  // the uncompressed packing.
   // ---------------------------------------------------------------
+
+  /** Leading word of this library's turbopack token stream. */
+  val TurboMagic: Int = 0x47543136 // 'GT16'
 
   private final class BitWriter {
     private val words = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -194,6 +209,10 @@ object XdfFormat {
     private var pos = 0L
     def get(width: Int): Int = {
       if (width == 0) return 0
+      // explicit end-of-stream check: a truncated or foreign stream
+      // raises a clean codec error, not ArrayIndexOutOfBoundsException
+      require(pos + width <= words.length.toLong * 32,
+        s"xdf: turbopack stream truncated (read past word ${words.length})")
       var v = 0L
       var rem = width
       while (rem > 0) {
@@ -215,6 +234,7 @@ object XdfFormat {
     */
   def compressTokens(tokens: Array[Int]): Array[Int] = {
     val bw = new BitWriter
+    bw.put(TurboMagic, 32)
     bw.put(tokens.length, 32)
     var i = 0
     while (i < tokens.length) {
@@ -245,6 +265,13 @@ object XdfFormat {
     */
   def decompressTokens(words: Array[Int], expected: Int): Array[Int] = {
     val br = new BitReader(words)
+    val magic = br.get(32)
+    if (magic != TurboMagic) throw new IllegalArgumentException(
+      "xdf: librmn armn_compress bitstream unsupported — this " +
+        "record was not written by this library's turbopack token " +
+        f"codec (leading word 0x$magic%08x, expected 0x$TurboMagic%08x " +
+        "'GT16'); the bit-exact armn_compress port is a declared " +
+        "external boundary (std_io.py:548-563)")
     val n = br.get(32)
     require(n == expected,
       s"xdf: turbopack stream token count $n != directory $expected")
