@@ -60,4 +60,27 @@ object Api {
     if (timeseries) ops.Cubes.toCubeTimeseries(df)
     else if (coords) ops.Cubes.toCubeWithCoords(df)
     else ops.Cubes.toCube(df)
+
+  /** The end-to-end training-corpus path: run the curation funnel
+    * (exact dedup -> MinHash-LSH near-dup canonical election ->
+    * quality gate, [[pipeline.Curation.curate]]) and write the
+    * survivors as a deterministic hash-sharded corpus
+    * ([[pipeline.CorpusSink.writeSharded]]) — the one call a
+    * pipeline owner makes to go from raw documents to a
+    * training-ready layout. Returns the per-stage accounting frame
+    * (stage, n_docs, n_tokens) so the drop at each stage is
+    * auditable; the shard assignment itself is content-hashed and
+    * reproducible across runs and cluster sizes. Oracle-checked end
+    * to end by the p83_curate_to_shards driver query.
+    */
+  def curateToShards(docs: DataFrame, path: String, nShards: Int,
+                     threshold: Double = 0.5, minTokens: Long = 50,
+                     lang: Option[String] = Some("en"),
+                     format: String = "parquet"): DataFrame = {
+    val funnel = pipeline.Curation.curate(docs, threshold, minTokens,
+      lang)
+    pipeline.CorpusSink.writeSharded(
+      funnel.survivors.select("doc_id", "text"), path, nShards, format)
+    funnel.accounting
+  }
 }

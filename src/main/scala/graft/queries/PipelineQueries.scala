@@ -149,11 +149,22 @@ object PipelineQueries {
         explode(col("sh")).as("h"))
       // hot-shingle guard (ShingleDfCap): drop join keys whose
       // document frequency makes the pair join quadratic in one key.
-      // Window count over (source, h) — shares the shuffle the pair
-      // join keys on instead of a separate aggregate + join
-      val ex = ex0.withColumn("df",
-        count(lit(1)).over(Window.partitionBy("source", "h")))
-        .filter(col("df") <= lit(ShingleDfCap)).drop("df")
+      // The hot set (df > cap) is the Zipf head — tiny, bounded by
+      // total shingle rows / cap — so a map-side-COMBINING aggregate
+      // finds it and a broadcast anti-join removes it without ever
+      // sorting the exploded rows. (The previous count().over(
+      // partitionBy(source, h)) guard rode the pair join's shuffle
+      // but full-width-SORTED every exploded shingle row inside it —
+      // the dominant cost of this query at sf0.1, and a growing one
+      // at scale since sort is super-linear where the combine-side
+      // aggregate stays linear. ex0 re-explodes from the persisted
+      // doc cache, so scanning it twice is the cheap side of the
+      // trade.)
+      val hot = ex0.groupBy("source", "h")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > lit(ShingleDfCap))
+        .select("source", "h")
+      val ex = ex0.join(broadcast(hot), Seq("source", "h"), "left_anti")
       val inter = ex.alias("a").join(ex.alias("b"),
           col("a.source") === col("b.source") &&
             col("a.h") === col("b.h") &&
@@ -1138,9 +1149,12 @@ object PipelineQueries {
       val d = docs(s, dir).select("doc_id", "text")
       val (sh, cand, _) = lshPairsOf(d)
       val ex0 = sh.select(col("doc_id"), explode(col("sh")).as("h"))
-      val ex = ex0.withColumn("dfh",
-          count(lit(1)).over(Window.partitionBy("h")))
-        .filter(col("dfh") <= lit(ShingleDfCap)).drop("dfh")
+      // p04's hot-shingle guard shape: map-side-combining hot-key
+      // aggregate + broadcast anti-join instead of a window count
+      // that sorts every exploded row (see p04 for the full note)
+      val hot = ex0.groupBy("h").agg(count(lit(1)).as("dfh"))
+        .filter(col("dfh") > lit(ShingleDfCap)).select("h")
+      val ex = ex0.join(broadcast(hot), Seq("h"), "left_anti")
       val inter = ex.alias("a")
         .join(ex.alias("b"), col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -1512,7 +1526,12 @@ object PipelineQueries {
       // ~6 action plans), not data work — the hash+count scan itself
       // is sub-second warm. Fixed costs like these amortize to noise
       // at cluster scale; see DESIGN.md round 6.
-      t77("features")(f.count()) // one scan serves rounds + accuracy
+      // f is NOT count()-materialized: its three consumers (w1's,
+      // w2's and acc's broadcast stages) execute strictly
+      // sequentially — acc needs broadcast(w2) needs broadcast(w1)
+      // — so the cache fills exactly once during w1's stage and
+      // every later scan hits it; the whole query is ONE action.
+      if (dbg77) t77("features")(f.count())
       def zOf(wv: Column): Column = aggregate(
         zip_with(col("x"), wv, (a, b) => a.cast("double") * b),
         lit(0.0), (a, t) => a + t)
@@ -1540,10 +1559,16 @@ object PipelineQueries {
           array_sort(collect_list(struct(col("j"), col("w")))),
           t => t.getField("w")).as("wv"))
       val w0 = s.range(1).select(array_repeat(lit(0.0), B + 1).as("wv"))
+      // w1/w2 stay persisted (each has two consumers) but are NOT
+      // count()-materialized: the final action's broadcast chain
+      // (acc needs w2 needs w1 needs w0) executes strictly
+      // sequentially, so each cache fills exactly once on its first
+      // broadcast use — `f` above stays the ONLY pre-materialized
+      // intermediate. Dropping the two counts removed two whole
+      // action plans (each ~1-2 s of per-plan codegen at this scale,
+      // the profiled bulk of p77's wall time; DESIGN.md round 6).
       val w1 = stepW(w0).transform(graft.core.CacheRegistry.persist(_))
-      t77("round 1")(w1.count()) // feeds round 2 AND the output join
       val w2 = stepW(w1).transform(graft.core.CacheRegistry.persist(_))
-      t77("round 2")(w2.count()) // feeds accuracy AND the output join
       val acc = f
         .crossJoin(broadcast(w2.select(col("wv"))))
         .select(((zOf(col("wv")) >= 0.0) === (col("y") === 1L))
@@ -1803,6 +1828,28 @@ object PipelineQueries {
       val d0 = base.unionByName(base
         .withColumn("doc_id", col("doc_id") + 2000000L))
       graft.pipeline.Curation.curate(d0).accounting
+    }),
+
+    // the documented end-to-end "curate -> shard" path (Api.scala):
+    // the p47 funnel's SURVIVORS flow straight into the p76 sharded
+    // corpus sink, and the check reads the written shards back and
+    // digests them per shard — one composed call chain a pipeline
+    // owner runs to go from raw corpus to training-ready layout.
+    // Scale shape is the two components' own: the funnel never
+    // all-pairs, the sink is one shard-keyed exchange.
+    "p83_curate_to_shards" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val d0 = base.unionByName(base
+        .withColumn("doc_id", col("doc_id") + 2000000L))
+      val path = graft.core.Scratch.path(s"graft_curate_shards_${
+        dir.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      graft.Api.curateToShards(d0, path, nShards = 4)
+      s.read.parquet(path)
+        .groupBy(col("shard").cast("int").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_doc_id"),
+          sum(length(col("text")).cast("long")).as("sum_chars"))
     }),
 
     // streaming near-dup detection, driver-checked end-to-end: the
@@ -2067,11 +2114,22 @@ object PipelineQueries {
       val toks = docs(s, dir).select(col("doc_id"),
         explode(filter(transform(words(col("text")), w => lower(w)),
           w => length(w) >= 3)).as("term"))
+      // tf feeds BOTH sides of the tf⋈df join (df aggregates from
+      // it); no persist needed — the two references share the same
+      // (doc_id, term) aggregate exchange, which ReuseExchange
+      // collapses to one physical execution (verified: an explicit
+      // persist + count() materialization measured ~0.5 s SLOWER at
+      // sf0.1, paying an extra action plan's codegen to avoid a
+      // recompute that wasn't happening)
       val tf = toks.groupBy("doc_id", "term")
         .agg(count(lit(1)).cast("double").as("tf"))
       val dft = tf.groupBy("term")
         .agg(count(lit(1)).cast("double").as("df"))
-      val nd = docs(s, dir).agg(count(lit(1)).cast("double")
+      // corpus size from the token chain, not a second `documents`
+      // scan (every fixture doc has >= 1 qualifying term, and the
+      // oracle derives n the same way, so the engines agree by
+      // construction); this rides the same reused exchange as tf
+      val nd = tf.agg(countDistinct(col("doc_id")).cast("double")
         .as("n_docs"))
       val rn = row_number().over(Window.partitionBy("doc_id")
         .orderBy(col("tscore").desc, col("term").asc))
@@ -3484,6 +3542,36 @@ UNION ALL SELECT 's3_quality', CAST(count(*) AS BIGINT),
   CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM s3"""
     },
 
+    "p83_curate_to_shards" -> {
+      val w = wordsSql("text")
+      s"""WITH RECURSIVE d0 AS (
+    SELECT doc_id, text, lang, CAST(len($w) AS BIGINT) AS n_tok
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text, lang,
+      CAST(len($w) AS BIGINT) AS n_tok
+    FROM documents),
+s1 AS (SELECT d0.* FROM (SELECT min(doc_id) AS doc_id FROM d0
+    GROUP BY md5(text)) k JOIN d0 USING (doc_id)),
+${lshPairsCtesFrom("s1")},
+dedges AS (SELECT doc_id_a AS a, doc_id_b AS b FROM lshpairs
+  UNION ALL SELECT doc_id_b AS a, doc_id_a AS b FROM lshpairs),
+reach(v, l) AS (
+  SELECT doc_id, doc_id FROM s1
+  UNION
+  SELECT e.a, r.l FROM dedges e JOIN reach r ON r.v = e.b),
+cl AS (SELECT v AS doc_id, min(l) AS label FROM reach GROUP BY v),
+s2 AS (SELECT s1.* FROM s1 JOIN cl USING (doc_id)
+  WHERE cl.label = cl.doc_id),
+s3 AS (SELECT * FROM s2 WHERE lang = 'en' AND n_tok >= 50),
+shards AS (SELECT doc_id, text,
+    CAST(${h64Sql("text", 29)} % 4 AS INT) AS shard FROM s3)
+SELECT shard, count(*) AS n_docs,
+  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+FROM shards GROUP BY shard"""
+    },
+
     "p46_stream_neardup" -> {
       val sh = hashedShinglesSql(shinglesSql(wordsSql("text")))
       s"""WITH $corpusSql,
@@ -3769,7 +3857,7 @@ tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
   FROM tok GROUP BY doc_id, term),
 dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
   FROM tf GROUP BY term),
-n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf),
 sc AS (SELECT doc_id, term,
     CAST(round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 9)
       AS DECIMAL(28,9)) AS tscore

@@ -151,8 +151,10 @@ object FstScan {
     * partition size bounded by maxPartitionBytes and sized so the scan
     * still fills the cluster's default parallelism. One giant
     * directory of tiny record files becomes ~parallelism tasks instead
-    * of one task per file; a directory of large files stays one file
-    * per task. Used by both the batch scan and the micro-batch stream.
+    * of one task per file; and a single multi-GB XDF file splits into
+    * independently scannable directory-page runs (see
+    * [[splitByPages]]) instead of serializing on one core. Used by
+    * both the batch scan and the micro-batch stream.
     */
   def packPartitions(files: Seq[(String, Long)]): Array[InputPartition] = {
     val conf = org.apache.spark.sql.SparkSession.active.sessionState.conf
@@ -165,18 +167,63 @@ object FstScan {
     val target =
       math.max(openCost, math.min(maxBytes, total / parallelism + 1))
 
-    val parts = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
-    val cur = scala.collection.mutable.ArrayBuffer.empty[String]
+    // sub-file split first (mirrors FilePartition's maxSplitBytes
+    // behavior for splittable formats): only files larger than the
+    // partition budget pay the header sniff
+    val slices: Seq[(FstFileSlice, Long)] = files.flatMap {
+      case (f, len) =>
+        if (len > target) splitByPages(f, len, target)
+        else Seq((FstFileSlice(f), len))
+    }
+
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Seq[FstFileSlice]]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[FstFileSlice]
     var curBytes = 0L
-    files.foreach { case (f, len) =>
+    slices.foreach { case (sl, len) =>
       val cost = len + openCost
       if (curBytes + cost > target && cur.nonEmpty) {
         parts += cur.toSeq; cur.clear(); curBytes = 0L
       }
-      cur += f; curBytes += cost
+      cur += sl; curBytes += cost
     }
     if (cur.nonEmpty) parts += cur.toSeq
     parts.map(fs => FstInputPartition(fs): InputPartition).toArray
+  }
+
+  /** Split one oversized file into directory-page-run slices, each
+    * close to `target` bytes (estimated as a proportional share of
+    * the file — record payloads are chained from their pages, so a
+    * page run's bytes are not contiguous but average out). Driver-
+    * side cost is one header read plus a 32-byte page-header walk.
+    * Compact containers (one flat directory block, no pages) and
+    * single-page XDF files stay whole; so does anything whose sniff
+    * fails — the task-side reader raises the real error with full
+    * context.
+    */
+  private def splitByPages(f: String, len: Long,
+                           target: Long): Seq[(FstFileSlice, Long)] = {
+    val whole = Seq((FstFileSlice(f), len))
+    try {
+      val fs = FileSystem.get(new java.net.URI(f), new Configuration())
+      val in = fs.open(new Path(f))
+      try {
+        def readAt(off: Long, n: Int): Array[Byte] = {
+          val b = new Array[Byte](n); in.readFully(off, b); b
+        }
+        val hdr = readAt(0, FstFormat.HeaderBytes)
+        if (!FstFormat.maybeFst(hdr) || !XdfFormat.isXdf(hdr))
+          return whole
+        val nPages = XdfFormat.countDirPages(readAt)
+        if (nPages <= 1) return whole
+        val bytesPerPage = math.max(1L, len / nPages)
+        val pagesPerSlice =
+          math.max(1, math.min(nPages.toLong, target / bytesPerPage).toInt)
+        (0 until nPages by pagesPerSlice).map { p0 =>
+          val p1 = math.min(nPages, p0 + pagesPerSlice)
+          (FstFileSlice(f, p0, p1), (p1 - p0).toLong * bytesPerPage)
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => whole }
   }
 
   /** Recursive listing of record files under `root`, skipping any
@@ -688,18 +735,35 @@ object FstMicroBatchStream {
   val CompactInterval = 10
 }
 
-case class FstInputPartition(files: Seq[String]) extends InputPartition
+/** One read slice: a whole file (default page range) or one
+  * directory-page run [pageStart, pageEnd) of a multi-page XDF file.
+  */
+case class FstFileSlice(path: String, pageStart: Int = 0,
+                        pageEnd: Int = Int.MaxValue) {
+  def wholeFile: Boolean = pageStart == 0 && pageEnd == Int.MaxValue
+}
+
+case class FstInputPartition(slices: Seq[FstFileSlice])
+    extends InputPartition {
+  /** Distinct file paths touched by this partition. */
+  def files: Seq[String] = slices.map(_.path).distinct
+}
+
+object FstInputPartition {
+  def ofFiles(files: Seq[String]): FstInputPartition =
+    FstInputPartition(files.map(f => FstFileSlice(f)))
+}
 
 class FstReaderFactory(required: StructType, pushed: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
-    val files = partition.asInstanceOf[FstInputPartition].files
-    new FstPartitionReader(files, required, pushed)
+    val slices = partition.asInstanceOf[FstInputPartition].slices
+    new FstPartitionReader(slices, required, pushed)
   }
 }
 
-class FstPartitionReader(files: Seq[String], required: StructType,
+class FstPartitionReader(slices: Seq[FstFileSlice], required: StructType,
                          pushed: Array[Filter])
     extends PartitionReader[InternalRow] {
 
@@ -711,7 +775,7 @@ class FstPartitionReader(files: Seq[String], required: StructType,
   // advance sequentially through the file. Files in the partition are
   // opened one at a time, in order.
   private val hconf = new Configuration()
-  private val remaining = files.iterator
+  private val remaining = slices.iterator
   private var in: org.apache.hadoop.fs.FSDataInputStream = _
   private var file: String = _
   private var fileUtF8: UTF8String = _
@@ -728,7 +792,8 @@ class FstPartitionReader(files: Seq[String], required: StructType,
   private def openNext(): Boolean = {
     if (in != null) { in.close(); in = null }
     if (!remaining.hasNext) return false
-    file = remaining.next()
+    val slice = remaining.next()
+    file = slice.path
     fileUtF8 = UTF8String.fromString(file)
     val fs = FileSystem.get(new java.net.URI(file), hconf)
     in = fs.open(new Path(file))
@@ -736,8 +801,13 @@ class FstPartitionReader(files: Seq[String], required: StructType,
     require(FstFormat.maybeFst(hdr),
       s"not a standard file (missing STDR magic): $file")
     isXdf = XdfFormat.isXdf(hdr)
+    // only multi-page XDF files are ever planned as partial slices
+    // (splitByPages sniffs the container kind before splitting)
+    require(isXdf || slice.wholeFile,
+      s"compact container planned as a partial slice: $file")
     val raw: Iterator[(FstFormat.Meta, Int)] =
-      if (isXdf) XdfFormat.scanEntries(readAt).iterator
+      if (isXdf) XdfFormat.scanEntries(readAt, slice.pageStart,
+        slice.pageEnd).iterator
       else {
         val hb = java.nio.ByteBuffer.wrap(hdr)
         hb.position(16)

@@ -679,13 +679,27 @@ object XdfFormat {
     * record's metadata with its MAKE_RND_HANDLE key (S2 semantics:
     * no payload bytes are touched).
     */
-  def scanEntries(readAt: ReadAt): Seq[(FstFormat.Meta, Int)] = {
+  def scanEntries(readAt: ReadAt): Seq[(FstFormat.Meta, Int)] =
+    scanEntries(readAt, 0, MaxDirPages)
+
+  /** Page-range variant over [pageStart, pageEnd): directory pages
+    * are independently scannable, so a multi-page file splits into
+    * page-run read slices (S6 sub-file parallelism — a single
+    * multi-GB file must not serialize on one core). The page chain
+    * is linked, so pages before the range still contribute their
+    * 32-byte headers (needed to follow `next`); their 18 KiB entry
+    * blocks are never read, and the walk stops at pageEnd. `pageno`
+    * stays absolute so MAKE_RND_HANDLE keys are identical whichever
+    * slice scans a page.
+    */
+  def scanEntries(readAt: ReadAt, pageStart: Int,
+                  pageEnd: Int): Seq[(FstFormat.Meta, Int)] = {
     val head = ByteBuffer.wrap(readAt(0L, 8))
     val hlng = head.getInt(0) & 0xFFFFFF
     val out = Vector.newBuilder[(FstFormat.Meta, Int)]
     var addr = 1 + hlng // first page follows the header
     var pageno = 0
-    while (addr != 0 && pageno < MaxDirPages) {
+    while (addr != 0 && pageno < MaxDirPages && pageno < pageEnd) {
       val ph = ByteBuffer.wrap(readAt((addr - 1) * 8L, 32))
       require(ph.getInt(8) == Dir0,
         s"xdf: directory page at $addr missing DIR0 marker")
@@ -693,7 +707,7 @@ object XdfFormat {
       val nent = ph.getInt(20)
       require(nent >= 0 && nent <= EntriesPerPage,
         s"xdf: directory page at $addr has nent $nent")
-      if (nent > 0) {
+      if (nent > 0 && pageno >= pageStart) {
         val eb = ByteBuffer.wrap(readAt((addr - 1) * 8L + 32, nent * 72))
         var r = 0
         while (r < nent) {
@@ -710,6 +724,25 @@ object XdfFormat {
       pageno += 1
     }
     out.result()
+  }
+
+  /** Number of directory pages, from the 32-byte page headers only
+    * (planner-side: decides whether a large file splits into
+    * page-run slices and how many).
+    */
+  def countDirPages(readAt: ReadAt): Int = {
+    val head = ByteBuffer.wrap(readAt(0L, 8))
+    val hlng = head.getInt(0) & 0xFFFFFF
+    var addr = 1 + hlng
+    var pageno = 0
+    while (addr != 0 && pageno < MaxDirPages) {
+      val ph = ByteBuffer.wrap(readAt((addr - 1) * 8L, 32))
+      require(ph.getInt(8) == Dir0,
+        s"xdf: directory page at $addr missing DIR0 marker")
+      addr = ph.getInt(16)
+      pageno += 1
+    }
+    pageno
   }
 
   /** Read and decode one record's payload (S4): seek to
