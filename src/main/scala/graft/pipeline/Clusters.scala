@@ -50,9 +50,17 @@ object Clusters {
     * they neither receive a label nor donate one (so a stray id can
     * never become the returned label of a real node), and edges
     * whose other end is a stray endpoint are inert.
+    *
+    * `trustedEndpoints = true` skips the stray-endpoint semi-join
+    * guard — for callers whose pairs are DERIVED from `nodes` by
+    * construction (the LSH pipelines: pairs come from a self-join of
+    * the very doc set passed as nodes), the guard can only be a
+    * no-op, and skipping it saves one shuffle of the active set per
+    * call. The default stays safe for external pair sources.
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          trustedEndpoints: Boolean = false): DataFrame = {
     graft.core.Checks.requireColumns(nodes, "connected_components", "id")
     graft.core.Checks.requireColumns(pairs, "connected_components",
       "a", "b")
@@ -87,8 +95,11 @@ object Clusters {
     // output rows to `nodes`. The semi-join costs one shuffle of the
     // (small, edge-incident) active set, not of `nodes`.
     val tB = System.nanoTime()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .join(nodes.select(col("id")), Seq("id"), "left_semi")
+    val active0 = edges.select(col("a").as("id")).distinct()
+    val active =
+      if (trustedEndpoints) active0
+      else active0.join(nodes.select(col("id")), Seq("id"), "left_semi")
+    var labels = active
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(false)
     def labelSum(df: org.apache.spark.sql.DataFrame)

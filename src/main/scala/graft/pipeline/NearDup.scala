@@ -77,7 +77,9 @@ object NearDup {
     val (_, _, pairs) = lshPairs(source, threshold)
     Clusters.connectedComponents(
       source.select(col("doc_id").as("id")),
-      pairs.select(col("doc_id_a").as("a"), col("doc_id_b").as("b")))
+      pairs.select(col("doc_id_a").as("a"), col("doc_id_b").as("b")),
+      // pairs are a self-join of exactly this doc set (lshPairs)
+      trustedEndpoints = true)
       .filter(col("id") === col("label"))
       .select(col("id").as("doc_id"))
   }
