@@ -5,6 +5,8 @@ import org.apache.spark.sql.SparkSession
 /** Dev tool: time one query several times in a warm JVM so per-plan
   * codegen fixed cost (run 1 only) separates from data work (every
   * run). Usage: runMain graft.Profile <sfDir> <query> [repeats]
+  * SPARK_GRAFT_CONF="k=v;k=v" applies session-conf overrides (e.g.
+  * spark.sql.files.openCostInBytes to A/B the sub-file split).
   */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -22,6 +24,13 @@ object Profile {
         "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+        println(s"[profile] conf override: $k=$v")
+      }
     try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
     catch { case _: Throwable => () }
     (1 to reps).foreach { i =>
