@@ -1285,7 +1285,15 @@ object PipelineQueries {
           count(lit(1)), 9).as("mu"),
         count(lit(1)).as("n"))
         .transform(graft.core.CacheRegistry.persist(_))
-      mu64.count() // one corpus scan serves muArr, v0 AND the output
+      // mu64/cv stay persisted (multiple consumers) but are NOT
+      // count()-materialized: the whole query is ONE action whose
+      // broadcast chain (output needs v2 needs v1 needs v0 needs
+      // muArr needs mu64; each step's broadcast needs cv) executes
+      // strictly sequentially, so each cache fills exactly once on
+      // its first use — the p77 pattern; dropping the two counts
+      // removed two whole action plans of per-plan codegen, the
+      // profiled bulk of p72's driver-bench time (4.5 s driver vs
+      // 1.4 s local before this change).
       val muArr = mu64.agg(
         transform(
           array_sort(collect_list(struct(col("pos"), col("mu")))),
@@ -1295,7 +1303,6 @@ object PipelineQueries {
         .select(col("vec_id"), col("n"),
           zip_with(col("v"), col("mu"), (a, b) => a - b).as("cv"))
         .transform(graft.core.CacheRegistry.persist(_))
-      cv.count() // materialize once; both iterations re-scan it
       // one power step: w = X^T(X v) as a pos-keyed DECIMAL
       // aggregate, then normalize within the single collected row
       def step(vdf: DataFrame): DataFrame =
