@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: adversarial-SCALE soak for the EMBEDDING-side bucket
+  * joins — the cosine analog of `graft.Soak`'s text-dedup fixture.
+  * The guards under test (PipelineOps.EmbClusterCap/EmbBucketCap and
+  * p42's exact-vector class collapse) are designed for the 100 TB
+  * hot-bucket case; this measures them on a deliberately degenerate
+  * fixture instead of only design-auditing them.
+  *
+  * Fixture (deterministic, built into a scratch dir): sf0.1
+  * `embeddings` duplicated `copies`× (vec_id offset 1e7 per copy so
+  * p42's own +1e6 perturbed doubling never collides), with two
+  * planted pathologies on base ids >= 10 (seeds/queries stay
+  * natural):
+  *  - HOT IDENTICAL (~20%, base id % 5 == 0): ONE fixed vector —
+  *    after p42's perturbed doubling this is TWO exact-vector
+  *    classes of ~0.2·N each; the class collapse must reduce them to
+  *    2 pair-join rows (this is exact-dup mass, the funnel's stage-1
+  *    job — the collapse keeps the OPERATOR safe when run alone);
+  *  - NEAR-IDENTICAL DISTINCT (~20%, base id % 5 == 1): the same
+  *    base pattern plus a per-id 1e-6-scale jitter — thousands of
+  *    DISTINCT reps that all land in one k-means cluster and one
+  *    argmax/sign bucket, the mass the caps must bound (the cluster
+  *    is skipped by p42's backstop; p65/p73 audit-sample it).
+  * `documents` is duplicated with the same id offsets (no planted
+  * text pathology) so the row-aligned p73 text join stays total.
+  *
+  * Measurements printed: rep-per-cluster and bucket-size audits
+  * (guard-eye view), per-query wall + rows for p42/p65/p73/p75/p06,
+  * and the p75 health report rows (it must FLAG the hot buckets).
+  *
+  * Usage: runMain graft.EmbSoak [sfDir] [copies]
+  */
+object EmbSoak {
+  def buildFixture(spark: SparkSession, sfDir: String, outDir: String,
+                   copies: Int): Unit = {
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val e0 = (0 until copies).map { k =>
+      base.withColumn("vec_id", col("vec_id") + k.toLong * 10000000L)
+    }.reduce(_ unionByName _)
+    val baseId = pmod(col("vec_id"), lit(10000000L))
+    val isHot = pmod(baseId, lit(5L)) === 0 && baseId >= 10
+    val isNear = pmod(baseId, lit(5L)) === 1 && baseId >= 10
+    // hot: one fixed unit-ish pattern; near: same pattern + a per-id
+    // jitter of 1e-6 * (id % 97) on dimension (id % 64) — distinct
+    // vectors, pairwise cosine ~1, all nearest the same centroid
+    val hotVec = transform(sequence(lit(0), lit(63)),
+      i => (lit(0.5f) + i.cast("float") / lit(1000.0f)).cast("float"))
+    val nearVec = transform(sequence(lit(0), lit(63)), i =>
+      (lit(0.5f) + i.cast("float") / lit(1000.0f) +
+        when(i === pmod(col("vec_id"), lit(64)).cast("int"),
+          (pmod(col("vec_id"), lit(97)).cast("float") / lit(1000000.0f)))
+          .otherwise(lit(0.0f))).cast("float"))
+    e0.withColumn("embedding",
+        when(isHot, hotVec).when(isNear, nearVec)
+          .otherwise(col("embedding")))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    (0 until copies).map { k =>
+      docs.withColumn("doc_id", col("doc_id") + k.toLong * 10000000L)
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
+  /** Guard-eye audit: p42's rep-per-cluster profile and the p65/p73
+    * bucket-size profiles, printed before the queries run.
+    */
+  def audit(spark: SparkSession, dir: String): Unit = {
+    import graft.pipeline.PipelineOps._
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // p42's own corpus doubling + assignment, replicated for the audit
+    val near = base.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"),
+        x => (x + lit(0.01f)).cast("float")).as("embedding"))
+    val e = base.unionByName(near)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cluster"), col("v").as("c"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("dist", aggregate(
+        zip_with(col("v"), col("c"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, x) => a + x))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cluster"))).as("m"))
+      .select(col("vec_id"), col("m.cluster").as("cluster"))
+      .join(e, Seq("vec_id"))
+    val repsPerCluster = assigned
+      .groupBy("cluster", "v").agg(count(lit(1)).as("members"))
+      .groupBy("cluster").agg(count(lit(1)).as("reps"),
+        sum("members").as("members"), max("members").as("max_class"))
+      .orderBy(col("reps").desc)
+    println("[embsoak] p42 guard-eye: members/reps/max-class per cluster " +
+      s"(EmbClusterCap=$EmbClusterCap):")
+    repsPerCluster.collect().foreach { r =>
+      val flag = if (r.getLong(1) > EmbClusterCap) "  <-- OVER CAP (skipped by pair join)" else ""
+      println(f"[embsoak]   cluster ${r.getInt(0)}%2d: ${r.getLong(2)}%7d members, " +
+        f"${r.getLong(1)}%7d reps, biggest exact class ${r.getLong(3)}%7d$flag")
+    }
+    val buckets = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(argmaxBucket(col("embedding")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .agg(max("n").as("max"), expr("percentile(n, 0.5)").as("p50"),
+        count(lit(1)).as("buckets")).collect()(0)
+    println(f"[embsoak] p65 argmax buckets: ${buckets.getLong(2)} buckets, " +
+      f"max=${buckets.getLong(0)} p50=${buckets.getDouble(1)}%.0f " +
+      f"(EmbBucketCap=$EmbBucketCap)")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val copies = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val fixDir = graft.core.Scratch.path(s"graft_embsoak_${copies}x")
+    val t0 = System.nanoTime()
+    buildFixture(spark, sfDir, fixDir, copies)
+    val n = spark.read.parquet(s"$fixDir/embeddings.parquet").count()
+    println(f"[embsoak] fixture: $n vectors (${copies}x sf0.1, ~20%% hot-" +
+      f"identical, ~20%% near-identical-distinct) in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s at $fixDir")
+
+    audit(spark, fixDir)
+
+    Seq("p42_semantic_dedup", "p65_knn_label_purity",
+      "p73_crossmodal_agreement", "p75_ann_index_report",
+      "p06_cosine_ann").foreach { q =>
+      val t = System.nanoTime()
+      val df = SparkEntry.queries(q)(spark, fixDir)
+      val rows = df.count()
+      val secs = (System.nanoTime() - t) / 1e9
+      println(f"[embsoak] $q: $secs%.1f s ($rows rows)")
+      if (q == "p75_ann_index_report")
+        df.collect().foreach(r => println(s"[embsoak]   p75 row: $r"))
+      graft.core.CacheRegistry.releaseAll()
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

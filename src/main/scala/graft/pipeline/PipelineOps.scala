@@ -83,6 +83,31 @@ object PipelineOps {
     */
   val ShingleDfCap = 64
 
+  /** Degenerate-bucket guards for the EMBEDDING-side bucket joins,
+    * the cosine analog of [[LshBucketCap]]:
+    *
+    *  - `EmbClusterCap` backstops the SemDeDup pair join (p42) AFTER
+    *    its exact-vector class collapse: a coarse cluster still
+    *    holding more than this many DISTINCT representative vectors
+    *    (mass near-identical but not identical content) is skipped
+    *    by the rep pair join — identical mass already collapsed to
+    *    one rep per class, and what remains is the documented recall
+    *    trade (the curation funnel's exact stage owns identical
+    *    content; index-health reporting, p75, flags the hot bucket).
+    *  - `EmbBucketCap` bounds the DIAGNOSTIC bucket self-joins (p65
+    *    k-NN purity, p73 cross-modal agreement): each bucket
+    *    contributes at most this many members, chosen by seeded-hash
+    *    order (a deterministic uniform audit sample), so the pair
+    *    volume is ≤ buckets·Cap² at any corpus size while the
+    *    diagnostic statistics stay unbiased.
+    *
+    * Both are far above every bucket/cluster size the test scales
+    * produce (dormant locally — the oracles mirror the guards, so
+    * this is checked); the 10× hot-vector soak exercises them.
+    */
+  val EmbClusterCap = 4096
+  val EmbBucketCap = 4096
+
   /** Span width (words) for exact span-level dedup (p30). */
   val SpanDedupWords = 8
 

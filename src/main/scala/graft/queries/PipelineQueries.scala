@@ -1062,11 +1062,21 @@ object PipelineQueries {
         norm(col("embedding")).as("nrm"))
       val rn = row_number().over(Window.partitionBy("vec_id")
         .orderBy(col("cos").desc, col("nb_id").asc))
-      val knn = e.alias("a")
-        .join(e.select(col("vec_id").as("nb_id"),
+      // degenerate-bucket guard (EmbBucketCap): the neighbor side
+      // contributes at most cap members per bucket, chosen by
+      // seeded-hash order (a deterministic uniform audit sample), so
+      // the bucket self-join is ≤ buckets·cap² pairs at any corpus
+      // size — the cosine analog of the LSH bucket cap. Dormant at
+      // test scales (buckets ≲ dozens of members); oracle mirrors it.
+      val nb = e.select(col("vec_id").as("nb_id"),
           col("label").as("nb_label"), col("bucket"),
           col("embedding").as("nb_v"), col("nrm").as("nb_n"))
-          .alias("b"), Seq("bucket"))
+        .withColumn("nbrn", row_number().over(
+          Window.partitionBy("bucket")
+            .orderBy(h64(col("nb_id").cast("string"), 41), col("nb_id"))))
+        .filter(col("nbrn") <= lit(EmbBucketCap)).drop("nbrn")
+      val knn = e.alias("a")
+        .join(nb.alias("b"), Seq("bucket"))
         .filter(col("nb_id") =!= col("vec_id"))
         .withColumn("cos", dot(col("embedding"), col("nb_v")) /
           (col("nrm") * col("nb_n")))
@@ -1355,9 +1365,20 @@ object PipelineQueries {
         // ieee-mode DuckDB — exclude it on BOTH engines (p62 does the
         // same for the same hazard)
         .filter(col("nrm") > 0)
-      val a = e.select(col("vec_id").as("id_a"),
+      // degenerate-bucket guard (EmbBucketCap): with a FIXED plane
+      // count the sign-bucket population grows with the corpus, so
+      // this diagnostic caps each bucket at cap members chosen by
+      // seeded-hash order (a deterministic uniform audit sample,
+      // both join sides) — pair volume ≤ 2^planes·cap² at any
+      // corpus size, and the per-cosine-bucket agreement statistics
+      // stay unbiased. Dormant at test scales; oracle mirrors it.
+      val es = e.withColumn("srn", row_number().over(
+          Window.partitionBy("sig")
+            .orderBy(h64(col("vec_id").cast("string"), 43), col("vec_id"))))
+        .filter(col("srn") <= lit(EmbBucketCap)).drop("srn")
+      val a = es.select(col("vec_id").as("id_a"),
         col("embedding").as("va"), col("nrm").as("na"), col("sig"))
-      val b = e.select(col("vec_id").as("id_b"),
+      val b = es.select(col("vec_id").as("id_b"),
         col("embedding").as("vb"), col("nrm").as("nb"), col("sig"))
       val pairs = a.join(b, Seq("sig"))
         .filter(col("id_a") < col("id_b"))
@@ -1932,22 +1953,50 @@ object PipelineQueries {
         .withColumn("nrm", sqrt(aggregate(
           transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
         .transform(graft.core.CacheRegistry.persist(_))
-      assigned.count() // materialize before the pair join's two sides
-      val a = assigned.select(col("cluster"), col("vec_id").as("a"),
+      assigned.count() // materialize before the class/pair branches
+      // EXACT-VECTOR CLASS COLLAPSE before the pair join: identical
+      // vectors share every cosine, so the min-id member of each
+      // (cluster, v) class is elected rep and ONLY REPS pair. This
+      // provably reproduces the member-level output — cos(x,·) is
+      // identical across a class, so any member's min partner IS the
+      // partner class's rep, and composing member→rep→rep-canonical
+      // lands on the same id — while a degenerate mass of
+      // exact-identical embeddings (the 100 TB hot-cluster case)
+      // collapses to ONE pair-join row per distinct vector.
+      val withRep = assigned.withColumn("rep",
+        min(col("vec_id")).over(
+          Window.partitionBy(col("cluster"), col("v"))))
+      val reps = withRep.filter(col("vec_id") === col("rep"))
+      // backstop (EmbClusterCap): a cluster still holding more
+      // DISTINCT rep vectors than the cap — near-identical but not
+      // identical mass — is skipped by the pair join entirely, so
+      // the quadratic step stays ≤ cap² per cluster at any corpus
+      // size; the skipped cluster is the documented recall trade
+      // (the funnel's exact stage owns identical content, p75-style
+      // health reporting flags the hot bucket). Dormant at test
+      // scales; the oracle mirrors it; the 10× hot-vector soak
+      // fires it.
+      val overCap = reps.groupBy("cluster")
+        .agg(count(lit(1)).as("nreps"))
+        .filter(col("nreps") > lit(EmbClusterCap))
+        .select("cluster")
+      val rp = reps.join(broadcast(overCap), Seq("cluster"), "left_anti")
+      val a = rp.select(col("cluster"), col("vec_id").as("a"),
         col("v").as("va"), col("nrm").as("na_"))
-      val b = assigned.select(col("cluster"), col("vec_id").as("b"),
+      val b = rp.select(col("cluster"), col("vec_id").as("b"),
         col("v").as("vb"), col("nrm").as("nb_"))
-      val dups = a.join(b, Seq("cluster")).filter(col("a") < col("b"))
+      val repDups = a.join(b, Seq("cluster")).filter(col("a") < col("b"))
         .withColumn("cos", aggregate(
           zip_with(col("va"), col("vb"), (x, y) => x * y),
           lit(0.0), (p, x) => p + x) / (col("na_") * col("nb_")))
         .filter(col("cos") >= 0.99)
-        .groupBy(col("b").as("vec_id")).agg(min("a").as("dup_of"))
-      assigned.select("vec_id", "cluster")
-        .join(dups, Seq("vec_id"), "left")
+        .groupBy(col("b").as("rep")).agg(min("a").as("rep_dup"))
+      withRep.select("vec_id", "cluster", "rep")
+        .join(repDups, Seq("rep"), "left")
         .select(col("vec_id"), col("cluster"),
-          coalesce(col("dup_of"), col("vec_id")).as("canonical_id"),
-          col("dup_of").isNull.as("kept"))
+          coalesce(col("rep_dup"), col("rep")).as("canonical_id"),
+          (coalesce(col("rep_dup"), col("rep")) === col("vec_id"))
+            .as("kept"))
     }),
 
     // incremental (batch-vs-corpus) near-dup: dedupe an INCOMING batch
@@ -3076,10 +3125,14 @@ SELECT query_id, vec_id, label, rank, cos FROM r WHERE rank <= 5""",
       s"""WITH e AS (SELECT vec_id, label, embedding,
     ${argmaxBucketSql("embedding")} AS bucket,
     ${normSql("embedding")} AS nrm FROM embeddings),
+nb AS (SELECT * FROM (SELECT *, row_number() OVER (
+    PARTITION BY bucket
+    ORDER BY ${h64Sql("vec_id", 41)}, vec_id) AS nbrn FROM e)
+  WHERE nbrn <= $EmbBucketCap),
 p AS (SELECT a.vec_id, a.label, b.vec_id AS nb_id,
     b.label AS nb_label,
     ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
-  FROM e a JOIN e b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id),
+  FROM e a JOIN nb b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id),
 k AS (SELECT *, row_number() OVER (PARTITION BY vec_id
     ORDER BY cos DESC, nb_id ASC) AS rank FROM p),
 pu AS (SELECT vec_id, label,
@@ -3252,7 +3305,11 @@ FROM mu64, v2"""
   FROM embeddings),
 es0 AS (SELECT vec_id, v, ${hyperplaneSigSql("v", planes)} AS sig,
     ${normSql("v")} AS nrm FROM e),
-es AS (SELECT * FROM es0 WHERE nrm > 0),
+es1 AS (SELECT * FROM es0 WHERE nrm > 0),
+es AS (SELECT * FROM (SELECT *, row_number() OVER (
+    PARTITION BY sig
+    ORDER BY ${h64Sql("vec_id", 43)}, vec_id) AS srn FROM es1)
+  WHERE srn <= $EmbBucketCap),
 pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
     ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
   FROM es a JOIN es b ON a.sig = b.sig AND a.vec_id < b.vec_id),
@@ -3631,18 +3688,25 @@ a1 AS (SELECT vec_id, v, cluster FROM
       ORDER BY dist ASC, cluster ASC) AS rn FROM d1) WHERE rn = 1),
 an AS (SELECT *, sqrt(list_reduce(list_transform(v, x -> x * x),
     (a, b) -> a + b)) AS nrm FROM a1),
+wr AS (SELECT *, min(vec_id) OVER (PARTITION BY cluster, v) AS rep
+  FROM an),
+rp0 AS (SELECT * FROM wr WHERE vec_id = rep),
+oc AS (SELECT cluster FROM rp0 GROUP BY cluster
+  HAVING count(*) > $EmbClusterCap),
+rp AS (SELECT * FROM rp0
+  WHERE cluster NOT IN (SELECT cluster FROM oc)),
 p AS (SELECT x.vec_id AS a, y.vec_id AS b,
     list_reduce(list_transform(range(1, 65),
       i -> x.v[CAST(i AS INT)] * y.v[CAST(i AS INT)]),
       (a, b) -> a + b) / (x.nrm * y.nrm) AS cos
-  FROM an x JOIN an y ON x.cluster = y.cluster
+  FROM rp x JOIN rp y ON x.cluster = y.cluster
     AND x.vec_id < y.vec_id),
-d AS (SELECT b AS vec_id, min(a) AS dup_of FROM p
+d AS (SELECT b AS rep, min(a) AS rep_dup FROM p
   WHERE cos >= 0.99 GROUP BY b)
-SELECT a1.vec_id, a1.cluster,
-  coalesce(d.dup_of, a1.vec_id) AS canonical_id,
-  d.dup_of IS NULL AS kept
-FROM a1 LEFT JOIN d USING (vec_id)"""
+SELECT wr.vec_id, wr.cluster,
+  coalesce(d.rep_dup, wr.rep) AS canonical_id,
+  coalesce(d.rep_dup, wr.rep) = wr.vec_id AS kept
+FROM wr LEFT JOIN d USING (rep)"""
     },
 
     "p43_incremental_dedup" -> {
