@@ -30,12 +30,17 @@ val jdk17AddOpens = Seq(
 // when the machine can actually reserve it: -Xms forces the full
 // reservation at JVM start, so on a <32 GiB dev box the pin is
 // dropped (the heap still grows to -Xmx on demand) instead of
-// failing sbt test/run outright. SPARK_DRIVER_MEM overrides both.
+// failing sbt test/run outright. Where total memory is UNKNOWN
+// (no /proc/meminfo — macOS/Windows dev boxes), the pin is also
+// dropped; set SPARK_DRIVER_MEM explicitly there to force both
+// -Xms and -Xmx (it overrides the probe entirely).
 val benchHeap = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
 val memKb: Long = try {
-  scala.io.Source.fromFile("/proc/meminfo").getLines()
+  val src = scala.io.Source.fromFile("/proc/meminfo")
+  try src.getLines()
     .collectFirst { case l if l.startsWith("MemTotal:") =>
       l.split("\\s+")(1).toLong }.getOrElse(0L)
+  finally src.close()
 } catch { case _: Throwable => 0L }
 val heapPin: Seq[String] =
   if (sys.env.contains("SPARK_DRIVER_MEM") || memKb >= (32L << 20))

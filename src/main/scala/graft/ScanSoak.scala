@@ -105,6 +105,7 @@ object ScanSoak {
     (1 to 2).foreach { i =>
       val (n, p) = timed(s"split metadata-only count (run $i of 2)")(metaRead())
       require(n == nRecords, s"bad meta count: $n")
+      require(p > 1, s"metadata read expected the split plan, got $p")
     }
     spark.stop()
     // the fixture is large and lives on tmpfs scratch: clean it up

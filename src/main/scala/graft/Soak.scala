@@ -50,7 +50,10 @@ object Soak {
     case class Agg(var srB: Long = 0, var swB: Long = 0,
                    var srRec: Long = 0, var swRec: Long = 0,
                    var tasks: Int = 0)
-    val jobOfStage = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+    // Integer values so a missing stage (straggler finishing after
+    // reset()) reads back as null instead of unboxing to 0
+    val jobOfStage =
+      new java.util.concurrent.ConcurrentHashMap[Int, Integer]()
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Agg]()
     @volatile var t0 = System.nanoTime()
     val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Double]()
@@ -59,7 +62,12 @@ object Soak {
       jobStart.put(j.jobId, (System.nanoTime() - t0) / 1e9)
     }
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
-      val jid = jobOfStage.get(te.stageId)
+      // a straggler task can finish after reset() cleared its
+      // stage→job entry; dropping it beats misattributing its bytes
+      // to a phantom job and corrupting the per-round numbers
+      val jidBoxed = jobOfStage.get(te.stageId)
+      if (jidBoxed == null) return
+      val jid: Int = jidBoxed.intValue()
       val m = te.taskMetrics
       if (m != null) {
         val a = jobs.computeIfAbsent(jid, _ => Agg())

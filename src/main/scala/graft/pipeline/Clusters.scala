@@ -46,17 +46,22 @@ object Clusters {
     * (column `id`) induced by `pairs` (columns `a`, `b`). Returns
     * one row per node: (id, label) with label = minimum id
     * reachable. Nodes absent from every pair keep their own id as
-    * label. Endpoints outside `nodes` are ignored for labeling —
-    * they neither receive a label nor donate one (so a stray id can
-    * never become the returned label of a real node), and edges
-    * whose other end is a stray endpoint are inert.
+    * label. Endpoints outside `nodes` are ignored COMPLETELY: the
+    * symmetrized edge set is semi-joined against `nodes` on the
+    * source side, so a stray id never enters the label table — it
+    * cannot become a returned label, and (crucially) it cannot act
+    * as a BRIDGE that merges two components that are only connected
+    * through out-of-set ids. (Guarding just the label seed is not
+    * enough: a seeded-then-relayed stray would conduct labels across
+    * itself in two rounds.)
     *
     * `trustedEndpoints = true` skips the stray-endpoint semi-join
     * guard — for callers whose pairs are DERIVED from `nodes` by
     * construction (the LSH pipelines: pairs come from a self-join of
     * the very doc set passed as nodes), the guard can only be a
-    * no-op, and skipping it saves one shuffle of the active set per
-    * call. The default stays safe for external pair sources.
+    * no-op, and skipping it saves one shuffle of the symmetrized
+    * edge set per call. The default stays safe for external pair
+    * sources.
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           maxIter: Int = 25,
@@ -78,28 +83,29 @@ object Clusters {
       .persist(StorageLevel.MEMORY_AND_DISK)
     p.count()
     dbg("pairs materialize", tA)
-    val edges = p
+    // Stray-endpoint guard: semi-join the SYMMETRIZED edges on the
+    // source side against `nodes`. This removes (stray, *) rows, and
+    // because labels only ever enter the table via groupBy(a) over
+    // these edges (plus node-seeded jumps), a stray id can never be
+    // labeled — so the remaining (*, stray) rows are permanently
+    // inert in the b-side label join. Guarding only the label SEED
+    // is not sufficient: round 1's groupBy(a) would label the stray
+    // from its node neighbors and round 2 would relay that label to
+    // the stray's OTHER neighbors, silently merging components that
+    // are connected only through out-of-set ids (stray bridges).
+    val edges0 = p
       .unionByName(p.select(col("b").as("a"), col("a").as("b")))
+    val edges = (if (trustedEndpoints) edges0
+      else edges0.join(nodes.select(col("id").as("a")),
+        Seq("a"), "left_semi"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // only edge-incident nodes iterate (lazy localCheckpoint: the
-    // first labelSum action below materializes the blocks).
-    // The active set is semi-joined against `nodes` so a stray pair
-    // endpoint outside the node set can never seed a label: without
-    // the guard, a stray id smaller than every real id in a
-    // component would win the min election and the caller would get
-    // labels that are not node ids. Edges touching a stray endpoint
-    // stay in `edges` but are inert — each round's label join keys
-    // on the ACTIVE label table, so a label-less endpoint's rows are
-    // dropped by the inner join, and the final left join restricts
-    // output rows to `nodes`. The semi-join costs one shuffle of the
-    // (small, edge-incident) active set, not of `nodes`.
+    // first labelSum action below materializes the blocks); after
+    // the guard every `a` is a real node, so the active set needs no
+    // second filter.
     val tB = System.nanoTime()
-    val active0 = edges.select(col("a").as("id")).distinct()
-    val active =
-      if (trustedEndpoints) active0
-      else active0.join(nodes.select(col("id")), Seq("id"), "left_semi")
-    var labels = active
+    var labels = edges.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(false)
     def labelSum(df: org.apache.spark.sql.DataFrame)

@@ -162,11 +162,18 @@ object PipelineQueries {
       // aggregate stays linear. ex0 re-explodes from the persisted
       // doc cache, so scanning it twice is the cheap side of the
       // trade.)
+      // no broadcast HINT on the anti-join: the hot set is tiny for
+      // Zipf-shaped text but is bounded only by shingleRows/cap, so
+      // on a pathological corpus a forced broadcast would hit the
+      // broadcast/driver limits exactly where the guard matters
+      // most. Unhinted, AQE broadcasts it when small (measured: the
+      // sf0.1 plan still broadcasts) and falls back to a shuffled
+      // anti-join when not — graceful at both ends.
       val hot = ex0.groupBy("source", "h")
         .agg(count(lit(1)).as("df"))
         .filter(col("df") > lit(ShingleDfCap))
         .select("source", "h")
-      val ex = ex0.join(broadcast(hot), Seq("source", "h"), "left_anti")
+      val ex = ex0.join(hot, Seq("source", "h"), "left_anti")
       val inter = ex.alias("a").join(ex.alias("b"),
           col("a.source") === col("b.source") &&
             col("a.h") === col("b.h") &&
@@ -2190,10 +2197,15 @@ object PipelineQueries {
         .agg(count(lit(1)).cast("double").as("tf"))
       val dft = tf.groupBy("term")
         .agg(count(lit(1)).cast("double").as("df"))
-      // corpus size from the token chain, not a second `documents`
-      // scan (every fixture doc has >= 1 qualifying term, and the
-      // oracle derives n the same way, so the engines agree by
-      // construction); this rides the same reused exchange as tf
+      // CONTRACT: n_docs = documents with >= 1 indexable term (the
+      // standard IR definition — IDF over the indexed corpus), NOT
+      // raw row count: a doc whose every token is < 3 chars
+      // contributes no terms and is not part of the index this
+      // query ranks. Deriving it from the token chain (instead of a
+      // second `documents` scan) makes that definition explicit AND
+      // rides the same reused exchange as tf; the oracle derives n
+      // identically. (On the driver fixtures the two definitions
+      // coincide — every doc has >= 1 qualifying term.)
       val nd = tf.agg(countDistinct(col("doc_id")).cast("double")
         .as("n_docs"))
       val rn = row_number().over(Window.partitionBy("doc_id")

@@ -190,11 +190,26 @@ object FstScan {
     parts.map(fs => FstInputPartition(fs): InputPartition).toArray
   }
 
+  /** Page-count memo for the sub-file splitter: committed record
+    * files are immutable (tasks write under hidden temp names, the
+    * job commit renames), so (path, length) identifies content.
+    * Streaming re-plans on EVERY micro-batch, and without the memo
+    * each plan re-walks every oversized file's page headers on the
+    * driver — one positioned read per page per file per batch on a
+    * remote FS. -1 caches "not splittable" (compact container,
+    * single page, sniff failed). Cleared wholesale if it ever grows
+    * past 100k entries (a bound, not an eviction policy — entries
+    * are ~100 bytes).
+    */
+  private val pageCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Integer]()
+
   /** Split one oversized file into directory-page-run slices, each
     * close to `target` bytes (estimated as a proportional share of
     * the file — record payloads are chained from their pages, so a
     * page run's bytes are not contiguous but average out). Driver-
-    * side cost is one header read plus a 32-byte page-header walk.
+    * side cost is one header read plus a 32-byte page-header walk,
+    * paid once per (path, length) thanks to [[pageCountMemo]].
     * Compact containers (one flat directory block, no pages) and
     * single-page XDF files stay whole; so does anything whose sniff
     * fails — the task-side reader raises the real error with full
@@ -203,27 +218,37 @@ object FstScan {
   private def splitByPages(f: String, len: Long,
                            target: Long): Seq[(FstFileSlice, Long)] = {
     val whole = Seq((FstFileSlice(f), len))
-    try {
-      val fs = FileSystem.get(new java.net.URI(f), new Configuration())
-      val in = fs.open(new Path(f))
-      try {
-        def readAt(off: Long, n: Int): Array[Byte] = {
-          val b = new Array[Byte](n); in.readFully(off, b); b
-        }
-        val hdr = readAt(0, FstFormat.HeaderBytes)
-        if (!FstFormat.maybeFst(hdr) || !XdfFormat.isXdf(hdr))
-          return whole
-        val nPages = XdfFormat.countDirPages(readAt)
-        if (nPages <= 1) return whole
-        val bytesPerPage = math.max(1L, len / nPages)
-        val pagesPerSlice =
-          math.max(1, math.min(nPages.toLong, target / bytesPerPage).toInt)
-        (0 until nPages by pagesPerSlice).map { p0 =>
-          val p1 = math.min(nPages, p0 + pagesPerSlice)
-          (FstFileSlice(f, p0, p1), (p1 - p0).toLong * bytesPerPage)
-        }
-      } finally in.close()
-    } catch { case scala.util.control.NonFatal(_) => whole }
+    val key = (f, len)
+    val cached = pageCountMemo.get(key)
+    val nPages: Int =
+      if (cached != null) cached.intValue
+      else {
+        val probed = try {
+          val fs = FileSystem.get(new java.net.URI(f), new Configuration())
+          val in = fs.open(new Path(f))
+          try {
+            def readAt(off: Long, n: Int): Array[Byte] = {
+              val b = new Array[Byte](n); in.readFully(off, b); b
+            }
+            val hdr = readAt(0, FstFormat.HeaderBytes)
+            if (!FstFormat.maybeFst(hdr) || !XdfFormat.isXdf(hdr)) -1
+            else XdfFormat.countDirPages(readAt)
+          } finally in.close()
+        } catch { case scala.util.control.NonFatal(_) => -1 }
+        if (pageCountMemo.size > 100000) pageCountMemo.clear()
+        pageCountMemo.put(key, probed)
+        probed
+      }
+    if (nPages <= 1) whole
+    else {
+      val bytesPerPage = math.max(1L, len / nPages)
+      val pagesPerSlice =
+        math.max(1, math.min(nPages.toLong, target / bytesPerPage).toInt)
+      (0 until nPages by pagesPerSlice).map { p0 =>
+        val p1 = math.min(nPages, p0 + pagesPerSlice)
+        (FstFileSlice(f, p0, p1), (p1 - p0).toLong * bytesPerPage)
+      }
+    }
   }
 
   /** Recursive listing of record files under `root`, skipping any
@@ -747,11 +772,6 @@ case class FstInputPartition(slices: Seq[FstFileSlice])
     extends InputPartition {
   /** Distinct file paths touched by this partition. */
   def files: Seq[String] = slices.map(_.path).distinct
-}
-
-object FstInputPartition {
-  def ofFiles(files: Seq[String]): FstInputPartition =
-    FstInputPartition(files.map(f => FstFileSlice(f)))
 }
 
 class FstReaderFactory(required: StructType, pushed: Array[Filter])

@@ -195,6 +195,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("connected components: stray endpoints cannot bridge or label") {
+    import spark.implicits._
+    // 2 is NOT a node but appears in pairs on both sides of the
+    // 5—2—9 path. A stray must neither donate a label (2 < 5 would
+    // win every min election) nor CONDUCT one: seeding labels from
+    // nodes alone is not enough, because a stray labeled in round 1
+    // via groupBy(a) would relay that label to its other neighbors
+    // in round 2, silently merging 5's and 9's components.
+    val nodes = Seq(5L, 9L).toDF("id")
+    val pairs = Seq((5L, 2L), (2L, 9L)).toDF("a", "b")
+    val got = Clusters.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 5L, 9L -> 9L), s"stray bridged: $got")
+    // same graph with 2 a real node: one component labeled 2
+    val got2 = Clusters.connectedComponents(
+      Seq(2L, 5L, 9L).toDF("id"), pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(2L -> 2L, 5L -> 2L, 9L -> 2L))
+  }
+
   test("span dedup: first occurrence wins, copies lose their spans") {
     val rows = graft.queries.PipelineQueries
       .queries("p30_span_dedup")(spark, "/root/testdata/sf0.001")
