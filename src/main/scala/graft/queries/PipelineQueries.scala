@@ -166,9 +166,10 @@ object PipelineQueries {
       // Zipf-shaped text but is bounded only by shingleRows/cap, so
       // on a pathological corpus a forced broadcast would hit the
       // broadcast/driver limits exactly where the guard matters
-      // most. Unhinted, AQE broadcasts it when small (measured: the
-      // sf0.1 plan still broadcasts) and falls back to a shuffled
-      // anti-join when not — graceful at both ends.
+      // most. Unhinted, AQE broadcasts it when its runtime size is
+      // small and falls back to a shuffled anti-join when not —
+      // graceful at both ends (measured: p04's sf0.1 wall time is
+      // unchanged without the hint).
       val hot = ex0.groupBy("source", "h")
         .agg(count(lit(1)).as("df"))
         .filter(col("df") > lit(ShingleDfCap))
