@@ -24,16 +24,23 @@ import org.apache.spark.storage.StorageLevel
   *  - Each round is one shuffle join on the node id plus a partial
   *    (map-side combining) min-aggregation — no all-pairs step, no
   *    driver-side collection of nodes or edges.
-  *  - Each round's label table is `localCheckpoint`ed, not cached:
-  *    the round's plan collapses to an RDD leaf, so plan size and
+  *  - Each round's label table is CHECKPOINTED, not cached: the
+  *    round's plan collapses to an RDD leaf, so plan size and
   *    Catalyst analysis cost stay CONSTANT per round, and an
   *    iterative chain of cached plans never builds up in the cache
   *    manager (unpersisting an ancestor there invalidates every
   *    dependent cached round — an O(rounds^2) recompile storm this
   *    design structurally avoids). Superseded rounds' blocks are
-  *    dropped by the context cleaner once unreferenced; on executor
-  *    loss the job re-runs from the last checkpoint, the standard
-  *    trade for iterative graph jobs.
+  *    dropped by the context cleaner once unreferenced. Checkpoint
+  *    KIND follows the session: when `setCheckpointDir` is
+  *    configured the rounds checkpoint RELIABLY (HDFS/object store
+  *    — an executor loss recovers from the last round, the right
+  *    trade on a 1000-executor cluster), otherwise they
+  *    localCheckpoint (executor-local blocks — fast, but lineage is
+  *    truncated, so on a multi-executor cluster WITHOUT a
+  *    checkpoint dir an executor loss fails the job; single-JVM
+  *    local[*] runs have no such loss mode and keep the cheap
+  *    path).
   *  - The single action per round both materializes the checkpoint
   *    and returns the convergence probe (labels are monotonically
   *    non-increasing, so an unchanged label sum means a fixpoint).
@@ -104,10 +111,16 @@ object Clusters {
     // first labelSum action below materializes the blocks); after
     // the guard every `a` is a real node, so the active set needs no
     // second filter.
+    // reliable checkpoints when the session has a checkpoint dir
+    // (cluster deployments), executor-local otherwise — see the
+    // object scaladoc for the fault-tolerance trade
+    val ckpt: DataFrame => DataFrame =
+      if (nodes.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df => df.checkpoint(false)
+      else df => df.localCheckpoint(false)
     val tB = System.nanoTime()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint(false)
+    var labels = ckpt(edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("label")))
     def labelSum(df: org.apache.spark.sql.DataFrame)
         : java.math.BigDecimal =
       Option(df.agg(sum(col("label").cast("decimal(38,0)")))
@@ -127,11 +140,10 @@ object Clusters {
       // below already covers x's own label — no second join with the
       // previous labels is needed to keep monotonicity or coverage.
       val jump = labels.select(col("id").as("a"), col("label").as("b"))
-      val next = edges.unionByName(jump)
+      val next = ckpt(edges.unionByName(jump)
         .join(labels.select(col("id").as("b"),
           col("label").as("blab")), Seq("b"))
-        .groupBy(col("a").as("id")).agg(min("blab").as("label"))
-        .localCheckpoint(false)
+        .groupBy(col("a").as("id")).agg(min("blab").as("label")))
       // ONE action per round: this agg materializes the checkpoint
       // AND returns the convergence probe
       val nextSum = labelSum(next)

@@ -215,6 +215,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got2 == Map(2L -> 2L, 5L -> 2L, 9L -> 2L))
   }
 
+  test("connected components rounds use reliable checkpoints when configured") {
+    import spark.implicits._
+    // with a checkpoint dir set the per-round label tables must go
+    // through reliable checkpoints (the executor-loss-safe cluster
+    // path) and produce identical labels
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cc_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val nodes = Seq(1L, 2L, 3L, 4L, 10L).toDF("id")
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+      val got = Clusters.connectedComponents(nodes, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        10L -> 10L))
+      // the reliable path actually wrote checkpoint data
+      val written = new java.io.File(dir).listFiles()
+      assert(written != null && written.nonEmpty,
+        s"no reliable checkpoint data under $dir")
+    } finally {
+      // SparkContext has no unsetCheckpointDir: null resets the
+      // Option so later suites keep the local-checkpoint path
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
+
   test("span dedup: first occurrence wins, copies lose their spans") {
     val rows = graft.queries.PipelineQueries
       .queries("p30_span_dedup")(spark, "/root/testdata/sf0.001")
