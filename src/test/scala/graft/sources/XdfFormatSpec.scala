@@ -234,6 +234,32 @@ class XdfFormatSpec extends AnyFunSuite {
       XdfFormat.compressTokens(Array.empty[Int]), 0).isEmpty)
   }
 
+  test("turbopack codec rejects foreign and truncated streams loudly") {
+    // a librmn-ish stream that happens to lead with a plausible
+    // token count must NOT decode to garbage: the magic check fires
+    // first, with the declared-boundary message
+    val foreign = Array(500, 500, 0x12345678, 0x0badf00d)
+    val ex = intercept[IllegalArgumentException] {
+      XdfFormat.decompressTokens(foreign, 500)
+    }
+    assert(ex.getMessage.contains("armn_compress bitstream unsupported"),
+      ex.getMessage)
+    // a VALID prefix cut short must fail the bounds check, not
+    // return wrong values or throw ArrayIndexOutOfBoundsException
+    val good = XdfFormat.compressTokens(
+      (0 until 1000).map(i => (i * 7919) % 65536).toArray)
+    val cut = good.take(good.length / 2)
+    val ex2 = intercept[IllegalArgumentException] {
+      XdfFormat.decompressTokens(cut, 1000)
+    }
+    assert(ex2.getMessage.contains("truncated"), ex2.getMessage)
+    // wrong directory count against a healthy stream
+    val ex3 = intercept[IllegalArgumentException] {
+      XdfFormat.decompressTokens(good, 999)
+    }
+    assert(ex3.getMessage.contains("token count"), ex3.getMessage)
+  }
+
   test("compressed datyps 129/130/133/134 round-trip in-container") {
     val recs = Seq[(Meta, Array[Double])](
       // 129 ~ datyp 1 quantization: integer offsets sit on the grid
