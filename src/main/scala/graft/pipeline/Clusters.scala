@@ -40,7 +40,12 @@ import org.apache.spark.storage.StorageLevel
   *    truncated, so on a multi-executor cluster WITHOUT a
   *    checkpoint dir an executor loss fails the job; single-JVM
   *    local[*] runs have no such loss mode and keep the cheap
-  *    path).
+  *    path). NOTE: reliable checkpoint FILES of superseded rounds
+  *    are only reclaimed by the context cleaner when
+  *    `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+  *    (Spark's default is false) — long-running services calling
+  *    this repeatedly should set that conf, or point the checkpoint
+  *    dir at storage with a TTL/lifecycle rule.
   *  - The single action per round both materializes the checkpoint
   *    and returns the convergence probe (labels are monotonically
   *    non-increasing, so an unchanged label sum means a fixpoint).
@@ -113,11 +118,21 @@ object Clusters {
     // second filter.
     // reliable checkpoints when the session has a checkpoint dir
     // (cluster deployments), executor-local otherwise — see the
-    // object scaladoc for the fault-tolerance trade
+    // object scaladoc for the fault-tolerance trade. The reliable
+    // path persists the round first and checkpoints EAGERLY: Spark
+    // writes reliable checkpoints by re-running the RDD, so without
+    // the short-lived cache every round's join+agg would compute
+    // twice; with it, the write pass reads cached blocks. (The
+    // local path stays lazy — there the probe below is the one
+    // action that materializes.)
     val ckpt: DataFrame => DataFrame =
-      if (nodes.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df => df.checkpoint(false)
-      else df => df.localCheckpoint(false)
+      if (nodes.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+        df =>
+          val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+          val out = cached.checkpoint(true)
+          cached.unpersist(false)
+          out
+      } else df => df.localCheckpoint(false)
     val tB = System.nanoTime()
     var labels = ckpt(edges.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("label")))
@@ -144,8 +159,11 @@ object Clusters {
         .join(labels.select(col("id").as("b"),
           col("label").as("blab")), Seq("b"))
         .groupBy(col("a").as("id")).agg(min("blab").as("label")))
-      // ONE action per round: this agg materializes the checkpoint
-      // AND returns the convergence probe
+      // local path: ONE action per round — this agg materializes
+      // the lazy localCheckpoint AND returns the convergence probe.
+      // Reliable path: ckpt already ran the eager checkpoint job
+      // (one computation, cache-backed write) and this probe is a
+      // second, cheap action reading the checkpoint files.
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

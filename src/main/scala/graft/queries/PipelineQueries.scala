@@ -151,10 +151,10 @@ object PipelineQueries {
         explode(col("sh")).as("h"))
       // hot-shingle guard (ShingleDfCap): drop join keys whose
       // document frequency makes the pair join quadratic in one key.
-      // The hot set (df > cap) is the Zipf head — tiny, bounded by
-      // total shingle rows / cap — so a map-side-COMBINING aggregate
-      // finds it and a broadcast anti-join removes it without ever
-      // sorting the exploded rows. (The previous count().over(
+      // The hot set (df > cap) is the Zipf head — small for natural
+      // text, bounded by total shingle rows / cap — so a map-side-
+      // COMBINING aggregate finds it and an anti-join removes it
+      // without ever sorting the exploded rows. (The previous count().over(
       // partitionBy(source, h)) guard rode the pair join's shuffle
       // but full-width-SORTED every exploded shingle row inside it —
       // the dominant cost of this query at sf0.1, and a growing one

@@ -197,9 +197,14 @@ object FstScan {
     * each plan re-walks every oversized file's page headers on the
     * driver — one positioned read per page per file per batch on a
     * remote FS. -1 caches "not splittable" (compact container,
-    * single page, sniff failed). Cleared wholesale if it ever grows
-    * past 100k entries (a bound, not an eviction policy — entries
-    * are ~100 bytes).
+    * single page). Cleared wholesale if it ever grows past 100k
+    * entries (a bound, not an eviction policy — entries are ~100
+    * bytes). Residual assumption: a path REWRITTEN with identical
+    * byte length but a different page count would read a stale
+    * count — for XDF that requires the same length with a different
+    * directory-page chain, which the fixed 4,616-word page size
+    * makes effectively impossible; a rewrite that changes content
+    * virtually always changes length and therefore the key.
     */
   private val pageCountMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Integer]()
@@ -223,6 +228,11 @@ object FstScan {
     val nPages: Int =
       if (cached != null) cached.intValue
       else {
+        // IN-BAND results (-1 = not XDF / compact / single page)
+        // memoize; a thrown probe (transient remote-FS error) does
+        // NOT — this plan degrades to a whole-file slice and the
+        // next plan retries, instead of pinning a multi-GB file to
+        // one core for the process lifetime
         val probed = try {
           val fs = FileSystem.get(new java.net.URI(f), new Configuration())
           val in = fs.open(new Path(f))
@@ -231,12 +241,14 @@ object FstScan {
               val b = new Array[Byte](n); in.readFully(off, b); b
             }
             val hdr = readAt(0, FstFormat.HeaderBytes)
-            if (!FstFormat.maybeFst(hdr) || !XdfFormat.isXdf(hdr)) -1
-            else XdfFormat.countDirPages(readAt)
+            val n =
+              if (!FstFormat.maybeFst(hdr) || !XdfFormat.isXdf(hdr)) -1
+              else XdfFormat.countDirPages(readAt)
+            if (pageCountMemo.size > 100000) pageCountMemo.clear()
+            pageCountMemo.put(key, n)
+            n
           } finally in.close()
         } catch { case scala.util.control.NonFatal(_) => -1 }
-        if (pageCountMemo.size > 100000) pageCountMemo.clear()
-        pageCountMemo.put(key, probed)
         probed
       }
     if (nPages <= 1) whole

@@ -230,10 +230,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
         10L -> 10L))
-      // the reliable path actually wrote checkpoint data
-      val written = new java.io.File(dir).listFiles()
-      assert(written != null && written.nonEmpty,
-        s"no reliable checkpoint data under $dir")
+      // the reliable path actually wrote checkpoint data: rdd-*
+      // directories with part files under the context's UUID subdir
+      // (setCheckpointDir eagerly mkdirs the UUID dir, so a bare
+      // non-empty check on `dir` would pass even if the local-
+      // checkpoint branch were taken — assert the rdd files exist)
+      def rddFiles(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles()).toSeq.flatten.flatMap { c =>
+          if (c.isDirectory) rddFiles(c)
+          else if (c.getName.startsWith("part-")) Seq(c) else Nil
+        }
+      val parts = rddFiles(new java.io.File(dir))
+      assert(parts.nonEmpty,
+        s"no reliable checkpoint part files under $dir")
     } finally {
       // SparkContext has no unsetCheckpointDir: null resets the
       // Option so later suites keep the local-checkpoint path
