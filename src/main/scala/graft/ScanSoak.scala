@@ -3,14 +3,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev tool: measured A/B for the sub-file page-run scan split
+/** Dev tool: measured A/B for the sub-file scan split
   * (FstScan.splitByPages) on a file large enough for the split to
-  * matter — the "single multi-GB XDF file serializes on one core"
+  * matter — the "single multi-GB file serializes on one core"
   * scale claim, measured instead of only unit-tested.
   *
-  * Fixture: ONE XDF container holding `nRecords` float32 records of
-  * `nFloats` elements each (defaults 12,800 × 8,192 ≈ 420 MB, 50
-  * directory pages at 256 entries/page), written once to scratch.
+  * Fixture: ONE container holding `nRecords` float32 records of
+  * `nFloats` elements each (defaults 12,800 × 8,192 ≈ 420 MB; as
+  * XDF that is 50 directory pages at 256 entries/page), written
+  * once to scratch. The third argument picks the container:
+  * `xdf` (default — split unit = directory-page run) or `fstrec`
+  * (compact — split unit = record range over the flat directory).
   *
   * Three timed reads (each run twice; the second, page-cache-warm
   * run is the honest kernel-noise-free number):
@@ -23,12 +26,13 @@ import org.apache.spark.sql.functions._
   *    pruned (no-`d`) schema, showing the lazy-payload column and
   *    the split compose (directory pages only, no payload I/O).
   *
-  * Usage: runMain graft.ScanSoak [nRecords] [nFloats]
+  * Usage: runMain graft.ScanSoak [nRecords] [nFloats] [container]
   */
 object ScanSoak {
   def main(args: Array[String]): Unit = {
     val nRecords = if (args.nonEmpty) args(0).toInt else 12800
     val nFloats = if (args.length > 1) args(1).toInt else 8192
+    val container = if (args.length > 2) args(2) else "xdf"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -54,14 +58,17 @@ object ScanSoak {
       transform(sequence(lit(0), lit(nFloats - 1)),
         i => (col("id") + i).cast("float")).as("d"))
     graft.sources.fst.FstWriter.write(df.coalesce(1), dir,
-      maxRecordsPerFile = nRecords, cleanup = false, container = "xdf")
+      maxRecordsPerFile = nRecords, cleanup = false,
+      container = container)
     val files = new java.io.File(dir).listFiles()
       .filter(f => f.isFile && !graft.sources.fst.FstScan.hidden(f.getName))
     require(files.length == 1, files.mkString(", "))
     val len = files.head.length()
-    println(f"[scansoak] fixture: 1 xdf file, $nRecords records x " +
-      f"$nFloats float32 = ${len / 1e6}%.0f MB, " +
-      f"${(nRecords + 255) / 256} dir pages, " +
+    val unitDesc =
+      if (container == "xdf") s"${(nRecords + 255) / 256} dir pages"
+      else s"$nRecords record units"
+    println(f"[scansoak] fixture: 1 $container file, $nRecords records x " +
+      f"$nFloats float32 = ${len / 1e6}%.0f MB, $unitDesc, " +
       f"written in ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
     // full-payload checksum: forces every record's payload decode
@@ -96,7 +103,7 @@ object ScanSoak {
     spark.conf.unset("spark.sql.files.openCostInBytes")
     var splitParts = 0
     (1 to 2).foreach { i =>
-      val (n, s, p) = timed(s"page-run split full read (run $i of 2)")(fullRead())
+      val (n, s, p) = timed(s"sub-file split full read (run $i of 2)")(fullRead())
       require(n == nRecords && s == expectSum, s"bad read: $n $s")
       require(p > 1, s"split expected >1 partition, got $p")
       splitParts = p

@@ -190,49 +190,58 @@ object FstScan {
     parts.map(fs => FstInputPartition(fs): InputPartition).toArray
   }
 
-  /** Page-count memo for the sub-file splitter: committed record
+  /** Split-unit memo for the sub-file splitter: committed record
     * files are immutable (tasks write under hidden temp names, the
     * job commit renames), so (path, length) identifies content.
     * Streaming re-plans on EVERY micro-batch, and without the memo
-    * each plan re-walks every oversized file's page headers on the
+    * each plan re-walks every oversized file's headers on the
     * driver — one positioned read per page per file per batch on a
-    * remote FS. -1 caches "not splittable" (compact container,
-    * single page). Cleared wholesale if it ever grows past 100k
+    * remote FS. Value encoding: n >= 2 is a multi-page XDF file
+    * with n directory pages (split unit = page run); n <= -2 is a
+    * compact container with -n records (split unit = record range);
+    * -1/0/1 cache "not splittable" (non-FST, empty, or single
+    * page/record). Cleared wholesale if it ever grows past 100k
     * entries (a bound, not an eviction policy — entries are ~100
     * bytes). Residual assumption: a path REWRITTEN with identical
     * byte length but a different page count would read a stale
     * count — for XDF that requires the same length with a different
     * directory-page chain, which the fixed 4,616-word page size
-    * makes effectively impossible; a rewrite that changes content
-    * virtually always changes length and therefore the key.
+    * makes effectively impossible (and the compact record count
+    * lives in the fixed header the probe reads); a rewrite that
+    * changes content virtually always changes length and therefore
+    * the key.
     */
   private val pageCountMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Integer]()
 
-  /** Split one oversized file into directory-page-run slices, each
-    * close to `target` bytes (estimated as a proportional share of
-    * the file — record payloads are chained from their pages, so a
-    * page run's bytes are not contiguous but average out). Driver-
-    * side cost is one header read plus a 32-byte page-header walk,
-    * paid once per (path, length) thanks to [[pageCountMemo]].
-    * Compact containers (one flat directory block, no pages) and
-    * single-page XDF files stay whole; so does anything whose sniff
-    * fails — the task-side reader raises the real error with full
-    * context.
+  /** Split one oversized file into sub-file slices, each close to
+    * `target` bytes (estimated as a proportional share of the file).
+    * Multi-page XDF files split by directory-page run (record
+    * payloads are chained from their pages, so a page run's bytes
+    * are not contiguous but average out); compact containers split
+    * by record range over their single flat directory block (the
+    * record count sits in the fixed header, and payloads lie in
+    * directory order, so each range demand-reads one contiguous
+    * region). Driver-side cost is one header read — plus a 32-byte
+    * page-header walk for XDF — paid once per (path, length) thanks
+    * to [[pageCountMemo]]. Single-page XDF files and single-record
+    * compact files stay whole; so does anything whose sniff fails —
+    * the task-side reader raises the real error with full context.
     */
   private def splitByPages(f: String, len: Long,
                            target: Long): Seq[(FstFileSlice, Long)] = {
     val whole = Seq((FstFileSlice(f), len))
     val key = (f, len)
     val cached = pageCountMemo.get(key)
-    val nPages: Int =
+    // nUnits: >=2 XDF pages, <=-2 compact records (see pageCountMemo)
+    val nUnits: Int =
       if (cached != null) cached.intValue
       else {
-        // IN-BAND results (-1 = not XDF / compact / single page)
-        // memoize; a thrown probe (transient remote-FS error) does
-        // NOT — this plan degrades to a whole-file slice and the
-        // next plan retries, instead of pinning a multi-GB file to
-        // one core for the process lifetime
+        // IN-BAND results (|n| <= 1 = not splittable) memoize; a
+        // thrown probe (transient remote-FS error) does NOT — this
+        // plan degrades to a whole-file slice and the next plan
+        // retries, instead of pinning a multi-GB file to one core
+        // for the process lifetime
         val probed = try {
           val fs = FileSystem.get(new java.net.URI(f), new Configuration())
           val in = fs.open(new Path(f))
@@ -242,8 +251,17 @@ object FstScan {
             }
             val hdr = readAt(0, FstFormat.HeaderBytes)
             val n =
-              if (!FstFormat.maybeFst(hdr) || !XdfFormat.isXdf(hdr)) -1
-              else XdfFormat.countDirPages(readAt)
+              if (!FstFormat.maybeFst(hdr)) -1
+              else if (XdfFormat.isXdf(hdr)) XdfFormat.countDirPages(readAt)
+              else {
+                // compact container: record count at header bytes
+                // 16-19 — negate to mark the unit kind (a corrupt
+                // negative count maps to "not splittable"; the
+                // task-side reader raises the real error)
+                val hb = java.nio.ByteBuffer.wrap(hdr)
+                val r = hb.getInt(16)
+                if (r < 0) -1 else -r
+              }
             if (pageCountMemo.size > 100000) pageCountMemo.clear()
             pageCountMemo.put(key, n)
             n
@@ -251,14 +269,15 @@ object FstScan {
         } catch { case scala.util.control.NonFatal(_) => -1 }
         probed
       }
-    if (nPages <= 1) whole
+    if (nUnits >= -1 && nUnits <= 1) whole
     else {
-      val bytesPerPage = math.max(1L, len / nPages)
-      val pagesPerSlice =
-        math.max(1, math.min(nPages.toLong, target / bytesPerPage).toInt)
-      (0 until nPages by pagesPerSlice).map { p0 =>
-        val p1 = math.min(nPages, p0 + pagesPerSlice)
-        (FstFileSlice(f, p0, p1), (p1 - p0).toLong * bytesPerPage)
+      val n = math.abs(nUnits)
+      val bytesPerUnit = math.max(1L, len / n)
+      val unitsPerSlice =
+        math.max(1, math.min(n.toLong, target / bytesPerUnit).toInt)
+      (0 until n by unitsPerSlice).map { u0 =>
+        val u1 = math.min(n, u0 + unitsPerSlice)
+        (FstFileSlice(f, u0, u1), (u1 - u0).toLong * bytesPerUnit)
       }
     }
   }
@@ -772,12 +791,16 @@ object FstMicroBatchStream {
   val CompactInterval = 10
 }
 
-/** One read slice: a whole file (default page range) or one
-  * directory-page run [pageStart, pageEnd) of a multi-page XDF file.
+/** One read slice: a whole file (default range), or a sub-file run
+  * [unitStart, unitEnd) whose unit depends on the container — XDF
+  * directory PAGES for multi-page XDF files, RECORD indices for
+  * compact containers (whose single flat directory block slices at
+  * any record boundary). Both unit kinds tile their file, so a
+  * giant file of either container spreads across executors.
   */
-case class FstFileSlice(path: String, pageStart: Int = 0,
-                        pageEnd: Int = Int.MaxValue) {
-  def wholeFile: Boolean = pageStart == 0 && pageEnd == Int.MaxValue
+case class FstFileSlice(path: String, unitStart: Int = 0,
+                        unitEnd: Int = Int.MaxValue) {
+  def wholeFile: Boolean = unitStart == 0 && unitEnd == Int.MaxValue
 }
 
 case class FstInputPartition(slices: Seq[FstFileSlice])
@@ -833,25 +856,32 @@ class FstPartitionReader(slices: Seq[FstFileSlice], required: StructType,
     require(FstFormat.maybeFst(hdr),
       s"not a standard file (missing STDR magic): $file")
     isXdf = XdfFormat.isXdf(hdr)
-    // only multi-page XDF files are ever planned as partial slices
-    // (splitByPages sniffs the container kind before splitting)
-    require(isXdf || slice.wholeFile,
-      s"compact container planned as a partial slice: $file")
     val raw: Iterator[(FstFormat.Meta, Int)] =
-      if (isXdf) XdfFormat.scanEntries(readAt, slice.pageStart,
-        slice.pageEnd).iterator
+      if (isXdf) XdfFormat.scanEntries(readAt, slice.unitStart,
+        slice.unitEnd).iterator
       else {
+        // compact container: the slice's unit range is RECORD
+        // indices over the flat directory block — a partial slice
+        // reads only its own directory rows, and its demand reads
+        // cover one contiguous payload region (directory order is
+        // write order)
         val hb = java.nio.ByteBuffer.wrap(hdr)
         hb.position(16)
         val nrecs = hb.getInt
         val dirOffset = hb.getInt
+        val r0 = math.min(slice.unitStart, nrecs)
+        val r1 = math.min(nrecs, slice.unitEnd)
         val db = java.nio.ByteBuffer.wrap(
-          readAt(dirOffset, nrecs * 18 * 4))
-        (0 until nrecs).iterator.map { r =>
+          readAt(dirOffset.toLong + r0.toLong * 18 * 4,
+            (r1 - r0) * 18 * 4))
+        (r0 until r1).iterator.map { r =>
           val w = new Array[Int](18)
-          (0 until 18).foreach(i => w(i) = db.getInt(r * 18 * 4 + i * 4))
-          // compact-container handle: record index in the key's recno
-          // position (consistent with MAKE_RND_HANDLE's recno << 10)
+          (0 until 18).foreach(i =>
+            w(i) = db.getInt((r - r0) * 18 * 4 + i * 4))
+          // compact-container handle: GLOBAL record index in the
+          // key's recno position (consistent with MAKE_RND_HANDLE's
+          // recno << 10) — identical keys whether the file is read
+          // whole or sliced
           (FstFormat.unpackEntry(w), r << 10)
         }
       }

@@ -296,7 +296,7 @@ class FstScanSpec extends AnyFunSuite with BeforeAndAfterAll {
       val slices = parts.flatMap(_.slices)
       assert(slices.forall(!_.wholeFile), slices.mkString(", "))
       // page ranges tile [0, nPages) without overlap
-      val ranges = slices.map(s => (s.pageStart, s.pageEnd)).sortBy(_._1)
+      val ranges = slices.map(s => (s.unitStart, s.unitEnd)).sortBy(_._1)
       assert(ranges.head._1 == 0)
       ranges.sliding(2).foreach {
         case Array((_, e), (s2, _)) =>
@@ -311,6 +311,66 @@ class FstScanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(back.select("path", "key").distinct().count() == rows)
       assert(back.agg(sum(element_at(col("d"), 1))).as[Double].head() ==
         (1 to rows).map(_.toDouble).sum)
+    } finally {
+      spark.conf.unset("spark.sql.files.openCostInBytes")
+      spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    }
+  }
+
+  test("oversized compact container splits into record-range slices, rows intact") {
+    import graft.sources.fst.{FstScanBuilder, FstScan, FstInputPartition}
+    import spark.implicits._
+    val path = "/tmp/graft_scan_spec_recsplit"
+    val rows = 500
+    val df = (1 to rows).toDF("i").select(
+      lit("TT").as("nomvar"), lit("P").as("typvar"),
+      lit("TEST").as("etiket"), lit(2).as("ni"), lit(2).as("nj"),
+      lit(1).as("nk"), lit(442998800L).as("dateo"),
+      col("i").as("ip1"), lit(0).as("ip2"), lit(0).as("ip3"),
+      lit(0).as("deet"), lit(0).as("npas"), lit(5).as("datyp"),
+      lit(32).as("nbits"), lit("X").as("grtyp"), lit(0).as("ig1"),
+      lit(0).as("ig2"), lit(0).as("ig3"), lit(0).as("ig4"),
+      lit(442998800L).as("datev"),
+      array(col("i").cast("float"), lit(1f), lit(2f), lit(3f)).as("d"))
+    // default container = compact ("fstrec"): one flat directory
+    // block, no pages — the split unit is the RECORD index
+    graft.sources.fst.FstWriter.write(df.coalesce(1), path,
+      maxRecordsPerFile = rows, cleanup = false)
+    val dataFiles = new java.io.File(path).listFiles()
+      .filter(f => f.isFile && !graft.sources.fst.FstScan.hidden(f.getName))
+    assert(dataFiles.length == 1, dataFiles.mkString(", "))
+    val len = dataFiles.head.length()
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", s"${len / 4}")
+    try {
+      val parts = new FstScanBuilder(Seq(path)).build()
+        .asInstanceOf[FstScan].planInputPartitions()
+        .map(_.asInstanceOf[FstInputPartition])
+      assert(parts.length > 1,
+        s"expected record-range split, got ${parts.length}")
+      val slices = parts.flatMap(_.slices)
+      assert(slices.forall(!_.wholeFile), slices.mkString(", "))
+      // record ranges tile [0, nrecs) without overlap
+      val ranges = slices.map(s => (s.unitStart, s.unitEnd)).sortBy(_._1)
+      assert(ranges.head._1 == 0)
+      assert(ranges.last._2 == rows, ranges.mkString(", "))
+      ranges.sliding(2).foreach {
+        case Array((_, e), (s2, _)) =>
+          assert(e == s2, ranges.mkString(", "))
+        case _ => ()
+      }
+      // row fidelity THROUGH the split read path: every record once,
+      // keys identical to a whole-file read, payloads intact
+      val back = spark.read.format("fstrec").load(path)
+      assert(back.rdd.getNumPartitions > 1)
+      assert(back.count() == rows)
+      assert(back.select("key").distinct().count() == rows)
+      assert(back.agg(sum(element_at(col("d"), 1))).as[Double].head() ==
+        (1 to rows).map(_.toDouble).sum)
+      // keys are the global record handles, unchanged by slicing
+      val keys = back.select("key").as[Int].collect().sorted
+      assert(keys.toSeq == (0 until rows).map(_ << 10),
+        s"keys not global record handles: ${keys.take(5).mkString(",")}")
     } finally {
       spark.conf.unset("spark.sql.files.openCostInBytes")
       spark.conf.unset("spark.sql.files.maxPartitionBytes")
