@@ -196,13 +196,17 @@ object FstScan {
     * Streaming re-plans on EVERY micro-batch, and without the memo
     * each plan re-walks every oversized file's headers on the
     * driver — one positioned read per page per file per batch on a
-    * remote FS. Value encoding: n >= 2 is a multi-page XDF file
-    * with n directory pages (split unit = page run); n <= -2 is a
-    * compact container with -n records (split unit = record range);
-    * -1/0/1 cache "not splittable" (non-FST, empty, or single
-    * page/record). Cleared wholesale if it ever grows past 100k
-    * entries (a bound, not an eviction policy — entries are ~100
-    * bytes). Residual assumption: a path REWRITTEN with identical
+    * remote FS. Value encoding: an `Array[Int]` of length >= 2 is a
+    * multi-page XDF file's directory-page word ADDRESSES (split unit
+    * = page run; the start address rides each slice so tasks seek to
+    * their first page instead of re-walking the chain); an `Integer`
+    * n <= -2 is a compact container with -n records (split unit =
+    * record range); `Integer` -1 / an array of length <= 1 cache
+    * "not splittable" (non-FST, empty, or single page/record).
+    * Cleared wholesale if it ever grows past 100k entries (a bound,
+    * not an eviction policy — entries are ~100 bytes, plus 4 bytes
+    * per page for multi-page XDF files, which cap at 4,095 pages).
+    * Residual assumption: a path REWRITTEN with identical
     * byte length but a different page count would read a stale
     * count — for XDF that requires the same length with a different
     * directory-page chain, which the fixed 4,616-word page size
@@ -212,7 +216,7 @@ object FstScan {
     * the key.
     */
   private val pageCountMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Integer]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), AnyRef]()
 
   /** Split one oversized file into sub-file slices, each close to
     * `target` bytes (estimated as a proportional share of the file).
@@ -233,16 +237,15 @@ object FstScan {
     val whole = Seq((FstFileSlice(f), len))
     val key = (f, len)
     val cached = pageCountMemo.get(key)
-    // nUnits: >=2 XDF pages, <=-2 compact records (see pageCountMemo)
-    val nUnits: Int =
-      if (cached != null) cached.intValue
+    val info: AnyRef =
+      if (cached != null) cached
       else {
-        // IN-BAND results (|n| <= 1 = not splittable) memoize; a
+        // IN-BAND results (incl. "not splittable") memoize; a
         // thrown probe (transient remote-FS error) does NOT — this
         // plan degrades to a whole-file slice and the next plan
         // retries, instead of pinning a multi-GB file to one core
         // for the process lifetime
-        val probed = try {
+        val probed: AnyRef = try {
           val fs = FileSystem.get(new java.net.URI(f), new Configuration())
           val in = fs.open(new Path(f))
           try {
@@ -250,9 +253,9 @@ object FstScan {
               val b = new Array[Byte](n); in.readFully(off, b); b
             }
             val hdr = readAt(0, FstFormat.HeaderBytes)
-            val n =
-              if (!FstFormat.maybeFst(hdr)) -1
-              else if (XdfFormat.isXdf(hdr)) XdfFormat.countDirPages(readAt)
+            val v: AnyRef =
+              if (!FstFormat.maybeFst(hdr)) Integer.valueOf(-1)
+              else if (XdfFormat.isXdf(hdr)) XdfFormat.dirPageAddrs(readAt)
               else {
                 // compact container: record count at header bytes
                 // 16-19 — negate to mark the unit kind (a corrupt
@@ -260,25 +263,38 @@ object FstScan {
                 // task-side reader raises the real error)
                 val hb = java.nio.ByteBuffer.wrap(hdr)
                 val r = hb.getInt(16)
-                if (r < 0) -1 else -r
+                Integer.valueOf(if (r < 0) -1 else -r)
               }
             if (pageCountMemo.size > 100000) pageCountMemo.clear()
-            pageCountMemo.put(key, n)
-            n
+            pageCountMemo.put(key, v)
+            v
           } finally in.close()
-        } catch { case scala.util.control.NonFatal(_) => -1 }
+        } catch { case scala.util.control.NonFatal(_) => Integer.valueOf(-1) }
         probed
       }
-    if (nUnits >= -1 && nUnits <= 1) whole
-    else {
-      val n = math.abs(nUnits)
+    def ranges(n: Int): Seq[(Int, Int)] = {
       val bytesPerUnit = math.max(1L, len / n)
       val unitsPerSlice =
         math.max(1, math.min(n.toLong, target / bytesPerUnit).toInt)
-      (0 until n by unitsPerSlice).map { u0 =>
-        val u1 = math.min(n, u0 + unitsPerSlice)
-        (FstFileSlice(f, u0, u1), (u1 - u0).toLong * bytesPerUnit)
-      }
+      (0 until n by unitsPerSlice)
+        .map(u0 => (u0, math.min(n, u0 + unitsPerSlice)))
+    }
+    info match {
+      case addrs: Array[Int] if addrs.length >= 2 =>
+        // multi-page XDF: page runs, each slice seeded with its
+        // start page's address so the task seeks straight to it
+        ranges(addrs.length).map { case (u0, u1) =>
+          (FstFileSlice(f, u0, u1, addrs(u0)),
+            (u1 - u0).toLong * math.max(1L, len / addrs.length))
+        }
+      case n: Integer if n.intValue <= -2 =>
+        // compact container: record ranges over the flat directory
+        val nrecs = -n.intValue
+        ranges(nrecs).map { case (u0, u1) =>
+          (FstFileSlice(f, u0, u1),
+            (u1 - u0).toLong * math.max(1L, len / nrecs))
+        }
+      case _ => whole
     }
   }
 
@@ -796,10 +812,16 @@ object FstMicroBatchStream {
   * directory PAGES for multi-page XDF files, RECORD indices for
   * compact containers (whose single flat directory block slices at
   * any record boundary). Both unit kinds tile their file, so a
-  * giant file of either container spreads across executors.
+  * giant file of either container spreads across executors. For XDF
+  * slices `startAddr` carries unitStart's page word address (learned
+  * by the planner's one chain walk), letting the task seek straight
+  * to its first page; 0 means unknown — walk the chain from the
+  * head. Compact slices seek via the header's directory offset and
+  * leave it 0.
   */
 case class FstFileSlice(path: String, unitStart: Int = 0,
-                        unitEnd: Int = Int.MaxValue) {
+                        unitEnd: Int = Int.MaxValue,
+                        startAddr: Int = 0) {
   def wholeFile: Boolean = unitStart == 0 && unitEnd == Int.MaxValue
 }
 
@@ -858,7 +880,7 @@ class FstPartitionReader(slices: Seq[FstFileSlice], required: StructType,
     isXdf = XdfFormat.isXdf(hdr)
     val raw: Iterator[(FstFormat.Meta, Int)] =
       if (isXdf) XdfFormat.scanEntries(readAt, slice.unitStart,
-        slice.unitEnd).iterator
+        slice.unitEnd, slice.startAddr).iterator
       else {
         // compact container: the slice's unit range is RECORD
         // indices over the flat directory block — a partial slice

@@ -685,20 +685,27 @@ object XdfFormat {
   /** Page-range variant over [pageStart, pageEnd): directory pages
     * are independently scannable, so a multi-page file splits into
     * page-run read slices (S6 sub-file parallelism — a single
-    * multi-GB file must not serialize on one core). The page chain
-    * is linked, so pages before the range still contribute their
-    * 32-byte headers (needed to follow `next`); their 18 KiB entry
-    * blocks are never read, and the walk stops at pageEnd. `pageno`
-    * stays absolute so MAKE_RND_HANDLE keys are identical whichever
-    * slice scans a page.
+    * multi-GB file must not serialize on one core). `startAddr`, when
+    * nonzero, is pageStart's own word address (the planner learned it
+    * walking the chain once in [[dirPageAddrs]]) and the scan seeks
+    * straight there — without it the linked chain is walked from the
+    * head, costing one 32-byte header read per SKIPPED page per task
+    * (O(pages · slices) across a file's tasks on a remote FS, vs
+    * O(pages) total with the planner-provided addresses). Skipped
+    * pages' 18 KiB entry blocks are never read either way, and the
+    * walk stops at pageEnd. `pageno` stays absolute so
+    * MAKE_RND_HANDLE keys are identical whichever slice scans a page.
     */
   def scanEntries(readAt: ReadAt, pageStart: Int,
-                  pageEnd: Int): Seq[(FstFormat.Meta, Int)] = {
+                  pageEnd: Int,
+                  startAddr: Int = 0): Seq[(FstFormat.Meta, Int)] = {
     val head = ByteBuffer.wrap(readAt(0L, 8))
     val hlng = head.getInt(0) & 0xFFFFFF
     val out = Vector.newBuilder[(FstFormat.Meta, Int)]
-    var addr = 1 + hlng // first page follows the header
-    var pageno = 0
+    // seek straight to pageStart when its address is known
+    var addr = if (startAddr != 0 && pageStart > 0) startAddr
+               else 1 + hlng // first page follows the header
+    var pageno = if (startAddr != 0 && pageStart > 0) pageStart else 0
     while (addr != 0 && pageno < MaxDirPages && pageno < pageEnd) {
       val ph = ByteBuffer.wrap(readAt((addr - 1) * 8L, 32))
       require(ph.getInt(8) == Dir0,
@@ -726,24 +733,30 @@ object XdfFormat {
     out.result()
   }
 
-  /** Number of directory pages, from the 32-byte page headers only
-    * (planner-side: decides whether a large file splits into
-    * page-run slices and how many).
+  /** Word address of every directory page, from the 32-byte page
+    * headers only (planner-side: decides whether a large file splits
+    * into page-run slices, how many, and hands each slice its start
+    * page's address so tasks seek instead of re-walking the chain).
     */
-  def countDirPages(readAt: ReadAt): Int = {
+  def dirPageAddrs(readAt: ReadAt): Array[Int] = {
     val head = ByteBuffer.wrap(readAt(0L, 8))
     val hlng = head.getInt(0) & 0xFFFFFF
+    val addrs = Array.newBuilder[Int]
     var addr = 1 + hlng
     var pageno = 0
     while (addr != 0 && pageno < MaxDirPages) {
       val ph = ByteBuffer.wrap(readAt((addr - 1) * 8L, 32))
       require(ph.getInt(8) == Dir0,
         s"xdf: directory page at $addr missing DIR0 marker")
+      addrs += addr
       addr = ph.getInt(16)
       pageno += 1
     }
-    pageno
+    addrs.result()
   }
+
+  /** Number of directory pages (the chain walk of [[dirPageAddrs]]). */
+  def countDirPages(readAt: ReadAt): Int = dirPageAddrs(readAt).length
 
   /** Read and decode one record's payload (S4): seek to
     * `swa*8-8 + 80` (past the 20-word record header) and decode

@@ -303,6 +303,9 @@ class FstScanSpec extends AnyFunSuite with BeforeAndAfterAll {
           assert(e == s2, ranges.mkString(", "))
         case _ => ()
       }
+      // every slice carries its start page's address so the task
+      // seeks straight there instead of re-walking the page chain
+      assert(slices.forall(_.startAddr != 0), slices.mkString(", "))
       // row fidelity THROUGH the split read path: every record once,
       // keys distinct, payloads intact
       val back = spark.read.format("fstrec").load(path)
