@@ -38,7 +38,9 @@ object NearDup {
     // branches through the uncached plan, the shingle/minhash chain —
     // the dominant per-row cost — executes twice
     sh.count()
-    val bands0 = sh.select(col("doc_id"),
+    // shingle-set size rides the band rows (4 bytes each): it feeds
+    // the exact size-ratio prefilter on the verify path below
+    val bands0 = sh.select(col("doc_id"), size(col("sh")).as("nsh"),
       posexplode(col("bks")).as(Seq("band", "bkey")))
     // degenerate-bucket guard (LshBucketCap): the bucket self-join
     // below is quadratic in bucket size — skip pathological buckets.
@@ -48,15 +50,28 @@ object NearDup {
     val bands = bands0.withColumn("bn",
       count(lit(1)).over(Window.partitionBy("band", "bkey")))
       .filter(col("bn") <= lit(LshBucketCap)).drop("bn")
-    val cand = bands.alias("a")
+    // one row per candidate pair: nsh_a/nsh_b are functions of the
+    // doc ids, so this distinct has exactly the 2-column cardinality
+    val candS = bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") &&
           col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_id_a"),
-        col("b.doc_id").as("doc_id_b"))
+        col("b.doc_id").as("doc_id_b"),
+        col("a.nsh").as("nsh_a"), col("b.nsh").as("nsh_b"))
       .distinct()
-    val pairs = cand
+    val cand = candS.select("doc_id_a", "doc_id_b")
+    // size-ratio prefilter, EXACT (no false negatives): jaccard =
+    // |∩|/|∪| <= min(|A|,|B|)/max(|A|,|B|), so a pair whose sizes
+    // are further apart than the threshold ratio cannot verify —
+    // dropping it here skips the only expensive step, the two joins
+    // that shuffle full shingle arrays per candidate. `cand` itself
+    // stays unfiltered: it IS the LSH candidate set (the recall/eval
+    // queries count it), only the verify path narrows.
+    val pairs = candS
+      .filter(least(col("nsh_a"), col("nsh_b")).cast("double") >=
+        lit(threshold) * greatest(col("nsh_a"), col("nsh_b")))
       .join(sh.select(col("doc_id").as("doc_id_a"),
         col("sh").as("sh_a")), Seq("doc_id_a"))
       .join(sh.select(col("doc_id").as("doc_id_b"),
@@ -119,15 +134,23 @@ object NearDup {
     // materialize before fan-out (each cache feeds 2 plan branches)
     corpusSh.count(); incSh.count()
     val cb = corpusSh.select(col("doc_id").as("corpus_id"),
+        size(col("sh")).as("nsh_c"),
         posexplode(col("bks")).as(Seq("band", "bkey")))
       .withColumn("bn",
         count(lit(1)).over(Window.partitionBy("band", "bkey")))
       .filter(col("bn") <= lit(LshBucketCap)).drop("bn")
     val ib = incSh.select(col("doc_id").as("new_id"),
+      size(col("sh")).as("nsh_n"),
       posexplode(col("bks")).as(Seq("band", "bkey")))
     val cand = ib.join(cb, Seq("band", "bkey"))
-      .select("new_id", "corpus_id").distinct()
+      .select("new_id", "corpus_id", "nsh_n", "nsh_c").distinct()
+    // exact size-ratio prefilter (see lshPairs): a candidate whose
+    // set sizes are further apart than the threshold ratio cannot
+    // reach `jaccard >= threshold`, so skipping its array fetch
+    // cannot change any doc's best qualifying match
     val best = cand
+      .filter(least(col("nsh_n"), col("nsh_c")).cast("double") >=
+        lit(threshold) * greatest(col("nsh_n"), col("nsh_c")))
       .join(incSh.select(col("doc_id").as("new_id"),
         col("sh").as("sh_n")), Seq("new_id"))
       .join(corpusSh.select(col("doc_id").as("corpus_id"),
