@@ -380,6 +380,38 @@ class FstScanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("oversized non-FST file plans whole; reader raises the real error") {
+    import graft.sources.fst.{FstScanBuilder, FstScan, FstInputPartition}
+    val path = "/tmp/graft_scan_spec_garbage"
+    new java.io.File(path).mkdirs()
+    // random-ish bytes, no STDR magic: the split probe must return
+    // "not splittable" (whole-file slice) and leave the real error
+    // to the task-side reader, which has full context
+    val f = new java.io.File(path, "junk.fst")
+    val out = new java.io.FileOutputStream(f)
+    try out.write(Array.tabulate[Byte](64 * 1024)(i => (i * 31 + 7).toByte))
+    finally out.close()
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    try {
+      val parts = new FstScanBuilder(Seq(path)).build()
+        .asInstanceOf[FstScan].planInputPartitions()
+        .map(_.asInstanceOf[FstInputPartition])
+      val slices = parts.flatMap(_.slices)
+      assert(slices.length == 1 && slices.head.wholeFile,
+        slices.mkString(", "))
+      val err = intercept[org.apache.spark.SparkException] {
+        spark.read.format("fstrec").load(path).count()
+      }
+      assert(err.getMessage.contains("STDR") ||
+        Option(err.getCause).exists(_.getMessage.contains("STDR")),
+        s"expected the magic-sniff error, got: ${err.getMessage}")
+    } finally {
+      spark.conf.unset("spark.sql.files.openCostInBytes")
+      spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    }
+  }
+
   test("scan statistics shrink under metadata-only projection") {
     import graft.sources.fst.{FstScanBuilder, FstScan}
     import org.apache.spark.sql.types.StructType
