@@ -523,6 +523,54 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.core.CacheRegistry.releaseAll()
   }
 
+  test("size-ratio prefilter drops no qualifying pair (vs brute force)") {
+    import spark.implicits._
+    val t = 0.5
+    // varied-length corpus so the prefilter actively fires: each doc
+    // plus a DOUBLED-text copy (sizes far apart) and a tailed copy
+    // (sizes close — must still verify)
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = d
+      .unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zz tail qq")).as("text")))
+      .unionByName(d.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" "), col("text"), lit(" "), col("text"),
+          lit(" pad padd paddd")).as("text")))
+    val (sh, cand, pairs) = NearDup.lshPairs(corpus, t)
+    // brute force: exact jaccard over the UNFILTERED candidate set
+    val brute = cand
+      .join(sh.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")),
+        Seq("doc_id_a"))
+      .join(sh.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")),
+        Seq("doc_id_b"))
+      .withColumn("jaccard", graft.functions.GraftFunctions
+        .jaccardLong(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= t)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+    val got = pairs.as[(Long, Long, Double)].collect().toSet
+    val want = brute.as[(Long, Long, Double)].collect().toSet
+    assert(got == want,
+      s"prefilter changed the verified pairs: missing ${want -- got}, " +
+        s"extra ${got -- want}")
+    assert(want.nonEmpty)
+    // the fixture must actually exercise the filter: some candidates
+    // fail the ratio (doc vs its 3x-length copy shares a band via
+    // identical leading shingles but cannot reach jaccard 0.5)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val cut = cand
+      .join(sizes.select(col("doc_id").as("doc_id_a"), col("n").as("na")),
+        Seq("doc_id_a"))
+      .join(sizes.select(col("doc_id").as("doc_id_b"), col("n").as("nb")),
+        Seq("doc_id_b"))
+      .filter(least(col("na"), col("nb")).cast("double") <
+        lit(t) * greatest(col("na"), col("nb")))
+      .count()
+    assert(cut > 0, "fixture produced no ratio-failing candidates — " +
+      "the prefilter path was not exercised")
+    graft.core.CacheRegistry.releaseAll()
+  }
+
   test("corpus report: shares sum to one, rates within [0, 1]") {
     val rows = graft.queries.PipelineQueries
       .queries("p35_corpus_report")(spark, "/root/testdata/sf0.001")
