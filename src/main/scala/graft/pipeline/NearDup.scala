@@ -68,10 +68,14 @@ object NearDup {
     // dropping it here skips the only expensive step, the two joins
     // that shuffle full shingle arrays per candidate. `cand` itself
     // stays unfiltered: it IS the LSH candidate set (the recall/eval
-    // queries count it), only the verify path narrows.
+    // queries count it), only the verify path narrows. The 1e-9
+    // slack removes any 1-ulp corner between threshold*max here and
+    // the verify filter's own double jaccard for non-dyadic
+    // thresholds — slack can only KEEP more candidates, never drop
+    // a qualifying one.
     val pairs = candS
       .filter(least(col("nsh_a"), col("nsh_b")).cast("double") >=
-        lit(threshold) * greatest(col("nsh_a"), col("nsh_b")))
+        lit(threshold) * greatest(col("nsh_a"), col("nsh_b")) - lit(1e-9))
       .join(sh.select(col("doc_id").as("doc_id_a"),
         col("sh").as("sh_a")), Seq("doc_id_a"))
       .join(sh.select(col("doc_id").as("doc_id_b"),
@@ -144,13 +148,14 @@ object NearDup {
       posexplode(col("bks")).as(Seq("band", "bkey")))
     val cand = ib.join(cb, Seq("band", "bkey"))
       .select("new_id", "corpus_id", "nsh_n", "nsh_c").distinct()
-    // exact size-ratio prefilter (see lshPairs): a candidate whose
-    // set sizes are further apart than the threshold ratio cannot
-    // reach `jaccard >= threshold`, so skipping its array fetch
-    // cannot change any doc's best qualifying match
+    // exact size-ratio prefilter (see lshPairs, incl. the 1e-9 ulp
+    // slack): a candidate whose set sizes are further apart than the
+    // threshold ratio cannot reach `jaccard >= threshold`, so
+    // skipping its array fetch cannot change any doc's best
+    // qualifying match
     val best = cand
       .filter(least(col("nsh_n"), col("nsh_c")).cast("double") >=
-        lit(threshold) * greatest(col("nsh_n"), col("nsh_c")))
+        lit(threshold) * greatest(col("nsh_n"), col("nsh_c")) - lit(1e-9))
       .join(incSh.select(col("doc_id").as("new_id"),
         col("sh").as("sh_n")), Seq("new_id"))
       .join(corpusSh.select(col("doc_id").as("corpus_id"),
