@@ -50,18 +50,27 @@ object NearDup {
     val bands = bands0.withColumn("bn",
       count(lit(1)).over(Window.partitionBy("band", "bkey")))
       .filter(col("bn") <= lit(LshBucketCap)).drop("bn")
-    // one row per candidate pair: nsh_a/nsh_b are functions of the
-    // doc ids, so this distinct has exactly the 2-column cardinality
-    val candS = bands.alias("a")
+    // `cand` (the returned LSH candidate set) stays the NARROW
+    // 2-column distinct: candidate-only consumers (the recall/eval
+    // queries) must not pay for size columns they never use. The
+    // verify path below builds its own sized variant — `cand` and
+    // `pairs` are separate plan branches off the persisted signature
+    // cache either way (uncached subplans are not shared across
+    // branches), so dual consumers pay the same as before.
+    def selfJoin(extra: Seq[(String, String)]): DataFrame = bands
+      .alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") &&
           col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_id_a"),
-        col("b.doc_id").as("doc_id_b"),
-        col("a.nsh").as("nsh_a"), col("b.nsh").as("nsh_b"))
+      .select(col("a.doc_id").as("doc_id_a") +:
+        col("b.doc_id").as("doc_id_b") +:
+        extra.map { case (c, n) => col(c).as(n) }: _*)
       .distinct()
-    val cand = candS.select("doc_id_a", "doc_id_b")
+    val cand = selfJoin(Nil)
+    // one row per candidate pair: nsh_a/nsh_b are functions of the
+    // doc ids, so this distinct has exactly the 2-column cardinality
+    val candS = selfJoin(Seq("a.nsh" -> "nsh_a", "b.nsh" -> "nsh_b"))
     // size-ratio prefilter, EXACT (no false negatives): jaccard =
     // |∩|/|∪| <= min(|A|,|B|)/max(|A|,|B|), so a pair whose sizes
     // are further apart than the threshold ratio cannot verify —
