@@ -10,10 +10,12 @@ import graft.pipeline.PipelineOps.LshBucketCap
   * driver queries, exposed so a pipeline owner can call it directly.
   *
   * Scale shape (100 TB posture): the signature table is persisted and
-  * materialized once (four plan branches read it; at cluster scale
-  * the same reuse is a checkpoint), candidates shuffle on band keys
-  * with a per-bucket cap riding that same exchange, and verification
-  * is a native primitive-hash Jaccard in the join condition — the
+  * materialized once (every plan branch re-explodes from it; at
+  * cluster scale the same reuse is a checkpoint), candidates shuffle
+  * on band keys with a per-bucket cap riding that same exchange, an
+  * exact size-ratio prefilter drops candidates that provably cannot
+  * verify before any shingle array is shuffled, and verification is
+  * a native primitive-hash Jaccard in the join condition — the
   * corpus is never all-paired.
   */
 object NearDup {
