@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: stage 1 is one hash-keyed aggregate with the
   * min-struct election (no join back, no second text scan); stage 2
-  * is the bucketed LSH chain (never all-pairs) + the localCheckpoint
-  * CC loop ([[Clusters.connectedComponents]]); stage 3 is a scan
+  * is the bucketed LSH chain (never all-pairs) + the checkpointed
+  * CC loop ([[Clusters.connectedComponents]] — reliable checkpoints
+  * when the session has a checkpoint dir, executor-local otherwise);
+  * stage 3 is a scan
   * predicate. Intermediates persist through
   * [[graft.core.CacheRegistry]] — the caller releases them after
   * consuming the result.
