@@ -74,10 +74,21 @@ object Clusters {
     * no-op, and skipping it saves one shuffle of the symmetrized
     * edge set per call. The default stays safe for external pair
     * sources.
+    *
+    * Non-convergence is never silent: label-edge doubling converges
+    * in ceil(log2(diameter)) rounds, so the default maxIter = 25
+    * covers any component of diameter <= 2^25 — but if `maxIter`
+    * trips first this THROWS under `strict = true` (the default:
+    * partial labels silently under-merge duplicate clusters, the
+    * worst failure shape for a dedup pipeline) and logs a loud
+    * warning and returns the partial labels under `strict = false`
+    * (for diagnostic callers that want to inspect how far
+    * propagation got).
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           maxIter: Int = 25,
-                          trustedEndpoints: Boolean = false): DataFrame = {
+                          trustedEndpoints: Boolean = false,
+                          strict: Boolean = true): DataFrame = {
     graft.core.Checks.requireColumns(nodes, "connected_components", "id")
     graft.core.Checks.requireColumns(pairs, "connected_components",
       "a", "b")
@@ -170,6 +181,20 @@ object Clusters {
       labels = next
       iter += 1
       if (debug) println(f"[cc] iter $iter: ${(System.nanoTime() - t0) / 1e9}%.2f s converged=$converged")
+    }
+    if (!converged) {
+      // surfacing contract (see scaladoc): a tripped maxIter means the
+      // labels are PARTIAL — some components still carry >1 label —
+      // and a dedup built on them silently keeps extra duplicates
+      val msg = s"connected_components did not converge within " +
+        s"maxIter=$maxIter rounds (label-edge doubling covers diameter " +
+        s"2^$maxIter; a trip means a pathologically deep component or " +
+        s"maxIter set too low) — labels are partial and under-merged"
+      if (strict) {
+        p.unpersist(); edges.unpersist()
+        throw new IllegalStateException(msg)
+      }
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
     // isolated nodes (the bulk of a deduped corpus) self-label via
     // the left join's null branch; restricting to `nodes` also keeps

@@ -156,7 +156,8 @@ object FstScan {
     * [[splitByPages]]) instead of serializing on one core. Used by
     * both the batch scan and the micro-batch stream.
     */
-  def packPartitions(files: Seq[(String, Long)]): Array[InputPartition] = {
+  def packPartitions(files: Seq[(String, Long, Long)])
+      : Array[InputPartition] = {
     val conf = org.apache.spark.sql.SparkSession.active.sessionState.conf
     val openCost = conf.filesOpenCostInBytes
     val maxBytes = conf.filesMaxPartitionBytes
@@ -171,8 +172,8 @@ object FstScan {
     // behavior for splittable formats): only files larger than the
     // partition budget pay the header sniff
     val slices: Seq[(FstFileSlice, Long)] = files.flatMap {
-      case (f, len) =>
-        if (len > target) splitByPages(f, len, target)
+      case (f, len, mtime) =>
+        if (len > target) splitByPages(f, len, mtime, target)
         else Seq((FstFileSlice(f), len))
     }
 
@@ -192,7 +193,13 @@ object FstScan {
 
   /** Split-unit memo for the sub-file splitter: committed record
     * files are immutable (tasks write under hidden temp names, the
-    * job commit renames), so (path, length) identifies content.
+    * job commit renames), so (path, length, mtime) identifies
+    * content. The mtime comes for free from the same `FileStatus`
+    * the directory listing already fetched; streaming-log entries
+    * (whose lengths come from the commit log, not a live listing)
+    * pass mtime = -1 — those files are immutable by the commit
+    * contract, so the stale-rewrite window the mtime closes cannot
+    * open there.
     * Streaming re-plans on EVERY micro-batch, and without the memo
     * each plan re-walks every oversized file's headers on the
     * driver — one positioned read per page per file per batch on a
@@ -206,17 +213,16 @@ object FstScan {
     * Cleared wholesale if it ever grows past 100k entries (a bound,
     * not an eviction policy — entries are ~100 bytes, plus 4 bytes
     * per page for multi-page XDF files, which cap at 4,095 pages).
-    * Residual assumption: a path REWRITTEN with identical
-    * byte length but a different page count would read a stale
-    * count — for XDF that requires the same length with a different
-    * directory-page chain, which the fixed 4,616-word page size
-    * makes effectively impossible (and the compact record count
-    * lives in the fixed header the probe reads); a rewrite that
-    * changes content virtually always changes length and therefore
-    * the key.
+    * Residual assumption: a path rewritten in place with identical
+    * byte length AND identical modification time would read a stale
+    * count — sub-second rewrites on filesystems with coarse mtime
+    * granularity; the compact branch would then silently clip to
+    * the stale record count, so the mtime key matters there (the
+    * XDF branch fails loudly via DIR0 checks either way).
     */
   private val pageCountMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), AnyRef]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
+      AnyRef]()
 
   /** Split one oversized file into sub-file slices, each close to
     * `target` bytes (estimated as a proportional share of the file).
@@ -232,10 +238,10 @@ object FstScan {
     * compact files stay whole; so does anything whose sniff fails —
     * the task-side reader raises the real error with full context.
     */
-  private def splitByPages(f: String, len: Long,
+  private def splitByPages(f: String, len: Long, mtime: Long,
                            target: Long): Seq[(FstFileSlice, Long)] = {
     val whole = Seq((FstFileSlice(f), len))
-    val key = (f, len)
+    val key = (f, len, mtime)
     val cached = pageCountMemo.get(key)
     val info: AnyRef =
       if (cached != null) cached
@@ -303,8 +309,9 @@ object FstScan {
     * cannot satisfy `pushed` (conservative: unknown shapes pass).
     */
   def listPruned(fs: FileSystem, root: Path,
-                 pushed: Array[Filter]): Seq[(String, Long)] = {
-    def walk(p: Path, vals: Map[String, String]): Seq[(String, Long)] =
+                 pushed: Array[Filter]): Seq[(String, Long, Long)] = {
+    def walk(p: Path, vals: Map[String, String])
+        : Seq[(String, Long, Long)] =
       fs.listStatus(p).toSeq.flatMap { st =>
         val name = st.getPath.getName
         if (hidden(name)) Nil
@@ -317,7 +324,8 @@ object FstScan {
           if (pushed.forall(f => partitionMightMatch(f, v2)))
             walk(st.getPath, v2)
           else Nil
-        } else Seq((st.getPath.toString, st.getLen))
+        } else Seq((st.getPath.toString, st.getLen,
+          st.getModificationTime))
       }
     walk(root, Map.empty)
   }
@@ -398,9 +406,9 @@ class FstScan(paths: Seq[String], required: StructType,
   // estimateStatistics and planInputPartitions both need the listing
   // (and AQE may ask for statistics more than once): list once per
   // pushed-filter state instead of walking the tree per call
-  @volatile private var cachedListing: Seq[(String, Long)] = null
+  @volatile private var cachedListing: Seq[(String, Long, Long)] = null
 
-  private def listWithSizes(): Seq[(String, Long)] = {
+  private def listWithSizes(): Seq[(String, Long, Long)] = {
     val c = cachedListing
     if (c != null) return c
     val fresh = listWithSizesUncached()
@@ -408,14 +416,14 @@ class FstScan(paths: Seq[String], required: StructType,
     fresh
   }
 
-  private def listWithSizesUncached(): Seq[(String, Long)] =
+  private def listWithSizesUncached(): Seq[(String, Long, Long)] =
     paths.flatMap { path =>
       val fs = FileSystem.get(new java.net.URI(path),
         new Configuration())
-      val p = new Path(path)
-      if (fs.getFileStatus(p).isDirectory)
-        FstScan.listPruned(fs, p, pushed).sortBy(_._1)
-      else Seq((path, fs.getFileStatus(p).getLen))
+      val st = fs.getFileStatus(new Path(path))
+      if (st.isDirectory)
+        FstScan.listPruned(fs, st.getPath, pushed).sortBy(_._1)
+      else Seq((path, st.getLen, st.getModificationTime))
     }
 
   /** Size statistics from the directory listing, scaled by the read
@@ -631,10 +639,15 @@ class FstMicroBatchStream(path: String, required: StructType,
   }
 
   private def listNow(): Seq[(String, Long)] = {
+    // the stream's admission log keys on (path, length) only — the
+    // mtime the batch listing carries is dropped here (committed
+    // stream files are immutable by the temp-name + commit-rename
+    // contract, see packPartitions' mtime note)
     val p = new Path(path)
     if (!srcFs.exists(p)) Nil
     else if (srcFs.getFileStatus(p).isDirectory)
-      FstScan.listPruned(srcFs, p, pushed).sortBy(_._1)
+      FstScan.listPruned(srcFs, p, pushed)
+        .map { case (f, len, _) => (f, len) }.sortBy(_._1)
     else Seq((path, srcFs.getFileStatus(p).getLen))
   }
 
@@ -793,7 +806,12 @@ class FstMicroBatchStream(path: String, required: StructType,
           s"expects log tip $endId, found $maxBatch")
         seen.toSeq.sortBy(_._1).filterNot(f => old.contains(f._1))
     }
-    FstScan.packPartitions(files)
+    // mtime -1: these lengths come from the commit log, and committed
+    // stream files are immutable (temp-name write + commit rename), so
+    // the stale-rewrite window the batch path's mtime key closes
+    // cannot open here — and a per-batch getFileStatus per file would
+    // re-pay the RPCs the split memo exists to avoid
+    FstScan.packPartitions(files.map { case (f, len) => (f, len, -1L) })
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -271,7 +271,10 @@ object XdfFormat {
         "record was not written by this library's turbopack token " +
         f"codec (leading word 0x$magic%08x, expected 0x$TurboMagic%08x " +
         "'GT16'); the bit-exact armn_compress port is a declared " +
-        "external boundary (std_io.py:548-563)")
+        "external boundary (std_io.py:548-563). NOTE: records written " +
+        "by a pre-GT16 build of this library (no magic word) also land " +
+        "here — that format break is deliberate and unversioned; " +
+        "rewrite such files with the current writer")
     val n = br.get(32)
     require(n == expected,
       s"xdf: turbopack stream token count $n != directory $expected")

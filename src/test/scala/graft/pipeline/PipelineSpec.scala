@@ -215,6 +215,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got2 == Map(2L -> 2L, 5L -> 2L, 9L -> 2L))
   }
 
+  test("connected components surface maxIter non-convergence") {
+    import spark.implicits._
+    // diameter-4 path: label-edge doubling needs 2 rounds to cover it
+    // plus 1 to observe the fixpoint, so maxIter = 1 must trip. The
+    // strict default THROWS (partial labels silently under-merge
+    // duplicate clusters — the worst failure shape for a dedup);
+    // strict = false returns the partial labels for diagnosis.
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val ex = intercept[IllegalStateException] {
+      Clusters.connectedComponents(nodes, pairs, maxIter = 1)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    val partial = Clusters
+      .connectedComponents(nodes, pairs, maxIter = 1, strict = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1 merges distance <= 2; node 5 cannot have reached 1 yet
+    assert(partial(1L) == 1L && partial(5L) > 1L,
+      s"unexpected partial labels: $partial")
+    // the soak-proven budget is untouched: the same graph converges
+    // fine (and quietly) under the default maxIter
+    val full = Clusters.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
   test("connected components rounds use reliable checkpoints when configured") {
     import spark.implicits._
     // with a checkpoint dir set the per-round label tables must go
