@@ -100,7 +100,9 @@ object EmbSoak {
     println("[embsoak] p42 guard-eye: members/reps/max-class per cluster " +
       s"(EmbClusterCap=$EmbClusterCap):")
     repsPerCluster.collect().foreach { r =>
-      val flag = if (r.getLong(1) > EmbClusterCap) "  <-- OVER CAP (skipped by pair join)" else ""
+      val flag = if (r.getLong(1) > EmbClusterCap)
+        s"  <-- OVER CAP (sub-bucketed into rank blocks of $EmbRankBlock)"
+      else ""
       println(f"[embsoak]   cluster ${r.getInt(0)}%2d: ${r.getLong(2)}%7d members, " +
         f"${r.getLong(1)}%7d reps, biggest exact class ${r.getLong(3)}%7d$flag")
     }
@@ -149,6 +151,21 @@ object EmbSoak {
       println(f"[embsoak] $q: $secs%.1f s ($rows rows)")
       if (q == "p75_ann_index_report")
         df.collect().foreach(r => println(s"[embsoak]   p75 row: $r"))
+      if (q == "p42_semantic_dedup") {
+        // deduped-not-skipped evidence: per-cluster canonical counts.
+        // Round 7 skipped the over-cap cluster (every member its own
+        // class canonical); rank blocks must collapse it to ~1
+        // canonical per block (+ the hot exact classes' reps).
+        df.groupBy("cluster")
+          .agg(count(lit(1)).as("members"),
+            countDistinct("canonical_id").as("canonicals"))
+          .orderBy(col("members").desc)
+          .collect().foreach { r =>
+            println(f"[embsoak]   p42 cluster ${r.getInt(0)}%2d: " +
+              f"${r.getLong(1)}%7d members -> " +
+              f"${r.getLong(2)}%7d canonicals")
+          }
+      }
       graft.core.CacheRegistry.releaseAll()
       spark.catalog.clearCache()
     }

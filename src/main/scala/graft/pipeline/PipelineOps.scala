@@ -89,11 +89,16 @@ object PipelineOps {
     *  - `EmbClusterCap` backstops the SemDeDup pair join (p42) AFTER
     *    its exact-vector class collapse: a coarse cluster still
     *    holding more than this many DISTINCT representative vectors
-    *    (mass near-identical but not identical content) is skipped
-    *    by the rep pair join — identical mass already collapsed to
-    *    one rep per class, and what remains is the documented recall
-    *    trade (the curation funnel's exact stage owns identical
-    *    content; index-health reporting, p75, flags the hot bucket).
+    *    (mass near-identical but not identical content) is
+    *    SUB-BUCKETED into projection-rank blocks of [[EmbRankBlock]]
+    *    reps (pairing within a block and across adjacent blocks)
+    *    instead of entering the pair join whole — identical mass
+    *    already collapsed to one rep per class, the quadratic step
+    *    stays <= (2·EmbRankBlock)² per block boundary at any corpus
+    *    size, and the residual recall trade is "pairs more than one
+    *    block apart in projection rank" rather than round 7's "the
+    *    whole hot cluster escapes dedup" (index-health reporting,
+    *    p75, still flags the hot bucket).
     *  - `EmbBucketCap` bounds the DIAGNOSTIC bucket self-joins (p65
     *    k-NN purity, p73 cross-modal agreement): each bucket
     *    contributes at most this many members, chosen by seeded-hash
@@ -107,6 +112,39 @@ object PipelineOps {
     */
   val EmbClusterCap = 4096
   val EmbBucketCap = 4096
+
+  /** Rank-block size for sub-bucketing over-cap embedding clusters
+    * (p42): reps of an over-cap cluster order by [[rankProj]] (ties
+    * by vec_id) and chunk into blocks of this many; candidates pair
+    * within a block and with the adjacent block. cap/2, so the
+    * largest per-join-key population (two adjacent blocks) is exactly
+    * EmbClusterCap — the same worst-case quadratic bound the cap
+    * already allowed for an in-cap cluster.
+    */
+  val EmbRankBlock: Int = EmbClusterCap / 2
+
+  /** Deterministic projection direction for the over-cap rank
+    * blocks: dot(v, s) with s_i = +1 when the Knuth multiplicative
+    * hash of the index keeps its high bit clear, -1 otherwise. Why
+    * rank blocks and not a second hyperplane SIGN quantization: the
+    * over-cap pathology is a near-identical mass (EMBSOAK's planted
+    * cluster spans ~1e-6 rad), and a data-INDEPENDENT plane splits a
+    * mass of angular spread θ with probability ~θ/π — i.e. never —
+    * so sign bits would re-produce one over-cap bucket and the skip.
+    * Rank blocks are hyperplane quantization with data-ADAPTIVE
+    * boundaries: ordering by the same projection, the mass splits by
+    * COUNT regardless of its geometry. The sign pattern and the
+    * left-to-right fold use exact integer arithmetic and the
+    * fixed-order sum, so the DuckDB oracle reproduces the projection
+    * bit for bit.
+    */
+  def rankProj(v: Column): Column = {
+    val signs = transform(sequence(lit(0), lit(63)), i =>
+      when((i.cast("long") * lit(2654435761L)) % lit(4294967296L) <
+        lit(2147483648L), lit(1.0)).otherwise(lit(-1.0)))
+    aggregate(zip_with(v, signs, (x, s) => x * s),
+      lit(0.0), (acc, x) => acc + x)
+  }
 
   /** Span width (words) for exact span-level dedup (p30). */
   val SpanDedupWords = 8

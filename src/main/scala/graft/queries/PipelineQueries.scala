@@ -1977,23 +1977,53 @@ object PipelineQueries {
       val reps = withRep.filter(col("vec_id") === col("rep"))
       // backstop (EmbClusterCap): a cluster still holding more
       // DISTINCT rep vectors than the cap — near-identical but not
-      // identical mass — is skipped by the pair join entirely, so
-      // the quadratic step stays ≤ cap² per cluster at any corpus
-      // size; the skipped cluster is the documented recall trade
-      // (the funnel's exact stage owns identical content, p75-style
-      // health reporting flags the hot bucket). Dormant at test
-      // scales; the oracle mirrors it; the 10× hot-vector soak
-      // fires it.
+      // identical mass — is SUB-BUCKETED into projection-rank blocks
+      // of EmbRankBlock = cap/2 (order by a fixed deterministic
+      // projection, ties by vec_id; pair within a block and with the
+      // adjacent block), so the quadratic step stays <= cap² per
+      // block boundary at any corpus size and the dirtiest cluster
+      // no longer ESCAPES dedup (round 7 skipped it whole). Rank
+      // blocks, not sign re-quantization, because the pathology is a
+      // near-identical mass that no data-independent hyperplane set
+      // splits — see PipelineOps.rankProj. Residual recall trade:
+      // pairs >1 block apart in projection rank keep separate
+      // canonicals (~1 per block, measured in EMBSOAK_r08). The rank
+      // window sorts one over-cap cluster per task — O(n log n)
+      // single-threaded with spill, a cost only pathological
+      // clusters pay. Dormant at test scales (in-cap clusters take
+      // the constant-block branch); the oracle mirrors it; the 10×
+      // hot-vector soak fires it.
       val overCap = reps.groupBy("cluster")
         .agg(count(lit(1)).as("nreps"))
         .filter(col("nreps") > lit(EmbClusterCap))
         .select("cluster")
-      val rp = reps.join(broadcast(overCap), Seq("cluster"), "left_anti")
-      val a = rp.select(col("cluster"), col("vec_id").as("a"),
-        col("v").as("va"), col("nrm").as("na_"))
-      val b = rp.select(col("cluster"), col("vec_id").as("b"),
-        col("v").as("vb"), col("nrm").as("nb_"))
-      val repDups = a.join(b, Seq("cluster")).filter(col("a") < col("b"))
+      val ocReps = reps.join(broadcast(overCap), Seq("cluster"))
+        .withColumn("proj", graft.pipeline.PipelineOps.rankProj(col("v")))
+        .withColumn("blk", floor(
+          (row_number().over(Window.partitionBy("cluster")
+            .orderBy("proj", "vec_id")) - 1) / lit(EmbRankBlock)))
+        // each rep probes its own block and the next: adjacent-block
+        // pairs meet at jk = blk+1, same-block pairs at jk = blk (the
+        // duplicate match at jk = blk+1 is dropped by the filter
+        // below); the top block's +1 rows meet only each other and
+        // are same-block, so they add no pairs
+        .select(col("cluster"), col("vec_id"), col("v"), col("nrm"),
+          col("blk"),
+          explode(array(col("blk"), col("blk") + 1)).as("jk"))
+      val icReps = reps
+        .join(broadcast(overCap), Seq("cluster"), "left_anti")
+        .select(col("cluster"), col("vec_id"), col("v"), col("nrm"),
+          lit(0L).as("blk"), lit(0L).as("jk"))
+      val rpx = ocReps.unionByName(icReps)
+      val a = rpx.select(col("cluster"), col("jk"),
+        col("vec_id").as("a"), col("v").as("va"),
+        col("nrm").as("na_"), col("blk").as("blka"))
+      val b = rpx.select(col("cluster"), col("jk"),
+        col("vec_id").as("b"), col("v").as("vb"),
+        col("nrm").as("nb_"), col("blk").as("blkb"))
+      val repDups = a.join(b, Seq("cluster", "jk"))
+        .filter(col("a") < col("b") &&
+          (col("blka") =!= col("blkb") || col("jk") === col("blka")))
         .withColumn("cos", aggregate(
           zip_with(col("va"), col("vb"), (x, y) => x * y),
           lit(0.0), (p, x) => p + x) / (col("na_") * col("nb_")))
@@ -3706,14 +3736,29 @@ wr AS (SELECT *, min(vec_id) OVER (PARTITION BY cluster, v) AS rep
 rp0 AS (SELECT * FROM wr WHERE vec_id = rep),
 oc AS (SELECT cluster FROM rp0 GROUP BY cluster
   HAVING count(*) > $EmbClusterCap),
-rp AS (SELECT * FROM rp0
-  WHERE cluster NOT IN (SELECT cluster FROM oc)),
+ocb AS (SELECT vec_id, cluster, v, nrm,
+    CAST(floor((row_number() OVER (PARTITION BY cluster
+      ORDER BY list_reduce(list_transform(range(1, 65),
+          i -> v[CAST(i AS INT)] *
+            (CASE WHEN ((i - 1) * 2654435761) % 4294967296
+              < 2147483648 THEN 1.0 ELSE -1.0 END)),
+        (a, b) -> a + b) ASC, vec_id ASC) - 1)
+      / $EmbRankBlock) AS BIGINT) AS blk
+  FROM rp0 JOIN oc USING (cluster)),
+rpx AS (SELECT vec_id, cluster, v, nrm, blk, blk AS jk FROM ocb
+  UNION ALL
+  SELECT vec_id, cluster, v, nrm, blk, blk + 1 AS jk FROM ocb
+  UNION ALL
+  SELECT vec_id, cluster, v, nrm, CAST(0 AS BIGINT) AS blk,
+    CAST(0 AS BIGINT) AS jk
+  FROM rp0 WHERE cluster NOT IN (SELECT cluster FROM oc)),
 p AS (SELECT x.vec_id AS a, y.vec_id AS b,
     list_reduce(list_transform(range(1, 65),
       i -> x.v[CAST(i AS INT)] * y.v[CAST(i AS INT)]),
       (a, b) -> a + b) / (x.nrm * y.nrm) AS cos
-  FROM rp x JOIN rp y ON x.cluster = y.cluster
-    AND x.vec_id < y.vec_id),
+  FROM rpx x JOIN rpx y ON x.cluster = y.cluster
+    AND x.jk = y.jk AND x.vec_id < y.vec_id
+    AND (x.blk <> y.blk OR x.jk = x.blk)),
 d AS (SELECT b AS rep, min(a) AS rep_dup FROM p
   WHERE cos >= 0.99 GROUP BY b)
 SELECT wr.vec_id, wr.cluster,
