@@ -50,8 +50,24 @@ object Curation {
     // election elects the minimum id regardless of input layout
     val base = base0.select(col("doc_id") +:
       base0.columns.filterNot(_ == "doc_id").map(col): _*)
+    // d0/s1/s2 persist WITHOUT eager cache-fill counts (the three
+    // count() actions removed in round 8 were the exact extra-action
+    // shape the p77 fix removed elsewhere). Why this is race-safe:
+    // the first action in this call is lshPairs' signature
+    // materialization (inside canonicalIds below, invoked eagerly
+    // while s2 is CONSTRUCTED), whose plan scans s1 -> d0 exactly
+    // once each — a straight chain, no same-job branch fan-out — so
+    // that one job fills both caches. s2 alone can see a two-branch
+    // first job (an accounting-first caller aggregates s2 and
+    // filter(s2) in one union), but its subplan above the cached
+    // s1/CC-label leaves is a cheap semi-join and the block
+    // manager's per-partition getOrElseUpdate lock bounds the race
+    // to transient duplication. Measured (sf0.1, 3 runs each,
+    // DESIGN.md round 8): with counts p47 7.8-8.3 s, without
+    // 8.0-9.4 s, p83 5.3-5.5 vs 5.6-6.7 — band-overlapping noise on
+    // a box with documented ±40% drift, no structural regression,
+    // three fewer action plans per call.
     val d0 = base.transform(graft.core.CacheRegistry.persist(_))
-    d0.count()
     // min-struct election: doc_id leads, so min() keeps the min-id
     // row per content hash in ONE shuffle
     val cols = d0.columns
@@ -59,12 +75,10 @@ object Curation {
       .agg(min(struct(cols.map(col): _*)).as("r"))
       .select(cols.map(c => col(s"r.$c").as(c)): _*)
       .transform(graft.core.CacheRegistry.persist(_))
-    s1.count()
     val s2 = s1.join(
         NearDup.canonicalIds(s1.select("doc_id", "text"), threshold),
         Seq("doc_id"), "left_semi")
       .transform(graft.core.CacheRegistry.persist(_))
-    s2.count()
     val s3 = s2.filter(col("n_tok") >= minTokens &&
       lang.map(l => col("lang") === l).getOrElse(lit(true)))
     def stage(name: String, df: DataFrame) =
