@@ -84,6 +84,12 @@ object NearDup {
     // the verify filter's own double jaccard for non-dyadic
     // thresholds — slack can only KEEP more candidates, never drop
     // a qualifying one.
+    // local cost of the size ride + this filter: NEUTRAL, measured
+    // with a paired same-JVM A/B against the round-6 no-prefilter
+    // shape (graft.AbProfile, 5 alternating rounds at sf0.1 —
+    // p16 median 4.53 s with vs 4.83 s without, p67 3.71 vs 3.53,
+    // per-round deltas mixed-sign; DESIGN.md round 8), so the
+    // soak-measured ~30% verify-exchange cut decides — keep it
     val pairs = candS
       .filter(least(col("nsh_a"), col("nsh_b")).cast("double") >=
         lit(threshold) * greatest(col("nsh_a"), col("nsh_b")) - lit(1e-9))
