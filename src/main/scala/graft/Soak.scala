@@ -130,6 +130,59 @@ object Soak {
       .parquet(s"$outDir/documents.parquet")
   }
 
+  /** Decontamination-family fixture: every doc (test AND train
+    * buckets — the h64 bucketing is text-keyed, so appending the same
+    * tail moves docs between buckets deterministically but keeps the
+    * ~90/10 split) carries one fixed 24-word boilerplate tail. That
+    * plants ~24 UNIVERSAL 3-shingles — join keys with document
+    * frequency = N, the "licence header in every doc" pathology — and
+    * a hot 8-word span population for p30 (the tail's span alignment
+    * depends on each doc's word count mod 8, so each of the 8
+    * alignments is shared by ~N/8 docs). The claim under test: the
+    * shingle-keyed decontamination joins (p23/p59/p79) and the span
+    * winner-election (p30) stay LINEAR under a universal key — the
+    * probe side carries one row per distinct key (p23/p79 distinct,
+    * p59 bloom aggregate, p30 min-combine), so a universal key fans
+    * out N×1, never N×M — with the hot key's N rows landing on one
+    * partition at worst (AQE skew split territory), never N² rows
+    * anywhere.
+    */
+  def buildDeconFixture(spark: SparkSession, sfDir: String,
+                        outDir: String, copies: Int): Unit = {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    val d0 = (0 until copies).map { k =>
+      base.withColumn("doc_id", col("doc_id") + k.toLong * 100000000L)
+    }.reduce(_ unionByName _)
+    val boiler = (0 until 24).map(i => s"boilerplate$i").mkString(" ")
+    d0.withColumn("text", concat(col("text"), lit(" " + boiler)))
+      .withColumn("n_chars", length(col("text")).cast("int"))
+      .repartition(32)
+      .write.mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+  }
+
+  /** Shingle-df audit for the decon fixture: prove the plant (a df=N
+    * head) and show what natural text's Zipf head looks like next to
+    * it.
+    */
+  def shingleDfAudit(spark: SparkSession, dir: String): Unit = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.shingleSig(col("text"))
+          .getField("sh").as("sh"))
+      .filter(size(col("sh")) > 0)
+    val n = d.count()
+    val df = d.select(explode(col("sh")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    val top = df.orderBy(col("df").desc).limit(5).collect()
+    val stats = df.agg(count(lit(1)).as("keys"),
+      sum(when(col("df") === n, 1).otherwise(0)).as("universal"))
+      .collect()(0)
+    println(f"[soak] decon shingle df: $n docs, ${stats.getLong(0)} " +
+      f"distinct shingles, ${stats.getLong(1)} UNIVERSAL (df = N); " +
+      s"top df: ${top.map(_.getLong(1)).mkString(", ")}")
+  }
+
   /** Band-bucket histogram over the same doubled corpus the p-queries
     * shingle (documents + the pipeline's own +1e6 perturbed copies).
     */
@@ -200,6 +253,25 @@ object Soak {
       val secs = (System.nanoTime() - t) / 1e9
       println(f"[soak] $q: $secs%.1f s ($rows rows)")
       if (q == "p16_dup_clusters") listener.dump(q)
+      graft.core.CacheRegistry.releaseAll()
+      spark.catalog.clearCache()
+    }
+
+    // phase 2: the decontamination family under a universal shingle
+    val deconDir = graft.core.Scratch.path(s"graft_soak_decon_${copies}x")
+    val t1 = System.nanoTime()
+    buildDeconFixture(spark, sfDir, deconDir, copies)
+    println(f"[soak] decon fixture (universal 24-word boilerplate in " +
+      f"EVERY doc) in ${(System.nanoTime() - t1) / 1e9}%.1f s at $deconDir")
+    shingleDfAudit(spark, deconDir)
+    Seq("p23_decontamination", "p59_bloom_decontamination",
+      "p79_decontamination_matrix", "p30_span_dedup").foreach { q =>
+      listener.reset()
+      val t = System.nanoTime()
+      val rows = SparkEntry.queries(q)(spark, deconDir).count()
+      val secs = (System.nanoTime() - t) / 1e9
+      println(f"[soak] $q: $secs%.1f s ($rows rows)")
+      listener.dump(q)
       graft.core.CacheRegistry.releaseAll()
       spark.catalog.clearCache()
     }
