@@ -45,6 +45,27 @@ object Bench {
         "complete", "bench_warmup", shufflePartitions = 1,
         timeoutMs = 60000L).count()
     } catch { case _: Throwable => () }
+    // fixed-work calibration probe: a deterministic in-memory job
+    // (hash + shuffle + aggregate over 600M rows) whose work is
+    // IDENTICAL every run, so its seconds measure the BOX, not the
+    // code. The local host drifts ±40% over hours (DESIGN.md rounds
+    // 7-8), so cross-round per-query deltas are only evidence after
+    // dividing out the calibration ratio. Runs twice, keeps the
+    // second (first absorbs any residual JIT).
+    def calibrate(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      // pmod keeps the running sums < 2^56 (ANSI overflow-safe)
+      spark.range(0, 600000000L, 1, 32)
+        .select(pmod(xxhash64(col("id")), lit(1000000007L)).as("h"))
+        .groupBy(pmod(col("h"), lit(1024L)).as("k"))
+        .agg(sum(col("h")).as("s"))
+        .agg(sum(col("s"))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate()
+    val calib = calibrate()
+
     var failures = 0
     // optional comma-separated query-name filter for local profiling
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -82,7 +103,7 @@ object Bench {
       }
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$failures}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","calib_sec":${f3(calib)},"queries":$qs,"sf":"$sfDir","failures":$failures}""")
     spark.stop()
     if (failures > 0) sys.exit(1)
   }

@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Median-of-N local bench (dev tool, driver-side python only).
+
+The local box's throughput drifts +/-40% over hours (DESIGN.md rounds
+7-8: the same commit re-benched 170.3 s vs 239.7 s), so a single-run
+bench artifact cannot support cross-round per-query comparisons. This
+runs graft.Bench N times back-to-back and writes per-query MEDIANS
+plus the raw runs and the fixed-work calibration seconds each run
+reported (Bench's calib_sec: identical work every run, so its ratio
+across rounds normalizes box speed).
+
+Usage: python3 tools/bench_median.py [sfDir] [outFile] [nRuns]
+"""
+import json
+import os
+import re
+import statistics
+import subprocess
+import sys
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+out = sys.argv[2] if len(sys.argv) > 2 else "BENCH_local_median.json"
+n = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+
+runs = []
+for i in range(n):
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf)
+    p = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
+                       capture_output=True, text=True, env=env)
+    line = None
+    for l in p.stdout.splitlines():
+        m = re.search(r'\{"metric".*\}\s*$', l)
+        if m:
+            line = m.group(0)
+    if line is None:
+        sys.exit(f"run {i + 1}: no bench JSON (rc={p.returncode})\n"
+                 + p.stdout[-2000:])
+    r = json.loads(line)
+    runs.append(r)
+    print(f"run {i + 1}/{n}: total={r['value']} "
+          f"calib={r.get('calib_sec')} failures={r['failures']}",
+          flush=True)
+
+qnames = sorted(runs[0]["queries"])
+med = {}
+for q in qnames:
+    vals = []
+    for r in runs:
+        v = r["queries"].get(q)
+        vals.append(v["sec"] if isinstance(v, dict) else v)
+    med[q] = round(statistics.median(vals), 3)
+
+doc = {
+    "metric": "total_median",
+    "value": round(sum(med.values()), 3),
+    "unit": "sec",
+    "sf": sf,
+    "n_runs": n,
+    "calib_sec_median": round(statistics.median(
+        r.get("calib_sec", 0.0) for r in runs), 3),
+    "calib_sec_runs": [r.get("calib_sec") for r in runs],
+    "total_runs": [r["value"] for r in runs],
+    "failures": max(r["failures"] for r in runs),
+    "queries": med,
+}
+with open(out, "w") as f:
+    json.dump(doc, f, indent=1, sort_keys=True)
+    f.write("\n")
+print(f"wrote {out}: total_median={doc['value']} "
+      f"calib_median={doc['calib_sec_median']} over {n} runs")
