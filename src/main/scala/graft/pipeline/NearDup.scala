@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.pipeline.PipelineOps.LshBucketCap
+import graft.pipeline.PipelineOps.{LshBucketCap, LshRankBlock}
 
 /** Public MinHash-LSH near-duplicate API over any (doc_id, text)
   * DataFrame — the machinery behind the p02/p16/p33/p39/p43/p46/p47
@@ -41,17 +41,41 @@ object NearDup {
     // the dominant per-row cost — executes twice
     sh.count()
     // shingle-set size rides the band rows (4 bytes each): it feeds
-    // the exact size-ratio prefilter on the verify path below
+    // the exact size-ratio prefilter on the verify path below AND
+    // orders the over-cap rank blocks (near-dup pairs at threshold τ
+    // have size ratio >= τ, so size-adjacent ranks are exactly where
+    // qualifying pairs live)
     val bands0 = sh.select(col("doc_id"), size(col("sh")).as("nsh"),
       posexplode(col("bks")).as(Seq("band", "bkey")))
     // degenerate-bucket guard (LshBucketCap): the bucket self-join
-    // below is quadratic in bucket size — skip pathological buckets.
-    // Expressed as a window count over the bucket key: it rides the
-    // same (band, bkey) shuffle the self-join needs anyway, where a
-    // separate aggregate + join would add an exchange per run
-    val bands = bands0.withColumn("bn",
+    // below is quadratic in bucket size. Round 8: an over-cap bucket
+    // is SUB-BUCKETED into rank blocks of LshRankBlock = cap/2
+    // (order by shingle-set size, ties by doc_id; pair within a
+    // block and with the adjacent block — p42's scheme, see
+    // PipelineOps.rankBlockProbes' contract) instead of skipped
+    // whole: per-join-key population stays <= cap so the quadratic
+    // step keeps its cap² bound, candidate volume from a hot bucket
+    // is <= 2·cap·bucketSize (LINEAR in bucket size, was zero —
+    // round 7 dropped the bucket and lost every pair whose only
+    // collision it was), and the residual trade shrinks to "pairs
+    // >1 rank block apart in size". The bucket-size count rides the
+    // (band, bkey) exchange the self-join needs anyway; the
+    // rank-number window re-shuffles ONLY the over-cap rows (a few
+    // % of band rows even on the planted soak fixture), and its
+    // one-task-per-bucket sort is the same documented backstop cost
+    // as p42's (paid only by pathological buckets).
+    val withBn = bands0.withColumn("bn",
       count(lit(1)).over(Window.partitionBy("band", "bkey")))
-      .filter(col("bn") <= lit(LshBucketCap)).drop("bn")
+    val bandsIn = withBn.filter(col("bn") <= lit(LshBucketCap))
+      .select(col("doc_id"), col("nsh"), col("band"), col("bkey"),
+        lit(0L).as("blk"), lit(0L).as("jk"))
+    val bandsOver = withBn.filter(col("bn") > lit(LshBucketCap))
+      .withColumn("blk", floor(
+        (row_number().over(Window.partitionBy("band", "bkey")
+          .orderBy("nsh", "doc_id")) - 1) / lit(LshRankBlock)))
+      .select(col("doc_id"), col("nsh"), col("band"), col("bkey"),
+        col("blk"), explode(array(col("blk"), col("blk") + 1)).as("jk"))
+    val bands = bandsIn.unionByName(bandsOver)
     // `cand` (the returned LSH candidate set) stays the NARROW
     // 2-column distinct: candidate-only consumers (the recall/eval
     // queries) must not pay for size columns they never use. The
@@ -59,12 +83,19 @@ object NearDup {
     // `pairs` are separate plan branches off the persisted signature
     // cache either way (uncached subplans are not shared across
     // branches), so dual consumers pay the same as before.
+    // same-block pairs meet at jk = blk (their duplicate match at
+    // jk = blk+1 is dropped by the blk predicate); adjacent-block
+    // pairs meet at jk = max(blk); in-cap rows sit at the constant
+    // key 0 and the predicate is vacuously true for them
     def selfJoin(extra: Seq[(String, String)]): DataFrame = bands
       .alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") &&
           col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.jk") === col("b.jk") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          (col("a.blk") =!= col("b.blk") ||
+            col("a.jk") === col("a.blk")))
       .select(col("a.doc_id").as("doc_id_a") +:
         col("b.doc_id").as("doc_id_b") +:
         extra.map { case (c, n) => col(c).as(n) }: _*)

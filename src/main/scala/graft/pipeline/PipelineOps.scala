@@ -73,6 +73,16 @@ object PipelineOps {
     */
   val LshBucketCap = 64
 
+  /** Rank-block size for sub-bucketing over-cap BAND buckets
+    * (NearDup.lshPairs): cap/2, the text twin of [[EmbRankBlock]].
+    * Over-cap buckets order by shingle-set size (near-dup pairs at
+    * threshold τ have size ratio >= τ — the prefilter's exact
+    * necessary condition — so size-adjacent ranks are where
+    * qualifying pairs live), chunk into blocks of this many, and
+    * pair within a block and with the adjacent block.
+    */
+  val LshRankBlock: Int = LshBucketCap / 2
+
   /** Hot-shingle guard for the explode-join intersection counter: a
     * shingle hash appearing in more than this many documents of one
     * source is dropped before the pair join (the classic stop-shingle
@@ -144,6 +154,43 @@ object PipelineOps {
         lit(2147483648L), lit(1.0)).otherwise(lit(-1.0)))
     aggregate(zip_with(v, signs, (x, s) => x * s),
       lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** Rank-block probe table for a capped within-group pair join: the
+    * reusable core of p42's over-cap sub-bucketing, parameterized so
+    * a unit test can exercise the block topology at a tiny cap.
+    *
+    * Input: one row per element with a group column `cluster`, an
+    * ordering column `proj` (ties broken by the id column `vec_id`),
+    * and any payload columns. Output: the same rows plus `blk` (rank
+    * block of size `block` within over-cap clusters; constant 0 for
+    * in-cap clusters) and `jk` (probe key — over-cap rows appear
+    * TWICE, at jk = blk and jk = blk+1, in-cap rows once at 0), such
+    * that a self-join on (cluster, jk) with
+    * `a.vec_id < b.vec_id && (blka != blkb || jk == blka)` yields
+    * every same-block and adjacent-block pair exactly once, with at
+    * most 2·block rows per join key.
+    */
+  def rankBlockProbes(reps: org.apache.spark.sql.DataFrame,
+                      cap: Int, block: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val payload = reps.columns.filterNot(c =>
+      c == "cluster" || c == "vec_id" || c == "proj").toSeq
+    val overCap = reps.groupBy("cluster")
+      .agg(count(lit(1)).as("nreps"))
+      .filter(col("nreps") > lit(cap))
+      .select("cluster")
+    val base = Seq(col("cluster"), col("vec_id")) ++ payload.map(col)
+    val oc = reps.join(broadcast(overCap), Seq("cluster"))
+      .withColumn("blk", floor(
+        (row_number().over(Window.partitionBy("cluster")
+          .orderBy("proj", "vec_id")) - 1) / lit(block)))
+      .select(base ++ Seq(col("blk"),
+        explode(array(col("blk"), col("blk") + 1)).as("jk")): _*)
+    val ic = reps.join(broadcast(overCap), Seq("cluster"), "left_anti")
+      .select(base ++ Seq(lit(0L).as("blk"), lit(0L).as("jk")): _*)
+    oc.unionByName(ic)
   }
 
   /** Span width (words) for exact span-level dedup (p30). */

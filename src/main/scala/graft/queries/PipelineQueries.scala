@@ -1993,28 +1993,15 @@ object PipelineQueries {
       // clusters pay. Dormant at test scales (in-cap clusters take
       // the constant-block branch); the oracle mirrors it; the 10×
       // hot-vector soak fires it.
-      val overCap = reps.groupBy("cluster")
-        .agg(count(lit(1)).as("nreps"))
-        .filter(col("nreps") > lit(EmbClusterCap))
-        .select("cluster")
-      val ocReps = reps.join(broadcast(overCap), Seq("cluster"))
-        .withColumn("proj", graft.pipeline.PipelineOps.rankProj(col("v")))
-        .withColumn("blk", floor(
-          (row_number().over(Window.partitionBy("cluster")
-            .orderBy("proj", "vec_id")) - 1) / lit(EmbRankBlock)))
-        // each rep probes its own block and the next: adjacent-block
-        // pairs meet at jk = blk+1, same-block pairs at jk = blk (the
-        // duplicate match at jk = blk+1 is dropped by the filter
-        // below); the top block's +1 rows meet only each other and
-        // are same-block, so they add no pairs
-        .select(col("cluster"), col("vec_id"), col("v"), col("nrm"),
-          col("blk"),
-          explode(array(col("blk"), col("blk") + 1)).as("jk"))
-      val icReps = reps
-        .join(broadcast(overCap), Seq("cluster"), "left_anti")
-        .select(col("cluster"), col("vec_id"), col("v"), col("nrm"),
-          lit(0L).as("blk"), lit(0L).as("jk"))
-      val rpx = ocReps.unionByName(icReps)
+      // each rep probes its own block and the next: adjacent-block
+      // pairs meet at jk = blk+1, same-block pairs at jk = blk (the
+      // duplicate match at jk = blk+1 is dropped by the filter
+      // below); the top block's +1 rows meet only each other and
+      // are same-block, so they add no pairs
+      val rpx = graft.pipeline.PipelineOps.rankBlockProbes(
+        reps.select(col("cluster"), col("vec_id"), col("v"), col("nrm"),
+          graft.pipeline.PipelineOps.rankProj(col("v")).as("proj")),
+        EmbClusterCap, EmbRankBlock)
       val a = rpx.select(col("cluster"), col("jk"),
         col("vec_id").as("a"), col("v").as("va"),
         col("nrm").as("na_"), col("blk").as("blka"))
@@ -2602,15 +2589,24 @@ object PipelineQueries {
     val sh = hashedShinglesSql(shinglesSql(wordsSql("text")))
     s"""sh AS (SELECT doc_id, $sh AS sh FROM $src),
 sh2 AS (SELECT * FROM sh WHERE len(sh) > 0),
-bands0 AS (SELECT doc_id,
+bands0 AS (SELECT doc_id, len(sh) AS nsh,
   CAST(unnest(range(0, $LshBands)) AS INT) AS band,
   unnest(${bandKeysSql("sh")}) AS bkey FROM sh2),
-bsz AS (SELECT band, bkey FROM bands0 GROUP BY band, bkey
-  HAVING count(*) <= $LshBucketCap),
-bands AS (SELECT bands0.* FROM bands0 JOIN bsz USING (band, bkey)),
+bw AS (SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bn
+  FROM bands0),
+boc AS (SELECT doc_id, band, bkey,
+    CAST(floor((row_number() OVER (PARTITION BY band, bkey
+      ORDER BY nsh ASC, doc_id ASC) - 1) / $LshRankBlock) AS BIGINT)
+      AS blk
+  FROM bw WHERE bn > $LshBucketCap),
+bands AS (SELECT doc_id, band, bkey, CAST(0 AS BIGINT) AS blk,
+    CAST(0 AS BIGINT) AS jk FROM bw WHERE bn <= $LshBucketCap
+  UNION ALL SELECT doc_id, band, bkey, blk, blk AS jk FROM boc
+  UNION ALL SELECT doc_id, band, bkey, blk, blk + 1 AS jk FROM boc),
 cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
-    AND a.doc_id < b.doc_id),
+    AND a.jk = b.jk AND a.doc_id < b.doc_id
+    AND (a.blk <> b.blk OR a.jk = a.blk)),
 lshpairs AS (SELECT doc_id_a, doc_id_b,
   ${jaccardSql("sa.sh", "sb.sh")} AS jaccard
 FROM cand JOIN sh2 sa ON sa.doc_id = doc_id_a

@@ -215,6 +215,44 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got2 == Map(2L -> 2L, 5L -> 2L, 9L -> 2L))
   }
 
+  test("rank-block probes pair same+adjacent blocks exactly once") {
+    import spark.implicits._
+    // cluster A is over-cap (6 > cap 4): rank order = proj = id, so
+    // block 2 gives blocks {1,2} {3,4} {5,6}. Cluster B (3 <= cap)
+    // stays one constant block. The p42-shaped self-join must yield
+    // every same-block and adjacent-block pair EXACTLY ONCE (the
+    // duplicate same-block match at jk=blk+1 dropped, the top
+    // block's overhang rows inert) and nothing 2+ blocks apart.
+    val reps = (1L to 6L).map(i => ("A", i, i.toDouble)) ++
+      Seq(10L, 11L, 12L).map(i => ("B", i, i.toDouble))
+    val df = reps.toDF("cluster", "vec_id", "proj")
+    val rpx = rankBlockProbes(df, cap = 4, block = 2)
+    val a = rpx.select(col("cluster"), col("jk"),
+      col("vec_id").as("a"), col("blk").as("blka"))
+    val b = rpx.select(col("cluster"), col("jk"),
+      col("vec_id").as("b"), col("blk").as("blkb"))
+    val got = a.join(b, Seq("cluster", "jk"))
+      .filter(col("a") < col("b") &&
+        (col("blka") =!= col("blkb") || col("jk") === col("blka")))
+      .select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = Set(
+      (1L, 2L),                              // blk0
+      (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), // blk0-blk1
+      (3L, 4L),                              // blk1
+      (3L, 5L), (3L, 6L), (4L, 5L), (4L, 6L), // blk1-blk2
+      (5L, 6L),                              // blk2
+      (10L, 11L), (10L, 12L), (11L, 12L))    // in-cap cluster whole
+    assert(got.size == got.distinct.size,
+      s"duplicate pairs: ${got.diff(got.distinct)}")
+    assert(got.toSet == expected,
+      s"missing ${expected -- got.toSet}, extra ${got.toSet -- expected}")
+    // per-probe-key population bound: <= 2*block rows per (cluster, jk)
+    val maxKey = rpx.groupBy("cluster", "jk").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxKey <= 4, s"probe key over 2*block: $maxKey")
+  }
+
   test("connected components surface maxIter non-convergence") {
     import spark.implicits._
     // diameter-4 path: label-edge doubling needs 2 rounds to cover it
