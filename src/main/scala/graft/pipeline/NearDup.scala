@@ -25,7 +25,9 @@ object NearDup {
     *  - `signatures`: doc_id, sh (hashed shingle set), bks (band
     *    keys) — persisted AND materialized (see below).
     *  - `candidates`: distinct (doc_id_a < doc_id_b) sharing >= 1
-    *    band bucket (bucket size capped at [[LshBucketCap]]).
+    *    band bucket; buckets over [[LshBucketCap]] contribute their
+    *    size-rank-adjacent pairs only (rank blocks of
+    *    [[LshRankBlock]] — see the guard comment below).
     *  - `pairs`: candidates with exact Jaccard >= `threshold`.
     */
   def lshPairs(source: DataFrame, threshold: Double = 0.5)

@@ -65,11 +65,19 @@ object PipelineOps {
   val LshBands = 8 // 2 rows per band
 
   /** Degenerate-bucket guard: a band bucket larger than this is
-    * skipped before the candidate self-join. Boilerplate-heavy corpora
-    * put thousands of near-identical docs in one bucket, and the
-    * bucket self-join is quadratic in bucket size; capping bounds the
-    * worst bucket at Cap² pairs while near-dup recall survives via the
-    * other B-1 bands (exact duplicates belong to exact dedup, p01).
+    * SUB-BUCKETED into [[LshRankBlock]] rank blocks before the
+    * candidate self-join (round 8; round 7 skipped it whole).
+    * Boilerplate-heavy corpora put thousands of near-identical docs
+    * in one bucket, and the bucket self-join is quadratic in bucket
+    * size; rank-blocking keeps the per-join-key population <= Cap
+    * (so the worst key stays at Cap² pairs) while a hot bucket still
+    * contributes its rank-adjacent candidates — recall additionally
+    * survives via the other B-1 bands (exact duplicates belong to
+    * exact dedup, p01). The asymmetric corpus probe
+    * ([[NearDup.matchesAgainst]]) and the 16-bit SimHash fixture
+    * (p52) keep the plain cap: the former never self-joins (fanout
+    * is bounded by incoming rows × Cap), the latter documents that
+    * production signatures widen instead.
     */
   val LshBucketCap = 64
 
