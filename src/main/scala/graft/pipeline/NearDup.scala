@@ -66,18 +66,32 @@ object NearDup {
     // % of band rows even on the planted soak fixture), and its
     // one-task-per-bucket sort is the same documented backstop cost
     // as p42's (paid only by pathological buckets).
-    val withBn = bands0.withColumn("bn",
-      count(lit(1)).over(Window.partitionBy("band", "bkey")))
-    val bandsIn = withBn.filter(col("bn") <= lit(LshBucketCap))
+    // ONE window pipeline, not an in-cap/over-cap union: both the
+    // bucket count and the size rank share the (band, bkey)
+    // partitioning, so they stack on a single exchange + sort (the
+    // count alone would sort on the partition keys anyway — the
+    // rank's (nsh, doc_id) suffix is free ordering, and a union
+    // shape was measured to cost a SECOND full band-table exchange
+    // per self-join side, the expensive resource at scale). In-cap
+    // rows take blk = 0 and ONE probe key; over-cap rows take their
+    // rank block and probe {blk, blk+1}.
+    // both windows declare the SAME (partition, order) so they share
+    // one exchange AND one sort (the count takes the whole-partition
+    // frame explicitly; an unordered count window would otherwise
+    // plan its own partition-key sort next to the rank's)
+    val w = Window.partitionBy("band", "bkey").orderBy("nsh", "doc_id")
+    val bands = bands0
+      .withColumn("bn", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("blk", when(col("bn") <= lit(LshBucketCap), lit(0L))
+        .otherwise(floor((col("rk") - 1) / lit(LshRankBlock))))
       .select(col("doc_id"), col("nsh"), col("band"), col("bkey"),
-        lit(0L).as("blk"), lit(0L).as("jk"))
-    val bandsOver = withBn.filter(col("bn") > lit(LshBucketCap))
-      .withColumn("blk", floor(
-        (row_number().over(Window.partitionBy("band", "bkey")
-          .orderBy("nsh", "doc_id")) - 1) / lit(LshRankBlock)))
-      .select(col("doc_id"), col("nsh"), col("band"), col("bkey"),
-        col("blk"), explode(array(col("blk"), col("blk") + 1)).as("jk"))
-    val bands = bandsIn.unionByName(bandsOver)
+        col("blk"),
+        explode(when(col("bn") <= lit(LshBucketCap),
+            array(col("blk")))
+          .otherwise(array(col("blk"), col("blk") + 1))).as("jk"))
     // `cand` (the returned LSH candidate set) stays the NARROW
     // 2-column distinct: candidate-only consumers (the recall/eval
     // queries) must not pay for size columns they never use. The

@@ -2592,17 +2592,20 @@ sh2 AS (SELECT * FROM sh WHERE len(sh) > 0),
 bands0 AS (SELECT doc_id, len(sh) AS nsh,
   CAST(unnest(range(0, $LshBands)) AS INT) AS band,
   unnest(${bandKeysSql("sh")}) AS bkey FROM sh2),
-bw AS (SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bn
+bw AS (SELECT doc_id, band, bkey,
+    count(*) OVER (PARTITION BY band, bkey
+      ORDER BY nsh ASC, doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING
+      AND UNBOUNDED FOLLOWING) AS bn,
+    row_number() OVER (PARTITION BY band, bkey
+      ORDER BY nsh ASC, doc_id ASC) AS rk
   FROM bands0),
-boc AS (SELECT doc_id, band, bkey,
-    CAST(floor((row_number() OVER (PARTITION BY band, bkey
-      ORDER BY nsh ASC, doc_id ASC) - 1) / $LshRankBlock) AS BIGINT)
-      AS blk
-  FROM bw WHERE bn > $LshBucketCap),
-bands AS (SELECT doc_id, band, bkey, CAST(0 AS BIGINT) AS blk,
-    CAST(0 AS BIGINT) AS jk FROM bw WHERE bn <= $LshBucketCap
-  UNION ALL SELECT doc_id, band, bkey, blk, blk AS jk FROM boc
-  UNION ALL SELECT doc_id, band, bkey, blk, blk + 1 AS jk FROM boc),
+bb AS (SELECT doc_id, band, bkey,
+    CASE WHEN bn <= $LshBucketCap THEN CAST(0 AS BIGINT)
+      ELSE CAST(floor((rk - 1) / $LshRankBlock) AS BIGINT) END AS blk,
+    bn FROM bw),
+bands AS (SELECT doc_id, band, bkey, blk,
+    unnest(CASE WHEN bn <= $LshBucketCap THEN [blk]
+      ELSE [blk, blk + 1] END) AS jk FROM bb),
 cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
     AND a.jk = b.jk AND a.doc_id < b.doc_id
