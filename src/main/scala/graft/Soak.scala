@@ -246,13 +246,31 @@ object Soak {
     bucketAudit(spark, fixDir)
 
     Seq("p02_minhash_lsh", "p16_dup_clusters", "p33_neardup_prune",
-      "p67_cluster_histogram", "p47_curation_funnel").foreach { q =>
+      "p67_cluster_histogram", "p47_curation_funnel",
+      "p43_incremental_dedup").foreach { q =>
       listener.reset()
       val t = System.nanoTime()
-      val rows = SparkEntry.queries(q)(spark, fixDir).count()
+      val df = SparkEntry.queries(q)(spark, fixDir)
+      val rows = df.count()
       val secs = (System.nanoTime() - t) / 1e9
       println(f"[soak] $q: $secs%.1f s ($rows rows)")
       if (q == "p16_dup_clusters") listener.dump(q)
+      if (q == "p43_incremental_dedup") {
+        // stratified-keep evidence: the hot-identical docs re-arrive
+        // in the incoming batch (baseId%50==0 implies %5==0) wearing
+        // the same suffix as their corpus twins — with over-cap
+        // corpus buckets DROPPED (round 7) they all reported novel
+        // (corpus pollution); the size-stratified keep must match
+        // them
+        val hot = df.filter(
+          pmod(pmod(col("new_id") - 2000000L, lit(100000000L)),
+            lit(50L)) === 0)
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("matched"), 1L).otherwise(0L)).as("m"))
+          .collect()(0)
+        println(s"[soak]   p43 hot-identical incoming: ${hot.getLong(0)} " +
+          s"docs, ${hot.getLong(1)} matched (round 7: 0 matched)")
+      }
       graft.core.CacheRegistry.releaseAll()
       spark.catalog.clearCache()
     }

@@ -182,9 +182,16 @@ object NearDup {
     * per incoming doc with a non-empty shingle set:
     * (new_id, matched, match_id, jaccard).
     *
-    * Scale posture: corpus-side band buckets are capped
-    * ([[LshBucketCap]]) so a degenerate bucket cannot go quadratic;
-    * at cluster scale the corpus signature/band tables are the
+    * Scale posture: an over-cap corpus band bucket keeps a
+    * SIZE-STRATIFIED subset of <= [[LshBucketCap]] members (every
+    * ceil(bn/cap)-th by shingle-set-size rank) instead of being
+    * dropped whole — a probe's fanout per bucket stays <= cap, but
+    * a hot-boilerplate batch still finds a size-similar match
+    * (qualifying matches have size ratio >= threshold, so a
+    * size-stratified subset preserves coverage; a DROPPED bucket
+    * made every hot near-dup look novel and append — corpus
+    * pollution, the worst failure for a continuous build). At
+    * cluster scale the corpus signature/band tables are the
     * precomputed index a stream job joins against each micro-batch.
     *
     * Caching contract: both signature tables persist through
@@ -201,12 +208,23 @@ object NearDup {
       .transform(graft.core.CacheRegistry.persist(_))
     // materialize before fan-out (each cache feeds 2 plan branches)
     corpusSh.count(); incSh.count()
+    // size-stratified keep (see scaladoc): stride = ceil(bn/cap) is
+    // 1 for in-cap buckets (keeps everything, branchless) and thins
+    // an over-cap bucket to <= cap members evenly spaced by size
+    // rank; count and rank share one exchange + sort (same
+    // single-window-pipeline shape as lshPairs)
+    val wc = Window.partitionBy("band", "bkey")
+      .orderBy("nsh_c", "corpus_id")
     val cb = corpusSh.select(col("doc_id").as("corpus_id"),
         size(col("sh")).as("nsh_c"),
         posexplode(col("bks")).as(Seq("band", "bkey")))
-      .withColumn("bn",
-        count(lit(1)).over(Window.partitionBy("band", "bkey")))
-      .filter(col("bn") <= lit(LshBucketCap)).drop("bn")
+      .withColumn("bn", count(lit(1)).over(
+        wc.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("rk", row_number().over(wc))
+      .filter(pmod((col("rk") - 1).cast("long"),
+        ceil(col("bn") / lit(LshBucketCap))) === 0L)
+      .drop("bn", "rk")
     val ib = incSh.select(col("doc_id").as("new_id"),
       size(col("sh")).as("nsh_n"),
       posexplode(col("bks")).as(Seq("band", "bkey")))

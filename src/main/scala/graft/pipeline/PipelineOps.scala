@@ -74,9 +74,11 @@ object PipelineOps {
     * contributes its rank-adjacent candidates — recall additionally
     * survives via the other B-1 bands (exact duplicates belong to
     * exact dedup, p01). The asymmetric corpus probe
-    * ([[NearDup.matchesAgainst]]) and the 16-bit SimHash fixture
-    * (p52) keep the plain cap: the former never self-joins (fanout
-    * is bounded by incoming rows × Cap), the latter documents that
+    * ([[NearDup.matchesAgainst]]) instead keeps a SIZE-STRATIFIED
+    * <= Cap subset of an over-cap bucket (it never self-joins, so
+    * thinning the probed side preserves the fanout bound while a
+    * hot batch still finds a size-similar match); only the 16-bit
+    * SimHash fixture (p52) keeps the plain drop, documenting that
     * production signatures widen instead.
     */
   val LshBucketCap = 64

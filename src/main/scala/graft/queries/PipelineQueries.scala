@@ -3781,12 +3781,18 @@ csh0 AS (SELECT doc_id, $sh AS sh FROM documents),
 csh AS (SELECT * FROM csh0 WHERE len(sh) > 0),
 ish0 AS (SELECT doc_id, $sh AS sh FROM inc0),
 ish AS (SELECT * FROM ish0 WHERE len(sh) > 0),
-cb0 AS (SELECT doc_id AS corpus_id,
+cb0 AS (SELECT doc_id AS corpus_id, len(sh) AS nsh,
   CAST(unnest(range(0, $LshBands)) AS INT) AS band,
   unnest(${bandKeysSql("sh")}) AS bkey FROM csh),
-cbsz AS (SELECT band, bkey FROM cb0 GROUP BY band, bkey
-  HAVING count(*) <= $LshBucketCap),
-cb AS (SELECT cb0.* FROM cb0 JOIN cbsz USING (band, bkey)),
+cbw AS (SELECT corpus_id, band, bkey,
+    count(*) OVER (PARTITION BY band, bkey
+      ORDER BY nsh ASC, corpus_id ASC ROWS BETWEEN UNBOUNDED
+      PRECEDING AND UNBOUNDED FOLLOWING) AS bn,
+    row_number() OVER (PARTITION BY band, bkey
+      ORDER BY nsh ASC, corpus_id ASC) AS rk
+  FROM cb0),
+cb AS (SELECT corpus_id, band, bkey FROM cbw
+  WHERE (rk - 1) % CAST(ceil(bn / $LshBucketCap) AS BIGINT) = 0),
 ib AS (SELECT doc_id AS new_id,
   CAST(unnest(range(0, $LshBands)) AS INT) AS band,
   unnest(${bandKeysSql("sh")}) AS bkey FROM ish),
