@@ -253,6 +253,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(maxKey <= 4, s"probe key over 2*block: $maxKey")
   }
 
+  test("hot corpus bucket still matches an incoming near-dup") {
+    import spark.implicits._
+    // 100 IDENTICAL corpus docs put > LshBucketCap rows in every band
+    // bucket they hash to. Round 7 DROPPED such buckets from the
+    // asymmetric probe — an incoming near-dup then matched nothing,
+    // looked novel, and appended (corpus pollution). The round-8
+    // size-stratified keep must retain a cap-bounded subset, so the
+    // probe still finds a match. A genuinely novel doc must stay
+    // unmatched.
+    val hotText = (1 to 30).map(i => s"hot$i").mkString(" ")
+    val corpus = ((1L to 100L).map(i => (i, hotText)) :+
+      (500L, (1 to 30).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (1000L, hotText + " tiny tail"),
+      (1001L, (1 to 30).map(i => s"novel$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = NearDup.matchesAgainst(corpus, incoming)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2))).toMap
+    graft.core.CacheRegistry.releaseAll()
+    assert(got(1000L)._1, s"hot near-dup went unmatched: $got")
+    // min corpus id tiebreak: rank 1 of the stratified keep is the
+    // smallest (nsh, doc_id), and all hot docs tie on jaccard
+    assert(got(1000L)._2 == 1L, s"expected match_id 1: $got")
+    assert(!got(1001L)._1, s"novel doc falsely matched: $got")
+  }
+
   test("connected components surface maxIter non-convergence") {
     import spark.implicits._
     // diameter-4 path: label-edge doubling needs 2 rounds to cover it
