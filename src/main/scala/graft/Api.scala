@@ -9,6 +9,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * catalog DataFrame, optionally decode metadata and filter, always
   * drop duplicate records — each step delegating to the operator
   * library, so the composed plan keeps pushdown/pruning intact.
+  *
+  * Deploying against a real cluster / 100 TB corpus: README's
+  * "Running at scale" section ties together the knobs that matter —
+  * the checkpoint dir (reliable connected-components rounds),
+  * `spark.cleaner.referenceTracking.cleanCheckpoints`, the
+  * [[graft.core.CacheRegistry]] release contract for per-batch
+  * loops, the hot-bucket guard semantics
+  * (LshBucketCap/EmbClusterCap rank-block sub-bucketing), and the
+  * sub-file scan-split behavior — each claim cited to its
+  * adversarial soak log.
   */
 object Api {
 

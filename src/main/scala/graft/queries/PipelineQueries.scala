@@ -1070,20 +1070,41 @@ object PipelineQueries {
         norm(col("embedding")).as("nrm"))
       val rn = row_number().over(Window.partitionBy("vec_id")
         .orderBy(col("cos").desc, col("nb_id").asc))
-      // degenerate-bucket guard (EmbBucketCap): the neighbor side
-      // contributes at most cap members per bucket, chosen by
-      // seeded-hash order (a deterministic uniform audit sample), so
-      // the bucket self-join is ≤ buckets·cap² pairs at any corpus
-      // size — the cosine analog of the LSH bucket cap. Dormant at
-      // test scales (buckets ≲ dozens of members); oracle mirrors it.
-      val nb = e.select(col("vec_id").as("nb_id"),
-          col("label").as("nb_label"), col("bucket"),
-          col("embedding").as("nb_v"), col("nrm").as("nb_n"))
-        .withColumn("nbrn", row_number().over(
+      // degenerate-bucket guard (EmbBucketCap): BOTH sides of the
+      // bucket self-join take the same deterministic seeded-hash
+      // audit sample of <= cap members per bucket — this is an AUDIT
+      // statistic, so purity is reported over the sample, and the
+      // pair volume is genuinely <= buckets·cap² at any corpus size.
+      // (Round 8: capping only the neighbor side left the query side
+      // unbounded — corpus × cap pairs — and the 30× soak measured
+      // the hot argmax bucket driving p65 to 82 s; both-sides
+      // sampling restores the documented bound. Same seed on both
+      // sides, so the query set IS the neighbor pool minus self —
+      // purity among the sample.) Dormant at test scales (buckets
+      // ≲ dozens of members); oracle mirrors it.
+      def sampled(df: DataFrame, idCol: String): DataFrame = df
+        .withColumn("srn", row_number().over(
           Window.partitionBy("bucket")
-            .orderBy(h64(col("nb_id").cast("string"), 41), col("nb_id"))))
-        .filter(col("nbrn") <= lit(EmbBucketCap)).drop("nbrn")
-      val knn = e.alias("a")
+            .orderBy(h64(col(idCol).cast("string"), 41), col(idCol))))
+        .filter(col("srn") <= lit(EmbBucketCap)).drop("srn")
+      val nb = sampled(e.select(col("vec_id").as("nb_id"),
+        col("label").as("nb_label"), col("bucket"),
+        col("embedding").as("nb_v"), col("nrm").as("nb_n")), "nb_id")
+      // the sample window leaves the query side PARTITIONED BY
+      // BUCKET — the broadcast join would then compute the hot
+      // bucket's whole cap² dot-product block in ONE task (measured
+      // 15 s vs 3.4 s on the 10× fixture). The sampled table is
+      // bounded at buckets·cap rows at ANY corpus size, so one
+      // id-keyed repartition of it is a cheap, scale-free way to
+      // spread the dot products evenly — with an EXPLICIT partition
+      // count, because the exchange itself is tiny (~10 MB) and AQE
+      // would otherwise coalesce it to a couple of partitions,
+      // re-serializing the join's cap²-per-bucket work downstream
+      // (the amplification is invisible to AQE's byte-based
+      // coalescing; measured 11 s coalesced vs ~2 s pinned).
+      val knn = sampled(e, "vec_id")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .alias("a")
         .join(nb.alias("b"), Seq("bucket"))
         .filter(col("nb_id") =!= col("vec_id"))
         .withColumn("cos", dot(col("embedding"), col("nb_v")) /
@@ -3174,7 +3195,7 @@ nb AS (SELECT * FROM (SELECT *, row_number() OVER (
 p AS (SELECT a.vec_id, a.label, b.vec_id AS nb_id,
     b.label AS nb_label,
     ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
-  FROM e a JOIN nb b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id),
+  FROM nb a JOIN nb b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id),
 k AS (SELECT *, row_number() OVER (PARTITION BY vec_id
     ORDER BY cos DESC, nb_id ASC) AS rank FROM p),
 pu AS (SELECT vec_id, label,
