@@ -1405,11 +1405,19 @@ object PipelineQueries {
           Window.partitionBy("sig")
             .orderBy(h64(col("vec_id").cast("string"), 43), col("vec_id"))))
         .filter(col("srn") <= lit(EmbBucketCap)).drop("srn")
+      // the sampled table is bounded at 2^planes·cap rows at any
+      // corpus size, so broadcast one side and spread the other by
+      // id with a PINNED partition count — the p65 lesson: a sig-
+      // keyed self-join serializes each hot bucket's cap² dot block
+      // onto one task, and AQE coalesces the tiny exchange that
+      // would spread it (the join amplification is invisible to
+      // byte-based coalescing)
       val a = es.select(col("vec_id").as("id_a"),
-        col("embedding").as("va"), col("nrm").as("na"), col("sig"))
+          col("embedding").as("va"), col("nrm").as("na"), col("sig"))
+        .repartition(s.sparkContext.defaultParallelism, col("id_a"))
       val b = es.select(col("vec_id").as("id_b"),
         col("embedding").as("vb"), col("nrm").as("nb"), col("sig"))
-      val pairs = a.join(b, Seq("sig"))
+      val pairs = a.join(broadcast(b), Seq("sig"))
         .filter(col("id_a") < col("id_b"))
         .withColumn("cos",
           dot(col("va"), col("vb")) / (col("na") * col("nb")))
