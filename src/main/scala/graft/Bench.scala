@@ -15,6 +15,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the documented deployment conf (README "Running at scale"):
+      // pushes WindowGroupLimit below the shuffle for the library's
+      // rank-filtered audit-sample windows (caps are 4096 > the 1000
+      // default threshold); a semantics-exact optimizer rule
+      .config("spark.sql.optimizer.windowGroupLimitThreshold", "8192")
       // let AQE coalesce tiny post-shuffle partitions even when the
       // result is being persisted (small cached intermediates
       // otherwise schedule full-width near-empty shuffle tasks)

@@ -19,6 +19,15 @@ object PlanAudit {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // same session-conf override hook as graft.Profile (e.g.
+    // SPARK_GRAFT_CONF="spark.sql.optimizer.windowGroupLimitThreshold=8192")
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+        println(s"[planaudit] conf override: $k=$v")
+      }
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -15,6 +15,11 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); Spark 4 only reads it
       // via the legacy long path (converted in Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the documented deployment conf (README "Running at scale"):
+      // pushes WindowGroupLimit below the shuffle for the library's
+      // rank-filtered audit-sample windows (caps are 4096 > the 1000
+      // default threshold); a semantics-exact optimizer rule
+      .config("spark.sql.optimizer.windowGroupLimitThreshold", "8192")
       // same AQE cached-plan coalescing as Bench: correctness results
       // must come from the same planning mode the bench measures
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
