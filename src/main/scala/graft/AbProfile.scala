@@ -60,7 +60,12 @@ object AbProfile {
       }
     }
     def med(xs: Vector[Double]): Double = {
-      val s = xs.sorted; s(s.length / 2)
+      // true median: average the two middle elements for even rep
+      // counts — the upper-middle alone biases high by up to one
+      // inter-run gap, material for a tool resolving sub-second deltas
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
     Seq(va, vb).foreach { v =>
       println(f"[ab] MEDIAN $propKey=$v: ${med(times(v))}%.2f s " +

@@ -165,6 +165,27 @@ object EmbSoak {
               f"${r.getLong(1)}%7d members -> " +
               f"${r.getLong(2)}%7d canonicals")
           }
+        // planted-mass resolution (round 9): the per-cluster count is
+        // dominated by NATURAL reps that genuinely have no 0.99
+        // partner, so the planted masses are counted on their own —
+        // canonicals among p42 output rows whose base id is the
+        // near-identical-distinct plant (base%5==1) resp. the hot-
+        // identical plant (base%5==0). True answer for each mass is
+        // ~its exact-class count (near: ~1-2 after the two-pass
+        // election; hot: 2 — the base class and its +0.01 double).
+        Seq(("near-distinct", 1L), ("hot-identical", 0L)).foreach {
+          case (tag, m) =>
+            val mass = df.filter(
+              pmod(pmod(col("vec_id"), lit(10000000L)), lit(1000000L))
+                .between(10, 999999) &&
+              pmod(pmod(pmod(col("vec_id"), lit(10000000L)),
+                lit(1000000L)), lit(5L)) === m)
+            val (mm, cc) = mass.agg(count(lit(1)),
+              countDistinct("canonical_id")).collect()
+              .map(r => (r.getLong(0), r.getLong(1))).head
+            println(f"[embsoak]   p42 planted $tag%-13s mass: " +
+              f"$mm%7d members -> $cc%3d canonicals")
+        }
       }
       graft.core.CacheRegistry.releaseAll()
       spark.catalog.clearCache()

@@ -24,9 +24,13 @@ object PlanAudit {
     sys.env.get("SPARK_GRAFT_CONF").toSeq
       .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
       .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k, v)
-        println(s"[planaudit] conf override: $k=$v")
+        kv.split("=", 2) match {
+          case Array(k, v) =>
+            spark.conf.set(k, v)
+            println(s"[planaudit] conf override: $k=$v")
+          case _ => sys.error(
+            s"SPARK_GRAFT_CONF entry '$kv' is not key=value")
+        }
       }
     names.foreach { n =>
       println(s"\n========== $n ==========")

@@ -27,9 +27,13 @@ object Profile {
     sys.env.get("SPARK_GRAFT_CONF").toSeq
       .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
       .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k, v)
-        println(s"[profile] conf override: $k=$v")
+        kv.split("=", 2) match {
+          case Array(k, v) =>
+            spark.conf.set(k, v)
+            println(s"[profile] conf override: $k=$v")
+          case _ => sys.error(
+            s"SPARK_GRAFT_CONF entry '$kv' is not key=value")
+        }
       }
     try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
     catch { case _: Throwable => () }

@@ -159,7 +159,12 @@ object PipelineOps {
     * bit for bit.
     */
   def rankProj(v: Column): Column = {
-    val signs = transform(sequence(lit(0), lit(63)), i =>
+    // sign sequence sized from the vector itself (the hash is
+    // index-keyed, so any prefix is the same signs): a hardcoded
+    // width would make zip_with null-pad on any other embedding
+    // width and silently NULL the projection for every row,
+    // degrading rank-block ordering to vec_id order with no error.
+    val signs = transform(sequence(lit(0), size(v) - lit(1)), i =>
       when((i.cast("long") * lit(2654435761L)) % lit(4294967296L) <
         lit(2147483648L), lit(1.0)).otherwise(lit(-1.0)))
     aggregate(zip_with(v, signs, (x, s) => x * s),
@@ -201,6 +206,92 @@ object PipelineOps {
     val ic = reps.join(broadcast(overCap), Seq("cluster"), "left_anti")
       .select(base ++ Seq(lit(0L).as("blk"), lit(0L).as("jk")): _*)
     oc.unionByName(ic)
+  }
+
+  /** Two-pass canonical election over per-cluster rep vectors — the
+    * core of p42's semantic dedup, factored so a unit test can
+    * exercise the chain collapse at a tiny cap.
+    *
+    * Input: one row per rep with `cluster`, `vec_id`, `v`
+    * (double array) and `nrm` (its L2 norm). Output: one row per rep
+    * with (vec_id, cluster, canonical).
+    *
+    * Pass 1 pairs reps within [[rankBlockProbes]] blocks (all-pairs
+    * for in-cap clusters) and elects the one-hop min-id partner at
+    * cosine >= minCos. That leaves over-cap clusters with ~1
+    * canonical per rank block (EMBSOAK_r08: 18,870 members -> 158
+    * canonicals where the true answer is ~the exact-class count),
+    * because block k's canonical maps one hop to block k-1's min but
+    * the mapping never composes. Pass 2 re-runs the SAME pairing over
+    * just the canonicals of OVER-CAP clusters — they number
+    * ~reps/block, so they fit one block (all-pairs -> the chain
+    * collapses to the cluster min) or, in the extreme, rank-block
+    * again for a further block-factor reduction. In-cap clusters are
+    * untouched by pass 2: their pass-1 election was already all-pairs,
+    * so their one-hop semantics are final and byte-identical to the
+    * single-pass version.
+    */
+  def semanticCanonicals(reps: org.apache.spark.sql.DataFrame,
+                         cap: Int, block: Int, minCos: Double)
+      : org.apache.spark.sql.DataFrame = {
+    def pairDups(in: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val rpx = rankBlockProbes(
+        in.select(col("cluster"), col("vec_id"), col("v"), col("nrm"),
+          rankProj(col("v")).as("proj")), cap, block)
+      val a = rpx.select(col("cluster"), col("jk"),
+        col("vec_id").as("a"), col("v").as("va"),
+        col("nrm").as("na_"), col("blk").as("blka"))
+      val b = rpx.select(col("cluster"), col("jk"),
+        col("vec_id").as("b"), col("v").as("vb"),
+        col("nrm").as("nb_"), col("blk").as("blkb"))
+      a.join(b, Seq("cluster", "jk"))
+        .filter(col("a") < col("b") &&
+          (col("blka") =!= col("blkb") || col("jk") === col("blka")))
+        .withColumn("cos", aggregate(
+          zip_with(col("va"), col("vb"), (x, y) => x * y),
+          lit(0.0), (p, x) => p + x) / (col("na_") * col("nb_")))
+        .filter(col("cos") >= lit(minCos))
+        .groupBy(col("b").as("vec_id")).agg(min("a").as("dup"))
+    }
+    val rc1 = reps.select("cluster", "vec_id")
+      .join(pairDups(reps), Seq("vec_id"), "left")
+      .withColumn("canon1", coalesce(col("dup"), col("vec_id")))
+      .drop("dup")
+    val oc = reps.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .filter(col("n") > lit(cap)).select("cluster")
+    // driver-side census (a scalar action, same class as the CC
+    // convergence probe): pass 2 exists only for over-cap clusters,
+    // so when none exists — the common, natural-data shape — return
+    // the single-pass plan UNCHANGED. The alternative, an always-on
+    // pass-2 subtree that is merely empty at runtime, chains several
+    // tiny broadcast jobs (oc, pass-2 over-cap census, the c1
+    // re-attach) onto every action and measured 4-12 s vs 1.2 s on
+    // natural sf0.1 data. One cheap agg over the (caller-persisted)
+    // rep table buys the clean plan back.
+    if (oc.isEmpty)
+      return rc1.select(col("vec_id"), col("cluster"),
+        col("canon1").as("canonical"))
+    // over-cap path: rc1 embeds the full pass-1 pair join and is
+    // consumed twice below (the final mapping and pass 2's canonical
+    // set), so the cosine work runs twice per action. Deliberately
+    // NOT persisted: caching rc1 moves the skewed (cluster, jk) pair
+    // join into an InMemoryRelation fill plan where AQE's skew-join
+    // split no longer applies, and the over-cap cluster's block
+    // products serialize onto single tasks — measured 80 s vs 9 s on
+    // the 10× hot-vector soak. Twice-with-AQE beats once-without.
+    val rc1c = rc1
+    val c1 = rc1c.join(broadcast(oc), Seq("cluster"))
+      .select("cluster", "canon1").distinct()
+      .join(reps.select(col("vec_id").as("canon1"),
+        col("v"), col("nrm")), Seq("canon1"))
+      .select(col("cluster"), col("canon1").as("vec_id"),
+        col("v"), col("nrm"))
+    val d2 = pairDups(c1)
+      .select(col("vec_id").as("canon1"), col("dup").as("dup2"))
+    rc1c.join(d2, Seq("canon1"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("dup2"), col("canon1")).as("canonical"))
   }
 
   /** Span width (words) for exact span-level dedup (p30). */

@@ -1102,15 +1102,34 @@ object PipelineQueries {
       // re-serializing the join's cap²-per-bucket work downstream
       // (the amplification is invisible to AQE's byte-based
       // coalescing; measured 11 s coalesced vs ~2 s pinned).
+      // EXPLICIT broadcast: at scale the sampled nb table (up to
+      // buckets·cap 64-dim vectors, ~130 MB) exceeds the default
+      // 10 MB autoBroadcastJoinThreshold, and a silent revert to a
+      // bucket-keyed shuffle join would re-serialize each hot
+      // bucket's cap² work and waste the id repartition above — the
+      // hint keeps the plan shape scale-independent (p73 does the
+      // same for its sampled side).
       val knn = sampled(e, "vec_id")
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .alias("a")
-        .join(nb.alias("b"), Seq("bucket"))
+        .join(broadcast(nb.alias("b")), Seq("bucket"))
         .filter(col("nb_id") =!= col("vec_id"))
         .withColumn("cos", dot(col("embedding"), col("nb_v")) /
           (col("nrm") * col("nb_n")))
         .withColumn("rank", rn)
         .filter(col("rank") <= 5)
+      // sampling transparency (round 9): the purity numbers are audit-
+      // SAMPLE statistics when any bucket exceeds the cap, so the
+      // report carries the overall sample fraction and the number of
+      // capped buckets as columns — a pipeline owner reading the
+      // purity knows whether (and how much) it was sampled. One tiny
+      // bucket-keyed aggregate, broadcast onto the per-label rows.
+      val stats = e.groupBy("bucket").agg(count(lit(1)).as("bn"))
+        .agg(round(sum(least(col("bn"), lit(EmbBucketCap)))
+            .cast("double") / sum(col("bn")).cast("double"), 6)
+            .as("sample_frac"),
+          sum(when(col("bn") > lit(EmbBucketCap), 1L).otherwise(0L))
+            .as("capped_buckets"))
       knn.groupBy(col("vec_id"), col("label"))
         .agg((sum(when(col("nb_label") === col("label"), 1)
           .otherwise(0)).cast("double") / count(lit(1))).as("purity"))
@@ -1118,6 +1137,7 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_vecs"),
           round(sum(round(col("purity"), 9).cast("decimal(18,9)"))
             .cast("double") / count(lit(1)), 4).as("mean_purity"))
+        .crossJoin(broadcast(stats))
     }),
 
     // asymmetric containment (|A∩B| / |A|): catches quote/subset
@@ -1439,6 +1459,17 @@ object PipelineQueries {
             count(lit(1)), 4).as("mean_jaccard"),
           sum(when(col("j") >= 0.5, 1L).otherwise(0L))
             .as("n_text_neardup"))
+        // sampling transparency (round 9, as p65): the agreement stats
+        // are audit-sample statistics when any sign bucket exceeds the
+        // cap — carry the sample fraction and capped-bucket count so
+        // the report says so itself
+        .crossJoin(broadcast(
+          e.groupBy("sig").agg(count(lit(1)).as("bn"))
+            .agg(round(sum(least(col("bn"), lit(EmbBucketCap)))
+                .cast("double") / sum(col("bn")).cast("double"), 6)
+                .as("sample_frac"),
+              sum(when(col("bn") > lit(EmbBucketCap), 1L).otherwise(0L))
+                .as("capped_buckets"))))
     }),
 
     // Temperature-based mixture sampling (multilingual α-sampling,
@@ -2003,7 +2034,15 @@ object PipelineQueries {
       val withRep = assigned.withColumn("rep",
         min(col("vec_id")).over(
           Window.partitionBy(col("cluster"), col("v"))))
+      // persisted: the two-pass election consumes reps four ways
+      // (pair probes, over-cap census, canonical re-attach, pass-2
+      // probes) — without the cache each re-runs the class-collapse
+      // window over the full member table
+      // (no count() here: the election's over-cap census is itself
+      // an action through this cache, so it materializes the persist)
       val reps = withRep.filter(col("vec_id") === col("rep"))
+        .select("cluster", "vec_id", "v", "nrm")
+        .transform(graft.core.CacheRegistry.persist(_))
       // backstop (EmbClusterCap): a cluster still holding more
       // DISTINCT rep vectors than the cap — near-identical but not
       // identical mass — is SUB-BUCKETED into projection-rank blocks
@@ -2014,43 +2053,26 @@ object PipelineQueries {
       // no longer ESCAPES dedup (round 7 skipped it whole). Rank
       // blocks, not sign re-quantization, because the pathology is a
       // near-identical mass that no data-independent hyperplane set
-      // splits — see PipelineOps.rankProj. Residual recall trade:
-      // pairs >1 block apart in projection rank keep separate
-      // canonicals (~1 per block, measured in EMBSOAK_r08). The rank
-      // window sorts one over-cap cluster per task — O(n log n)
-      // single-threaded with spill, a cost only pathological
-      // clusters pay. Dormant at test scales (in-cap clusters take
-      // the constant-block branch); the oracle mirrors it; the 10×
-      // hot-vector soak fires it.
-      // each rep probes its own block and the next: adjacent-block
-      // pairs meet at jk = blk+1, same-block pairs at jk = blk (the
-      // duplicate match at jk = blk+1 is dropped by the filter
-      // below); the top block's +1 rows meet only each other and
-      // are same-block, so they add no pairs
-      val rpx = graft.pipeline.PipelineOps.rankBlockProbes(
-        reps.select(col("cluster"), col("vec_id"), col("v"), col("nrm"),
-          graft.pipeline.PipelineOps.rankProj(col("v")).as("proj")),
-        EmbClusterCap, EmbRankBlock)
-      val a = rpx.select(col("cluster"), col("jk"),
-        col("vec_id").as("a"), col("v").as("va"),
-        col("nrm").as("na_"), col("blk").as("blka"))
-      val b = rpx.select(col("cluster"), col("jk"),
-        col("vec_id").as("b"), col("v").as("vb"),
-        col("nrm").as("nb_"), col("blk").as("blkb"))
-      val repDups = a.join(b, Seq("cluster", "jk"))
-        .filter(col("a") < col("b") &&
-          (col("blka") =!= col("blkb") || col("jk") === col("blka")))
-        .withColumn("cos", aggregate(
-          zip_with(col("va"), col("vb"), (x, y) => x * y),
-          lit(0.0), (p, x) => p + x) / (col("na_") * col("nb_")))
-        .filter(col("cos") >= 0.99)
-        .groupBy(col("b").as("rep")).agg(min("a").as("rep_dup"))
+      // splits — see PipelineOps.rankProj. The one-hop min election
+      // leaves over-cap clusters with ~1 canonical per rank block
+      // (EMBSOAK_r08: 158 where the truth is ~the exact-class
+      // count), so a SECOND pass re-pairs just those clusters'
+      // canonicals — ~reps/block of them, one block's worth — and
+      // the chain collapses; in-cap clusters are byte-identical to
+      // the single-pass election (see
+      // PipelineOps.semanticCanonicals). The rank window sorts one
+      // over-cap cluster per task — O(n log n) single-threaded with
+      // spill, a cost only pathological clusters pay. Dormant at
+      // test scales (in-cap clusters take the constant-block
+      // branch); the oracle mirrors both passes; the 10× hot-vector
+      // soak fires them.
+      val canon = graft.pipeline.PipelineOps.semanticCanonicals(
+        reps, EmbClusterCap, EmbRankBlock, 0.99)
       withRep.select("vec_id", "cluster", "rep")
-        .join(repDups, Seq("rep"), "left")
-        .select(col("vec_id"), col("cluster"),
-          coalesce(col("rep_dup"), col("rep")).as("canonical_id"),
-          (coalesce(col("rep_dup"), col("rep")) === col("vec_id"))
-            .as("kept"))
+        .join(canon.select(col("vec_id").as("rep"),
+          col("canonical").as("canonical_id")), Seq("rep"))
+        .select(col("vec_id"), col("cluster"), col("canonical_id"),
+          (col("canonical_id") === col("vec_id")).as("kept"))
     }),
 
     // incremental (batch-vs-corpus) near-dup: dedupe an INCOMING batch
@@ -3209,11 +3231,19 @@ k AS (SELECT *, row_number() OVER (PARTITION BY vec_id
 pu AS (SELECT vec_id, label,
     CAST(sum(CASE WHEN nb_label = label THEN 1 ELSE 0 END) AS DOUBLE)
       / count(*) AS purity
-  FROM k WHERE rank <= 5 GROUP BY vec_id, label)
-SELECT label, count(*) AS n_vecs,
+  FROM k WHERE rank <= 5 GROUP BY vec_id, label),
+st AS (SELECT
+    round(CAST(sum(least(bn, $EmbBucketCap)) AS DOUBLE)
+      / CAST(sum(bn) AS DOUBLE), 6) AS sample_frac,
+    CAST(sum(CASE WHEN bn > $EmbBucketCap THEN 1 ELSE 0 END) AS BIGINT)
+      AS capped_buckets
+  FROM (SELECT bucket, count(*) AS bn FROM e GROUP BY bucket)),
+ag AS (SELECT label, count(*) AS n_vecs,
   round(CAST(sum(CAST(round(purity, 9) AS DECIMAL(18,9))) AS DOUBLE)
     / count(*), 4) AS mean_purity
-FROM pu GROUP BY label""",
+FROM pu GROUP BY label)
+SELECT label, n_vecs, mean_purity, sample_frac, capped_buckets
+FROM ag, st""",
 
     "p66_containment_dedup" ->
       s"""WITH $lshPairsCtes,
@@ -3387,8 +3417,14 @@ pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 sh AS (SELECT doc_id, $sh AS sh FROM documents),
 pj AS (SELECT pairs.cos, ${jaccardSql("sa.sh", "sb.sh")} AS j
   FROM pairs JOIN sh sa ON sa.doc_id = pairs.id_a
-    JOIN sh sb ON sb.doc_id = pairs.id_b)
-SELECT CAST(floor(cos * 5) AS BIGINT) AS cos_bucket,
+    JOIN sh sb ON sb.doc_id = pairs.id_b),
+st AS (SELECT
+    round(CAST(sum(least(bn, $EmbBucketCap)) AS DOUBLE)
+      / CAST(sum(bn) AS DOUBLE), 6) AS sample_frac,
+    CAST(sum(CASE WHEN bn > $EmbBucketCap THEN 1 ELSE 0 END) AS BIGINT)
+      AS capped_buckets
+  FROM (SELECT sig, count(*) AS bn FROM es1 GROUP BY sig)),
+ag AS (SELECT CAST(floor(cos * 5) AS BIGINT) AS cos_bucket,
   count(*) AS n_pairs,
   round(CAST(sum(${d9Sql("cos")}) AS DOUBLE) / count(*), 4)
     AS mean_cos,
@@ -3396,7 +3432,10 @@ SELECT CAST(floor(cos * 5) AS BIGINT) AS cos_bucket,
     AS mean_jaccard,
   CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
     AS n_text_neardup
-FROM pj GROUP BY 1"""
+FROM pj GROUP BY 1)
+SELECT cos_bucket, n_pairs, mean_cos, mean_jaccard, n_text_neardup,
+  sample_frac, capped_buckets
+FROM ag, st"""
     },
 
     "p74_temperature_mixture" -> {
@@ -3788,11 +3827,48 @@ p AS (SELECT x.vec_id AS a, y.vec_id AS b,
     AND x.jk = y.jk AND x.vec_id < y.vec_id
     AND (x.blk <> y.blk OR x.jk = x.blk)),
 d AS (SELECT b AS rep, min(a) AS rep_dup FROM p
-  WHERE cos >= 0.99 GROUP BY b)
-SELECT wr.vec_id, wr.cluster,
-  coalesce(d.rep_dup, wr.rep) AS canonical_id,
-  coalesce(d.rep_dup, wr.rep) = wr.vec_id AS kept
-FROM wr LEFT JOIN d USING (rep)"""
+  WHERE cos >= 0.99 GROUP BY b),
+rc1 AS (SELECT rp0.cluster, rp0.vec_id,
+    coalesce(d.rep_dup, rp0.vec_id) AS canon1
+  FROM rp0 LEFT JOIN d ON d.rep = rp0.vec_id),
+c1k AS (SELECT DISTINCT rc1.cluster, rc1.canon1 AS vec_id
+  FROM rc1 JOIN oc USING (cluster)),
+c1 AS (SELECT c1k.cluster, c1k.vec_id, rp0.v, rp0.nrm
+  FROM c1k JOIN rp0 ON rp0.vec_id = c1k.vec_id),
+oc2 AS (SELECT cluster FROM c1 GROUP BY cluster
+  HAVING count(*) > $EmbClusterCap),
+ocb2 AS (SELECT vec_id, c1.cluster, v, nrm,
+    CAST(floor((row_number() OVER (PARTITION BY c1.cluster
+      ORDER BY list_reduce(list_transform(range(1, 65),
+          i -> v[CAST(i AS INT)] *
+            (CASE WHEN ((i - 1) * 2654435761) % 4294967296
+              < 2147483648 THEN 1.0 ELSE -1.0 END)),
+        (a, b) -> a + b) ASC, vec_id ASC) - 1)
+      / $EmbRankBlock) AS BIGINT) AS blk
+  FROM c1 JOIN oc2 USING (cluster)),
+rpx2 AS (SELECT vec_id, cluster, v, nrm, blk, blk AS jk FROM ocb2
+  UNION ALL
+  SELECT vec_id, cluster, v, nrm, blk, blk + 1 AS jk FROM ocb2
+  UNION ALL
+  SELECT vec_id, cluster, v, nrm, CAST(0 AS BIGINT) AS blk,
+    CAST(0 AS BIGINT) AS jk
+  FROM c1 WHERE cluster NOT IN (SELECT cluster FROM oc2)),
+p2 AS (SELECT x.vec_id AS a, y.vec_id AS b,
+    list_reduce(list_transform(range(1, 65),
+      i -> x.v[CAST(i AS INT)] * y.v[CAST(i AS INT)]),
+      (a, b) -> a + b) / (x.nrm * y.nrm) AS cos
+  FROM rpx2 x JOIN rpx2 y ON x.cluster = y.cluster
+    AND x.jk = y.jk AND x.vec_id < y.vec_id
+    AND (x.blk <> y.blk OR x.jk = x.blk)),
+d2 AS (SELECT b AS canon1, min(a) AS dup2 FROM p2
+  WHERE cos >= 0.99 GROUP BY b),
+m AS (SELECT wr.vec_id, wr.cluster,
+    coalesce(d.rep_dup, wr.rep) AS canon1
+  FROM wr LEFT JOIN d USING (rep))
+SELECT m.vec_id, m.cluster,
+  coalesce(d2.dup2, m.canon1) AS canonical_id,
+  coalesce(d2.dup2, m.canon1) = m.vec_id AS kept
+FROM m LEFT JOIN d2 USING (canon1)"""
     },
 
     "p43_incremental_dedup" -> {

@@ -253,6 +253,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(maxKey <= 4, s"probe key over 2*block: $maxKey")
   }
 
+  test("semantic canonicals: pass 2 collapses the per-block chain") {
+    import spark.implicits._
+    // rankProj on 2 dims = v[0] - v[1] (sign hash: +1, -1), so
+    // v_k = (k, 0) ranks reps in id order and every pair has cosine
+    // exactly 1. Cluster A (6 reps > cap 4, block 2) pass-1 one-hop:
+    // blocks {1,2} {3,4} {5,6} give canon1 = 1,1,1,1,3,3 — the ~1
+    // canonical-per-block chain. Pass 2 pairs canonicals {1,3}
+    // (in-cap, all-pairs) and must collapse everything to 1. In-cap
+    // cluster B must be byte-identical to the one-hop election:
+    // orthogonal 11 stays its own canonical, parallel 12 maps to 10.
+    val reps = (
+      (1L to 6L).map(k => ("A", k, Seq(k.toDouble, 0.0), k.toDouble)) ++
+      Seq(("B", 10L, Seq(1.0, 0.0), 1.0),
+          ("B", 11L, Seq(0.0, 1.0), 1.0),
+          ("B", 12L, Seq(2.0, 0.0), 2.0)))
+      .toDF("cluster", "vec_id", "v", "nrm")
+    val got = semanticCanonicals(reps, cap = 4, block = 2, minCos = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 1L, 6L -> 1L, 10L -> 10L, 11L -> 11L, 12L -> 10L)
+    assert(got == expected, s"got $got")
+    // census-false branch (no over-cap cluster): the single-pass plan
+    // must produce the same one-hop election
+    val gotB = semanticCanonicals(reps.filter(col("cluster") === "B"),
+      cap = 4, block = 2, minCos = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(gotB == Map(10L -> 10L, 11L -> 11L, 12L -> 10L), s"got $gotB")
+    graft.core.CacheRegistry.releaseAll()
+  }
+
   test("hot corpus bucket still matches an incoming near-dup") {
     import spark.implicits._
     // 100 IDENTICAL corpus docs put > LshBucketCap rows in every band
