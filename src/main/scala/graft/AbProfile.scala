@@ -10,7 +10,10 @@ import org.apache.spark.sql.SparkSession
   *
   * The variant switch is a JVM system property read at PLAN
   * CONSTRUCTION time by the code under test (e.g.
-  * `graft.lsh.prefilter` in [[graft.pipeline.NearDup.lshPairs]]).
+  * `graft.lsh.prefilter` in [[graft.pipeline.NearDup.lshPairs]]) —
+  * or, when the key starts with `spark.`, a session conf set via
+  * `spark.conf.set` (e.g. A/B-ing
+  * `spark.sql.optimizer.windowGroupLimitThreshold`).
   *
   * Usage: runMain graft.AbProfile <sfDir> <query> <reps-per-variant>
   *   <propKey> <valueA> <valueB>
@@ -34,12 +37,15 @@ object AbProfile {
         "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def setVariant(v: String): Unit =
+      if (propKey.startsWith("spark.")) spark.conf.set(propKey, v)
+      else sys.props(propKey) = v
     try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
     catch { case _: Throwable => () }
     // untimed warmup of the query itself under each variant: plan
     // codegen is per-variant and must not land on either's run 1
     Seq(va, vb).foreach { v =>
-      sys.props(propKey) = v
+      setVariant(v)
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
       graft.core.CacheRegistry.releaseAll(); spark.catalog.clearCache()
@@ -49,7 +55,7 @@ object AbProfile {
     var rows = Map.empty[String, Long]
     (1 to reps).foreach { i =>
       Seq(va, vb).foreach { v =>
-        sys.props(propKey) = v
+        setVariant(v)
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(name)(spark, sfDir).count()
         val secs = (System.nanoTime() - t0) / 1e9

@@ -293,6 +293,43 @@ object Soak {
       graft.core.CacheRegistry.releaseAll()
       spark.catalog.clearCache()
     }
+
+    // phase 3 (round 9, verdict item 7): what PARTIAL labels look
+    // like operationally when connected components runs out of
+    // iterations under strict = false — the diagnostic mode. The
+    // mega-chain needs ceil(log2(diameter)) + 1 rounds; capping
+    // maxIter below that leaves the chain split into several
+    // components whose count and size profile this phase prints, so
+    // an operator seeing strict = false output knows the signature
+    // of under-merging (many same-size fragments of one true
+    // component) vs genuinely separate clusters.
+    {
+      val d = spark.read.parquet(s"$fixDir/documents.parquet")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+      val (sh, _, pairs) = graft.pipeline.NearDup.lshPairs(d)
+      val nodes = sh.select(col("doc_id").as("id"))
+      val edges = pairs.select(col("doc_id_a").as("a"),
+        col("doc_id_b").as("b"))
+      Seq(3, 6, 25).foreach { mi =>
+        val t = System.nanoTime()
+        val lab = graft.pipeline.Clusters.connectedComponents(
+          nodes, edges, maxIter = mi, trustedEndpoints = true,
+          strict = false)
+        val comp = lab.groupBy("label")
+          .agg(count(lit(1)).as("sz")).filter(col("sz") >= 2)
+        val prof = comp.agg(count(lit(1)).as("n"),
+          min("sz").as("mn"),
+          expr("percentile_approx(sz, 0.5)").as("p50"),
+          max("sz").as("mx")).collect()(0)
+        println(f"[soak] cc strict=false maxIter=$mi%2d: " +
+          f"${prof.getLong(0)} multi-doc components " +
+          f"(min=${prof.getLong(1)} p50=${prof.get(2)} " +
+          f"max=${prof.getLong(3)}) in ${(System.nanoTime() - t) / 1e9}%.1f s")
+        graft.core.CacheRegistry.releaseAll()
+        spark.catalog.clearCache()
+      }
+    }
     spark.stop()
   }
 }

@@ -201,7 +201,8 @@ object NearDup {
     * result, or N batches pin N re-shingled corpus caches.
     */
   def matchesAgainst(corpus: DataFrame, incoming: DataFrame,
-                     threshold: Double = 0.5): DataFrame = {
+                     threshold: Double = 0.5,
+                     bucketCap: Int = LshBucketCap): DataFrame = {
     val corpusSh = shingleify(corpus)
       .transform(graft.core.CacheRegistry.persist(_))
     val incSh = shingleify(incoming)
@@ -212,7 +213,18 @@ object NearDup {
     // 1 for in-cap buckets (keeps everything, branchless) and thins
     // an over-cap bucket to <= cap members evenly spaced by size
     // rank; count and rank share one exchange + sort (same
-    // single-window-pipeline shape as lshPairs)
+    // single-window-pipeline shape as lshPairs). The LARGEST member
+    // (rk = bn) is always kept in addition to the stride (the
+    // smallest, rk = 1, already always is): the adversarial miss is
+    // a probe whose ONLY size-qualifying partner sits alone at one
+    // end of an over-cap bucket's size spectrum with the stride
+    // skipping it (StrideSoak constructs this with a band-invisible
+    // partner), and pinning both endpoints closes the one-sided
+    // cases for <= 1 extra row per bucket. A middle-gap miss remains
+    // possible but needs the bucket's size spectrum to jump by more
+    // than the threshold ratio squared between two adjacent kept
+    // ranks AND the partner to share every band key with the mass —
+    // measured in SOAK_r09.
     val wc = Window.partitionBy("band", "bkey")
       .orderBy("nsh_c", "corpus_id")
     val cb = corpusSh.select(col("doc_id").as("corpus_id"),
@@ -223,7 +235,8 @@ object NearDup {
           Window.unboundedFollowing)))
       .withColumn("rk", row_number().over(wc))
       .filter(pmod((col("rk") - 1).cast("long"),
-        ceil(col("bn") / lit(LshBucketCap))) === 0L)
+        ceil(col("bn") / lit(bucketCap))) === 0L ||
+        col("rk") === col("bn"))
       .drop("bn", "rk")
     val ib = incSh.select(col("doc_id").as("new_id"),
       size(col("sh")).as("nsh_n"),
@@ -267,8 +280,9 @@ object NearDup {
     * see [[matchesAgainst]]).
     */
   def dedupAgainst(corpus: DataFrame, incoming: DataFrame,
-                   threshold: Double = 0.5): DataFrame = {
-    val matched = matchesAgainst(corpus, incoming, threshold)
+                   threshold: Double = 0.5,
+                   bucketCap: Int = LshBucketCap): DataFrame = {
+    val matched = matchesAgainst(corpus, incoming, threshold, bucketCap)
       .filter(col("matched")).select(col("new_id"))
     val vsCorpus = incoming.join(matched,
       incoming("doc_id") === matched("new_id"), "left_anti")

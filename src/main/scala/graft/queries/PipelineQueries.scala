@@ -3897,7 +3897,8 @@ cbw AS (SELECT corpus_id, band, bkey,
       ORDER BY nsh ASC, corpus_id ASC) AS rk
   FROM cb0),
 cb AS (SELECT corpus_id, band, bkey FROM cbw
-  WHERE (rk - 1) % CAST(ceil(bn / $LshBucketCap) AS BIGINT) = 0),
+  WHERE (rk - 1) % CAST(ceil(bn / $LshBucketCap) AS BIGINT) = 0
+     OR rk = bn),
 ib AS (SELECT doc_id AS new_id,
   CAST(unnest(range(0, $LshBands)) AS INT) AS band,
   unnest(${bandKeysSql("sh")}) AS bkey FROM ish),
