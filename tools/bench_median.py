@@ -24,7 +24,8 @@ n = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 
 runs = []
 for i in range(n):
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf)
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf,
+               SPARK_GRAFT_BENCH_OUT=f"{out}.run{i + 1}.full.json")
     p = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
                        capture_output=True, text=True, env=env)
     line = None
@@ -59,6 +60,7 @@ doc = {
     "calib_sec_median": round(statistics.median(
         r.get("calib_sec", 0.0) for r in runs), 3),
     "calib_sec_runs": [r.get("calib_sec") for r in runs],
+    "calibs_runs": [r.get("calibs") for r in runs],
     "total_runs": [r["value"] for r in runs],
     "failures": max(r["failures"] for r in runs),
     "queries": med,
