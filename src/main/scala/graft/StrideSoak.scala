@@ -131,6 +131,46 @@ object StrideSoak {
     }
     println(s"[stride] stride-only rule misses: $oldMisses/6 phases; " +
       "keep-largest: 0/6 (recall 1.0 in every phase)")
+
+    // phase 2: the MIDDLE-GAP residual, measured honestly. The
+    // endpoint keep cannot help a qualifier strictly inside the size
+    // spectrum: add a band-invisible 4.4x doc L above D, so D (2.2x)
+    // is an interior rank — L is inside P's size-ratio window but
+    // fails the jaccard verify (|H|/|P u L| ~ 0.18), so D stays the
+    // unique TRUE match and its survival is pure stride luck. The
+    // documented bound this measures: a miss needs the bucket's size
+    // spectrum to hold no other qualifier within the probe's ratio
+    // window AND the partner band-invisible — then recall is ~cap/bn
+    // (the kept fraction), not 1.
+    val (lText, lNsh) = growInvisible(hText, (4.2 * hNsh).toInt, "wk")
+    println(s"[stride] L: $lNsh shingles (${
+      f"${lNsh.toDouble / hNsh}%.2f"}x H), band keys == H's: ${
+      sigOf(Seq(lText)).head._1 == hBks}")
+    var midHits = 0
+    (8 to 13).foreach { k =>
+      val corpus = ((1L to k.toLong).map(i => (i, hText)) :+
+        (999L, dText) :+ (1500L, lText)).toDF("doc_id", "text")
+      val probe = Seq((5000L, pText)).toDF("doc_id", "text")
+      val got = graft.pipeline.NearDup
+        .matchesAgainst(corpus, probe, 0.5, bucketCap = cap)
+        .collect().map(r => (r.getBoolean(1), r.getLong(2))).head
+      graft.core.CacheRegistry.releaseAll()
+      // D at rank K+1 of bn = K+2; stride keep or miss is the whole
+      // story (L, rank K+2, is always kept but never verifies)
+      val stride = math.ceil((k + 2).toDouble / cap).toLong
+      val strideKeeps = k.toLong % stride == 0
+      if (got._1) midHits += 1
+      println(f"[stride] mid-gap K=$k%2d (bn=${k + 2}, " +
+        f"stride=$stride): stride keeps D: $strideKeeps%-5s | " +
+        f"matched: ${got._1}%-5s id=${got._2}")
+      assert(got._1 == strideKeeps && (!got._1 || got._2 == 999L),
+        s"mid-gap behavior diverged from the stride model at K=$k")
+    }
+    println(s"[stride] mid-gap recall: $midHits/6 phases — the " +
+      "accepted residual: an interior lone qualifier in a fully " +
+      "band-invisible over-cap bucket survives only on its stride " +
+      "rank; requires no other size-window qualifier AND band " +
+      "invisibility (see NearDup scaladoc)")
     spark.stop()
   }
 }
