@@ -141,9 +141,9 @@ object EmbSoak {
 
     audit(spark, fixDir)
 
-    Seq("p42_semantic_dedup", "p65_knn_label_purity",
-      "p73_crossmodal_agreement", "p75_ann_index_report",
-      "p06_cosine_ann").foreach { q =>
+    Seq("p42_semantic_dedup", "p12_embedding_dedup",
+      "p65_knn_label_purity", "p73_crossmodal_agreement",
+      "p75_ann_index_report", "p06_cosine_ann").foreach { q =>
       val t = System.nanoTime()
       val df = SparkEntry.queries(q)(spark, fixDir)
       val rows = df.count()

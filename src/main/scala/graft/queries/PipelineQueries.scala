@@ -280,7 +280,18 @@ object PipelineQueries {
     }),
 
     // embedding-cosine near-dup dedup: perturbed copies collapse back
-    // onto their originals via bucketed candidate pairs (no all-pairs)
+    // onto their originals via bucketed candidate pairs (no
+    // all-pairs). Over-cap guard (round 9): a degenerate argmax
+    // bucket (the 100 TB hot-vector case — EMBSOAK's fixture holds
+    // an 8,180-member one) made this MEMBER-LEVEL self-join
+    // quadratic in the bucket; buckets past EmbBucketCap now
+    // sub-bucket into projection-rank blocks exactly like p42's
+    // clusters (same rankBlockProbes machinery, bucket as the group
+    // key), bounding the pair volume at cap² per block boundary
+    // while near-identical mass still pairs with its size-adjacent
+    // neighbors. canonical_id/n_cands keep member-level semantics;
+    // in-cap buckets are byte-identical to the unguarded join.
+    // Dormant at test scales; the oracle mirrors it; EMBSOAK fires it.
     "p12_embedding_dedup" -> ((s, dir) => {
       val base = emb(s, dir).select("vec_id", "embedding")
       val near = base.select(
@@ -291,12 +302,39 @@ object PipelineQueries {
         .withColumn("bucket", argmaxBucket(col("embedding")))
         .withColumn("nrm", norm(col("embedding")))
         .transform(graft.core.CacheRegistry.persist(_))
-      val a = e.select(col("vec_id").as("a"),
-        col("embedding").as("va"), col("bucket"), col("nrm").as("na_"))
-      val b = e.select(col("vec_id").as("b"),
-        col("embedding").as("vb"), col("bucket"), col("nrm").as("nb_"))
-      a.join(b, Seq("bucket"))
-        .filter(col("a") < col("b"))
+      // driver-side census, the p42 pattern: with no over-cap bucket
+      // (natural data) the plain bucket self-join plan is unchanged
+      // from round 8; the rank-block probe scaffolding is built only
+      // when a bucket actually exceeds the cap
+      val oc = e.groupBy("bucket").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") > lit(EmbBucketCap)).select("bucket")
+      val pairs = if (oc.isEmpty) {
+        val a = e.select(col("vec_id").as("a"),
+          col("embedding").as("va"), col("bucket"),
+          col("nrm").as("na_"))
+        val b = e.select(col("vec_id").as("b"),
+          col("embedding").as("vb"), col("bucket"),
+          col("nrm").as("nb_"))
+        a.join(b, Seq("bucket")).filter(col("a") < col("b"))
+      } else {
+        val rpx = graft.pipeline.PipelineOps.rankBlockProbes(
+          e.select(col("bucket").as("cluster"), col("vec_id"),
+            col("embedding"), col("nrm"),
+            graft.pipeline.PipelineOps.rankProj(
+              transform(col("embedding"), x => x.cast("double")))
+              .as("proj")),
+          EmbBucketCap, EmbRankBlock)
+        val a = rpx.select(col("cluster"), col("jk"),
+          col("vec_id").as("a"), col("embedding").as("va"),
+          col("nrm").as("na_"), col("blk").as("blka"))
+        val b = rpx.select(col("cluster"), col("jk"),
+          col("vec_id").as("b"), col("embedding").as("vb"),
+          col("nrm").as("nb_"), col("blk").as("blkb"))
+        a.join(b, Seq("cluster", "jk"))
+          .filter(col("a") < col("b") &&
+            (col("blka") =!= col("blkb") || col("jk") === col("blka")))
+      }
+      pairs
         .withColumn("cos",
           dot(col("va"), col("vb")) / (col("na_") * col("nb_")))
         .filter(col("cos") >= 0.99)
@@ -3994,9 +4032,30 @@ FROM stats s JOIN t USING (doc_id)"""
         AS FLOAT)) AS embedding
     FROM embeddings),
 eb AS (SELECT *, ${argmaxBucketSql("embedding")} AS bucket FROM e),
-pairs AS (SELECT a.vec_id AS a, b.vec_id AS b,
-    ${cosineSql("a.embedding", "b.embedding")} AS cos
-  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+en AS (SELECT *, list_reduce(list_transform(range(1, 65),
+    i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
+      (CASE WHEN ((i - 1) * 2654435761) % 4294967296
+        < 2147483648 THEN 1.0 ELSE -1.0 END)),
+    (a, b) -> a + b) AS proj FROM eb),
+oc AS (SELECT bucket FROM en GROUP BY bucket
+  HAVING count(*) > $EmbBucketCap),
+ocb AS (SELECT vec_id, en.bucket, embedding,
+    CAST(floor((row_number() OVER (PARTITION BY en.bucket
+      ORDER BY proj ASC, vec_id ASC) - 1)
+      / $EmbRankBlock) AS BIGINT) AS blk
+  FROM en JOIN oc USING (bucket)),
+rpx AS (SELECT vec_id, bucket, embedding, blk, blk AS jk FROM ocb
+  UNION ALL
+  SELECT vec_id, bucket, embedding, blk, blk + 1 AS jk FROM ocb
+  UNION ALL
+  SELECT vec_id, bucket, embedding, CAST(0 AS BIGINT) AS blk,
+    CAST(0 AS BIGINT) AS jk
+  FROM en WHERE bucket NOT IN (SELECT bucket FROM oc)),
+pairs AS (SELECT x.vec_id AS a, y.vec_id AS b,
+    ${cosineSql("x.embedding", "y.embedding")} AS cos
+  FROM rpx x JOIN rpx y ON x.bucket = y.bucket
+    AND x.jk = y.jk AND x.vec_id < y.vec_id
+    AND (x.blk <> y.blk OR x.jk = x.blk))
 SELECT b AS vec_id, min(a) AS canonical_id, count(*) AS n_cands
 FROM pairs WHERE cos >= 0.99 GROUP BY b""",
 
