@@ -247,7 +247,7 @@ object Soak {
 
     Seq("p02_minhash_lsh", "p16_dup_clusters", "p33_neardup_prune",
       "p67_cluster_histogram", "p47_curation_funnel",
-      "p43_incremental_dedup").foreach { q =>
+      "p43_incremental_dedup", "p52_simhash_neardup").foreach { q =>
       listener.reset()
       val t = System.nanoTime()
       val df = SparkEntry.queries(q)(spark, fixDir)

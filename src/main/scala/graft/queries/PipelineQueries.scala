@@ -769,10 +769,17 @@ object PipelineQueries {
     // keys, candidates = pairs sharing a band value, verified by
     // Hamming distance <= 3 (bit_count of xor — one codegen'd
     // expression, no array compare). Same shuffle shape as MinHash
-    // LSH: band-keyed self-join with the bucket-cap window riding the
-    // join's own exchange. At production scale the signature widens
-    // to 64 bits (4x16 bands) so buckets stay small; the 16-bit
-    // fixture keeps the oracle cheap and relies on the cap guard.
+    // LSH: band-keyed self-join with the bucket guard riding the
+    // join's own exchange. Over-cap guard (round 9): round 8 DROPPED
+    // over-cap band buckets here — the round-7 pathology p02 was
+    // cured of, and a hot IDENTICAL mass shares one signature at ANY
+    // bit width, so "widen the signature" never bounds it. Over-cap
+    // buckets now sub-bucket into rank blocks ordered by (sig,
+    // doc_id) — equal signatures (the hot case) are rank-adjacent,
+    // so verbatim mass keeps pairing linearly while pair volume
+    // stays <= cap² per block boundary; the single-window pipeline
+    // (count + rank share one exchange + sort) is lshPairs' shape.
+    // Dormant at test scales; the oracle mirrors it.
     "p52_simhash_neardup" -> ((s, dir) => {
       val d = corpus(s, dir)
         .select(col("doc_id"), simhash16(words(col("text"))).as("sig"))
@@ -787,13 +794,27 @@ object PipelineQueries {
             .as("bk"))
         .select(col("doc_id"), col("sig"),
           col("bk.band").as("band"), col("bk.bv").as("bv"))
-      val capped = bands.withColumn("bn",
-          count(lit(1)).over(Window.partitionBy("band", "bv")))
-        .filter(col("bn") <= lit(LshBucketCap)).drop("bn")
-      capped.alias("a").join(capped.alias("b"),
+      val w = Window.partitionBy("band", "bv").orderBy("sig", "doc_id")
+      val probes = bands
+        .withColumn("bn", count(lit(1)).over(
+          w.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("blk",
+          when(col("bn") <= lit(LshBucketCap), lit(0L))
+            .otherwise(floor((col("rk") - 1) / lit(LshRankBlock))))
+        .select(col("doc_id"), col("sig"), col("band"), col("bv"),
+          col("blk"),
+          explode(when(col("bn") <= lit(LshBucketCap),
+              array(col("blk")))
+            .otherwise(array(col("blk"), col("blk") + 1))).as("jk"))
+      probes.alias("a").join(probes.alias("b"),
           col("a.band") === col("b.band") &&
             col("a.bv") === col("b.bv") &&
-            col("a.doc_id") < col("b.doc_id"))
+            col("a.jk") === col("b.jk") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            (col("a.blk") =!= col("b.blk") ||
+              col("a.jk") === col("a.blk")))
         .select(col("a.doc_id").as("doc_id_a"),
           col("b.doc_id").as("doc_id_b"),
           bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
@@ -3082,13 +3103,25 @@ sigs AS (SELECT doc_id, $sig AS sig FROM corpus),
 bands AS (SELECT doc_id, sig, band,
     CASE WHEN band = 0 THEN sig & 255 ELSE (sig >> 8) & 255 END AS bv
   FROM sigs, (SELECT unnest([0, 1]) AS band)),
-capped AS (SELECT doc_id, sig, band, bv FROM (SELECT *,
-    count(*) OVER (PARTITION BY band, bv) AS bn FROM bands)
-  WHERE bn <= $LshBucketCap)
+banded AS (SELECT doc_id, sig, band, bv,
+    count(*) OVER (PARTITION BY band, bv) AS bn,
+    row_number() OVER (PARTITION BY band, bv
+      ORDER BY sig, doc_id) AS rk
+  FROM bands),
+blks AS (SELECT doc_id, sig, band, bv, bn,
+    CASE WHEN bn <= $LshBucketCap THEN CAST(0 AS BIGINT)
+      ELSE CAST(floor((rk - 1) / $LshRankBlock) AS BIGINT) END AS blk
+  FROM banded),
+rpx AS (SELECT doc_id, sig, band, bv, blk, blk AS jk FROM blks
+  UNION ALL
+  SELECT doc_id, sig, band, bv, blk, blk + 1 AS jk FROM blks
+  WHERE bn > $LshBucketCap)
 SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
   CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
-FROM capped a JOIN capped b
-  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+FROM rpx a JOIN rpx b
+  ON a.band = b.band AND a.bv = b.bv AND a.jk = b.jk
+    AND a.doc_id < b.doc_id
+    AND (a.blk <> b.blk OR a.jk = a.blk)
 WHERE CAST(bit_count(xor(a.sig, b.sig)) AS INT) <= 3"""
     },
 
