@@ -187,6 +187,24 @@ object EmbSoak {
               f"$mm%7d members -> $cc%3d canonicals")
         }
       }
+      if (q == "p12_embedding_dedup") {
+        // guard-effect evidence: under the rank-block guard the
+        // planted near-identical mass must stay PAIRED — every mass
+        // member with a smaller-id same/adjacent-rank partner
+        // reports a canonical (a dropped-bucket design would report
+        // none; the unguarded join would pay the quadratic bucket).
+        // A handful of per-block minima legitimately have no
+        // smaller-id partner, so matched ~== members minus a few.
+        val mass = df.filter(
+          pmod(pmod(col("vec_id"), lit(10000000L)), lit(1000000L))
+            .between(10, 999999) &&
+          pmod(pmod(pmod(col("vec_id"), lit(10000000L)),
+            lit(1000000L)), lit(5L)) === 1L)
+          .agg(count(lit(1)).as("n"),
+            countDistinct("canonical_id").as("c")).collect().head
+        println(f"[embsoak]   p12 planted near-mass rows in output: " +
+          f"${mass.getLong(0)}%7d (-> ${mass.getLong(1)} canonicals)")
+      }
       graft.core.CacheRegistry.releaseAll()
       spark.catalog.clearCache()
     }
