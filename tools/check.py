@@ -17,9 +17,21 @@ sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
 con = duckdb.connect()
+# live-guard fixture oracles (the rank-block pair CTEs) materialize
+# joins that carry vector payloads; give DuckDB a roomy spill target
+# so the check is bounded by time, not by the cwd filesystem
+tmp = os.environ.get("GRAFT_DUCKDB_TMP")
+if tmp:
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
+    con.execute("SET memory_limit='100GB'")
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(p)[:-8]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    # driver testdata tables are single files; engine-written soak
+    # fixtures are Spark directories of part files — accept both so
+    # the gate can run on live-guard fixtures too
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
 
 with open(f"{out_dir}/oracle_sql.json") as f:
     oracles = json.load(f)
