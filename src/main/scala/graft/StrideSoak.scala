@@ -31,8 +31,13 @@ import org.apache.spark.sql.functions._
   * For K = 8..13 (sweeping D's size rank through every stride phase
   * at cap 4) it reports: whether the pre-round-9 stride-only rule
   * keeps D (analytic: rank K+1 in a bucket of K+1, kept iff
-  * K % ceil((K+1)/cap) == 0), whether the shipped keep-largest rule
-  * finds the match end-to-end, and the uncapped control.
+  * K % ceil((K+1)/cap) == 0), whether the shipped keep rule (round
+  * 10: stride + first/last of each power-of-two size window) finds
+  * the match end-to-end, and the uncapped control. Phase 2 re-runs
+  * round 9's mid-gap construction (now closed: a window-isolated
+  * qualifier is pinned by its window endpoints); phase 3 constructs
+  * the remaining interior-window residual and measures its
+  * stride-luck recall honestly.
   *
   * Usage: runMain graft.StrideSoak
   */
@@ -122,26 +127,26 @@ object StrideSoak {
       val oldKept = k.toLong % stride == 0
       if (!oldKept) oldMisses += 1
       println(f"[stride] K=$k%2d (bn=${k + 1}, stride=$stride): " +
-        f"stride-only keeps D: $oldKept%-5s | keep-largest match: " +
-        f"${got._1}%-5s id=${got._2} j=${got._3}%.3f | uncapped: " +
-        f"${ctl._1} id=${ctl._2}")
+        f"stride-only keeps D: $oldKept%-5s | size-window keep " +
+        f"match: ${got._1}%-5s id=${got._2} j=${got._3}%.3f | " +
+        f"uncapped: ${ctl._1} id=${ctl._2}")
       assert(got._1 && got._2 == 999L,
-        s"keep-largest rule missed the planted qualifier at K=$k")
+        s"size-window keep missed the planted qualifier at K=$k")
       assert(ctl._1 && ctl._2 == 999L, "uncapped control missed")
     }
     println(s"[stride] stride-only rule misses: $oldMisses/6 phases; " +
-      "keep-largest: 0/6 (recall 1.0 in every phase)")
+      "size-window keep: 0/6 (recall 1.0 in every phase)")
 
-    // phase 2: the MIDDLE-GAP residual, measured honestly. The
-    // endpoint keep cannot help a qualifier strictly inside the size
-    // spectrum: add a band-invisible 4.4x doc L above D, so D (2.2x)
-    // is an interior rank — L is inside P's size-ratio window but
-    // fails the jaccard verify (|H|/|P u L| ~ 0.18), so D stays the
-    // unique TRUE match and its survival is pure stride luck. The
-    // documented bound this measures: a miss needs the bucket's size
-    // spectrum to hold no other qualifier within the probe's ratio
-    // window AND the partner band-invisible — then recall is ~cap/bn
-    // (the kept fraction), not 1.
+    // phase 2: the round-9 MIDDLE-GAP construction — D (2.2x H) an
+    // interior SIZE RANK between the H mass and a band-invisible
+    // 4.4x doc L (inside P's size-ratio window but failing the
+    // jaccard verify, |H|/|P u L| ~ 0.18, so D stays the unique TRUE
+    // match). Round 9's stride+keep-largest rule recovered D on only
+    // its stride ranks (2/6). Round 10's size-window keep closes
+    // this: win(H) = bitlen(~41) = 6, win(D) = bitlen(~90) = 7,
+    // win(L) = bitlen(~172) = 8 — D is ALONE in its power-of-two
+    // window, hence both window endpoints, hence always kept. Hard
+    // assert: 6/6.
     val (lText, lNsh) = growInvisible(hText, (4.2 * hNsh).toInt, "wk")
     println(s"[stride] L: $lNsh shingles (${
       f"${lNsh.toDouble / hNsh}%.2f"}x H), band keys == H's: ${
@@ -155,22 +160,73 @@ object StrideSoak {
         .matchesAgainst(corpus, probe, 0.5, bucketCap = cap)
         .collect().map(r => (r.getBoolean(1), r.getLong(2))).head
       graft.core.CacheRegistry.releaseAll()
-      // D at rank K+1 of bn = K+2; stride keep or miss is the whole
-      // story (L, rank K+2, is always kept but never verifies)
+      // pre-round-10 stride-or-largest rule, analytically: D at rank
+      // K+1 of bn = K+2 (L, rank K+2, is always kept, never verifies)
       val stride = math.ceil((k + 2).toDouble / cap).toLong
       val strideKeeps = k.toLong % stride == 0
       if (got._1) midHits += 1
       println(f"[stride] mid-gap K=$k%2d (bn=${k + 2}, " +
+        f"stride=$stride): r9 rule keeps D: $strideKeeps%-5s | " +
+        f"matched: ${got._1}%-5s id=${got._2}")
+      assert(got._1 && got._2 == 999L,
+        s"size-window keep missed the interior lone qualifier at K=$k")
+    }
+    println(s"[stride] mid-gap recall: $midHits/6 phases (round 9 " +
+      "stride rule: 2/6) — a size-window-isolated qualifier is now " +
+      "pinned by its window endpoints")
+
+    // phase 3: the REMAINING residual, constructed and measured
+    // honestly. The window-endpoint keep cannot help a qualifier
+    // strictly interior to its OWN power-of-two window: plant two
+    // band-invisible non-qualifiers J1 (~1.7x H) and J2 (~2.9x H) so
+    // win(J1) = win(D) = win(J2) = 7 with J1 < D < J2 by size — both
+    // window endpoints land on junk (J1/J2 fail the verify:
+    // |H|/|P u J| < 0.5) and D survives only on its stride rank.
+    // This is the documented bound: a miss now requires >= 2 other
+    // band-invisible members inside the SAME factor-2 size window
+    // bracketing the unique qualifier, in EVERY shared band bucket —
+    // then recall is ~cap/bn, plus the other B-1 bands' coverage for
+    // any naturally-banded (non-adversarial) corpus.
+    val (j1Text, j1Nsh) = growInvisible(hText, (1.7 * hNsh).toInt, "ga")
+    val (j2Text, j2Nsh) = growInvisible(hText, (2.9 * hNsh).toInt, "qb")
+    println(s"[stride] J1: $j1Nsh shingles, J2: $j2Nsh shingles " +
+      s"(window bitlen J1/D/J2: ${64 - java.lang.Long
+        .numberOfLeadingZeros(j1Nsh)}/${64 - java.lang.Long
+        .numberOfLeadingZeros(dNsh)}/${64 - java.lang.Long
+        .numberOfLeadingZeros(j2Nsh)}; both junk band-invisible: ${
+        sigOf(Seq(j1Text)).head._1 == hBks && sigOf(Seq(j2Text))
+          .head._1 == hBks})")
+    require(64 - java.lang.Long.numberOfLeadingZeros(j1Nsh) ==
+      64 - java.lang.Long.numberOfLeadingZeros(dNsh) &&
+      64 - java.lang.Long.numberOfLeadingZeros(j2Nsh) ==
+        64 - java.lang.Long.numberOfLeadingZeros(dNsh),
+      "fixture drift: J1/D/J2 must share one power-of-two window")
+    var intHits = 0
+    (8 to 13).foreach { k =>
+      val corpus = ((1L to k.toLong).map(i => (i, hText)) :+
+        (998L, j1Text) :+ (999L, dText) :+ (1501L, j2Text)).toDF(
+        "doc_id", "text")
+      val probe = Seq((5000L, pText)).toDF("doc_id", "text")
+      val got = graft.pipeline.NearDup
+        .matchesAgainst(corpus, probe, 0.5, bucketCap = cap)
+        .collect().map(r => (r.getBoolean(1), r.getLong(2))).head
+      graft.core.CacheRegistry.releaseAll()
+      // D at rank K+2 of bn = K+3 (order H... J1 D J2): stride keep
+      // is D's only survival path — window endpoints are J1 and J2
+      val stride = math.ceil((k + 3).toDouble / cap).toLong
+      val strideKeeps = (k + 1).toLong % stride == 0
+      if (got._1) intHits += 1
+      println(f"[stride] interior K=$k%2d (bn=${k + 3}, " +
         f"stride=$stride): stride keeps D: $strideKeeps%-5s | " +
         f"matched: ${got._1}%-5s id=${got._2}")
       assert(got._1 == strideKeeps && (!got._1 || got._2 == 999L),
-        s"mid-gap behavior diverged from the stride model at K=$k")
+        s"interior-window behavior diverged from the stride model " +
+          s"at K=$k")
     }
-    println(s"[stride] mid-gap recall: $midHits/6 phases — the " +
-      "accepted residual: an interior lone qualifier in a fully " +
-      "band-invisible over-cap bucket survives only on its stride " +
-      "rank; requires no other size-window qualifier AND band " +
-      "invisibility (see NearDup scaladoc)")
+    println(s"[stride] interior-window recall: $intHits/6 phases — " +
+      "the accepted residual: a lone qualifier bracketed by >= 2 " +
+      "band-invisible same-window members survives only on its " +
+      "stride rank (see NearDup scaladoc)")
     spark.stop()
   }
 }

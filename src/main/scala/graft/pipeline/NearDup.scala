@@ -184,11 +184,14 @@ object NearDup {
     *
     * Scale posture: an over-cap corpus band bucket keeps a
     * SIZE-STRATIFIED subset of <= [[LshBucketCap]] members (every
-    * ceil(bn/cap)-th by shingle-set-size rank) instead of being
-    * dropped whole — a probe's fanout per bucket stays <= cap, but
-    * a hot-boilerplate batch still finds a size-similar match
+    * ceil(bn/cap)-th by shingle-set-size rank, PLUS the first and
+    * last member of each power-of-two size window — see the inline
+    * guard comment) instead of being dropped whole — a probe's
+    * fanout per bucket stays <= cap + O(log maxNsh), but a
+    * hot-boilerplate batch still finds a size-similar match
     * (qualifying matches have size ratio >= threshold, so a
-    * size-stratified subset preserves coverage; a DROPPED bucket
+    * size-stratified subset preserves coverage, and a size-isolated
+    * qualifier is pinned by its window endpoints; a DROPPED bucket
     * made every hot near-dup look novel and append — corpus
     * pollution, the worst failure for a continuous build). At
     * cluster scale the corpus signature/band tables are the
@@ -213,18 +216,28 @@ object NearDup {
     // 1 for in-cap buckets (keeps everything, branchless) and thins
     // an over-cap bucket to <= cap members evenly spaced by size
     // rank; count and rank share one exchange + sort (same
-    // single-window-pipeline shape as lshPairs). The LARGEST member
-    // (rk = bn) is always kept in addition to the stride (the
-    // smallest, rk = 1, already always is): the adversarial miss is
-    // a probe whose ONLY size-qualifying partner sits alone at one
-    // end of an over-cap bucket's size spectrum with the stride
-    // skipping it (StrideSoak constructs this with a band-invisible
-    // partner), and pinning both endpoints closes the one-sided
-    // cases for <= 1 extra row per bucket. A middle-gap miss remains
-    // possible but needs the bucket's size spectrum to jump by more
-    // than the threshold ratio squared between two adjacent kept
-    // ranks AND the partner to share every band key with the mass —
-    // measured in SOAK_r09.
+    // single-window-pipeline shape as lshPairs). On top of the
+    // stride, the FIRST and LAST member of every power-of-two SIZE
+    // WINDOW (win = bit length of nsh — exact integer arithmetic,
+    // identical in the SQL twin via length(bin(n))) are always kept
+    // (round 10; subsumes round 9's keep-largest, which closed the
+    // one-sided endpoint misses). Guarantee: a member whose
+    // shingle-set size is unique within its factor-2 window — the
+    // adversarial shape StrideSoak constructs, a lone qualifier
+    // whose size must differ from the hot mass by > 1/threshold to
+    // defeat the probe's size-ratio prefilter — is BOTH endpoints of
+    // its window and always kept, closing the measured mid-gap
+    // residual (StrideSoak was 2/6, the endpoint-keep phases are now
+    // 6/6). The remaining residual requires the unique qualifier to
+    // be strictly INTERIOR to its size window — >= 2 other
+    // band-invisible members within factor 2 of its size bracketing
+    // it — in EVERY band bucket it shares with the probe; then
+    // survival is stride luck (~cap/bn), measured honestly by
+    // StrideSoak phase 3. Cost: <= 2 rows per non-empty window, and
+    // window count is <= bit length of the largest shingle set
+    // (~2·log2(maxNsh) extra rows per over-cap bucket vs cap kept by
+    // the stride); the lag/lead markers share the existing
+    // exchange + sort (same window spec), so no new shuffle.
     val wc = Window.partitionBy("band", "bkey")
       .orderBy("nsh_c", "corpus_id")
     val cb = corpusSh.select(col("doc_id").as("corpus_id"),
@@ -234,10 +247,14 @@ object NearDup {
         wc.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)))
       .withColumn("rk", row_number().over(wc))
+      .withColumn("win", length(bin(col("nsh_c").cast("long"))))
+      .withColumn("pwin", lag("win", 1).over(wc))
+      .withColumn("nwin", lead("win", 1).over(wc))
       .filter(pmod((col("rk") - 1).cast("long"),
         ceil(col("bn") / lit(bucketCap))) === 0L ||
-        col("rk") === col("bn"))
-      .drop("bn", "rk")
+        col("pwin").isNull || col("pwin") =!= col("win") ||
+        col("nwin").isNull || col("nwin") =!= col("win"))
+      .drop("bn", "rk", "win", "pwin", "nwin")
     val ib = incSh.select(col("doc_id").as("new_id"),
       size(col("sh")).as("nsh_n"),
       posexplode(col("bks")).as(Seq("band", "bkey")))

@@ -75,9 +75,11 @@ object PipelineOps {
     * survives via the other B-1 bands (exact duplicates belong to
     * exact dedup, p01). The asymmetric corpus probe
     * ([[NearDup.matchesAgainst]]) instead keeps a SIZE-STRATIFIED
-    * <= Cap subset of an over-cap bucket (it never self-joins, so
-    * thinning the probed side preserves the fanout bound while a
-    * hot batch still finds a size-similar match); only the 16-bit
+    * subset of an over-cap bucket (<= Cap stride keeps plus the
+    * endpoints of each power-of-two size window; it never
+    * self-joins, so thinning the probed side preserves the fanout
+    * bound while a hot batch still finds a size-similar match and a
+    * size-isolated qualifier is always kept); only the 16-bit
     * SimHash fixture (p52) keeps the plain drop, documenting that
     * production signatures widen instead.
     */
@@ -208,6 +210,47 @@ object PipelineOps {
     oc.unionByName(ic)
   }
 
+  /** Census-gated within-group pair probe over (cluster, vec_id, v,
+    * nrm) rows — p12's live path, factored (round 10) so the
+    * adversarial soak runs the SAME code guarded (cap =
+    * [[EmbBucketCap]]) and as its own unguarded oracle (cap =
+    * Int.MaxValue, census finds nothing, plain self-join) and
+    * cross-checks the two. With no over-cap group (natural data) the
+    * plan is the plain bucket self-join, unchanged from round 8;
+    * otherwise over-cap groups sub-bucket through
+    * [[rankBlockProbes]]. Returns one row per candidate pair with
+    * (cluster, a, va, na_, b, vb, nb_) — cosine scoring stays with
+    * the caller.
+    */
+  def bucketPairs(e: org.apache.spark.sql.DataFrame,
+                  cap: Int, block: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val oc = e.groupBy("cluster").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > lit(cap)).select("cluster")
+    if (oc.isEmpty) {
+      val a = e.select(col("vec_id").as("a"), col("v").as("va"),
+        col("cluster"), col("nrm").as("na_"))
+      val b = e.select(col("vec_id").as("b"), col("v").as("vb"),
+        col("cluster"), col("nrm").as("nb_"))
+      a.join(b, Seq("cluster")).filter(col("a") < col("b"))
+    } else {
+      val rpx = rankBlockProbes(
+        e.select(col("cluster"), col("vec_id"), col("v"), col("nrm"),
+          rankProj(transform(col("v"), x => x.cast("double")))
+            .as("proj")),
+        cap, block)
+      val a = rpx.select(col("cluster"), col("jk"),
+        col("vec_id").as("a"), col("v").as("va"),
+        col("nrm").as("na_"), col("blk").as("blka"))
+      val b = rpx.select(col("cluster"), col("jk"),
+        col("vec_id").as("b"), col("v").as("vb"),
+        col("nrm").as("nb_"), col("blk").as("blkb"))
+      a.join(b, Seq("cluster", "jk"))
+        .filter(col("a") < col("b") &&
+          (col("blka") =!= col("blkb") || col("jk") === col("blka")))
+    }
+  }
+
   /** Two-pass canonical election over per-cluster rep vectors — the
     * core of p42's semantic dedup, factored so a unit test can
     * exercise the chain collapse at a tiny cap.
@@ -236,6 +279,38 @@ object PipelineOps {
       : org.apache.spark.sql.DataFrame = {
     def pairDups(in: org.apache.spark.sql.DataFrame)
         : org.apache.spark.sql.DataFrame = {
+      // A/B probe (graft.p42.idonly, read at plan construction by
+      // AbProfile): the id-only discipline README's "vector-carrying
+      // pair joins" section discusses — build the pair topology with
+      // NO payload columns (ids ride the rank-block explode and the
+      // self-join exchange alone), then join v/nrm back by id for
+      // the cosine. Measured NEUTRAL at soak scale (DESIGN.md round
+      // 10): Spark's SMJ streams the carried vectors without
+      // materializing the pair relation, so the default stays the
+      // simpler carry-through join; the knob remains for re-measuring
+      // on wider payloads.
+      if (sys.props.get("graft.p42.idonly").contains("true")) {
+        val rpx = rankBlockProbes(
+          in.select(col("cluster"), col("vec_id"),
+            rankProj(col("v")).as("proj")), cap, block)
+        val a = rpx.select(col("cluster"), col("jk"),
+          col("vec_id").as("a"), col("blk").as("blka"))
+        val b = rpx.select(col("cluster"), col("jk"),
+          col("vec_id").as("b"), col("blk").as("blkb"))
+        return a.join(b, Seq("cluster", "jk"))
+          .filter(col("a") < col("b") &&
+            (col("blka") =!= col("blkb") || col("jk") === col("blka")))
+          .select("a", "b")
+          .join(in.select(col("vec_id").as("a"), col("v").as("va"),
+            col("nrm").as("na_")), Seq("a"))
+          .join(in.select(col("vec_id").as("b"), col("v").as("vb"),
+            col("nrm").as("nb_")), Seq("b"))
+          .withColumn("cos", aggregate(
+            zip_with(col("va"), col("vb"), (x, y) => x * y),
+            lit(0.0), (p, x) => p + x) / (col("na_") * col("nb_")))
+          .filter(col("cos") >= lit(minCos))
+          .groupBy(col("b").as("vec_id")).agg(min("a").as("dup"))
+      }
       val rpx = rankBlockProbes(
         in.select(col("cluster"), col("vec_id"), col("v"), col("nrm"),
           rankProj(col("v")).as("proj")), cap, block)

@@ -302,38 +302,16 @@ object PipelineQueries {
         .withColumn("bucket", argmaxBucket(col("embedding")))
         .withColumn("nrm", norm(col("embedding")))
         .transform(graft.core.CacheRegistry.persist(_))
-      // driver-side census, the p42 pattern: with no over-cap bucket
-      // (natural data) the plain bucket self-join plan is unchanged
-      // from round 8; the rank-block probe scaffolding is built only
-      // when a bucket actually exceeds the cap
-      val oc = e.groupBy("bucket").agg(count(lit(1)).as("bn"))
-        .filter(col("bn") > lit(EmbBucketCap)).select("bucket")
-      val pairs = if (oc.isEmpty) {
-        val a = e.select(col("vec_id").as("a"),
-          col("embedding").as("va"), col("bucket"),
-          col("nrm").as("na_"))
-        val b = e.select(col("vec_id").as("b"),
-          col("embedding").as("vb"), col("bucket"),
-          col("nrm").as("nb_"))
-        a.join(b, Seq("bucket")).filter(col("a") < col("b"))
-      } else {
-        val rpx = graft.pipeline.PipelineOps.rankBlockProbes(
-          e.select(col("bucket").as("cluster"), col("vec_id"),
-            col("embedding"), col("nrm"),
-            graft.pipeline.PipelineOps.rankProj(
-              transform(col("embedding"), x => x.cast("double")))
-              .as("proj")),
-          EmbBucketCap, EmbRankBlock)
-        val a = rpx.select(col("cluster"), col("jk"),
-          col("vec_id").as("a"), col("embedding").as("va"),
-          col("nrm").as("na_"), col("blk").as("blka"))
-        val b = rpx.select(col("cluster"), col("jk"),
-          col("vec_id").as("b"), col("embedding").as("vb"),
-          col("nrm").as("nb_"), col("blk").as("blkb"))
-        a.join(b, Seq("cluster", "jk"))
-          .filter(col("a") < col("b") &&
-            (col("blka") =!= col("blkb") || col("jk") === col("blka")))
-      }
+      // census-gated pair probe (the p42 pattern, factored into
+      // PipelineOps.bucketPairs in round 10 so EmbSoak cross-checks
+      // this exact code against its own unguarded oracle): with no
+      // over-cap bucket (natural data) the plain bucket self-join
+      // plan is unchanged from round 8; the rank-block probe
+      // scaffolding is built only when a bucket exceeds the cap
+      val pairs = graft.pipeline.PipelineOps.bucketPairs(
+        e.select(col("bucket").as("cluster"), col("vec_id"),
+          col("embedding").as("v"), col("nrm")),
+        EmbBucketCap, EmbRankBlock)
       pairs
         .withColumn("cos",
           dot(col("va"), col("vb")) / (col("na_") * col("nb_")))
@@ -2056,31 +2034,10 @@ object PipelineQueries {
     // construction); canonical id = min id among cosine>=0.99
     // cluster-mates.
     "p42_semantic_dedup" -> ((s, dir) => {
-      val k = 8
-      val base = emb(s, dir).select("vec_id", "embedding")
-      val near = base.select(
-        (col("vec_id") + 1000000L).as("vec_id"),
-        transform(col("embedding"),
-          x => (x + lit(0.01f)).cast("float")).as("embedding"))
-      val e = base.unionByName(near)
-        .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val e = graft.pipeline.SemDeDup
+        .doubled(emb(s, dir).select("vec_id", "embedding"))
         .transform(graft.core.CacheRegistry.persist(_))
       e.count() // materialize before fan-out (centroids + 2 branches)
-      val cent = e.filter(col("vec_id") < k)
-        .select(col("vec_id").cast("int").as("cluster"), col("v").as("c"))
-      val assigned = e.crossJoin(broadcast(cent))
-        .withColumn("dist", aggregate(
-          zip_with(col("v"), col("c"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (a, x) => a + x))
-        .groupBy("vec_id")
-        .agg(min(struct(col("dist"), col("cluster"))).as("m"))
-        .select(col("vec_id"), col("m.cluster").as("cluster"))
-        .join(e, Seq("vec_id"))
-        .withColumn("nrm", sqrt(aggregate(
-          transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
-        .transform(graft.core.CacheRegistry.persist(_))
-      assigned.count() // materialize before the class/pair branches
       // EXACT-VECTOR CLASS COLLAPSE before the pair join: identical
       // vectors share every cosine, so the min-id member of each
       // (cluster, v) class is elected rep and ONLY REPS pair. This
@@ -2090,18 +2047,13 @@ object PipelineQueries {
       // lands on the same id — while a degenerate mass of
       // exact-identical embeddings (the 100 TB hot-cluster case)
       // collapses to ONE pair-join row per distinct vector.
-      val withRep = assigned.withColumn("rep",
-        min(col("vec_id")).over(
-          Window.partitionBy(col("cluster"), col("v"))))
-      // persisted: the two-pass election consumes reps four ways
-      // (pair probes, over-cap census, canonical re-attach, pass-2
-      // probes) — without the cache each re-runs the class-collapse
-      // window over the full member table
-      // (no count() here: the election's over-cap census is itself
-      // an action through this cache, so it materializes the persist)
-      val reps = withRep.filter(col("vec_id") === col("rep"))
-        .select("cluster", "vec_id", "v", "nrm")
-        .transform(graft.core.CacheRegistry.persist(_))
+      // `reps` is persisted inside memberReps: the two-pass election
+      // consumes it four ways (pair probes, over-cap census,
+      // canonical re-attach, pass-2 probes); no count() — the
+      // election's census action materializes it. Factored into
+      // SemDeDup (round 10) so EmbSoak cross-checks THIS code, not a
+      // replica, against the brute-force uncapped oracle.
+      val (withRep, reps) = graft.pipeline.SemDeDup.memberReps(e, 8)
       // backstop (EmbClusterCap): a cluster still holding more
       // DISTINCT rep vectors than the cap — near-identical but not
       // identical mass — is SUB-BUCKETED into projection-rank blocks
@@ -2991,8 +2943,11 @@ r AS (SELECT lang, CAST(row_number() OVER (PARTITION BY lang
 SELECT lang, rank, doc_id, n_chars FROM r WHERE rank <= 20""",
 
     "p26_kmeans" -> {
+      // dimension derived from the vector (mirrors the Scala side's
+      // width-adaptive zip_with — a hardcoded 65 silently diverged
+      // on any non-64-dim fixture)
       def dist(v: String, c: String) =
-        s"""list_reduce(list_transform(range(1, 65),
+        s"""list_reduce(list_transform(range(1, len($v) + 1),
       i -> ($v[CAST(i AS INT)] - $c[CAST(i AS INT)])
         * ($v[CAST(i AS INT)] - $c[CAST(i AS INT)])),
       (a, b) -> a + b)"""
@@ -3006,7 +2961,8 @@ d1 AS (SELECT e.vec_id, e.v, c0.cluster,
 a1 AS (SELECT vec_id, v, cluster FROM
     (SELECT *, row_number() OVER (PARTITION BY vec_id
       ORDER BY dist ASC, cluster ASC) AS rn FROM d1) WHERE rn = 1),
-x1 AS (SELECT cluster, CAST(unnest(range(1, 65)) AS INT) AS pos,
+x1 AS (SELECT cluster, CAST(unnest(range(1, len(v) + 1)) AS INT)
+      AS pos,
     unnest(v) AS x FROM a1),
 m1 AS (SELECT cluster, pos,
     CAST(sum(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE)
@@ -3847,10 +3803,24 @@ FROM hits WHERE doc_id <> first_id GROUP BY doc_id"""
     },
 
     "p42_semantic_dedup" -> {
+      // every per-dimension range derives from len(v) (mirrors the
+      // Scala side's width-adaptive zip_with/rankProj — round 10,
+      // ADVICE: a hardcoded 65 would rank-order differently on any
+      // non-64-dim fixture and break the parity gate's purpose)
       def dist(v: String, c: String) =
-        s"""list_reduce(list_transform(range(1, 65),
+        s"""list_reduce(list_transform(range(1, len($v) + 1),
       i -> ($v[CAST(i AS INT)] - $c[CAST(i AS INT)])
         * ($v[CAST(i AS INT)] - $c[CAST(i AS INT)])),
+      (a, b) -> a + b)"""
+      def proj(v: String) =
+        s"""list_reduce(list_transform(range(1, len($v) + 1),
+          i -> $v[CAST(i AS INT)] *
+            (CASE WHEN ((i - 1) * 2654435761) % 4294967296
+              < 2147483648 THEN 1.0 ELSE -1.0 END)),
+        (a, b) -> a + b)"""
+      def dotv(x: String, y: String) =
+        s"""list_reduce(list_transform(range(1, len($x) + 1),
+      i -> $x[CAST(i AS INT)] * $y[CAST(i AS INT)]),
       (a, b) -> a + b)"""
       s"""WITH e0 AS (SELECT vec_id, embedding FROM embeddings
     UNION ALL
@@ -3876,11 +3846,7 @@ oc AS (SELECT cluster FROM rp0 GROUP BY cluster
   HAVING count(*) > $EmbClusterCap),
 ocb AS (SELECT vec_id, cluster, v, nrm,
     CAST(floor((row_number() OVER (PARTITION BY cluster
-      ORDER BY list_reduce(list_transform(range(1, 65),
-          i -> v[CAST(i AS INT)] *
-            (CASE WHEN ((i - 1) * 2654435761) % 4294967296
-              < 2147483648 THEN 1.0 ELSE -1.0 END)),
-        (a, b) -> a + b) ASC, vec_id ASC) - 1)
+      ORDER BY ${proj("v")} ASC, vec_id ASC) - 1)
       / $EmbRankBlock) AS BIGINT) AS blk
   FROM rp0 JOIN oc USING (cluster)),
 rpx AS (SELECT vec_id, cluster, v, nrm, blk, blk AS jk FROM ocb
@@ -3891,9 +3857,7 @@ rpx AS (SELECT vec_id, cluster, v, nrm, blk, blk AS jk FROM ocb
     CAST(0 AS BIGINT) AS jk
   FROM rp0 WHERE cluster NOT IN (SELECT cluster FROM oc)),
 p AS (SELECT x.vec_id AS a, y.vec_id AS b,
-    list_reduce(list_transform(range(1, 65),
-      i -> x.v[CAST(i AS INT)] * y.v[CAST(i AS INT)]),
-      (a, b) -> a + b) / (x.nrm * y.nrm) AS cos
+    ${dotv("x.v", "y.v")} / (x.nrm * y.nrm) AS cos
   FROM rpx x JOIN rpx y ON x.cluster = y.cluster
     AND x.jk = y.jk AND x.vec_id < y.vec_id
     AND (x.blk <> y.blk OR x.jk = x.blk)),
@@ -3910,11 +3874,7 @@ oc2 AS (SELECT cluster FROM c1 GROUP BY cluster
   HAVING count(*) > $EmbClusterCap),
 ocb2 AS (SELECT vec_id, c1.cluster, v, nrm,
     CAST(floor((row_number() OVER (PARTITION BY c1.cluster
-      ORDER BY list_reduce(list_transform(range(1, 65),
-          i -> v[CAST(i AS INT)] *
-            (CASE WHEN ((i - 1) * 2654435761) % 4294967296
-              < 2147483648 THEN 1.0 ELSE -1.0 END)),
-        (a, b) -> a + b) ASC, vec_id ASC) - 1)
+      ORDER BY ${proj("v")} ASC, vec_id ASC) - 1)
       / $EmbRankBlock) AS BIGINT) AS blk
   FROM c1 JOIN oc2 USING (cluster)),
 rpx2 AS (SELECT vec_id, cluster, v, nrm, blk, blk AS jk FROM ocb2
@@ -3925,9 +3885,7 @@ rpx2 AS (SELECT vec_id, cluster, v, nrm, blk, blk AS jk FROM ocb2
     CAST(0 AS BIGINT) AS jk
   FROM c1 WHERE cluster NOT IN (SELECT cluster FROM oc2)),
 p2 AS (SELECT x.vec_id AS a, y.vec_id AS b,
-    list_reduce(list_transform(range(1, 65),
-      i -> x.v[CAST(i AS INT)] * y.v[CAST(i AS INT)]),
-      (a, b) -> a + b) / (x.nrm * y.nrm) AS cos
+    ${dotv("x.v", "y.v")} / (x.nrm * y.nrm) AS cos
   FROM rpx2 x JOIN rpx2 y ON x.cluster = y.cluster
     AND x.jk = y.jk AND x.vec_id < y.vec_id
     AND (x.blk <> y.blk OR x.jk = x.blk)),
@@ -3965,11 +3923,17 @@ cbw AS (SELECT corpus_id, band, bkey,
       ORDER BY nsh ASC, corpus_id ASC ROWS BETWEEN UNBOUNDED
       PRECEDING AND UNBOUNDED FOLLOWING) AS bn,
     row_number() OVER (PARTITION BY band, bkey
-      ORDER BY nsh ASC, corpus_id ASC) AS rk
+      ORDER BY nsh ASC, corpus_id ASC) AS rk,
+    length(bin(nsh)) AS win,
+    lag(length(bin(nsh))) OVER (PARTITION BY band, bkey
+      ORDER BY nsh ASC, corpus_id ASC) AS pwin,
+    lead(length(bin(nsh))) OVER (PARTITION BY band, bkey
+      ORDER BY nsh ASC, corpus_id ASC) AS nwin
   FROM cb0),
 cb AS (SELECT corpus_id, band, bkey FROM cbw
   WHERE (rk - 1) % CAST(ceil(bn / $LshBucketCap) AS BIGINT) = 0
-     OR rk = bn),
+     OR pwin IS NULL OR pwin <> win
+     OR nwin IS NULL OR nwin <> win),
 ib AS (SELECT doc_id AS new_id,
   CAST(unnest(range(0, $LshBands)) AS INT) AS band,
   unnest(${bandKeysSql("sh")}) AS bkey FROM ish),
@@ -4065,7 +4029,8 @@ FROM stats s JOIN t USING (doc_id)"""
         AS FLOAT)) AS embedding
     FROM embeddings),
 eb AS (SELECT *, ${argmaxBucketSql("embedding")} AS bucket FROM e),
-en AS (SELECT *, list_reduce(list_transform(range(1, 65),
+en AS (SELECT *,
+  list_reduce(list_transform(range(1, len(embedding) + 1),
     i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
       (CASE WHEN ((i - 1) * 2654435761) % 4294967296
         < 2147483648 THEN 1.0 ELSE -1.0 END)),

@@ -101,4 +101,83 @@ class IncrementalCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (_, _, pairs) = NearDup.lshPairs(spark.read.parquet(corpusDir))
     assert(pairs.count() == 0L)
   }
+
+  test("matchesAgainst cache contract: releaseAll keeps pinned " +
+    "storage flat across micro-batches") {
+    // matchesAgainst's scaladoc warns that a per-micro-batch loop
+    // MUST call CacheRegistry.releaseAll() after consuming each
+    // batch's result or N batches pin N re-shingled corpus caches —
+    // this drives N batches through foreachBatch and asserts the
+    // pinned count actually returns to zero every time (and that the
+    // measurement is live: the pre-release count is nonzero).
+    import spark.implicits._
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft_cc_corpus").toString + "/c"
+    val stageDir = java.nio.file.Files
+      .createTempDirectory("graft_cc_src").toString
+    def doc(n: Int): String =
+      (1 to 30).map(i => s"c${(i * n) % 23}").mkString(" ")
+    (1L to 40L).map(i => (i, doc(i.toInt))).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(corpusDir)
+    val nBatches = 3
+    (0 until nBatches).foreach { i =>
+      Seq((100L + i, doc(3) + s" tail$i"), (200L + i, doc(7 + i)))
+        .toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$stageDir/b$i")
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    // drop anything a previous test left registered, and note the
+    // context-wide persistent-RDD floor: localCheckpoint RDDs (e.g.
+    // connected-components rounds from the test above) stay in
+    // sc.getPersistentRDDs until GC, so the contract is FLATNESS
+    // relative to this baseline, not absolute zero
+    graft.core.CacheRegistry.releaseAll()
+    spark.catalog.clearCache()
+    val rddFloor = spark.sparkContext.getPersistentRDDs.size
+    val pinned = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Int, Int)] // (pre-reg, pre-rdd, post-reg, post-rdd)
+    (0 until nBatches).foreach { i =>
+      val q = spark.readStream.schema(schema)
+        .parquet(s"$stageDir/b$i")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bs = batch.sparkSession
+          graft.functions.GraftFunctions.install(bs)
+          NearDup.matchesAgainst(bs.read.parquet(corpusDir), batch)
+            .collect()
+          val preReg = graft.core.CacheRegistry.size
+          val preRdd = bs.sparkContext.getPersistentRDDs.size
+          graft.core.CacheRegistry.releaseAll()
+          pinned.synchronized {
+            pinned += ((preReg, preRdd,
+              graft.core.CacheRegistry.size,
+              bs.sparkContext.getPersistentRDDs.size))
+          }
+          ()
+        }
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory(s"graft_cc_ck$i").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), s"batch $i drain timed out")
+    }
+    assert(pinned.size == nBatches)
+    pinned.zipWithIndex.foreach { case ((preReg, preRdd, postReg,
+        postRdd), i) =>
+      // the measurement is live: matchesAgainst pinned both
+      // signature tables this batch
+      assert(preReg >= 2 && preRdd >= rddFloor + 2,
+        s"batch $i: expected >=2 pinned caches before release, " +
+          s"saw registry=$preReg rdds=$preRdd (floor $rddFloor)")
+      // the contract: release returns pinned storage to the floor —
+      // flat across batches, no accumulation
+      assert(postReg == 0 && postRdd <= rddFloor,
+        s"batch $i: pinned storage not flat after releaseAll " +
+          s"(registry=$postReg rdds=$postRdd floor=$rddFloor)")
+    }
+  }
 }

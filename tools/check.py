@@ -24,7 +24,15 @@ tmp = os.environ.get("GRAFT_DUCKDB_TMP")
 if tmp:
     os.makedirs(tmp, exist_ok=True)
     con.execute(f"SET temp_directory='{tmp}'")
-    con.execute("SET memory_limit='100GB'")
+    # memory limit: GRAFT_DUCKDB_MEM wins; otherwise ~80% of physical
+    # RAM (the old hardcoded 100GB deferred spilling past available
+    # memory on smaller hosts and invited the OOM killer — the
+    # opposite of what a spill directory is for)
+    mem = os.environ.get("GRAFT_DUCKDB_MEM")
+    if not mem:
+        pages = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        mem = f"{max(1, int(pages * 0.8) >> 30)}GB"
+    con.execute(f"SET memory_limit='{mem}'")
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(p)[:-8]
     # driver testdata tables are single files; engine-written soak
