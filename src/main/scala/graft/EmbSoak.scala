@@ -216,9 +216,12 @@ object EmbSoak {
     // streams the same volume in seconds, so the second computation
     // is a brute-force NO-cap/NO-block election run by Spark itself
     // through different code (plain self-join; no rankBlockProbes,
-    // no census, no pass 2). Gated to copies <= 10: the oracle is
-    // deliberately quadratic in the planted mass.
-    if (copies <= 10) {
+    // no census, no pass 2). Gated to copies <= 5 (the verdict's
+    // minimal over-cap fixture, copies=5, is where it runs): the
+    // oracle is deliberately quadratic in the planted mass, and the
+    // 10x/30x runs exist for cross-round PERF comparison — keeping
+    // the oracle out of them keeps their timings comparable.
+    if (copies <= 5) {
       import graft.pipeline.{PipelineOps, SemDeDup}
       import graft.pipeline.PipelineOps.{EmbClusterCap, EmbRankBlock,
         EmbBucketCap, argmaxBucket}
@@ -324,7 +327,7 @@ object EmbSoak {
     } else {
       println("[embsoak] uncapped-oracle cross-check skipped at " +
         s"copies=$copies (the oracle is deliberately quadratic in " +
-        "the planted mass; run copies<=10 for the parity section)")
+        "the planted mass; run copies<=5 for the parity section)")
     }
     spark.stop()
   }

@@ -284,11 +284,16 @@ object PipelineOps {
       // pair joins" section discusses — build the pair topology with
       // NO payload columns (ids ride the rank-block explode and the
       // self-join exchange alone), then join v/nrm back by id for
-      // the cosine. Measured NEUTRAL at soak scale (DESIGN.md round
-      // 10): Spark's SMJ streams the carried vectors without
-      // materializing the pair relation, so the default stays the
-      // simpler carry-through join; the knob remains for re-measuring
-      // on wider payloads.
+      // the cosine. Measured (AbProfile, DESIGN.md round 10):
+      // NEUTRAL on natural sf0.1 (1.86 s vs 1.86 s median) and
+      // STRICTLY WORSE on the over-cap soak fixture (4.86 s vs
+      // 6.13 s, +26%, slower in every paired round) — the two
+      // re-attach joins cost more than carrying vectors through the
+      // exchange, because Spark STREAMS the pair rows (SMJ) instead
+      // of materializing them. Default stays the carry-through join;
+      // the id-only rule applies at PERSISTENCE boundaries, not
+      // inside streamed joins. Knob kept for re-measuring on wider
+      // payloads.
       if (sys.props.get("graft.p42.idonly").contains("true")) {
         val rpx = rankBlockProbes(
           in.select(col("cluster"), col("vec_id"),

@@ -103,18 +103,35 @@ object CsvRecords {
     * the Fortran-flat float array, in place. ONE implementation shared
     * by the batch CSV reader and the streaming record source, so the
     * two paths cannot diverge.
+    *
+    * The double-split `rows` array is LET-BOUND (PipelineOps.bind)
+    * inside every expression that consumes it. Round-10 RCA of f21
+    * (the suite's then-slowest query): a `rows` kept as a plain
+    * projected column is re-INLINED by CollapseProject/pushdown into
+    * the per-element lambda of `d` wherever the projection boundary
+    * dissolves — most expensively in the `size(d) > 0 AND
+    * isnotnull(d)` filter Spark's InferFiltersFromGenerate plants
+    * under a later `explode(d)`, which re-evaluated the full
+    * double-split ~2·ni·nj times per row (interpreted HOF, no
+    * codegen subexpression sharing). Binding makes each evaluation
+    * of any derived expression split the payload string exactly
+    * once: the explode stage 4.2 s -> 0.7 s, f21 end-to-end warm
+    * ~4.8 s -> ~1.3 s (F21Rca / Profile, DESIGN.md round 10).
     */
   def parsePayload(df: DataFrame): DataFrame = {
-    val rows = transform(split(col("d"), ";"), r => split(r, ","))
-    df.withColumn("rows", rows)
-      .withColumn("ni", size(col("rows")))
-      .withColumn("nj", size(element_at(col("rows"), 1)))
-      .withColumn("d", transform(
-        sequence(lit(0), col("ni") * col("nj") - 1),
-        k => element_at(
-          element_at(col("rows"), pmod(k, col("ni")).cast("int") + 1),
-          (k / col("ni")).cast("int") + 1).cast("float")))
-      .drop("rows")
+    def bound[A](f: Column => Column): Column =
+      graft.pipeline.PipelineOps.bind(
+        transform(split(col("d"), ";"), r => split(r, ",")))(f)
+    df.withColumn("ni", bound(rb => size(rb)))
+      .withColumn("nj", bound(rb => size(element_at(rb, 1))))
+      .withColumn("d", bound { rb =>
+        val ni = size(rb)
+        transform(
+          sequence(lit(0), ni * size(element_at(rb, 1)) - 1),
+          k => element_at(
+            element_at(rb, pmod(k, ni).cast("int") + 1),
+            (k / ni).cast("int") + 1).cast("float"))
+      })
   }
 
   /** Write a record catalog as CSV: the payload is serialized back to
