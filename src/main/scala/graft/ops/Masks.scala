@@ -28,7 +28,15 @@ object Masks {
                 keepValue: Int = 1): DataFrame = {
     graft.core.Checks.requireColumns(df, "apply_mask", "nomvar",
       "typvar", "d")
-    val g = if (df.columns.contains("grid")) df else Decode.addGrid(df)
+    // persisted (CacheRegistry contract — the caller releases): the
+    // meta/notMasked/applied output branches each re-execute this
+    // subtree otherwise, and when operators chain (recover o apply,
+    // f20's shape) the re-execution NESTS — the round-10 plan audit
+    // counted 20 catalog scans in one f20 plan before these persists
+    // and 2 after (DESIGN.md round 10; warm 3.3 -> 0.9 s).
+    val g = (if (df.columns.contains("grid")) df
+             else Decode.addGrid(df))
+      .transform(graft.core.CacheRegistry.persist(_))
     val cols = g.columns
     val meta = g.filter(col("nomvar").isin(VCoord.VcMeta: _*))
     val noMeta = g.filter(!col("nomvar").isin(VCoord.VcMeta: _*))
@@ -71,7 +79,13 @@ object Masks {
                   keepValue: Int = 1): DataFrame = {
     graft.core.Checks.requireColumns(df, "recover_mask", "nomvar",
       "typvar", "d")
-    val g = if (df.columns.contains("grid")) df else Decode.addGrid(df)
+    // persisted for the same branch fan-out reason as applyMask —
+    // and doubly load-bearing here because recoverMask's input is
+    // often applyMask's 3-way union (f20), which would otherwise
+    // re-execute whole per output branch
+    val g = (if (df.columns.contains("grid")) df
+             else Decode.addGrid(df))
+      .transform(graft.core.CacheRegistry.persist(_))
     val cols = g.columns
     val meta = g.filter(col("nomvar").isin(VCoord.VcMeta: _*))
     val noMeta = g.filter(!col("nomvar").isin(VCoord.VcMeta: _*))
