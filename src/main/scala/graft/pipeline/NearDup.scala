@@ -212,6 +212,24 @@ object NearDup {
       .transform(graft.core.CacheRegistry.persist(_))
     // materialize before fan-out (each cache feeds 2 plan branches)
     corpusSh.count(); incSh.count()
+    val cb0 = corpusSh.select(col("doc_id").as("corpus_id"),
+      size(col("sh")).as("nsh_c"),
+      posexplode(col("bks")).as(Seq("band", "bkey")))
+    probe(corpusSh, cb0, incSh, threshold, bucketCap)
+  }
+
+  /** The batch-vs-corpus probe over prepared tables: `corpusSh` =
+    * (doc_id, sh) for the verify join, `cb0` = (corpus_id, nsh_c,
+    * band, bkey) — the UNFILTERED corpus band table (the over-cap
+    * keep is applied here, at probe time, so one stored index serves
+    * any bucketCap), `incSh` = the incoming batch's signatures.
+    * Shared verbatim by [[matchesAgainst]] (tables built in-session)
+    * and [[matchesAgainstIndex]] (tables read from a precomputed
+    * index).
+    */
+  private def probe(corpusSh: DataFrame, cb0: DataFrame,
+                    incSh: DataFrame, threshold: Double,
+                    bucketCap: Int): DataFrame = {
     // size-stratified keep (see scaladoc): stride = ceil(bn/cap) is
     // 1 for in-cap buckets (keeps everything, branchless) and thins
     // an over-cap bucket to <= cap members evenly spaced by size
@@ -240,9 +258,7 @@ object NearDup {
     // exchange + sort (same window spec), so no new shuffle.
     val wc = Window.partitionBy("band", "bkey")
       .orderBy("nsh_c", "corpus_id")
-    val cb = corpusSh.select(col("doc_id").as("corpus_id"),
-        size(col("sh")).as("nsh_c"),
-        posexplode(col("bks")).as(Seq("band", "bkey")))
+    val cb = cb0
       .withColumn("bn", count(lit(1)).over(
         wc.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)))
@@ -285,6 +301,55 @@ object NearDup {
       .select(col("new_id"), col("match_id").isNotNull.as("matched"),
         coalesce(col("match_id"), lit(-1L)).as("match_id"),
         coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
+  }
+
+  /** Build the PRECOMPUTED corpus LSH index a continuous build reuses
+    * across micro-batches: `path/signatures` = (doc_id, sh) and
+    * `path/bands` = (corpus_id, nsh_c, band, bkey), both parquet.
+    * The corpus is shingled ONCE here; every subsequent
+    * [[matchesAgainstIndex]] call reads these tables instead of
+    * re-computing the corpus's shingles and minhashes per batch —
+    * at 100 TB the shingle/minhash scan IS the dominant corpus cost,
+    * and it must not be paid per daily batch. The band table is
+    * stored unfiltered (the over-cap keep is applied at probe time),
+    * so one index serves any bucketCap. The signature table is
+    * written first and bands derive from reading it back, so the
+    * expensive shingle pass over the corpus text runs exactly once.
+    *
+    * At cluster scale, write the bands table BUCKETED on
+    * (band, bkey) (`bucketBy` + `saveAsTable` on a real catalog) so
+    * per-batch probes co-locate without re-shuffling the index; the
+    * path-based parquet layout here keeps the API storage-agnostic.
+    */
+  def writeIndex(corpus: DataFrame, path: String): Unit = {
+    val spark = corpus.sparkSession
+    shingleify(corpus)
+      .write.mode("overwrite").parquet(s"$path/signatures")
+    spark.read.parquet(s"$path/signatures")
+      .select(col("doc_id").as("corpus_id"),
+        size(col("sh")).as("nsh_c"),
+        posexplode(col("bks")).as(Seq("band", "bkey")))
+      .write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  /** [[matchesAgainst]] against a [[writeIndex]]-precomputed corpus:
+    * identical output (same probe core, same keep rule, same
+    * verify), but the per-batch cost is ONLY the incoming batch's
+    * shingling plus the band join — the corpus-side scan work was
+    * paid once at index-build time. Caching contract: only the
+    * incoming batch's signatures are pinned (corpus tables stream
+    * from parquet); the caller still releases per batch.
+    */
+  def matchesAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String, incoming: DataFrame,
+                          threshold: Double = 0.5,
+                          bucketCap: Int = LshBucketCap): DataFrame = {
+    val corpusSh = spark.read.parquet(s"$indexPath/signatures")
+    val cb0 = spark.read.parquet(s"$indexPath/bands")
+    val incSh = shingleify(incoming)
+      .transform(graft.core.CacheRegistry.persist(_))
+    incSh.count() // materialize before fan-out (2 plan branches)
+    probe(corpusSh, cb0, incSh, threshold, bucketCap)
   }
 
   /** The survivors of [[matchesAgainst]], additionally deduped

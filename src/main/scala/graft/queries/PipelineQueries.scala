@@ -2110,6 +2110,27 @@ object PipelineQueries {
       graft.pipeline.NearDup.matchesAgainst(d, incoming)
     }),
 
+    // precomputed-index incremental dedup: the SAME probe as p43 but
+    // against a corpus LSH index built ONCE (NearDup.writeIndex) and
+    // read back from parquet — the true production shape for a
+    // continuous 100 TB build, where the corpus shingle/minhash scan
+    // must not be paid per batch. Output is hash-identical to p43
+    // (the oracle asserts exactly that: same SQL twin), proving the
+    // index round-trip preserves the probe bit-for-bit.
+    "p84_incremental_index" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val incoming = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" zzz extra tail qq")).as("text"))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
+      val idx = graft.core.Scratch.path(s"graft_lsh_index_${
+        dir.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      graft.pipeline.NearDup.writeIndex(d, idx)
+      graft.pipeline.NearDup.matchesAgainstIndex(s, idx, incoming)
+    }),
+
     // training-window chunking: fixed-size overlapping token windows
     // (W=16, stride 12) per document, one output row per chunk. Pure
     // map work — tokenize once per row (let-bound), derive the chunk
@@ -2738,6 +2759,65 @@ c AS (SELECT qp.query_id, e.vec_id, e.sig AS bucket,
 r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
     ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
 SELECT query_id, vec_id, bucket, rank, cos FROM r WHERE rank <= 5"""
+  }
+
+  /** ONE oracle for p43 (in-session probe) and p84 (precomputed-index
+    * probe): the index tables are a pure function of the corpus, so
+    * the two queries must be hash-identical — sharing the SQL makes
+    * the gate assert exactly that round-trip equivalence.
+    */
+  private lazy val incrementalDedupOracle: String = {
+    val sh = hashedShinglesSql(shinglesSql(wordsSql("text")))
+    s"""WITH inc0 AS (
+    SELECT doc_id + 2000000 AS doc_id,
+      text || ' zzz extra tail qq' AS text
+    FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 3000000 AS doc_id,
+      array_to_string(list_reverse(string_split(text, ' ')), ' ')
+        AS text
+    FROM documents WHERE doc_id % 7 = 0),
+csh0 AS (SELECT doc_id, $sh AS sh FROM documents),
+csh AS (SELECT * FROM csh0 WHERE len(sh) > 0),
+ish0 AS (SELECT doc_id, $sh AS sh FROM inc0),
+ish AS (SELECT * FROM ish0 WHERE len(sh) > 0),
+cb0 AS (SELECT doc_id AS corpus_id, len(sh) AS nsh,
+  CAST(unnest(range(0, $LshBands)) AS INT) AS band,
+  unnest(${bandKeysSql("sh")}) AS bkey FROM csh),
+cbw AS (SELECT corpus_id, band, bkey,
+    count(*) OVER (PARTITION BY band, bkey
+      ORDER BY nsh ASC, corpus_id ASC ROWS BETWEEN UNBOUNDED
+      PRECEDING AND UNBOUNDED FOLLOWING) AS bn,
+    row_number() OVER (PARTITION BY band, bkey
+      ORDER BY nsh ASC, corpus_id ASC) AS rk,
+    length(bin(nsh)) AS win,
+    lag(length(bin(nsh))) OVER (PARTITION BY band, bkey
+      ORDER BY nsh ASC, corpus_id ASC) AS pwin,
+    lead(length(bin(nsh))) OVER (PARTITION BY band, bkey
+      ORDER BY nsh ASC, corpus_id ASC) AS nwin
+  FROM cb0),
+cb AS (SELECT corpus_id, band, bkey FROM cbw
+  WHERE (rk - 1) % CAST(ceil(bn / $LshBucketCap) AS BIGINT) = 0
+     OR pwin IS NULL OR pwin <> win
+     OR nwin IS NULL OR nwin <> win),
+ib AS (SELECT doc_id AS new_id,
+  CAST(unnest(range(0, $LshBands)) AS INT) AS band,
+  unnest(${bandKeysSql("sh")}) AS bkey FROM ish),
+cand AS (SELECT DISTINCT new_id, corpus_id
+  FROM ib JOIN cb USING (band, bkey)),
+v AS (SELECT new_id, corpus_id,
+    ${jaccardSql("sn.sh", "sc.sh")} AS jaccard
+  FROM cand JOIN ish sn ON sn.doc_id = new_id
+    JOIN csh sc ON sc.doc_id = corpus_id
+  WHERE ${jaccardSql("sn.sh", "sc.sh")} >= 0.5),
+best AS (SELECT new_id, corpus_id AS match_id, jaccard FROM
+    (SELECT *, row_number() OVER (PARTITION BY new_id
+      ORDER BY jaccard DESC, corpus_id ASC) AS rn FROM v)
+  WHERE rn = 1)
+SELECT ish.doc_id AS new_id, best.match_id IS NOT NULL AS matched,
+  coalesce(best.match_id, -1) AS match_id,
+  coalesce(best.jaccard, 0.0) AS jaccard
+FROM ish LEFT JOIN best ON best.new_id = ish.doc_id"""
   }
 
   val oracles: Map[String, String] = Map(
@@ -3900,59 +3980,15 @@ SELECT m.vec_id, m.cluster,
 FROM m LEFT JOIN d2 USING (canon1)"""
     },
 
-    "p43_incremental_dedup" -> {
-      val sh = hashedShinglesSql(shinglesSql(wordsSql("text")))
-      s"""WITH inc0 AS (
-    SELECT doc_id + 2000000 AS doc_id,
-      text || ' zzz extra tail qq' AS text
-    FROM documents WHERE doc_id % 5 = 0
-    UNION ALL
-    SELECT doc_id + 3000000 AS doc_id,
-      array_to_string(list_reverse(string_split(text, ' ')), ' ')
-        AS text
-    FROM documents WHERE doc_id % 7 = 0),
-csh0 AS (SELECT doc_id, $sh AS sh FROM documents),
-csh AS (SELECT * FROM csh0 WHERE len(sh) > 0),
-ish0 AS (SELECT doc_id, $sh AS sh FROM inc0),
-ish AS (SELECT * FROM ish0 WHERE len(sh) > 0),
-cb0 AS (SELECT doc_id AS corpus_id, len(sh) AS nsh,
-  CAST(unnest(range(0, $LshBands)) AS INT) AS band,
-  unnest(${bandKeysSql("sh")}) AS bkey FROM csh),
-cbw AS (SELECT corpus_id, band, bkey,
-    count(*) OVER (PARTITION BY band, bkey
-      ORDER BY nsh ASC, corpus_id ASC ROWS BETWEEN UNBOUNDED
-      PRECEDING AND UNBOUNDED FOLLOWING) AS bn,
-    row_number() OVER (PARTITION BY band, bkey
-      ORDER BY nsh ASC, corpus_id ASC) AS rk,
-    length(bin(nsh)) AS win,
-    lag(length(bin(nsh))) OVER (PARTITION BY band, bkey
-      ORDER BY nsh ASC, corpus_id ASC) AS pwin,
-    lead(length(bin(nsh))) OVER (PARTITION BY band, bkey
-      ORDER BY nsh ASC, corpus_id ASC) AS nwin
-  FROM cb0),
-cb AS (SELECT corpus_id, band, bkey FROM cbw
-  WHERE (rk - 1) % CAST(ceil(bn / $LshBucketCap) AS BIGINT) = 0
-     OR pwin IS NULL OR pwin <> win
-     OR nwin IS NULL OR nwin <> win),
-ib AS (SELECT doc_id AS new_id,
-  CAST(unnest(range(0, $LshBands)) AS INT) AS band,
-  unnest(${bandKeysSql("sh")}) AS bkey FROM ish),
-cand AS (SELECT DISTINCT new_id, corpus_id
-  FROM ib JOIN cb USING (band, bkey)),
-v AS (SELECT new_id, corpus_id,
-    ${jaccardSql("sn.sh", "sc.sh")} AS jaccard
-  FROM cand JOIN ish sn ON sn.doc_id = new_id
-    JOIN csh sc ON sc.doc_id = corpus_id
-  WHERE ${jaccardSql("sn.sh", "sc.sh")} >= 0.5),
-best AS (SELECT new_id, corpus_id AS match_id, jaccard FROM
-    (SELECT *, row_number() OVER (PARTITION BY new_id
-      ORDER BY jaccard DESC, corpus_id ASC) AS rn FROM v)
-  WHERE rn = 1)
-SELECT ish.doc_id AS new_id, best.match_id IS NOT NULL AS matched,
-  coalesce(best.match_id, -1) AS match_id,
-  coalesce(best.jaccard, 0.0) AS jaccard
-FROM ish LEFT JOIN best ON best.new_id = ish.doc_id"""
-    },
+    "p43_incremental_dedup" -> incrementalDedupOracle,
+
+    // p84 probes a precomputed parquet index instead of shingling the
+    // corpus in-session; the stored tables are a pure function of the
+    // corpus, so the EXPECTED OUTPUT is identical to p43's and the
+    // oracle re-derives it from the source tables (the established
+    // pattern for scratch-using queries, e.g. f21): a hash match here
+    // proves the index write/read round-trip changed nothing.
+    "p84_incremental_index" -> incrementalDedupOracle,
 
     "p23_decontamination" -> {
       val sh = hashedShinglesSql(shinglesSql(wordsSql("text")))

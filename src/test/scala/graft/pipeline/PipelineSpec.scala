@@ -311,6 +311,49 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got(1001L)._1, s"novel doc falsely matched: $got")
   }
 
+  test("precomputed index probe is row-identical to the in-session " +
+    "probe, including the hot-bucket keep") {
+    import spark.implicits._
+    // writeIndex + matchesAgainstIndex must reproduce matchesAgainst
+    // exactly — the index is the production shape (corpus shingled
+    // once, not per batch), so any drift between the two paths is
+    // corpus corruption waiting to happen. The fixture includes an
+    // over-cap hot bucket so the keep rule runs through the INDEX
+    // path too (the keep applies at probe time: one stored index
+    // serves any bucketCap).
+    val hotText = (1 to 30).map(i => s"ho$i").mkString(" ")
+    val corpus = ((1L to 100L).map(i => (i, hotText)) :+
+      (500L, (1 to 30).map(i => s"oth$i").mkString(" ")) :+
+      (600L, (1 to 25).map(i => s"plain$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (1000L, hotText + " tiny tail"),
+      (1001L, (1 to 25).map(i => s"plain$i").mkString(" ") + " qq"),
+      (1002L, (1 to 30).map(i => s"novel$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val direct = NearDup.matchesAgainst(corpus, incoming)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        r.getLong(2), r.getDouble(3))).sortBy(_._1).toSeq
+    graft.core.CacheRegistry.releaseAll()
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_lsh_idx").toString
+    NearDup.writeIndex(corpus, idx)
+    val viaIndex = NearDup.matchesAgainstIndex(spark, idx, incoming)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        r.getLong(2), r.getDouble(3))).sortBy(_._1).toSeq
+    graft.core.CacheRegistry.releaseAll()
+    assert(viaIndex == direct,
+      s"index probe diverged:\n direct=$direct\n index=$viaIndex")
+    // and a second batch reuses the same index without rebuilding
+    val batch2 = Seq((2000L, hotText + " another tail x")).toDF(
+      "doc_id", "text")
+    val got2 = NearDup.matchesAgainstIndex(spark, idx, batch2)
+      .collect().map(r => (r.getBoolean(1), r.getLong(2))).head
+    graft.core.CacheRegistry.releaseAll()
+    assert(got2._1 && got2._2 == 1L,
+      s"second-batch probe against the reused index failed: $got2")
+  }
+
   test("connected components surface maxIter non-convergence") {
     import spark.implicits._
     // diameter-4 path: label-edge doubling needs 2 rounds to cover it
