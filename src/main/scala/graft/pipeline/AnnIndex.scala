@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.pipeline.PipelineOps.{argmaxBucket, dot, norm}
+
+/** Precomputed IVF-lite ANN index — the serving shape of p06's
+  * bucketed cosine search: quantizer assignment and norms are paid
+  * ONCE at build time, and the index is laid out partitioned by
+  * coarse bucket so a probe reads only the buckets it lands in.
+  *
+  * Scale posture (100 TB embeddings, continuous serving):
+  *  - `write` stores (vec_id, nrm, embedding) PARTITIONED BY bucket —
+  *    the directory layout IS the inverted file. A probe filtered or
+  *    dynamically pruned to its bucket reads that bucket's files and
+  *    nothing else; no full-corpus scan, no full-corpus shuffle.
+  *  - `topK` broadcasts the (small) query batch and joins on the
+  *    partition column, so Spark's dynamic partition pruning can
+  *    drop unprobed buckets at the scan. Candidate volume is
+  *    bucket-bounded by construction (the p06 contract).
+  *  - index refresh is an append/overwrite of CHANGED buckets only
+  *    (partition overwrite mode), not a rebuild.
+  */
+object AnnIndex {
+
+  /** Build the index: one pass over the embeddings, written
+    * partitioned by the deterministic coarse bucket
+    * ([[PipelineOps.argmaxBucket]]), with the L2 norm precomputed —
+    * probes never touch raw-corpus scan work again.
+    */
+  def write(embeddings: DataFrame, path: String): Unit =
+    embeddings.select(col("vec_id"),
+        norm(col("embedding")).as("nrm"), col("embedding"),
+        argmaxBucket(col("embedding")).as("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+  /** Top-k cosine neighbors for a query batch against a [[write]]n
+    * index: each query searches ONLY its own coarse bucket (p06
+    * semantics — output is (query_id, vec_id, bucket, rank, cos),
+    * hash-identical to the in-session search on the same data). The
+    * query side carries (query_id, qv); its bucket and norm derive
+    * here with the same deterministic functions the build used.
+    */
+  def topK(spark: SparkSession, indexPath: String, queries: DataFrame,
+           k: Int = 5): DataFrame = {
+    val e = spark.read.parquet(indexPath)
+    val q = queries.select(col("query_id"), col("qv"),
+      argmaxBucket(col("qv")).as("bucket"), norm(col("qv")).as("qn"))
+    val rn = row_number().over(Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc))
+    broadcast(q).join(e.withColumnRenamed("bucket", "cbucket"),
+        col("cbucket") === col("bucket") &&
+          col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")))
+      .withColumn("rank", rn)
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "bucket", "rank", "cos")
+  }
+}

@@ -234,6 +234,23 @@ object PipelineQueries {
         .select("query_id", "vec_id", "bucket", "rank", "cos")
     }),
 
+    // precomputed-index ANN (graft.pipeline.AnnIndex): p06's bucketed
+    // search against an index built ONCE and laid out partitioned by
+    // coarse bucket — the serving shape, where probes read only their
+    // bucket's files and the quantizer/norm work is never re-paid.
+    // Output is hash-identical to p06 (shared oracle), proving the
+    // partitioned round-trip preserves the search bit-for-bit.
+    "p85_ann_index" -> ((s, dir) => {
+      val idx = graft.core.Scratch.path(s"graft_ann_index_${
+        dir.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      graft.pipeline.AnnIndex.write(
+        emb(s, dir).select("vec_id", "embedding"), idx)
+      graft.pipeline.AnnIndex.topK(s, idx,
+        emb(s, dir).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("qv")), k = 5)
+    }),
+
     // language ID via stopword-ratio heuristic
     "p07_langid" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"), col("lang"),
@@ -2820,6 +2837,21 @@ SELECT ish.doc_id AS new_id, best.match_id IS NOT NULL AS matched,
 FROM ish LEFT JOIN best ON best.new_id = ish.doc_id"""
   }
 
+  /** ONE oracle for p06 (in-session bucketed ANN) and p85 (the same
+    * search against the precomputed partitioned index).
+    */
+  private lazy val bucketedAnnOracle: String =
+    s"""WITH e AS (SELECT *, ${argmaxBucketSql("embedding")} AS bucket
+    FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM e
+    WHERE vec_id < 10),
+c AS (SELECT q.query_id, e.vec_id, q.bucket,
+    ${cosineSql("q.qv", "e.embedding")} AS cos
+  FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
+SELECT query_id, vec_id, bucket, rank, cos FROM r WHERE rank <= 5"""
+
   val oracles: Map[String, String] = Map(
     "p01_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id,
@@ -2871,17 +2903,13 @@ WHERE (CAST(i AS DOUBLE) / CAST(len(sa.sh) + len(sb.sh) - i AS DOUBLE))
 
     "p05_cosine_topk" -> p05Sql,
 
-    "p06_cosine_ann" ->
-      s"""WITH e AS (SELECT *, ${argmaxBucketSql("embedding")} AS bucket
-    FROM embeddings),
-q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM e
-    WHERE vec_id < 10),
-c AS (SELECT q.query_id, e.vec_id, q.bucket,
-    ${cosineSql("q.qv", "e.embedding")} AS cos
-  FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
-r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
-SELECT query_id, vec_id, bucket, rank, cos FROM r WHERE rank <= 5""",
+    "p06_cosine_ann" -> bucketedAnnOracle,
+
+    // p85 searches a precomputed bucket-partitioned index; the stored
+    // table is a pure function of the embeddings, so the expected
+    // output is identical to p06's — sharing the oracle makes the
+    // gate assert the partitioned round-trip changed nothing.
+    "p85_ann_index" -> bucketedAnnOracle,
 
     "p07_langid" ->
       s"""SELECT doc_id, lang, $predSql AS predicted,

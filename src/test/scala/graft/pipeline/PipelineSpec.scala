@@ -354,6 +354,51 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"second-batch probe against the reused index failed: $got2")
   }
 
+  test("ANN index: partitioned layout is real and topK matches the " +
+    "in-session bucketed search") {
+    import spark.implicits._
+    // deterministic 8-dim vectors spread over several argmax buckets
+    val e = (1L to 60L).map { i =>
+      (i, (0 until 8).map(d =>
+        (((i * 7 + d * 13) % 19).toFloat - 9f) / 10f).toArray)
+    }.toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ann_idx").toString + "/ix"
+    AnnIndex.write(e, idx)
+    // the directory layout IS the inverted file: bucket=N partitions
+    val parts = new java.io.File(idx).listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName)
+    assert(parts.length > 1, s"expected >1 bucket partition: ${
+      parts.toSeq}")
+    val q = e.filter(col("vec_id") <= 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val got = AnnIndex.topK(spark, idx, q, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3),
+        r.getDouble(4))).sortBy(t => (t._1, t._3)).toSeq
+    // in-session reference: the p06 shape over the same data
+    val eb = e.withColumn("bucket",
+        graft.pipeline.PipelineOps.argmaxBucket(col("embedding")))
+      .withColumn("nrm", graft.pipeline.PipelineOps.norm(col("embedding")))
+    val qb = eb.filter(col("vec_id") <= 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("bucket"), col("nrm").as("qn"))
+    val rn = org.apache.spark.sql.functions.row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("vec_id").asc))
+    val ref = broadcast(qb)
+      .join(eb.withColumnRenamed("bucket", "cbucket"),
+        col("cbucket") === col("bucket") &&
+          col("vec_id") =!= col("query_id"))
+      .withColumn("cos", graft.pipeline.PipelineOps.dot(col("qv"),
+        col("embedding")) / (col("qn") * col("nrm")))
+      .withColumn("rank", rn).filter(col("rank") <= 3)
+      .select("query_id", "vec_id", "rank", "cos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._3)).toSeq
+    assert(got == ref,
+      s"index topK diverged from in-session search:\n got=$got\n ref=$ref")
+  }
+
   test("connected components surface maxIter non-convergence") {
     import spark.implicits._
     // diameter-4 path: label-edge doubling needs 2 rounds to cover it
