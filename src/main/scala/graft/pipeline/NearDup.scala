@@ -332,6 +332,45 @@ object NearDup {
       .write.mode("overwrite").parquet(s"$path/bands")
   }
 
+  /** Append NEW documents to an existing [[writeIndex]] — the
+    * continuous-build increment: once a batch's survivors are
+    * decided, append them so the NEXT batch probes the grown corpus.
+    * Only the new docs are shingled (persisted + materialized once;
+    * both table appends consume the same cache, released here since
+    * nothing lazy escapes). At cluster scale both appends are
+    * partition-local file adds — no read, no shuffle, no compaction
+    * of the existing index.
+    */
+  def appendIndex(newDocs: DataFrame, path: String): Unit = {
+    val sh = shingleify(newDocs)
+      .transform(graft.core.CacheRegistry.persist(_))
+    sh.count()
+    sh.write.mode("append").parquet(s"$path/signatures")
+    sh.select(col("doc_id").as("corpus_id"),
+        size(col("sh")).as("nsh_c"),
+        posexplode(col("bks")).as(Seq("band", "bkey")))
+      .write.mode("append").parquet(s"$path/bands")
+  }
+
+  /** The index-backed [[dedupAgainst]]: survivors of the incoming
+    * batch vs the PRECOMPUTED corpus index, then deduped within the
+    * batch. The foreachBatch body of an index-backed streaming
+    * corpus build is: survivors = dedupAgainstIndex(...);
+    * appendIndex(survivors, path); CacheRegistry.releaseAll().
+    */
+  def dedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String, incoming: DataFrame,
+                        threshold: Double = 0.5,
+                        bucketCap: Int = LshBucketCap): DataFrame = {
+    val matched = matchesAgainstIndex(spark, indexPath, incoming,
+      threshold, bucketCap)
+      .filter(col("matched")).select(col("new_id"))
+    val vsCorpus = incoming.join(matched,
+      incoming("doc_id") === matched("new_id"), "left_anti")
+    vsCorpus.join(canonicalIds(vsCorpus, threshold),
+      Seq("doc_id"), "left_semi")
+  }
+
   /** [[matchesAgainst]] against a [[writeIndex]]-precomputed corpus:
     * identical output (same probe core, same keep rule, same
     * verify), but the per-batch cost is ONLY the incoming batch's

@@ -102,6 +102,67 @@ class IncrementalCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.count() == 0L)
   }
 
+  test("index-backed foreachBatch curation: probe + append loop " +
+    "accumulates the same corpus as the re-shingling loop") {
+    import spark.implicits._
+    // the production loop: the corpus LSH index is built once
+    // (empty), every batch PROBES it (dedupAgainstIndex) and APPENDS
+    // its survivors (appendIndex) — the corpus text is never
+    // re-shingled. Must accumulate exactly the ids the re-shingling
+    // loop above accumulates, and end near-dup-free.
+    val stageDir = java.nio.file.Files
+      .createTempDirectory("graft_idx_cur_src").toString
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_idx_cur_idx").toString + "/ix"
+    def doc(n: Int): String =
+      (1 to 30).map(i => s"w${(i * n) % 17}").mkString(" ")
+    val batches = Seq(
+      Seq((1L, doc(3)), (2L, doc(5))),
+      Seq((3L, doc(3) + " zzz tail"), (4L, doc(11))),
+      Seq((5L, doc(5)), (6L, doc(11) + " qq end")),
+      Seq((7L, doc(13)), (8L, doc(13) + " tail x")))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$stageDir/b$i")
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    // bootstrap: an EMPTY index (schema-only parquet) so batch 1
+    // probes cleanly and appends the first survivors
+    NearDup.writeIndex(Seq.empty[(Long, String)]
+      .toDF("doc_id", "text"), idx)
+    batches.indices.foreach { i =>
+      val q = spark.readStream.schema(schema)
+        .parquet(s"$stageDir/b$i")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bs = batch.sparkSession
+          graft.functions.GraftFunctions.install(bs)
+          val survivors = NearDup
+            .dedupAgainstIndex(bs, idx, batch)
+            .select("doc_id", "text")
+            .transform(graft.core.CacheRegistry.persist(_))
+          survivors.count() // decide survivors BEFORE growing the index
+          NearDup.appendIndex(survivors, idx)
+          graft.core.CacheRegistry.releaseAll()
+          ()
+        }
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory(s"graft_idx_cur_ck$i").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), s"batch $i drain timed out")
+    }
+    // the index's signature table doubles as the corpus membership
+    val ids = spark.read.parquet(s"$idx/signatures")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 4L, 7L),
+      s"index-backed loop accumulated $ids")
+  }
+
   test("matchesAgainst cache contract: releaseAll keeps pinned " +
     "storage flat across micro-batches") {
     // matchesAgainst's scaladoc warns that a per-micro-batch loop
