@@ -35,6 +35,17 @@ object AnnIndex {
         argmaxBucket(col("embedding")).as("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
 
+  /** Append NEW embeddings to an existing index — the continuous
+    * increment (new corpus shards arriving): partition-local file
+    * adds under the buckets the new vectors land in; existing bucket
+    * files are never read or rewritten.
+    */
+  def append(embeddings: DataFrame, path: String): Unit =
+    embeddings.select(col("vec_id"),
+        norm(col("embedding")).as("nrm"), col("embedding"),
+        argmaxBucket(col("embedding")).as("bucket"))
+      .write.partitionBy("bucket").mode("append").parquet(path)
+
   /** Top-k cosine neighbors for a query batch against a [[write]]n
     * index: each query searches ONLY its own coarse bucket (p06
     * semantics — output is (query_id, vec_id, bucket, rank, cos),

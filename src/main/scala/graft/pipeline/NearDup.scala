@@ -383,8 +383,16 @@ object NearDup {
                           indexPath: String, incoming: DataFrame,
                           threshold: Double = 0.5,
                           bucketCap: Int = LshBucketCap): DataFrame = {
+    // fail fast with a named error if the path is not a writeIndex
+    // layout — a wrong path would otherwise surface as an unresolved
+    // column three joins deep
     val corpusSh = spark.read.parquet(s"$indexPath/signatures")
+    graft.core.Checks.requireColumns(corpusSh,
+      "matches_against_index(signatures)", "doc_id", "sh", "bks")
     val cb0 = spark.read.parquet(s"$indexPath/bands")
+    graft.core.Checks.requireColumns(cb0,
+      "matches_against_index(bands)", "corpus_id", "nsh_c", "band",
+      "bkey")
     val incSh = shingleify(incoming)
       .transform(graft.core.CacheRegistry.persist(_))
     incSh.count() // materialize before fan-out (2 plan branches)

@@ -397,6 +397,24 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getDouble(3))).sortBy(t => (t._1, t._3)).toSeq
     assert(got == ref,
       s"index topK diverged from in-session search:\n got=$got\n ref=$ref")
+
+    // append: new vectors land in their buckets without touching
+    // existing files, and immediately serve probes
+    val extra = Seq((200L, Array.fill(8)(0.9f)))
+      .toDF("vec_id", "embedding")
+    AnnIndex.append(extra, idx)
+    val q200 = extra.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+    // a same-direction query (vec 201 == vec 200's direction) must
+    // now find 200 as its top neighbor through the appended file
+    val probe = Seq((201L, Array.fill(8)(0.45f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val top = AnnIndex.topK(spark, idx, probe, k = 1)
+      .collect().map(r => (r.getLong(1), r.getDouble(4))).headOption
+    assert(top.exists { case (vid, cos) =>
+      vid == 200L && math.abs(cos - 1.0) < 1e-9 },
+      s"appended vector not served by the index: $top")
   }
 
   test("connected components surface maxIter non-convergence") {
