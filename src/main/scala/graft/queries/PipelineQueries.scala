@@ -3524,7 +3524,7 @@ mu64 AS (SELECT pos,
 mua AS (SELECT list(mu ORDER BY pos) AS mu, max(n) AS n FROM mu64),
 c AS (SELECT vec_id, n, list_transform(range(1, len(v) + 1),
     i -> v[CAST(i AS INT)] - mu[CAST(i AS INT)]) AS cv FROM e, mua),
-v0 AS (SELECT list_transform(range(1, 65), i -> 0.125) AS vec),
+v0 AS (SELECT list_transform(mu, x -> 0.125) AS vec FROM mua),
 ${stepSql(1, "v0")},
 ${stepSql(2, "v1")}
 SELECT mu64.pos, mu64.mu,
