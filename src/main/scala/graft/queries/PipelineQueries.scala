@@ -2148,6 +2148,133 @@ object PipelineQueries {
       graft.pipeline.NearDup.matchesAgainstIndex(s, idx, incoming)
     }),
 
+    // semantic (embedding-space) decontamination: the fourth leg of
+    // the decon taxonomy (p23 n-gram, p59 Bloom, p79 multi-suite —
+    // all token-overlap; this one catches PARAPHRASED contamination
+    // that shares no shingles). The held-out suite is p20's
+    // content-hash test split (embeddings are row-aligned with
+    // documents, p73's invariant); a training vector is contaminated
+    // when any suite vector in its hyperplane sign-bucket clears the
+    // cosine threshold. Ground truth is planted: direction-preserving
+    // copies of each suite vector (x1.1 scale — the re-embedded
+    // near-exact-text analog; same sign-bucket by construction) join
+    // the train side and must all be flagged, while natural
+    // suite-train cosines top out at ~0.51 on this fixture. Scale
+    // shape: the suite side is a benchmark battery — small at ANY
+    // corpus scale — so it rides a broadcast; the train side is
+    // probed at scan bandwidth with per-vector candidates bounded by
+    // suite size, and the sign-bucket equi-join prunes candidates
+    // BEFORE the cosine (production widens to 16-24 planes; 4 here
+    // keeps the 500-row fixture's buckets populated).
+    "p86_semantic_decontamination" -> ((s, dir) => {
+      val planes = hyperplanes(4, 64)
+      val split = docs(s, dir).select(col("doc_id"),
+        (h64(col("text"), 13) % 100 >= 90).as("is_suite"))
+      // e fans out to suite + both train branches — persist so the
+      // split-hash scan and the alignment join run once (f20 lesson)
+      val e = emb(s, dir)
+        .join(split, col("vec_id") === col("doc_id"))
+        .select(col("vec_id"), col("embedding").as("v"), col("is_suite"))
+        .transform(graft.core.CacheRegistry.persist(_))
+      val suite = e.filter(col("is_suite"))
+        .select(col("vec_id").as("suite_id"),
+          hyperplaneSig(col("v"), planes).as("sig"),
+          col("v").as("sv"), norm(col("v")).as("sn"))
+      val train = e.filter(!col("is_suite"))
+        .select(col("vec_id"), col("v"))
+        .unionByName(e.filter(col("is_suite")).select(
+          (col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("v"), x => x * lit(1.1f)).as("v")))
+        .withColumn("sig", hyperplaneSig(col("v"), planes))
+        .withColumn("nrm", norm(col("v")))
+      train.join(broadcast(suite), Seq("sig"))
+        .withColumn("cos",
+          dot(col("v"), col("sv")) / (col("nrm") * col("sn")))
+        .groupBy("vec_id")
+        .agg(count(lit(1)).as("n_candidates"),
+          max(col("cos")).as("mc"))
+        .select(col("vec_id"), col("n_candidates"),
+          round(col("mc"), 6).as("max_cos"),
+          (col("mc") >= 0.98).as("contaminated"))
+    }),
+
+    // line-level boilerplate removal (the RefinedWeb line-wise
+    // correction stage): drop lines that match a blocklist of
+    // boilerplate phrases or carry fewer than 3 words, rewrite the
+    // document from the survivors, and keep the doc only if at least
+    // half its lines survive. The synthetic corpus has no newlines,
+    // so deterministic boilerplate lines are injected first (the p24
+    // PII pattern) as ground truth. Everything is expression-only
+    // scan work — split, HOF filter, array_join, md5 — with the line
+    // array let-bound so the split runs once per row (the f21
+    // lesson): zero shuffles, zero explodes; at 100 TB this stage is
+    // pure scan bandwidth.
+    "p87_line_quality_filter" -> ((s, dir) => {
+      val blocklist = Seq(
+        "subscribe to our newsletter for updates",
+        "copyright 2024 all rights reserved")
+      val withLines = docs(s, dir).select(col("doc_id"), concat_ws("\n",
+        col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0, blocklist(0)),
+        when(pmod(col("doc_id"), lit(5)) === 0, blocklist(1)),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit("ok"))).as("text2"))
+      withLines.select(col("doc_id"), bind(split(col("text2"), "\n")) {
+          lines =>
+        val kept = filter(lines, l =>
+          !array_contains(array(blocklist.map(lit): _*), l) &&
+            size(words(l)) >= 3)
+        struct(size(lines).as("n_lines"), size(kept).as("n_kept"),
+          md5(array_join(kept, "\n")).as("clean_md5"))
+      }.as("r"))
+        .select(col("doc_id"),
+          col("r.n_lines"), col("r.n_kept"),
+          round((col("r.n_lines") - col("r.n_kept")).cast("double") /
+            col("r.n_lines").cast("double"), 6).as("removed_frac"),
+          col("r.clean_md5"),
+          (col("r.n_kept") * 2 >= col("r.n_lines")).as("doc_keep"))
+    }),
+
+    // CCNet-style perplexity-band filtering: score every document
+    // with the corpus's own unigram LM (p40's avg NLL, DECIMAL-exact
+    // accumulation), cut each language's NLL distribution at its
+    // 33rd/67th percentiles, and band docs head/middle/tail — keep =
+    // not tail (the CCNet training recipe). Scale shape: the LM pass
+    // is p40's inverted index (vocabulary-bounded aggregate state);
+    // the band thresholds are ONE per-language percentile aggregate
+    // (|langs| rows) broadcast back, and band assignment is
+    // scan-side compares — never the per-language global sort a
+    // naive ntile would shuffle.
+    "p88_perplexity_filter" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"), col("lang"),
+        explode(transform(words(col("text")), w => lower(w)))
+          .as("term"))
+      val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val tot = vocab.agg(sum("cnt").cast("double").as("n_corpus"))
+      // nll feeds BOTH the threshold aggregate and the final band
+      // join — persist it (one narrow row per doc) or the token
+      // explode + vocab join re-executes per branch (the f20 lesson)
+      val nll = toks.join(vocab, Seq("term"))
+        .crossJoin(broadcast(tot))
+        .withColumn("nll", round(lit(0.0) -
+          log(col("cnt").cast("double") / col("n_corpus")), 9)
+          .cast("decimal(28,9)"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_tok"),
+          round(sum(col("nll")).cast("double") / count(lit(1)), 6)
+            .as("avg_nll"))
+        .transform(graft.core.CacheRegistry.persist(_))
+      val th = nll.groupBy("lang").agg(
+        percentile(col("avg_nll"), lit(0.33)).as("t1"),
+        percentile(col("avg_nll"), lit(0.67)).as("t2"))
+      nll.join(broadcast(th), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          col("avg_nll"),
+          when(col("avg_nll") <= col("t1"), "head")
+            .when(col("avg_nll") <= col("t2"), "middle")
+            .otherwise("tail").as("ppl_bucket"),
+          (col("avg_nll") <= col("t2")).as("keep"))
+    }),
+
     // training-window chunking: fixed-size overlapping token windows
     // (W=16, stride 12) per document, one output row per chunk. Pure
     // map work — tokenize once per row (let-bound), derive the chunk
@@ -4017,6 +4144,75 @@ FROM m LEFT JOIN d2 USING (canon1)"""
     // pattern for scratch-using queries, e.g. f21): a hash match here
     // proves the index write/read round-trip changed nothing.
     "p84_incremental_index" -> incrementalDedupOracle,
+
+    "p86_semantic_decontamination" -> {
+      val planes = hyperplanes(4, 64)
+      s"""WITH sp AS (SELECT doc_id,
+    (${h64Sql("text", 13)} % 100 >= 90) AS is_suite FROM documents),
+e AS (SELECT vec_id, embedding AS v, is_suite
+  FROM embeddings JOIN sp ON vec_id = doc_id),
+suite AS (SELECT vec_id AS suite_id,
+    ${hyperplaneSigSql("v", planes)} AS sig,
+    v AS sv, ${normSql("v")} AS sn FROM e WHERE is_suite),
+train0 AS (SELECT vec_id, v FROM e WHERE NOT is_suite
+  UNION ALL SELECT vec_id + 1000000 AS vec_id,
+    list_transform(v, x -> CAST(x * CAST(1.1 AS FLOAT) AS FLOAT)) AS v
+  FROM e WHERE is_suite),
+train AS (SELECT vec_id, v, ${hyperplaneSigSql("v", planes)} AS sig,
+    ${normSql("v")} AS nrm FROM train0),
+c AS (SELECT t.vec_id,
+    (${dotSql("t.v", "s.sv")} / (t.nrm * s.sn)) AS cos
+  FROM train t JOIN suite s ON t.sig = s.sig)
+SELECT vec_id, CAST(count(*) AS BIGINT) AS n_candidates,
+  round(max(cos), 6) AS max_cos,
+  max(cos) >= 0.98 AS contaminated
+FROM c GROUP BY vec_id"""
+    },
+
+    "p87_line_quality_filter" -> {
+      val wc = s"len(${wordsSql("l")})"
+      s"""WITH p AS (SELECT doc_id, concat_ws(chr(10), text,
+    CASE WHEN doc_id % 3 = 0
+      THEN 'subscribe to our newsletter for updates' END,
+    CASE WHEN doc_id % 5 = 0
+      THEN 'copyright 2024 all rights reserved' END,
+    CASE WHEN doc_id % 4 = 0 THEN 'ok' END) AS text2
+  FROM documents),
+s AS (SELECT doc_id, string_split(text2, chr(10)) AS lines FROM p),
+k AS (SELECT doc_id, CAST(len(lines) AS INT) AS n_lines,
+    list_filter(lines, l -> NOT list_contains(
+      ['subscribe to our newsletter for updates',
+       'copyright 2024 all rights reserved'], l) AND $wc >= 3) AS kept
+  FROM s)
+SELECT doc_id, n_lines, CAST(len(kept) AS INT) AS n_kept,
+  round(CAST(n_lines - len(kept) AS DOUBLE) /
+    CAST(n_lines AS DOUBLE), 6) AS removed_frac,
+  md5(array_to_string(kept, chr(10))) AS clean_md5,
+  len(kept) * 2 >= n_lines AS doc_keep
+FROM k"""
+    },
+
+    "p88_perplexity_filter" -> {
+      val w = wordsSql("text")
+      s"""WITH toks AS (SELECT doc_id, lang,
+    unnest(list_transform($w, w -> lower(w))) AS term
+  FROM documents),
+vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_corpus FROM vocab),
+nll AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tok,
+    round(CAST(sum(CAST(round(0.0 - ln(CAST(cnt AS DOUBLE) /
+      n_corpus), 9) AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6)
+      AS avg_nll
+  FROM toks JOIN vocab USING (term), tot
+  GROUP BY doc_id, lang),
+th AS (SELECT lang, quantile_cont(avg_nll, 0.33) AS t1,
+    quantile_cont(avg_nll, 0.67) AS t2 FROM nll GROUP BY lang)
+SELECT doc_id, lang, n_tok, avg_nll,
+  CASE WHEN avg_nll <= t1 THEN 'head'
+       WHEN avg_nll <= t2 THEN 'middle' ELSE 'tail' END AS ppl_bucket,
+  avg_nll <= t2 AS keep
+FROM nll JOIN th USING (lang)"""
+    },
 
     "p23_decontamination" -> {
       val sh = hashedShinglesSql(shinglesSql(wordsSql("text")))

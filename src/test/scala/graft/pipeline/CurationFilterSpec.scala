@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10 curation-filter operators: semantic decontamination
+  * (p86), line-level boilerplate removal (p87), perplexity-band
+  * filtering (p88). Structural + planted-ground-truth checks; exact
+  * values are pinned by the DuckDB oracles.
+  */
+class CurationFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.001"
+  private def run(name: String) = {
+    val df = graft.SparkEntry.queries(name)(spark, dir)
+    val rows = df.collect()
+    graft.core.CacheRegistry.releaseAll()
+    spark.catalog.clearCache()
+    (df, rows)
+  }
+
+  test("p86: every planted copy is flagged, no natural vector is") {
+    val (df, rows) = run("p86_semantic_decontamination")
+    val id = df.columns.indexOf("vec_id")
+    val cont = df.columns.indexOf("contaminated")
+    val nc = df.columns.indexOf("n_candidates")
+    val planted = rows.filter(_.getLong(id) >= 1000000L)
+    val natural = rows.filter(_.getLong(id) < 1000000L)
+    // the fixture plants one x1.1 direction-preserving copy per suite
+    // vector; every one must surface AND be flagged
+    assert(planted.nonEmpty)
+    assert(planted.forall(_.getBoolean(cont)),
+      "a planted suite copy escaped the cosine threshold")
+    assert(natural.forall(r => !r.getBoolean(cont)),
+      "a natural vector was falsely flagged")
+    assert(rows.forall(_.getLong(nc) >= 1L))
+    // planted copies share their source's sign-bucket, so each sees
+    // at least its own source among the candidates
+    val mc = df.columns.indexOf("max_cos")
+    assert(planted.forall(_.getDouble(mc) > 0.99))
+  }
+
+  test("p87: original text always survives; junk-only injections decide doc_keep") {
+    val (df, rows) = run("p87_line_quality_filter")
+    val id = df.columns.indexOf("doc_id")
+    val nl = df.columns.indexOf("n_lines")
+    val nk = df.columns.indexOf("n_kept")
+    val keep = df.columns.indexOf("doc_keep")
+    val md = df.columns.indexOf("clean_md5")
+    assert(rows.length ==
+      spark.read.parquet(s"$dir/documents.parquet").count())
+    // on this fixture every injected line is junk, so exactly the
+    // original text survives — clean_md5 must equal md5(text)
+    val expect = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), md5(col("text")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      assert(r.getInt(nk) == 1)
+      assert(r.getString(md) == expect(r.getLong(id)),
+        s"doc ${r.getLong(id)}: cleaned text is not the original")
+      val injected = Seq(3, 5, 4).count(m => r.getLong(id) % m == 0)
+      assert(r.getInt(nl) == 1 + injected)
+      assert(r.getBoolean(keep) == (2 >= r.getInt(nl)))
+    }
+  }
+
+  test("p88: thirds per language, keep = not tail, bands ordered by NLL") {
+    val (df, rows) = run("p88_perplexity_filter")
+    val lang = df.columns.indexOf("lang")
+    val bucket = df.columns.indexOf("ppl_bucket")
+    val keep = df.columns.indexOf("keep")
+    val nll = df.columns.indexOf("avg_nll")
+    assert(rows.length ==
+      spark.read.parquet(s"$dir/documents.parquet").count())
+    rows.foreach { r =>
+      assert(r.getBoolean(keep) == (r.getString(bucket) != "tail"))
+      assert(r.getDouble(nll) > 0.0)
+    }
+    rows.groupBy(_.getString(lang)).foreach { case (l, rs) =>
+      val bands = rs.groupBy(_.getString(bucket))
+        .map { case (b, xs) => b -> xs.length }
+      assert(bands.keySet == Set("head", "middle", "tail"),
+        s"$l missing a band: $bands")
+      // percentile cuts at 0.33/0.67 give thirds within rounding
+      val n = rs.length
+      bands.values.foreach(c =>
+        assert(math.abs(c - n / 3.0) <= n / 6.0 + 1,
+          s"$l band sizes far from thirds: $bands"))
+      // every head NLL <= every tail NLL within a language
+      val maxHead = rs.filter(_.getString(bucket) == "head")
+        .map(_.getDouble(nll)).max
+      val minTail = rs.filter(_.getString(bucket) == "tail")
+        .map(_.getDouble(nll)).min
+      assert(maxHead <= minTail)
+    }
+  }
+}
