@@ -2165,7 +2165,15 @@ object PipelineQueries {
     // probed at scan bandwidth with per-vector candidates bounded by
     // suite size, and the sign-bucket equi-join prunes candidates
     // BEFORE the cosine (production widens to 16-24 planes; 4 here
-    // keeps the 500-row fixture's buckets populated).
+    // keeps the 500-row fixture's buckets populated). Recall
+    // boundary, stated honestly: the planted copies are
+    // direction-preserving, so this fixture measures the THRESHOLD,
+    // not bucket recall — a paraphrase perturbed enough to flip a
+    // plane sign lands in a neighboring bucket and single-bucket
+    // probing misses it. The recall lever is p18's Hamming-1
+    // multi-probe (swap the equi-join for the probe-key explode,
+    // (nPlanes+1)x probe volume), or more planes with banding; the
+    // threshold check itself is probe-strategy-independent.
     "p86_semantic_decontamination" -> ((s, dir) => {
       val planes = hyperplanes(4, 64)
       val split = docs(s, dir).select(col("doc_id"),

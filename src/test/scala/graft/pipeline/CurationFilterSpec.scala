@@ -51,6 +51,47 @@ class CurationFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planted.forall(_.getDouble(mc) > 0.99))
   }
 
+  test("p86 recall boundary, measured: a sign-flipping paraphrase is missed " +
+    "by single-bucket probing and found by Hamming-1 multi-probe") {
+    import graft.pipeline.PipelineOps._
+    import spark.implicits._
+    val planes = hyperplanes(4, 8)
+    // a suite vector and a paraphrase perturbed JUST enough to flip
+    // exactly one plane sign: still high-cosine, different bucket —
+    // the miss the p86 comment documents, measured here
+    val base = Seq.fill(8)(0.5f)
+    def d(a: Seq[Float], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    def sig(v: Seq[Float]): Int =
+      planes.zipWithIndex.map { case (p, i) =>
+        if (d(v, p) >= 0) 1 << i else 0 }.sum
+    def cosd(a: Seq[Float], b: Seq[Float]): Double = {
+      def n(x: Seq[Float]) = math.sqrt(x.map(v => v.toDouble * v).sum)
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum / (n(a) * n(b))
+    }
+    val flip = (0 until 8).flatMap { i =>
+      Seq(-1.2f, 1.2f).map(dv => base.updated(i, base(i) + dv))
+    }.find { v =>
+      Integer.bitCount(sig(v) ^ sig(base)) == 1 && cosd(v, base) > 0.8
+    }.getOrElse(fail("no single-flip high-cosine nudge exists"))
+    val suite = Seq((1L, base)).toDF("suite_id", "sv")
+      .select(col("suite_id"), hyperplaneSig(col("sv"), planes).as("sig"))
+    val probe = Seq((2L, flip)).toDF("vec_id", "v")
+      .select(col("vec_id"), hyperplaneSig(col("v"), planes).as("sig"))
+    // Spark's signature math agrees with the local search...
+    assert(probe.select(col("sig")).as[Int].head() == sig(flip))
+    assert(suite.select(col("sig")).as[Int].head() == sig(base))
+    // ...single-bucket probing (p86's equi-join) misses the pair:
+    assert(probe.join(suite, Seq("sig")).count() == 0,
+      "expected the sign-flipped paraphrase to land in another bucket")
+    // ...and Hamming-1 multi-probe (p18's rule) finds it:
+    val probeKeys = probe.select(col("vec_id"), explode(
+        array((lit(0) +: (0 until 4).map(p => lit(1 << p))): _*)).as("m"),
+        col("sig"))
+      .select(col("vec_id"), col("sig").bitwiseXOR(col("m")).as("sig"))
+    assert(probeKeys.join(suite, Seq("sig")).count() == 1)
+  }
+
   test("p87: original text always survives; junk-only injections decide doc_keep") {
     val (df, rows) = run("p87_line_quality_filter")
     val id = df.columns.indexOf("doc_id")
