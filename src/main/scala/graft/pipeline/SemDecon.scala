@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.PipelineOps.{dot, hyperplaneSig, hyperplanes, norm}
+
+/** Semantic (embedding-space) decontamination — the shared core of
+  * p86 (in-session suite) and p89 (precomputed suite index). A
+  * training vector is contaminated when any held-out-suite vector in
+  * its hyperplane sign-bucket clears the cosine threshold; the suite
+  * side is a benchmark battery — small at ANY corpus scale — so it
+  * rides a broadcast and the train side is probed at scan bandwidth.
+  *
+  * Continuous-build posture (the p84/p85 pattern, applied to decon):
+  * a benchmark battery changes rarely while corpus batches arrive
+  * continuously, so `writeSuiteIndex` pays the signature/norm pass
+  * once and every batch probes the stored table. Unlike
+  * [[AnnIndex]], the index here does NOT need a partition layout —
+  * the whole suite is broadcast at probe time, so what the index
+  * saves is the per-batch sig/norm recompute and the suite's source
+  * scan, not per-bucket read pruning.
+  *
+  * Single-bucket probing measures the THRESHOLD, not bucket recall:
+  * a paraphrase perturbed enough to flip one plane sign lands in a
+  * neighboring bucket (CurationFilterSpec constructs and measures
+  * that miss); the recall lever is p18-style Hamming-1 multi-probe
+  * or more planes with banding.
+  */
+object SemDecon {
+
+  /** The canonical plane set both query twins embed as literals. */
+  val DefaultPlanes: Seq[Seq[Double]] = hyperplanes(4, 64)
+
+  /** Suite table shape: (suite_id, sv, sn, sig) from (suite_id, sv). */
+  def suiteTable(suite: DataFrame,
+                 planes: Seq[Seq[Double]] = DefaultPlanes): DataFrame =
+    suite.select(col("suite_id"), col("sv"),
+      norm(col("sv")).as("sn"),
+      hyperplaneSig(col("sv"), planes).as("sig"))
+
+  /** Persist the suite once (signature + norm precomputed). */
+  def writeSuiteIndex(suite: DataFrame, path: String,
+                      planes: Seq[Seq[Double]] = DefaultPlanes): Unit =
+    suiteTable(suite, planes).write.mode("overwrite").parquet(path)
+
+  /** Add suite vectors (a new benchmark) to an existing index —
+    * partition-local file adds, nothing existing is read.
+    */
+  def appendSuiteIndex(suite: DataFrame, path: String,
+                       planes: Seq[Seq[Double]] = DefaultPlanes): Unit =
+    suiteTable(suite, planes).write.mode("append").parquet(path)
+
+  /** Probe: flag every train vector whose sign-bucket holds a suite
+    * vector above the cosine threshold. Output: (vec_id,
+    * n_candidates, max_cos, contaminated) — one row per train vector
+    * with at least one bucket-shared suite candidate. The suite is
+    * explicitly broadcast; the per-vector aggregate is the plan's
+    * ONE exchange.
+    */
+  def probe(suite: DataFrame, train: DataFrame,
+            threshold: Double = 0.98,
+            planes: Seq[Seq[Double]] = DefaultPlanes): DataFrame = {
+    val t = train
+      .withColumn("sig", hyperplaneSig(col("v"), planes))
+      .withColumn("nrm", norm(col("v")))
+    t.join(broadcast(suite), Seq("sig"))
+      .withColumn("cos",
+        dot(col("v"), col("sv")) / (col("nrm") * col("sn")))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_candidates"), max(col("cos")).as("mc"))
+      .select(col("vec_id"), col("n_candidates"),
+        round(col("mc"), 6).as("max_cos"),
+        (col("mc") >= threshold).as("contaminated"))
+  }
+
+  /** The index-backed probe: [[probe]] against a [[writeSuiteIndex]]
+    * table. Fail fast on a wrong table rather than mis-joining.
+    */
+  def decontaminateAgainstIndex(spark: SparkSession, indexPath: String,
+                                train: DataFrame,
+                                threshold: Double = 0.98): DataFrame = {
+    val suite = spark.read.parquet(indexPath)
+    val need = Set("suite_id", "sv", "sn", "sig")
+    require(need.subsetOf(suite.columns.toSet),
+      s"not a SemDecon suite index at $indexPath: has " +
+        s"${suite.columns.mkString(",")}, needs ${need.mkString(",")}")
+    probe(suite, train, threshold)
+  }
+}

@@ -39,6 +39,43 @@ object PipelineQueries {
   /** Fixed keyword set for the BM25 search query (p19). */
   private val BM25Terms = Seq("spark", "merge", "window")
 
+  /** Suite/train fixture for semantic decontamination (p86/p89):
+    * the held-out suite is p20's content-hash test split (embeddings
+    * are row-aligned with documents, p73's invariant), and the train
+    * side is the rest PLUS one planted direction-preserving x1.1
+    * copy per suite vector (the re-embedded near-exact-text analog;
+    * same sign-bucket by construction — scaling preserves every
+    * projection sign) that the probe must flag, while natural
+    * suite-train cosines top out at ~0.51 on this fixture so the
+    * 0.98 threshold has a 2x margin. The aligned table fans out to
+    * suite + both train branches — persisted so the split-hash scan
+    * and the alignment join run once (f20 lesson). Recall boundary,
+    * stated honestly: planted copies measure the THRESHOLD, not
+    * bucket recall — a paraphrase perturbed enough to flip a plane
+    * sign lands in a neighboring bucket and single-bucket probing
+    * misses it (CurationFilterSpec constructs and measures that
+    * miss); the recall lever is p18's Hamming-1 multi-probe, or more
+    * planes with banding (production widens to 16-24 planes; 4 here
+    * keeps the 500-row fixture's buckets populated).
+    */
+  private def semDeconFixture(s: SparkSession,
+                              dir: String): (DataFrame, DataFrame) = {
+    val split = docs(s, dir).select(col("doc_id"),
+      (h64(col("text"), 13) % 100 >= 90).as("is_suite"))
+    val e = emb(s, dir)
+      .join(split, col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("embedding").as("v"), col("is_suite"))
+      .transform(graft.core.CacheRegistry.persist(_))
+    val suite = e.filter(col("is_suite"))
+      .select(col("vec_id").as("suite_id"), col("v").as("sv"))
+    val train = e.filter(!col("is_suite"))
+      .select(col("vec_id"), col("v"))
+      .unionByName(e.filter(col("is_suite")).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("v"), x => x * lit(1.1f)).as("v")))
+    (suite, train)
+  }
+
   /** Stopword-ratio argmax language prediction over a bound word
     * array — the single definition p07 (per-doc report) and p57
     * (confusion matrix vs ground truth) both evaluate, twinned with
@@ -2151,59 +2188,29 @@ object PipelineQueries {
     // semantic (embedding-space) decontamination: the fourth leg of
     // the decon taxonomy (p23 n-gram, p59 Bloom, p79 multi-suite —
     // all token-overlap; this one catches PARAPHRASED contamination
-    // that shares no shingles). The held-out suite is p20's
-    // content-hash test split (embeddings are row-aligned with
-    // documents, p73's invariant); a training vector is contaminated
-    // when any suite vector in its hyperplane sign-bucket clears the
-    // cosine threshold. Ground truth is planted: direction-preserving
-    // copies of each suite vector (x1.1 scale — the re-embedded
-    // near-exact-text analog; same sign-bucket by construction) join
-    // the train side and must all be flagged, while natural
-    // suite-train cosines top out at ~0.51 on this fixture. Scale
-    // shape: the suite side is a benchmark battery — small at ANY
-    // corpus scale — so it rides a broadcast; the train side is
-    // probed at scan bandwidth with per-vector candidates bounded by
-    // suite size, and the sign-bucket equi-join prunes candidates
-    // BEFORE the cosine (production widens to 16-24 planes; 4 here
-    // keeps the 500-row fixture's buckets populated). Recall
-    // boundary, stated honestly: the planted copies are
-    // direction-preserving, so this fixture measures the THRESHOLD,
-    // not bucket recall — a paraphrase perturbed enough to flip a
-    // plane sign lands in a neighboring bucket and single-bucket
-    // probing misses it. The recall lever is p18's Hamming-1
-    // multi-probe (swap the equi-join for the probe-key explode,
-    // (nPlanes+1)x probe volume), or more planes with banding; the
-    // threshold check itself is probe-strategy-independent.
+    // that shares no shingles). Core + scale posture in
+    // pipeline.SemDecon; fixture + planted ground truth + the
+    // measured recall boundary in semDeconFixture's scaladoc.
     "p86_semantic_decontamination" -> ((s, dir) => {
-      val planes = hyperplanes(4, 64)
-      val split = docs(s, dir).select(col("doc_id"),
-        (h64(col("text"), 13) % 100 >= 90).as("is_suite"))
-      // e fans out to suite + both train branches — persist so the
-      // split-hash scan and the alignment join run once (f20 lesson)
-      val e = emb(s, dir)
-        .join(split, col("vec_id") === col("doc_id"))
-        .select(col("vec_id"), col("embedding").as("v"), col("is_suite"))
-        .transform(graft.core.CacheRegistry.persist(_))
-      val suite = e.filter(col("is_suite"))
-        .select(col("vec_id").as("suite_id"),
-          hyperplaneSig(col("v"), planes).as("sig"),
-          col("v").as("sv"), norm(col("v")).as("sn"))
-      val train = e.filter(!col("is_suite"))
-        .select(col("vec_id"), col("v"))
-        .unionByName(e.filter(col("is_suite")).select(
-          (col("vec_id") + 1000000L).as("vec_id"),
-          transform(col("v"), x => x * lit(1.1f)).as("v")))
-        .withColumn("sig", hyperplaneSig(col("v"), planes))
-        .withColumn("nrm", norm(col("v")))
-      train.join(broadcast(suite), Seq("sig"))
-        .withColumn("cos",
-          dot(col("v"), col("sv")) / (col("nrm") * col("sn")))
-        .groupBy("vec_id")
-        .agg(count(lit(1)).as("n_candidates"),
-          max(col("cos")).as("mc"))
-        .select(col("vec_id"), col("n_candidates"),
-          round(col("mc"), 6).as("max_cos"),
-          (col("mc") >= 0.98).as("contaminated"))
+      val (suite, train) = semDeconFixture(s, dir)
+      graft.pipeline.SemDecon.probe(
+        graft.pipeline.SemDecon.suiteTable(suite), train)
+    }),
+
+    // the index-backed p86 (the p84/p43 and p85/p06 pattern applied
+    // to the decon leg): a benchmark battery changes rarely while
+    // corpus batches arrive continuously, so the suite's signatures
+    // and norms persist ONCE (SemDecon.writeSuiteIndex) and every
+    // batch probes the stored table through the byte-identical
+    // SemDecon.probe core — this query shares p86's oracle SQL, so
+    // the driver gate asserts the index round-trip is hash-identical
+    // to the in-session probe.
+    "p89_semantic_decon_index" -> ((s, dir) => {
+      val (suite, train) = semDeconFixture(s, dir)
+      val idx = graft.core.Scratch.path(s"graft_semdecon_index_${
+        dir.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      graft.pipeline.SemDecon.writeSuiteIndex(suite, idx)
+      graft.pipeline.SemDecon.decontaminateAgainstIndex(s, idx, train)
     }),
 
     // line-level boilerplate removal (the RefinedWeb line-wise
@@ -2986,6 +2993,33 @@ c AS (SELECT q.query_id, e.vec_id, q.bucket,
 r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
     ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
 SELECT query_id, vec_id, bucket, rank, cos FROM r WHERE rank <= 5"""
+
+  /** Shared by p86 (in-session suite) and p89 (suite index): the
+    * index round-trip must be hash-identical to the direct probe.
+    */
+  private lazy val semDeconOracle: String = {
+    val planes = hyperplanes(4, 64)
+    s"""WITH sp AS (SELECT doc_id,
+    (${h64Sql("text", 13)} % 100 >= 90) AS is_suite FROM documents),
+e AS (SELECT vec_id, embedding AS v, is_suite
+  FROM embeddings JOIN sp ON vec_id = doc_id),
+suite AS (SELECT vec_id AS suite_id,
+    ${hyperplaneSigSql("v", planes)} AS sig,
+    v AS sv, ${normSql("v")} AS sn FROM e WHERE is_suite),
+train0 AS (SELECT vec_id, v FROM e WHERE NOT is_suite
+  UNION ALL SELECT vec_id + 1000000 AS vec_id,
+    list_transform(v, x -> CAST(x * CAST(1.1 AS FLOAT) AS FLOAT)) AS v
+  FROM e WHERE is_suite),
+train AS (SELECT vec_id, v, ${hyperplaneSigSql("v", planes)} AS sig,
+    ${normSql("v")} AS nrm FROM train0),
+c AS (SELECT t.vec_id,
+    (${dotSql("t.v", "s.sv")} / (t.nrm * s.sn)) AS cos
+  FROM train t JOIN suite s ON t.sig = s.sig)
+SELECT vec_id, CAST(count(*) AS BIGINT) AS n_candidates,
+  round(max(cos), 6) AS max_cos,
+  max(cos) >= 0.98 AS contaminated
+FROM c GROUP BY vec_id"""
+  }
 
   val oracles: Map[String, String] = Map(
     "p01_exact_dedup" ->
@@ -4153,29 +4187,11 @@ FROM m LEFT JOIN d2 USING (canon1)"""
     // proves the index write/read round-trip changed nothing.
     "p84_incremental_index" -> incrementalDedupOracle,
 
-    "p86_semantic_decontamination" -> {
-      val planes = hyperplanes(4, 64)
-      s"""WITH sp AS (SELECT doc_id,
-    (${h64Sql("text", 13)} % 100 >= 90) AS is_suite FROM documents),
-e AS (SELECT vec_id, embedding AS v, is_suite
-  FROM embeddings JOIN sp ON vec_id = doc_id),
-suite AS (SELECT vec_id AS suite_id,
-    ${hyperplaneSigSql("v", planes)} AS sig,
-    v AS sv, ${normSql("v")} AS sn FROM e WHERE is_suite),
-train0 AS (SELECT vec_id, v FROM e WHERE NOT is_suite
-  UNION ALL SELECT vec_id + 1000000 AS vec_id,
-    list_transform(v, x -> CAST(x * CAST(1.1 AS FLOAT) AS FLOAT)) AS v
-  FROM e WHERE is_suite),
-train AS (SELECT vec_id, v, ${hyperplaneSigSql("v", planes)} AS sig,
-    ${normSql("v")} AS nrm FROM train0),
-c AS (SELECT t.vec_id,
-    (${dotSql("t.v", "s.sv")} / (t.nrm * s.sn)) AS cos
-  FROM train t JOIN suite s ON t.sig = s.sig)
-SELECT vec_id, CAST(count(*) AS BIGINT) AS n_candidates,
-  round(max(cos), 6) AS max_cos,
-  max(cos) >= 0.98 AS contaminated
-FROM c GROUP BY vec_id"""
-    },
+    // p89 shares this string VERBATIM: the index-backed probe must
+    // be hash-identical to the in-session one, so the gate holds
+    // both to the same oracle (the p84/p43, p85/p06 pattern)
+    "p86_semantic_decontamination" -> semDeconOracle,
+    "p89_semantic_decon_index" -> semDeconOracle,
 
     "p87_line_quality_filter" -> {
       val wc = s"len(${wordsSql("l")})"

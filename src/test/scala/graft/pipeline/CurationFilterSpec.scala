@@ -92,6 +92,40 @@ class CurationFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(probeKeys.join(suite, Seq("sig")).count() == 1)
   }
 
+  test("p89: suite-index probe is row-identical to the in-session probe, " +
+    "index reuses across batches, wrong table fails fast") {
+    import spark.implicits._
+    val direct = run("p86_semantic_decontamination")._2
+      .map(_.toSeq).toSet
+    val indexed = run("p89_semantic_decon_index")._2
+      .map(_.toSeq).toSet
+    assert(direct == indexed)
+    // one stored index serves a different batch: probe a subset and
+    // check against a direct probe of the same subset
+    val idx = graft.core.Scratch.path("graft_semdecon_spec_idx")
+    val suite = Seq((1L, Seq.fill(64)(0.5f))).toDF("suite_id", "sv")
+    SemDecon.writeSuiteIndex(suite, idx)
+    val batch = Seq(
+      (10L, Seq.fill(64)(0.55f)),      // same direction-ish: flagged
+      (11L, Seq.tabulate(64)(i => if (i % 2 == 0) 1f else -1f)))
+      .toDF("vec_id", "v")
+    val viaIndex = SemDecon
+      .decontaminateAgainstIndex(spark, idx, batch).collect()
+    val viaDirect = SemDecon
+      .probe(SemDecon.suiteTable(suite), batch).collect()
+    assert(viaIndex.map(_.toSeq).toSet == viaDirect.map(_.toSeq).toSet)
+    assert(viaIndex.exists(r => r.getLong(0) == 10L && r.getBoolean(3)))
+    // fail fast on a non-index table instead of mis-joining
+    val junk = graft.core.Scratch.path("graft_semdecon_spec_junk")
+    Seq((1L, "x")).toDF("a", "b").write.mode("overwrite").parquet(junk)
+    val e = intercept[IllegalArgumentException] {
+      SemDecon.decontaminateAgainstIndex(spark, junk, batch)
+    }
+    assert(e.getMessage.contains("not a SemDecon suite index"))
+    graft.core.CacheRegistry.releaseAll()
+    spark.catalog.clearCache()
+  }
+
   test("p87: original text always survives; junk-only injections decide doc_keep") {
     val (df, rows) = run("p87_line_quality_filter")
     val id = df.columns.indexOf("doc_id")
