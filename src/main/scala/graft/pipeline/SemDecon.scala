@@ -31,6 +31,19 @@ object SemDecon {
   /** The canonical plane set both query twins embed as literals. */
   val DefaultPlanes: Seq[Seq[Double]] = hyperplanes(4, 64)
 
+  /** Deterministic fingerprint of a plane set. Stored per row in the
+    * suite index and re-derived at probe time: sig values carry no
+    * trace of the planes that produced them, so without this a probe
+    * whose plane set differs from the build's would silently
+    * mis-join (near-empty candidate sets → missed contamination).
+    */
+  def planesFingerprint(planes: Seq[Seq[Double]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bytes = md.digest(
+      planes.map(_.mkString(",")).mkString(";").getBytes("UTF-8"))
+    bytes.map("%02x".format(_)).mkString
+  }
+
   /** Suite table shape: (suite_id, sv, sn, sig) from (suite_id, sv). */
   def suiteTable(suite: DataFrame,
                  planes: Seq[Seq[Double]] = DefaultPlanes): DataFrame =
@@ -38,17 +51,24 @@ object SemDecon {
       norm(col("sv")).as("sn"),
       hyperplaneSig(col("sv"), planes).as("sig"))
 
-  /** Persist the suite once (signature + norm precomputed). */
+  private def indexTable(suite: DataFrame,
+                         planes: Seq[Seq[Double]]): DataFrame =
+    suiteTable(suite, planes)
+      .withColumn("planes_md5", lit(planesFingerprint(planes)))
+
+  /** Persist the suite once (signature + norm precomputed; the plane
+    * fingerprint rides along so a mismatched probe fails fast).
+    */
   def writeSuiteIndex(suite: DataFrame, path: String,
                       planes: Seq[Seq[Double]] = DefaultPlanes): Unit =
-    suiteTable(suite, planes).write.mode("overwrite").parquet(path)
+    indexTable(suite, planes).write.mode("overwrite").parquet(path)
 
   /** Add suite vectors (a new benchmark) to an existing index —
     * partition-local file adds, nothing existing is read.
     */
   def appendSuiteIndex(suite: DataFrame, path: String,
                        planes: Seq[Seq[Double]] = DefaultPlanes): Unit =
-    suiteTable(suite, planes).write.mode("append").parquet(path)
+    indexTable(suite, planes).write.mode("append").parquet(path)
 
   /** Probe: flag every train vector whose sign-bucket holds a suite
     * vector above the cosine threshold. Output: (vec_id,
@@ -63,7 +83,11 @@ object SemDecon {
     val t = train
       .withColumn("sig", hyperplaneSig(col("v"), planes))
       .withColumn("nrm", norm(col("v")))
-    t.join(broadcast(suite), Seq("sig"))
+    // exactly the four columns the probe uses — a suite table
+    // carrying extra columns named vec_id/v/nrm would otherwise
+    // turn the join into an ambiguous-reference error downstream
+    t.join(broadcast(suite.select("sig", "suite_id", "sv", "sn")),
+        Seq("sig"))
       .withColumn("cos",
         dot(col("v"), col("sv")) / (col("nrm") * col("sn")))
       .groupBy("vec_id")
@@ -74,16 +98,27 @@ object SemDecon {
   }
 
   /** The index-backed probe: [[probe]] against a [[writeSuiteIndex]]
-    * table. Fail fast on a wrong table rather than mis-joining.
+    * table. Fails fast on a wrong table OR a plane-set mismatch
+    * (stored fingerprint vs the probe's planes) rather than
+    * mis-joining — sig values carry no trace of their plane set, so
+    * a mismatch would otherwise pass every vector as clean.
     */
   def decontaminateAgainstIndex(spark: SparkSession, indexPath: String,
                                 train: DataFrame,
-                                threshold: Double = 0.98): DataFrame = {
+                                threshold: Double = 0.98,
+                                planes: Seq[Seq[Double]] = DefaultPlanes)
+      : DataFrame = {
     val suite = spark.read.parquet(indexPath)
-    val need = Set("suite_id", "sv", "sn", "sig")
+    val need = Set("suite_id", "sv", "sn", "sig", "planes_md5")
     require(need.subsetOf(suite.columns.toSet),
       s"not a SemDecon suite index at $indexPath: has " +
         s"${suite.columns.mkString(",")}, needs ${need.mkString(",")}")
-    probe(suite, train, threshold)
+    val stored = suite.select("planes_md5").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val expect = planesFingerprint(planes)
+    require(stored == Seq(expect),
+      s"suite index at $indexPath was built with a different plane " +
+        s"set (stored ${stored.mkString(",")}, probe expects $expect)")
+    probe(suite, train, threshold, planes)
   }
 }

@@ -58,6 +58,34 @@ object PipelineQueries {
     * planes with banding (production widens to 16-24 planes; 4 here
     * keeps the 500-row fixture's buckets populated).
     */
+  /** Per-document unigram-LM cross-entropy (the CCNet quality
+    * signal): -mean ln P(token) from the corpus's own unigram
+    * counts, grouped by `keys`. ONE definition for p40 (per-doc
+    * report, keys = doc_id) and p88 (perplexity banding, keys =
+    * doc_id+lang), twinned with [[unigramNllCtes]] — the
+    * engine-parity-critical round-9/DECIMAL(28,9)/round-6
+    * accumulation chain must never fork between them. Inverted-index
+    * shape: explode → vocabulary-bounded count join → per-key
+    * DECIMAL sum; the corpus scalar rides a single-row broadcast.
+    */
+  private def unigramNll(s: SparkSession, dir: String,
+                         keys: Seq[String]): DataFrame = {
+    val toks = docs(s, dir).select(keys.map(col) :+
+      explode(transform(words(col("text")), w => lower(w)))
+        .as("term"): _*)
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val tot = vocab.agg(sum("cnt").cast("double").as("n_corpus"))
+    toks.join(vocab, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .withColumn("nll", round(lit(0.0) -
+        log(col("cnt").cast("double") / col("n_corpus")), 9)
+        .cast("decimal(28,9)"))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_tok"),
+        round(sum(col("nll")).cast("double") / count(lit(1)), 6)
+          .as("avg_nll"))
+  }
+
   private def semDeconFixture(s: SparkSession,
                               dir: String): (DataFrame, DataFrame) = {
     val split = docs(s, dir).select(col("doc_id"),
@@ -2260,23 +2288,10 @@ object PipelineQueries {
     // scan-side compares — never the per-language global sort a
     // naive ntile would shuffle.
     "p88_perplexity_filter" -> ((s, dir) => {
-      val toks = docs(s, dir).select(col("doc_id"), col("lang"),
-        explode(transform(words(col("text")), w => lower(w)))
-          .as("term"))
-      val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
-      val tot = vocab.agg(sum("cnt").cast("double").as("n_corpus"))
       // nll feeds BOTH the threshold aggregate and the final band
       // join — persist it (one narrow row per doc) or the token
       // explode + vocab join re-executes per branch (the f20 lesson)
-      val nll = toks.join(vocab, Seq("term"))
-        .crossJoin(broadcast(tot))
-        .withColumn("nll", round(lit(0.0) -
-          log(col("cnt").cast("double") / col("n_corpus")), 9)
-          .cast("decimal(28,9)"))
-        .groupBy("doc_id", "lang")
-        .agg(count(lit(1)).as("n_tok"),
-          round(sum(col("nll")).cast("double") / count(lit(1)), 6)
-            .as("avg_nll"))
+      val nll = unigramNll(s, dir, Seq("doc_id", "lang"))
         .transform(graft.core.CacheRegistry.persist(_))
       val th = nll.groupBy("lang").agg(
         percentile(col("avg_nll"), lit(0.33)).as("t1"),
@@ -2699,22 +2714,7 @@ object PipelineQueries {
     // equi-join back (AQE broadcasts a small vocabulary, shuffles a
     // big one), and a per-doc DECIMAL sum — the p19/p32 inverted-
     // index shape; ln ULP differences absorbed by round(,9).
-    "p40_unigram_nll" -> ((s, dir) => {
-      val toks = docs(s, dir).select(col("doc_id"),
-        explode(transform(words(col("text")), w => lower(w)))
-          .as("term"))
-      val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
-      val tot = vocab.agg(sum("cnt").cast("double").as("n_corpus"))
-      toks.join(vocab, Seq("term"))
-        .crossJoin(broadcast(tot))
-        .withColumn("nll", round(lit(0.0) -
-          log(col("cnt").cast("double") / col("n_corpus")), 9)
-          .cast("decimal(28,9)"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"),
-          round(sum(col("nll")).cast("double") / count(lit(1)), 6)
-            .as("avg_nll"))
-    }),
+    "p40_unigram_nll" -> ((s, dir) => unigramNll(s, dir, Seq("doc_id"))),
 
     // leakage-safe train/test split: hash-split by DUPLICATE CLUSTER,
     // not by document, so no near-dup pair ever straddles the split
@@ -2993,6 +2993,26 @@ c AS (SELECT q.query_id, e.vec_id, q.bucket,
 r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
     ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
 SELECT query_id, vec_id, bucket, rank, cos FROM r WHERE rank <= 5"""
+
+  /** SQL twin of [[unigramNll]]: CTEs `toks`/`vocab`/`tot`/`nll`
+    * with `nll` keyed on `keyCols` — p40 selects from it directly,
+    * p88 layers the percentile thresholds on top. One definition so
+    * the parity-critical accumulation chain cannot fork.
+    */
+  private def unigramNllCtes(keyCols: String): String = {
+    val w = wordsSql("text")
+    s"""toks AS (SELECT $keyCols,
+    unnest(list_transform($w, w -> lower(w))) AS term
+  FROM documents),
+vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_corpus FROM vocab),
+nll AS (SELECT $keyCols, CAST(count(*) AS BIGINT) AS n_tok,
+    round(CAST(sum(CAST(round(0.0 - ln(CAST(cnt AS DOUBLE) /
+      n_corpus), 9) AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6)
+      AS avg_nll
+  FROM toks JOIN vocab USING (term), tot
+  GROUP BY $keyCols)"""
+  }
 
   /** Shared by p86 (in-session suite) and p89 (suite index): the
     * index round-trip must be hash-identical to the direct probe.
@@ -4217,18 +4237,7 @@ FROM k"""
     },
 
     "p88_perplexity_filter" -> {
-      val w = wordsSql("text")
-      s"""WITH toks AS (SELECT doc_id, lang,
-    unnest(list_transform($w, w -> lower(w))) AS term
-  FROM documents),
-vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
-tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_corpus FROM vocab),
-nll AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tok,
-    round(CAST(sum(CAST(round(0.0 - ln(CAST(cnt AS DOUBLE) /
-      n_corpus), 9) AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6)
-      AS avg_nll
-  FROM toks JOIN vocab USING (term), tot
-  GROUP BY doc_id, lang),
+      s"""WITH ${unigramNllCtes("doc_id, lang")},
 th AS (SELECT lang, quantile_cont(avg_nll, 0.33) AS t1,
     quantile_cont(avg_nll, 0.67) AS t2 FROM nll GROUP BY lang)
 SELECT doc_id, lang, n_tok, avg_nll,
@@ -4615,19 +4624,9 @@ SELECT (SELECT count(*) FROM cand) AS n_candidates,
     / CAST((SELECT count(*) FROM planted) AS DOUBLE), 6)
     AS planted_recall""",
 
-    "p40_unigram_nll" -> {
-      val w = wordsSql("text")
-      s"""WITH toks AS (SELECT doc_id,
-    unnest(list_transform($w, w -> lower(w))) AS term
-  FROM documents),
-vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
-tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_corpus FROM vocab)
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
-  round(CAST(sum(CAST(round(0.0 - ln(CAST(cnt AS DOUBLE) / n_corpus),
-    9) AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) AS avg_nll
-FROM toks JOIN vocab USING (term), tot
-GROUP BY doc_id"""
-    },
+    "p40_unigram_nll" ->
+      s"""WITH ${unigramNllCtes("doc_id")}
+SELECT doc_id, n_tok, avg_nll FROM nll""",
 
     "p45_leakage_safe_split" ->
       s"""WITH RECURSIVE $lshPairsCtes,

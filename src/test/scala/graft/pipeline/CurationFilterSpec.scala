@@ -38,8 +38,17 @@ class CurationFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
     val planted = rows.filter(_.getLong(id) >= 1000000L)
     val natural = rows.filter(_.getLong(id) < 1000000L)
     // the fixture plants one x1.1 direction-preserving copy per suite
-    // vector; every one must surface AND be flagged
-    assert(planted.nonEmpty)
+    // vector; every one must SURFACE (same sign-bucket as its source,
+    // so candidate-less disappearance is a probe bug) AND be flagged
+    val suiteN = {
+      import graft.pipeline.PipelineOps.h64
+      spark.read.parquet(s"$dir/documents.parquet")
+        .filter(h64(col("text"), 13) % 100 >= 90).count()
+    }
+    assert(suiteN > 0)
+    assert(planted.length == suiteN,
+      s"expected all $suiteN planted copies in the output, " +
+        s"got ${planted.length}")
     assert(planted.forall(_.getBoolean(cont)),
       "a planted suite copy escaped the cosine threshold")
     assert(natural.forall(r => !r.getBoolean(cont)),
@@ -122,6 +131,16 @@ class CurationFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
       SemDecon.decontaminateAgainstIndex(spark, junk, batch)
     }
     assert(e.getMessage.contains("not a SemDecon suite index"))
+    // fail fast on a plane-set mismatch too: sigs carry no trace of
+    // their planes, so without the stored fingerprint a mismatched
+    // probe would silently pass contaminated vectors as clean
+    val idx5 = graft.core.Scratch.path("graft_semdecon_spec_idx5")
+    SemDecon.writeSuiteIndex(suite, idx5,
+      graft.pipeline.PipelineOps.hyperplanes(5, 64))
+    val e2 = intercept[IllegalArgumentException] {
+      SemDecon.decontaminateAgainstIndex(spark, idx5, batch)
+    }
+    assert(e2.getMessage.contains("different plane set"))
     graft.core.CacheRegistry.releaseAll()
     spark.catalog.clearCache()
   }
