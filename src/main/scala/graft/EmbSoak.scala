@@ -255,6 +255,14 @@ object EmbSoak {
       if (copies >= 5) assert(ocClusters > 0,
         "fixture regression: pass 2 no longer fires at copies >= 5 — " +
           "the oracle equality proved nothing")
+      // at copies < 5 pass 2 is dormant BY CONSTRUCTION and the
+      // equality above is a single-pass tautology — say so loudly so
+      // a green run at a small multiplier is never read as over-cap
+      // parity evidence
+      if (ocClusters == 0) println(
+        "[embsoak] WARNING: no over-cap cluster at this multiplier — " +
+          "the p42 guarded==uncapped equality exercised only the " +
+          "dormant single-pass path (run copies>=5 for live parity)")
       graft.core.CacheRegistry.releaseAll()
       spark.catalog.clearCache()
 

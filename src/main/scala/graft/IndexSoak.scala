@@ -54,10 +54,14 @@ object IndexSoak {
       (System.nanoTime() - tb) / 1e9}%.1f s")
 
     def run(tag: String)(f: => org.apache.spark.sql.DataFrame)
-        : Seq[(Long, Boolean, Long)] = {
+        : Seq[(Long, Boolean, Long, Double)] = {
       val t0 = System.nanoTime()
+      // ALL four output columns, including jaccard — a divergence
+      // that ties the same best match but perturbs the score must
+      // fail the equality assert too
       val rows = f.collect()
-        .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
+          r.getDouble(3)))
         .sortBy(_._1).toSeq
       graft.core.CacheRegistry.releaseAll()
       println(f"[idxsoak] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s" +

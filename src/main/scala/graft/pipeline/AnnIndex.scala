@@ -55,12 +55,30 @@ object AnnIndex {
     */
   def topK(spark: SparkSession, indexPath: String, queries: DataFrame,
            k: Int = 5): DataFrame = {
+    // fail fast with a named error if the path is not a write()
+    // layout — a wrong path would otherwise surface as an unresolved
+    // column inside the join
     val e = spark.read.parquet(indexPath)
+    graft.core.Checks.requireColumns(e, "ann_index_topk",
+      "vec_id", "nrm", "embedding", "bucket")
+    search(e, queries, k)
+  }
+
+  /** The bucketed search core — ONE definition for the p06
+    * in-session query (which derives bucket/nrm on the fly) and
+    * [[topK]] (which reads them from the index), so the two paths
+    * cannot drift. `corpus` carries (vec_id, nrm, embedding,
+    * bucket); `queries` carries (query_id, qv).
+    */
+  def search(corpus: DataFrame, queries: DataFrame,
+             k: Int = 5): DataFrame = {
     val q = queries.select(col("query_id"), col("qv"),
       argmaxBucket(col("qv")).as("bucket"), norm(col("qv")).as("qn"))
     val rn = row_number().over(Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc))
-    broadcast(q).join(e.withColumnRenamed("bucket", "cbucket"),
+    broadcast(q).join(
+        corpus.select(col("vec_id"), col("nrm"), col("embedding"),
+          col("bucket").as("cbucket")),
         col("cbucket") === col("bucket") &&
           col("vec_id") =!= col("query_id"))
       .withColumn("cos",

@@ -227,12 +227,20 @@ object PipelineOps {
       : org.apache.spark.sql.DataFrame = {
     val oc = e.groupBy("cluster").agg(count(lit(1)).as("bn"))
       .filter(col("bn") > lit(cap)).select("cluster")
+    // both branches end on the same select so the output schema is
+    // the documented (cluster, a, va, na_, b, vb, nb_) regardless of
+    // which branch the census picks — a caller doing schema-dependent
+    // work (select(*), unionByName across corpora) must not break the
+    // first time a bucket exceeds the cap
+    val shape = Seq(col("cluster"), col("a"), col("va"), col("na_"),
+      col("b"), col("vb"), col("nb_"))
     if (oc.isEmpty) {
       val a = e.select(col("vec_id").as("a"), col("v").as("va"),
         col("cluster"), col("nrm").as("na_"))
       val b = e.select(col("vec_id").as("b"), col("v").as("vb"),
         col("cluster"), col("nrm").as("nb_"))
       a.join(b, Seq("cluster")).filter(col("a") < col("b"))
+        .select(shape: _*)
     } else {
       val rpx = rankBlockProbes(
         e.select(col("cluster"), col("vec_id"), col("v"), col("nrm"),
@@ -248,6 +256,7 @@ object PipelineOps {
       a.join(b, Seq("cluster", "jk"))
         .filter(col("a") < col("b") &&
           (col("blka") =!= col("blkb") || col("jk") === col("blka")))
+        .select(shape: _*)
     }
   }
 

@@ -40,10 +40,14 @@ object SemDeDup {
     * first k vec_ids) plus the exact-vector class collapse: returns
     * (withRep, reps) where `withRep` is every member with its class
     * rep and `reps` is the min-id member of each (cluster, v) class
-    * — the only rows that enter the pair election. Both are
-    * [[graft.core.CacheRegistry]]-persisted; `withRep` is
-    * materialized here (the census action inside the election
-    * materializes `reps`). The caller owns the release.
+    * — the only rows that enter the pair election. Caching contract:
+    * `assigned` (the upstream both outputs share) and `reps` are
+    * [[graft.core.CacheRegistry]]-persisted, and `assigned` is
+    * materialized here; `withRep` is NOT persisted — it is one
+    * window on top of the pinned `assigned`, so consuming it from
+    * several branches re-runs only that window (the census action
+    * inside the election materializes `reps`). The caller owns the
+    * release of the registry entries.
     */
   def memberReps(e: DataFrame, k: Int = 8): (DataFrame, DataFrame) = {
     val cent = e.filter(col("vec_id") < k)

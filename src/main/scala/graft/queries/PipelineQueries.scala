@@ -280,23 +280,18 @@ object PipelineQueries {
     }),
 
     // bucketed (IVF-lite) ANN: search only the query's coarse bucket
+    // bucketed IVF-lite cosine search — the search core lives in
+    // AnnIndex.search (ONE definition with p85's index-backed topK,
+    // so the in-session and serving paths cannot drift); here the
+    // corpus derives bucket/norm on the fly, p85 reads them from the
+    // stored index
     "p06_cosine_ann" -> ((s, dir) => {
-      val e = emb(s, dir)
-        .withColumn("bucket", argmaxBucket(col("embedding")))
-        .withColumn("nrm", norm(col("embedding")))
+      val e = emb(s, dir).select(col("vec_id"),
+        norm(col("embedding")).as("nrm"), col("embedding"),
+        argmaxBucket(col("embedding")).as("bucket"))
       val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-          col("bucket"), col("nrm").as("qn"))
-      val rn = row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("cos").desc, col("vec_id").asc))
-      broadcast(q).join(e.withColumnRenamed("bucket", "cbucket"),
-          col("cbucket") === col("bucket") &&
-            col("vec_id") =!= col("query_id"))
-        .withColumn("cos",
-          dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")))
-        .withColumn("rank", rn)
-        .filter(col("rank") <= 5)
-        .select("query_id", "vec_id", "bucket", "rank", "cos")
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      graft.pipeline.AnnIndex.search(e, q)
     }),
 
     // precomputed-index ANN (graft.pipeline.AnnIndex): p06's bucketed

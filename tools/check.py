@@ -24,14 +24,12 @@ tmp = os.environ.get("GRAFT_DUCKDB_TMP")
 if tmp:
     os.makedirs(tmp, exist_ok=True)
     con.execute(f"SET temp_directory='{tmp}'")
-    # memory limit: GRAFT_DUCKDB_MEM wins; otherwise ~80% of physical
-    # RAM (the old hardcoded 100GB deferred spilling past available
-    # memory on smaller hosts and invited the OOM killer — the
-    # opposite of what a spill directory is for)
-    mem = os.environ.get("GRAFT_DUCKDB_MEM")
-    if not mem:
-        pages = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
-        mem = f"{max(1, int(pages * 0.8) >> 30)}GB"
+# memory limit: honored on its own, not only alongside a spill dir
+# (a user on a small host capping memory without configuring spill
+# must not be silently ignored). No RAM-derived fallback — DuckDB's
+# own default is already 80% of physical RAM.
+mem = os.environ.get("GRAFT_DUCKDB_MEM")
+if mem:
     con.execute(f"SET memory_limit='{mem}'")
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(p)[:-8]
