@@ -746,9 +746,17 @@ object FstQueries {
         graft.core.Scratch.path(s"graft_stream_dedup_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}")
       graft.sources.fst.FstWriter.write(base.unionByName(base), path,
         cleanup = false, maxRecordsPerFile = 4096)
+      // project the payload away BEFORE the memory sink: dedup keys
+      // on the 19-column identity only, and the digest reads only
+      // (nomvar, ip3) — sinking `d` pinned the full deduped payload
+      // set per drain (via StreamDrain's localCheckpoint) and made
+      // the drain bimodal under JVM memory pressure; at scale the
+      // same rule is "never materialize payloads a sink's consumers
+      // don't read"
       graft.streaming.StreamDrain.drain(s,
         s.readStream.format("fstrec").load(path)
-          .dropDuplicates(graft.core.Constants.DedupColumns),
+          .dropDuplicates(graft.core.Constants.DedupColumns)
+          .select("nomvar", "ip3"),
         "append", "stream_dedup", shufflePartitions = 4)
         .groupBy("nomvar")
         .agg(count(lit(1)).as("n_records"),
