@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.pipeline.PipelineOps.{argmaxBucket, dot, norm}
+import graft.pipeline.PipelineOps.{argmaxBucket, dot, norm, topNBuckets}
 
 /** Precomputed IVF-lite ANN index — the serving shape of p06's
   * bucketed cosine search: quantizer assignment and norms are paid
@@ -54,14 +54,14 @@ object AnnIndex {
     * here with the same deterministic functions the build used.
     */
   def topK(spark: SparkSession, indexPath: String, queries: DataFrame,
-           k: Int = 5): DataFrame = {
+           k: Int = 5, nProbes: Int = 1): DataFrame = {
     // fail fast with a named error if the path is not a write()
     // layout — a wrong path would otherwise surface as an unresolved
     // column inside the join
     val e = spark.read.parquet(indexPath)
     graft.core.Checks.requireColumns(e, "ann_index_topk",
       "vec_id", "nrm", "embedding", "bucket")
-    search(e, queries, k)
+    search(e, queries, k, nProbes)
   }
 
   /** The bucketed search core — ONE definition for the p06
@@ -69,11 +69,35 @@ object AnnIndex {
     * [[topK]] (which reads them from the index), so the two paths
     * cannot drift. `corpus` carries (vec_id, nrm, embedding,
     * bucket); `queries` carries (query_id, qv).
+    *
+    * `nProbes` > 1 is the IVF multi-probe recall lever (the argmax
+    * analog of p18's Hamming-1 sign-flip expansion): each query
+    * searches its `nProbes` strongest coarse buckets
+    * ([[PipelineOps.topNBuckets]] — probe 1 is exactly
+    * [[PipelineOps.argmaxBucket]], so nProbes = 1 reproduces the
+    * single-probe plan bit-for-bit and its output is a SUBSET of
+    * every wider probe's candidates). The single-probe boundary this
+    * buys back: a near-neighbor whose second-strongest component
+    * edges out the query's argmax lands one bucket over and
+    * single-probe misses it — CurationFilterSpec constructs that
+    * miss and measures the recovery. Scale shape is unchanged:
+    * queries stay a broadcast (now nProbes rows per query), the
+    * corpus side still reads ONLY probed buckets via dynamic
+    * partition pruning, and candidate volume grows linearly in
+    * nProbes while staying bucket-bounded.
     */
   def search(corpus: DataFrame, queries: DataFrame,
-             k: Int = 5): DataFrame = {
-    val q = queries.select(col("query_id"), col("qv"),
-      argmaxBucket(col("qv")).as("bucket"), norm(col("qv")).as("qn"))
+             k: Int = 5, nProbes: Int = 1): DataFrame = {
+    require(nProbes >= 1, s"ann search: nProbes must be >= 1, got $nProbes")
+    val q =
+      if (nProbes == 1)
+        queries.select(col("query_id"), col("qv"),
+          argmaxBucket(col("qv")).as("bucket"),
+          norm(col("qv")).as("qn"))
+      else
+        queries.select(col("query_id"), col("qv"),
+          explode(topNBuckets(col("qv"), nProbes)).as("bucket"),
+          norm(col("qv")).as("qn"))
     val rn = row_number().over(Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc))
     broadcast(q).join(
@@ -85,6 +109,34 @@ object AnnIndex {
         dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")))
       .withColumn("rank", rn)
       .filter(col("rank") <= k)
-      .select("query_id", "vec_id", "bucket", "rank", "cos")
+      .select(col("query_id"), col("vec_id"),
+        col("cbucket").as("bucket"), col("rank"), col("cos"))
+  }
+
+  /** Compact an index after many [[append]] increments: each append
+    * is a partition-local file ADD, so after months of daily batches
+    * every probe pays file-listing and per-file open cost
+    * proportional to APPEND COUNT (the same small-files class
+    * [[graft.pipeline.NearDup.compactIndex]] fixes for the LSH
+    * index). Rewrites each bucket partition into one file (a
+    * hash-repartition on the partition column sends each bucket to
+    * exactly one task); search output is bit-identical because
+    * nothing in [[search]] depends on file layout. The swap is two
+    * directory renames, with the old data recoverable until the
+    * final delete.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"${path}__compact")
+    val old = new org.apache.hadoop.fs.Path(s"${path}__old")
+    spark.read.parquet(path)
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(tmp.toString)
+    fs.delete(old, true)
+    require(fs.rename(dir, old), s"ann compact: cannot move $dir")
+    require(fs.rename(tmp, dir), s"ann compact: cannot move $tmp")
+    fs.delete(old, true)
   }
 }

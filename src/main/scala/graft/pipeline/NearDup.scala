@@ -223,13 +223,42 @@ object NearDup {
     * band, bkey) — the UNFILTERED corpus band table (the over-cap
     * keep is applied here, at probe time, so one stored index serves
     * any bucketCap), `incSh` = the incoming batch's signatures.
-    * Shared verbatim by [[matchesAgainst]] (tables built in-session)
-    * and [[matchesAgainstIndex]] (tables read from a precomputed
-    * index).
+    * Shared verbatim by [[matchesAgainst]] (tables built in-session),
+    * [[matchesAgainstIndex]] (tables read from a precomputed index)
+    * and [[matchesAgainstBucketedIndex]] (bands read from a bucketed
+    * table, co-located with the window's partitioning). The probe's
+    * first move is a broadcast left-semi filter of `cb0` down to the
+    * batch's touched (band, bkey) buckets, so per-call cost is
+    * proportional to the BATCH, not the corpus (see inline comment).
     */
   private def probe(corpusSh: DataFrame, cb0: DataFrame,
                     incSh: DataFrame, threshold: Double,
                     bucketCap: Int): DataFrame = {
+    val ib = incSh.select(col("doc_id").as("new_id"),
+      size(col("sh")).as("nsh_n"),
+      posexplode(col("bks")).as(Seq("band", "bkey")))
+    // BATCH-PROPORTIONAL prefilter (round 11): the keep-rule window
+    // below partitions by (band, bkey) and the candidate join only
+    // ever reads buckets the incoming batch touches, so left-semi-
+    // filtering the corpus band table to the batch's distinct
+    // (band, bkey) set FIRST is semantically free — it removes whole
+    // untouched buckets, never a row within a kept bucket, so every
+    // bn/rk/keep decision inside surviving buckets is unchanged.
+    // Without it the window exchanges + sorts the FULL band table —
+    // O(corpus x bands) rows — per probe call, which re-pays a
+    // corpus-proportional cost per daily batch and defeats the whole
+    // point of a precomputed index. With it the window's input is
+    // <= touched buckets (<= batch_size x bands keys, each bucket
+    // <= its population), i.e. proportional to the BATCH.
+    // The touched-key set is broadcast: it is tiny next to the
+    // corpus (a 10M-doc daily batch x 8 bands ~ 80M 12-byte keys,
+    // within Spark's broadcast range), so the index side is filtered
+    // at scan time with NO index-side exchange; a deployment whose
+    // batches outgrow broadcast can drop the hint and still keeps
+    // the window input bucket-bounded via a shuffled semi-join.
+    val touched = ib.select("band", "bkey").distinct()
+    val cbT = cb0.join(broadcast(touched), Seq("band", "bkey"),
+      "left_semi")
     // size-stratified keep (see scaladoc): stride = ceil(bn/cap) is
     // 1 for in-cap buckets (keeps everything, branchless) and thins
     // an over-cap bucket to <= cap members evenly spaced by size
@@ -258,7 +287,7 @@ object NearDup {
     // exchange + sort (same window spec), so no new shuffle.
     val wc = Window.partitionBy("band", "bkey")
       .orderBy("nsh_c", "corpus_id")
-    val cb = cb0
+    val cb = cbT
       .withColumn("bn", count(lit(1)).over(
         wc.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)))
@@ -271,9 +300,6 @@ object NearDup {
         col("pwin").isNull || col("pwin") =!= col("win") ||
         col("nwin").isNull || col("nwin") =!= col("win"))
       .drop("bn", "rk", "win", "pwin", "nwin")
-    val ib = incSh.select(col("doc_id").as("new_id"),
-      size(col("sh")).as("nsh_n"),
-      posexplode(col("bks")).as(Seq("band", "bkey")))
     val cand = ib.join(cb, Seq("band", "bkey"))
       .select("new_id", "corpus_id", "nsh_n", "nsh_c").distinct()
     // exact size-ratio prefilter (see lshPairs, incl. the 1e-9 ulp
@@ -316,10 +342,11 @@ object NearDup {
     * written first and bands derive from reading it back, so the
     * expensive shingle pass over the corpus text runs exactly once.
     *
-    * At cluster scale, write the bands table BUCKETED on
-    * (band, bkey) (`bucketBy` + `saveAsTable` on a real catalog) so
-    * per-batch probes co-locate without re-shuffling the index; the
-    * path-based parquet layout here keeps the API storage-agnostic.
+    * At cluster scale, prefer [[writeIndexBucketed]]: the bands
+    * table bucketed + sorted on the probe's exact window spec, so
+    * per-batch probes co-locate with ZERO index-side exchange AND
+    * zero index-side sort; the path-based parquet layout here keeps
+    * the API storage-agnostic.
     */
   def writeIndex(corpus: DataFrame, path: String): Unit = {
     val spark = corpus.sparkSession
@@ -330,6 +357,66 @@ object NearDup {
         size(col("sh")).as("nsh_c"),
         posexplode(col("bks")).as(Seq("band", "bkey")))
       .write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  /** [[writeIndex]] with the bands table stored as a BUCKETED,
+    * per-bucket-SORTED catalog table — the cluster-scale layout. The
+    * bucketing spec is exactly the probe's window spec
+    * (`bucketBy(numBuckets, band, bkey)` +
+    * `sortBy(band, bkey, nsh_c, corpus_id)`), so a
+    * [[matchesAgainstBucketedIndex]] probe's keep-rule window reads
+    * the scan's own hash partitioning (no index-side Exchange) and,
+    * when each bucket holds one file (the state [[compactIndex]]
+    * restores), the scan's own sort order (no index-side Sort
+    * either) — the per-batch plan touches only the batch's buckets
+    * at scan bandwidth. Signatures stay path-based parquet (the
+    * verify join is a doc_id hash join; bucketing buys it nothing a
+    * broadcast of batch candidates doesn't). The table's data lives
+    * under `path/bands_table` (external), so dropping the session
+    * catalog never loses the index.
+    */
+  def writeIndexBucketed(corpus: DataFrame, path: String,
+                         table: String, numBuckets: Int = 32): Unit = {
+    val spark = corpus.sparkSession
+    shingleify(corpus)
+      .write.mode("overwrite").parquet(s"$path/signatures")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.read.parquet(s"$path/signatures")
+      .select(col("doc_id").as("corpus_id"),
+        size(col("sh")).as("nsh_c"),
+        posexplode(col("bks")).as(Seq("band", "bkey")))
+      .write.mode("overwrite")
+      .option("path", s"$path/bands_table")
+      .bucketBy(numBuckets, "band", "bkey")
+      .sortBy("band", "bkey", "nsh_c", "corpus_id")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** [[matchesAgainstIndex]] over a [[writeIndexBucketed]] layout:
+    * identical output (same probe core), but the bands scan arrives
+    * already partitioned on the keep-rule window's keys — the probe
+    * plan has NO index-side Exchange (BucketedIndexSpec asserts it
+    * on the physical plan).
+    */
+  def matchesAgainstBucketedIndex(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, table: String,
+                                  incoming: DataFrame,
+                                  threshold: Double = 0.5,
+                                  bucketCap: Int = LshBucketCap)
+      : DataFrame = {
+    val corpusSh = spark.read.parquet(s"$path/signatures")
+    graft.core.Checks.requireColumns(corpusSh,
+      "matches_against_bucketed_index(signatures)", "doc_id", "sh",
+      "bks")
+    val cb0 = spark.table(table)
+    graft.core.Checks.requireColumns(cb0,
+      "matches_against_bucketed_index(bands)", "corpus_id", "nsh_c",
+      "band", "bkey")
+    val incSh = shingleify(incoming)
+      .transform(graft.core.CacheRegistry.persist(_))
+    incSh.count() // materialize before fan-out (2 plan branches)
+    probe(corpusSh, cb0, incSh, threshold, bucketCap)
   }
 
   /** Append NEW documents to an existing [[writeIndex]] — the
@@ -350,6 +437,42 @@ object NearDup {
         size(col("sh")).as("nsh_c"),
         posexplode(col("bks")).as(Seq("band", "bkey")))
       .write.mode("append").parquet(s"$path/bands")
+  }
+
+  /** Compact a [[writeIndex]] layout after many [[appendIndex]]
+    * increments: each daily append is a partition-local file ADD (by
+    * design — no read, no shuffle), so after months the index is a
+    * small-files catalog problem — every probe pays file-listing and
+    * per-file open cost proportional to APPEND COUNT, not data size
+    * (the same failure S8's FstWriter.compact exists for on the FST
+    * side). This rewrites both tables into ~`targetFiles` large
+    * files each; probe output is bit-identical (IndexCompactionSpec
+    * asserts it) because the probe never depends on file layout.
+    * Run it off the serving path (the rewrite reads the whole index
+    * once — amortized over the appends it absorbs); the swap is two
+    * directory renames.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String, targetFiles: Int = 32): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    Seq("signatures", "bands").foreach { sub =>
+      val dir = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      val fs = dir.getFileSystem(hconf)
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/${sub}__compact")
+      val old = new org.apache.hadoop.fs.Path(s"$path/${sub}__old")
+      // write the compacted copy BESIDE the live table (reads are
+      // lazy — overwriting in place would read-under-write), then
+      // swap with two renames; __old survives until the end of the
+      // loop body so a crash between renames leaves the data
+      // recoverable under one of the three names
+      spark.read.parquet(dir.toString)
+        .repartition(targetFiles)
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(old, true)
+      require(fs.rename(dir, old), s"compactIndex: cannot move $dir")
+      require(fs.rename(tmp, dir), s"compactIndex: cannot move $tmp")
+      fs.delete(old, true)
+    }
   }
 
   /** The index-backed [[dedupAgainst]]: survivors of the incoming

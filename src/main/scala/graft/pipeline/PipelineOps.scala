@@ -559,6 +559,26 @@ object PipelineOps {
     s"CAST(list_position($absd, list_max($absd)) AS INT)"
   }
 
+  /** The `n` strongest coarse buckets (1-based indices of the
+    * largest-|x| components, strongest first, ties to the smaller
+    * index) — the IVF multi-probe expansion of [[argmaxBucket]]:
+    * element 0 is exactly argmaxBucket (same first-max tie rule), so
+    * a 1-probe search through this is bit-identical to the
+    * single-probe path. Expression-only (zip_with + comparator
+    * array_sort + slice): no explode, no shuffle — per-row scan work
+    * like the quantizer itself.
+    */
+  def topNBuckets(a: Column, n: Int): Column = {
+    val absd = transform(a, x => abs(x))
+    val paired = zip_with(absd, sequence(lit(1), size(a)),
+      (v, i) => struct(v.as("v"), i.as("i")))
+    val sorted = array_sort(paired, (l, r) =>
+      when(l.getField("v") > r.getField("v"), lit(-1))
+        .when(l.getField("v") < r.getField("v"), lit(1))
+        .otherwise((l.getField("i") - r.getField("i")).cast("int")))
+    slice(transform(sorted, s => s.getField("i").cast("int")), 1, n)
+  }
+
   // ---- character entropy (p38) ----
 
   /** Fixed alphabet for the character-entropy score. Counting each

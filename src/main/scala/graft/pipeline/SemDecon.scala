@@ -115,6 +115,13 @@ object SemDecon {
         s"${suite.columns.mkString(",")}, needs ${need.mkString(",")}")
     val stored = suite.select("planes_md5").distinct()
       .collect().map(_.getString(0)).toSeq
+    // a zero-row suite collects to an empty fingerprint Seq; without
+    // this case it would fall through to the plane-set-mismatch
+    // message ("stored <nothing>"), pointing the user at the wrong
+    // cause entirely
+    require(stored.nonEmpty,
+      s"suite index at $indexPath is empty (zero rows): build it " +
+        "with writeSuiteIndex over a non-empty suite before probing")
     val expect = planesFingerprint(planes)
     require(stored == Seq(expect),
       s"suite index at $indexPath was built with a different plane " +

@@ -19,6 +19,13 @@ import graft.pipeline.PipelineOps._
 object PipelineQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Where fixture-planted copies park their ids: natural ids must
+    * stay strictly below this (asserted in [[semDeconFixture]]) or
+    * the planted/natural split the specs rely on silently aliases.
+    * Mirrored as the literal 1000000 in every oracle SQL twin.
+    */
+  private val PlantedIdOffset = 1000000L
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -39,25 +46,6 @@ object PipelineQueries {
   /** Fixed keyword set for the BM25 search query (p19). */
   private val BM25Terms = Seq("spark", "merge", "window")
 
-  /** Suite/train fixture for semantic decontamination (p86/p89):
-    * the held-out suite is p20's content-hash test split (embeddings
-    * are row-aligned with documents, p73's invariant), and the train
-    * side is the rest PLUS one planted direction-preserving x1.1
-    * copy per suite vector (the re-embedded near-exact-text analog;
-    * same sign-bucket by construction — scaling preserves every
-    * projection sign) that the probe must flag, while natural
-    * suite-train cosines top out at ~0.51 on this fixture so the
-    * 0.98 threshold has a 2x margin. The aligned table fans out to
-    * suite + both train branches — persisted so the split-hash scan
-    * and the alignment join run once (f20 lesson). Recall boundary,
-    * stated honestly: planted copies measure the THRESHOLD, not
-    * bucket recall — a paraphrase perturbed enough to flip a plane
-    * sign lands in a neighboring bucket and single-bucket probing
-    * misses it (CurationFilterSpec constructs and measures that
-    * miss); the recall lever is p18's Hamming-1 multi-probe, or more
-    * planes with banding (production widens to 16-24 planes; 4 here
-    * keeps the 500-row fixture's buckets populated).
-    */
   /** Per-document unigram-LM cross-entropy (the CCNet quality
     * signal): -mean ln P(token) from the corpus's own unigram
     * counts, grouped by `keys`. ONE definition for p40 (per-doc
@@ -86,6 +74,25 @@ object PipelineQueries {
           .as("avg_nll"))
   }
 
+  /** Suite/train fixture for semantic decontamination (p86/p89):
+    * the held-out suite is p20's content-hash test split (embeddings
+    * are row-aligned with documents, p73's invariant), and the train
+    * side is the rest PLUS one planted direction-preserving x1.1
+    * copy per suite vector (the re-embedded near-exact-text analog;
+    * same sign-bucket by construction — scaling preserves every
+    * projection sign) that the probe must flag, while natural
+    * suite-train cosines top out at ~0.51 on this fixture so the
+    * 0.98 threshold has a 2x margin. The aligned table fans out to
+    * suite + both train branches — persisted so the split-hash scan
+    * and the alignment join run once (f20 lesson). Recall boundary,
+    * stated honestly: planted copies measure the THRESHOLD, not
+    * bucket recall — a paraphrase perturbed enough to flip a plane
+    * sign lands in a neighboring bucket and single-bucket probing
+    * misses it (CurationFilterSpec constructs and measures that
+    * miss); the recall lever is p18's Hamming-1 multi-probe, or more
+    * planes with banding (production widens to 16-24 planes; 4 here
+    * keeps the 500-row fixture's buckets populated).
+    */
   private def semDeconFixture(s: SparkSession,
                               dir: String): (DataFrame, DataFrame) = {
     val split = docs(s, dir).select(col("doc_id"),
@@ -94,12 +101,24 @@ object PipelineQueries {
       .join(split, col("vec_id") === col("doc_id"))
       .select(col("vec_id"), col("embedding").as("v"), col("is_suite"))
       .transform(graft.core.CacheRegistry.persist(_))
+    // the planted-copy ids live at vec_id + PlantedIdOffset and
+    // CurationFilterSpec splits planted/natural on that boundary —
+    // a corpus whose natural ids reach the offset would silently
+    // alias planted ground truth onto real rows (both engines would
+    // still agree, so the gate could not catch it); fail loudly
+    // instead. The max() also materializes the persisted cache
+    // before its three-way fan-out (f20 lesson).
+    val maxId = e.agg(max("vec_id")).head.getLong(0)
+    require(maxId < PlantedIdOffset,
+      s"semDeconFixture: natural vec_id $maxId reaches the planted-" +
+        s"copy offset $PlantedIdOffset; raise the offset or the " +
+        "planted/natural split is meaningless")
     val suite = e.filter(col("is_suite"))
       .select(col("vec_id").as("suite_id"), col("v").as("sv"))
     val train = e.filter(!col("is_suite"))
       .select(col("vec_id"), col("v"))
       .unionByName(e.filter(col("is_suite")).select(
-        (col("vec_id") + 1000000L).as("vec_id"),
+        (col("vec_id") + lit(PlantedIdOffset)).as("vec_id"),
         transform(col("v"), x => x * lit(1.1f)).as("v")))
     (suite, train)
   }
@@ -309,6 +328,23 @@ object PipelineQueries {
         emb(s, dir).filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"),
             col("embedding").as("qv")), k = 5)
+    }),
+
+    // IVF multi-probe ANN: p85's index searched with nProbes = 2 —
+    // each query reads its TWO strongest coarse buckets (the argmax
+    // analog of p18's Hamming-1 expansion; AnnIndex.search scaladoc
+    // documents the single-probe recall boundary this buys back).
+    // Queries stay a broadcast, the index still prunes to probed
+    // buckets, candidate volume doubles but stays bucket-bounded.
+    "p90_ann_multiprobe" -> ((s, dir) => {
+      val idx = graft.core.Scratch.path(s"graft_ann_index_${
+        dir.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      graft.pipeline.AnnIndex.write(
+        emb(s, dir).select("vec_id", "embedding"), idx)
+      graft.pipeline.AnnIndex.topK(s, idx,
+        emb(s, dir).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("qv")), k = 5, nProbes = 2)
     }),
 
     // language ID via stopword-ratio heuristic
@@ -2208,6 +2244,30 @@ object PipelineQueries {
       graft.pipeline.NearDup.matchesAgainstIndex(s, idx, incoming)
     }),
 
+    // the CLUSTER-SCALE index layout: p84's probe against a bands
+    // table stored bucketed + per-bucket-sorted on the keep-rule
+    // window's exact spec (NearDup.writeIndexBucketed) — the probe
+    // plan reads the scan's own hash partitioning, so the index side
+    // has NO exchange at all (BucketedIndexSpec asserts it on the
+    // physical plan). Shares p43/p84's oracle: the gate asserts the
+    // bucketed round-trip is hash-identical to the in-session probe.
+    "p91_bucketed_lsh_index" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val incoming = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" zzz extra tail qq")).as("text"))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
+      val tag = dir.replaceAll("[^0-9a-zA-Z.]", "_")
+        .replaceAll("\\.", "_")
+      val idx = graft.core.Scratch.path(s"graft_lshb_index_$tag")
+      val table = s"graft_lsh_bands_$tag"
+      graft.pipeline.NearDup.writeIndexBucketed(d, idx, table)
+      graft.pipeline.NearDup.matchesAgainstBucketedIndex(
+        s, idx, table, incoming)
+    }),
+
     // semantic (embedding-space) decontamination: the fourth leg of
     // the decon taxonomy (p23 n-gram, p59 Bloom, p79 multi-suite —
     // all token-overlap; this one catches PARAPHRASED contamination
@@ -2288,9 +2348,15 @@ object PipelineQueries {
       // explode + vocab join re-executes per branch (the f20 lesson)
       val nll = unigramNll(s, dir, Seq("doc_id", "lang"))
         .transform(graft.core.CacheRegistry.persist(_))
+      // thresholds round to avg_nll's own 6-decimal grid BEFORE the
+      // band compares (oracle twin rounds identically): the raw
+      // interpolated percentile is engine arithmetic (Spark
+      // percentile vs DuckDB quantile_cont), and when 0.33/0.67 of
+      // (n-1) lands on or near a data point a ULP difference would
+      // flip a doc's band
       val th = nll.groupBy("lang").agg(
-        percentile(col("avg_nll"), lit(0.33)).as("t1"),
-        percentile(col("avg_nll"), lit(0.67)).as("t2"))
+        round(percentile(col("avg_nll"), lit(0.33)), 6).as("t1"),
+        round(percentile(col("avg_nll"), lit(0.67)), 6).as("t2"))
       nll.join(broadcast(th), Seq("lang"))
         .select(col("doc_id"), col("lang"), col("n_tok"),
           col("avg_nll"),
@@ -3094,6 +3160,29 @@ WHERE (CAST(i AS DOUBLE) / CAST(len(sa.sh) + len(sb.sh) - i AS DOUBLE))
     // output is identical to p06's — sharing the oracle makes the
     // gate assert the partitioned round-trip changed nothing.
     "p85_ann_index" -> bucketedAnnOracle,
+
+    // p90: the 2-probe expansion of the bucketed ANN oracle. The
+    // probe ranking (abs(x) DESC, index ASC) mirrors
+    // PipelineOps.topNBuckets' comparator exactly — probe 1 IS
+    // argmaxBucket's first-max tie rule; DuckDB zips the parallel
+    // unnests positionally, giving each component its 1-based index
+    "p90_ann_multiprobe" ->
+      s"""WITH e AS (SELECT *, ${argmaxBucketSql("embedding")} AS bucket
+    FROM embeddings),
+q0 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+    WHERE vec_id < 10),
+qx AS (SELECT query_id, qv, unnest(qv) AS x,
+    unnest(range(1, len(qv) + 1)) AS i FROM q0),
+pb AS (SELECT query_id, qv, CAST(i AS INT) AS bucket FROM (
+    SELECT query_id, qv, i, row_number() OVER (PARTITION BY query_id
+      ORDER BY abs(x) DESC, i ASC) AS pr FROM qx)
+  WHERE pr <= 2),
+c AS (SELECT pb.query_id, e.vec_id, e.bucket,
+    ${cosineSql("pb.qv", "e.embedding")} AS cos
+  FROM pb JOIN e ON e.bucket = pb.bucket AND e.vec_id <> pb.query_id),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
+SELECT query_id, vec_id, bucket, rank, cos FROM r WHERE rank <= 5""",
 
     "p07_langid" ->
       s"""SELECT doc_id, lang, $predSql AS predicted,
@@ -4202,6 +4291,11 @@ FROM m LEFT JOIN d2 USING (canon1)"""
     // proves the index write/read round-trip changed nothing.
     "p84_incremental_index" -> incrementalDedupOracle,
 
+    // p91 probes the same corpus through the bucketed catalog-table
+    // layout; the storage layout must not change a single output
+    // bit, so it shares p43/p84's oracle verbatim
+    "p91_bucketed_lsh_index" -> incrementalDedupOracle,
+
     // p89 shares this string VERBATIM: the index-backed probe must
     // be hash-identical to the in-session one, so the gate holds
     // both to the same oracle (the p84/p43, p85/p06 pattern)
@@ -4233,8 +4327,8 @@ FROM k"""
 
     "p88_perplexity_filter" -> {
       s"""WITH ${unigramNllCtes("doc_id, lang")},
-th AS (SELECT lang, quantile_cont(avg_nll, 0.33) AS t1,
-    quantile_cont(avg_nll, 0.67) AS t2 FROM nll GROUP BY lang)
+th AS (SELECT lang, round(quantile_cont(avg_nll, 0.33), 6) AS t1,
+    round(quantile_cont(avg_nll, 0.67), 6) AS t2 FROM nll GROUP BY lang)
 SELECT doc_id, lang, n_tok, avg_nll,
   CASE WHEN avg_nll <= t1 THEN 'head'
        WHEN avg_nll <= t2 THEN 'middle' ELSE 'tail' END AS ppl_bucket,
