@@ -56,3 +56,8 @@ javaOptions ++= jdk17AddOpens ++ heapPin ++ Seq(
   // uniform ~1.5-2x late-run inflation seen on the LSH family)
   "-XX:ReservedCodeCacheSize=1g",
 )
+// opt-in GC logging for stall adjudication (graft.GcDrain):
+// SPARK_GRAFT_GCLOG=/tmp/gc.log adds unified-logging GC output with
+// wall-clock timestamps so drain spikes can be correlated to pauses
+javaOptions ++= sys.env.get("SPARK_GRAFT_GCLOG")
+  .map(f => s"-Xlog:gc*:file=$f:time,uptime,level,tags").toSeq

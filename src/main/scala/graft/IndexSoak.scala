@@ -1,28 +1,37 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev tool: per-batch cost of the continuous-build probe, direct vs
-  * precomputed index (round 10). The claim under test:
-  * `matchesAgainst` re-shingles the WHOLE corpus every batch (its
-  * per-batch cost scales with corpus size), while
-  * `matchesAgainstIndex` pays only the batch's own shingling plus
-  * the band join (its per-batch cost scales with batch size) — at
-  * 100 TB the difference is the whole corpus scan, per batch.
+/** Dev tool: scale evidence for the continuous-build LSH index
+  * (round 10, extended round 11). Four phases:
   *
-  * Fixture: the text soak's corpus (default the 10x planted one,
-  * 50k docs) probed by a small batch (tail-perturbed near-dups of
-  * corpus docs + novel docs), 3 timed rounds each way in one warm
-  * JVM, alternating (paired, AbProfile-style), plus the one-time
-  * index build cost and an output-equality assert.
+  *  1. **Parity** — `matchesAgainst` (re-shingles the corpus per
+  *     batch) vs `matchesAgainstIndex` (precomputed index), paired
+  *     alternating rounds in one warm JVM, output-equality asserted.
+  *  2. **Corpus scaling** — the SAME batch probed against 1x/4x/16x
+  *     replicas of the corpus. Reports per-probe seconds AND the
+  *     keep-window's input rows (touched-bucket population after the
+  *     round-11 broadcast semi-join prefilter) next to the full band
+  *     table size: the prefilter makes window input a function of
+  *     the BATCH's collision footprint, not corpus row count —
+  *     before the fix the window exchanged + sorted the entire band
+  *     table per probe call.
+  *  3. **20-batch continuous build** — dedupAgainstIndex →
+  *     appendIndex loop; per-batch wall time and pinned-cache count
+  *     must stay flat as the index grows (each batch also re-probes
+  *     docs appended by the previous batch, proving the grown index
+  *     is live).
+  *  4. **Compaction** — after the loop's appends, probe cost and
+  *     file counts before/after `compactIndex`; output asserted
+  *     identical.
   *
-  * Usage: runMain graft.IndexSoak [corpusParquet] [batchSize]
+  * Usage: runMain graft.IndexSoak [docsParquet] [batchSize]
   */
 object IndexSoak {
   def main(args: Array[String]): Unit = {
-    val corpusPath = if (args.nonEmpty) args(0)
-      else "/dev/shm/graft_scratch/graft_soak_10x/documents.parquet"
+    val docsPath = if (args.nonEmpty) args(0)
+      else "/root/testdata/sf0.1/documents.parquet"
     val batchSize = if (args.length > 1) args(1).toInt else 200
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -34,26 +43,42 @@ object IndexSoak {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.install(spark)
 
-    val corpus = spark.read.parquet(corpusPath)
-      .select("doc_id", "text")
-    val n = corpus.count()
-    val batch = corpus.orderBy("doc_id").limit(batchSize / 2)
-      .select((col("doc_id") + 90000000L).as("doc_id"),
-        concat(col("text"), lit(" zz tail probe")).as("text"))
-      .unionByName(spark.range(batchSize / 2)
-        .select((col("id") + 95000000L).as("doc_id"),
-          concat_ws(" ", (1 to 30).map(i =>
-            concat(lit(s"nv${i}x"), col("id"))): _*).as("text")))
-      .cache()
+    val base = spark.read.parquet(docsPath).select("doc_id", "text")
+    val n = base.count()
+
+    // ---- fixtures ------------------------------------------------
+    // replicas keep the TEXT identical (ids offset): every band
+    // bucket's population scales with the replication factor — the
+    // adversarial case for the keep window, whose cost is bucket
+    // population
+    def replica(k: Int): DataFrame =
+      (0 until k).map(i => base.select(
+        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        col("text"))).reduce(_ unionByName _)
+    // disjoint id spaces by construction: near-dup ids live in
+    // [60M, 95M) and novels in [95M, ...) for every seed the soak
+    // uses, so the novel/near-dup split filter below cannot alias
+    def batchOf(seed: Int, sz: Int): DataFrame =
+      base.filter(pmod(col("doc_id"), lit(17)) === (seed % 17))
+        .limit(sz / 2)
+        .select((col("doc_id") + lit(60000000L + seed * 100000L))
+          .as("doc_id"),
+          concat(col("text"), lit(s" zz tail probe $seed")).as("text"))
+        .unionByName(spark.range(sz / 2)
+          .select((col("id") + lit(95000000L + seed * 100000L))
+            .as("doc_id"),
+            concat_ws(" ", (1 to 30).map(i =>
+              concat(lit(s"nv${i}s$seed"), col("id"))): _*).as("text")))
+    val batch = batchOf(0, batchSize).cache()
     println(s"[idxsoak] corpus $n docs, batch ${batch.count()} docs")
 
     val idx = graft.core.Scratch.path("graft_idxsoak_index")
     val tb = System.nanoTime()
-    graft.pipeline.NearDup.writeIndex(corpus, idx)
+    graft.pipeline.NearDup.writeIndex(base, idx)
     println(f"[idxsoak] one-time writeIndex: ${
       (System.nanoTime() - tb) / 1e9}%.1f s")
 
-    def run(tag: String)(f: => org.apache.spark.sql.DataFrame)
+    def run(tag: String)(f: => DataFrame)
         : Seq[(Long, Boolean, Long, Double)] = {
       val t0 = System.nanoTime()
       // ALL four output columns, including jaccard — a divergence
@@ -68,21 +93,162 @@ object IndexSoak {
         f" (${rows.length} rows, ${rows.count(_._2)} matched)")
       rows
     }
-    // untimed warmup of both plans
+
+    // ---- phase 1: direct vs index parity -------------------------
+    println("[idxsoak] ---- phase 1: direct-vs-index parity ----")
     run("warmup direct") {
-      graft.pipeline.NearDup.matchesAgainst(corpus, batch) }
+      graft.pipeline.NearDup.matchesAgainst(base, batch) }
     run("warmup index") {
       graft.pipeline.NearDup.matchesAgainstIndex(spark, idx, batch) }
     var eq = true
     (1 to 3).foreach { i =>
       val d = run(s"direct round $i") {
-        graft.pipeline.NearDup.matchesAgainst(corpus, batch) }
+        graft.pipeline.NearDup.matchesAgainst(base, batch) }
       val x = run(s"index  round $i") {
         graft.pipeline.NearDup.matchesAgainstIndex(spark, idx, batch) }
       eq &&= (d == x)
     }
     println(s"[idxsoak] direct == index output: $eq")
     assert(eq, "index probe diverged from direct probe on the soak corpus")
+
+    // ---- phase 2: corpus scaling ---------------------------------
+    println("[idxsoak] ---- phase 2: corpus scaling (same batch) ----")
+    Seq(1, 4, 16).foreach { k =>
+      val kidx = graft.core.Scratch.path(s"graft_idxsoak_index_${k}x")
+      graft.pipeline.NearDup.writeIndex(replica(k), kidx)
+      // window-input census: band-table rows vs rows surviving the
+      // probe's touched-bucket semi-join (the keep window's actual
+      // input after the round-11 prefilter)
+      val cb0 = spark.read.parquet(s"$kidx/bands")
+      val full = cb0.count()
+      val touched = {
+        val ib = batch
+          .withColumn("sig",
+            graft.functions.GraftFunctions.shingleSig(col("text")))
+          .filter(size(col("sig.sh")) > 0)
+          .select(posexplode(col("sig.bks")).as(Seq("band", "bkey")))
+          .distinct()
+        cb0.join(broadcast(ib), Seq("band", "bkey"), "left_semi").count()
+      }
+      // median-of-3 probe
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        graft.pipeline.NearDup.matchesAgainstIndex(spark, kidx, batch)
+          .count()
+        graft.core.CacheRegistry.releaseAll()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[idxsoak] scale ${k}%2dx: band rows $full%9d, " +
+        f"window input $touched%8d (${100.0 * touched / full}%5.1f%%), " +
+        f"probe median ${times(1)}%.2f s")
+    }
+
+    // ---- phase 3: 20-batch continuous build ----------------------
+    println("[idxsoak] ---- phase 3: 20-batch dedup->append loop " +
+      "(one mid-loop compaction at batch 10) ----")
+    val loopIdx = graft.core.Scratch.path("graft_idxsoak_loop")
+    graft.pipeline.NearDup.writeIndex(base, loopIdx)
+    def idxFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(loopIdx))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    // the soak's own long-lived caches (the shared batch etc.) are
+    // pinned by design; the leak assert is about PER-BATCH growth
+    val pinnedBase = spark.sparkContext.getPersistentRDDs.size
+    var prevNovel: Option[DataFrame] = None
+    val batchSecs = (1 to 20).map { b =>
+      // half novel, half re-probes: near-dups of the PREVIOUS
+      // batch's appended novels (must be matched by the grown index)
+      // when a previous batch exists, else near-dups of the corpus
+      val reprobe = prevNovel match {
+        case Some(p) => p.select(
+          (col("doc_id") + lit(200000000L)).as("doc_id"),
+          concat(col("text"), lit(" zw")).as("text"))
+        case None => batchOf(b, batchSize)
+          .filter(col("doc_id") < 90000000L)
+      }
+      val novel = batchOf(b + 40, batchSize)
+        .filter(col("doc_id") >= 95000000L)
+      val inc = novel.unionByName(reprobe).cache()
+      inc.count()
+      val t0 = System.nanoTime()
+      val survivors = graft.pipeline.NearDup
+        .dedupAgainstIndex(spark, loopIdx, inc).cache()
+      val ns = survivors.count()
+      graft.pipeline.NearDup.appendIndex(survivors, loopIdx)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val matchedBack = reprobe.count() -
+        survivors.join(reprobe, Seq("doc_id"), "left_semi").count()
+      survivors.unpersist(true); inc.unpersist(true)
+      graft.core.CacheRegistry.releaseAll()
+      // the hard contract: CacheRegistry-managed operator caches must
+      // all be released per batch. getPersistentRDDs is reported
+      // informationally but NOT asserted exactly — CC's superseded
+      // localCheckpoint rounds linger until the async ContextCleaner
+      // collects them, so the raw count breathes; the flat per-batch
+      // series below is what shows it stays bounded.
+      assert(graft.core.CacheRegistry.size == 0,
+        s"batch $b left ${graft.core.CacheRegistry.size} registered caches")
+      val pinned = spark.sparkContext.getPersistentRDDs.size
+      println(f"[idxsoak] batch $b%2d: $secs%5.2f s, $ns%4d survivors, " +
+        f"$matchedBack%4d re-probes matched, ${idxFiles()}%4d index " +
+        f"files, ${pinned - pinnedBase} pinned RDDs over baseline " +
+        "(localCheckpoint residue, ContextCleaner-bounded)")
+      // one mid-loop compaction (batch 10) shows the production
+      // cadence inline; batches 11-20 re-accumulate files so phase 4
+      // can measure an explicit before/after on a grown index
+      if (b == 10) {
+        val t1 = System.nanoTime()
+        graft.pipeline.NearDup.compactIndex(spark, loopIdx)
+        println(f"[idxsoak] compaction after batch $b: ${
+          (System.nanoTime() - t1) / 1e9}%.2f s, down to ${
+          idxFiles()} files")
+      }
+      if (b > 1) assert(matchedBack > 0,
+        s"batch $b: grown index failed to match the previous batch's docs")
+      // novel re-derives deterministically from batchOf (no pin):
+      // the next batch's re-probes are near-dups of THESE docs,
+      // which just appended — matching them proves the index grew
+      prevNovel = Some(novel)
+      secs
+    }
+    val firstHalf = batchSecs.take(10).sorted.apply(5)
+    val lastHalf = batchSecs.drop(10).sorted.apply(5)
+    println(f"[idxsoak] per-batch median: first half $firstHalf%.2f s, " +
+      f"second half $lastHalf%.2f s (flat => index growth is free)")
+
+    // ---- phase 4: compaction -------------------------------------
+    println("[idxsoak] ---- phase 4: compaction after 20 appends ----")
+    def files(dir: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
+    }
+    val probeBatch = batchOf(99, batchSize).cache()
+    probeBatch.count()
+    def timedProbe(tag: String): Seq[(Long, Boolean, Long, Double)] = {
+      val t = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        graft.pipeline.NearDup
+          .matchesAgainstIndex(spark, loopIdx, probeBatch).count()
+        graft.core.CacheRegistry.releaseAll()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val out = run(tag) {
+        graft.pipeline.NearDup
+          .matchesAgainstIndex(spark, loopIdx, probeBatch) }
+      println(f"[idxsoak] $tag probe median ${t(1)}%.2f s, " +
+        f"${files(loopIdx)} data files")
+      out
+    }
+    val beforeC = timedProbe("pre-compaction")
+    graft.pipeline.NearDup.compactIndex(spark, loopIdx)
+    val afterC = timedProbe("post-compaction")
+    assert(beforeC == afterC,
+      "probe output changed across compaction")
+    println("[idxsoak] compaction output identical: true")
     spark.stop()
   }
 }

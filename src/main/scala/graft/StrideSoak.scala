@@ -69,9 +69,13 @@ object StrideSoak {
     println(s"[stride] H: $hNsh shingles, ${hBks.size} band keys")
 
     // greedy band-invisible growth: append words whose trailing
-    // shingle displaces no band-row minimum, until nsh(base+filler)
-    // exceeds `targetNsh`
-    def growInvisible(base: String, targetNsh: Int, prefix: String)
+    // shingle displaces no band-row minimum IN THE GIVEN BANDS (all
+    // bands by default — fully invisible), until nsh(base+filler)
+    // exceeds `targetNsh`. Phase 4 passes a strict subset: the doc
+    // then sits in H's hot bucket only for those bands, its other
+    // band keys drifting freely — a PARTIAL adversary.
+    def growInvisible(base: String, targetNsh: Int, prefix: String,
+                      bandsKept: Seq[Int] = hBks.indices)
         : (String, Int) = {
       var text = base
       var n = 0
@@ -83,7 +87,7 @@ object StrideSoak {
         cand += 24
         val sigs = sigOf(words.map(w => s"$text $w"))
         val hit = sigs.zip(words).find { case ((bks, _), _) =>
-          bks == hBks
+          bandsKept.forall(b => bks(b) == hBks(b))
         }
         hit match {
           case Some(((_, nsh), w)) => text = s"$text $w"; n = nsh
@@ -227,6 +231,92 @@ object StrideSoak {
       "the accepted residual: a lone qualifier bracketed by >= 2 " +
       "band-invisible same-window members survives only on its " +
       "stride rank (see NearDup scaladoc)")
+
+    // phase 4: the MULTI-BAND bound's testable prediction (round
+    // 11). Phase 3's miss needs the bracketing construction in
+    // EVERY band bucket the probe shares with D — its junk was
+    // grown band-invisible in ALL 8 bands, the adversarial extreme.
+    // The bound (NearDup keep-rule scaladoc): per shared band, D
+    // survives with p >= cap/bn even when bracketed, and with p = 1
+    // when that band's bucket is NOT bracketed (D is then its size
+    // window's endpoint); a miss needs failure in all B bands at
+    // once, so for a corpus whose bracketing docs land in band
+    // buckets independently (distinct minhash rows per band),
+    // P(miss) <= (1 - cap/bn)^B. The sharpest testable corollary:
+    // ONE clean band is enough — junk grown invisible in only 7 of
+    // 8 bands leaves D a window endpoint in the clean band's
+    // bucket, so recall must return to 6/6 across the same stride
+    // phases that missed 4/6 in phase 3. Hard-asserted below.
+    val keepBands = hBks.indices.dropRight(1)
+    val cleanBand = hBks.indices.last
+    // the greedy growth only constrains the KEPT bands; the clean
+    // band may still coincide with H's key by luck. This post-pass
+    // appends ONE more word chosen to displace the clean band's
+    // minhash minimum while preserving the kept bands — guaranteeing
+    // the junk is genuinely absent from the clean band's hot bucket
+    def forceDrift(text: String, prefix: String): (String, Int) = {
+      val cur = sigOf(Seq(text)).head._1
+      if (cur(cleanBand) != hBks(cleanBand)) {
+        (text, sigOf(Seq(text)).head._2)
+      } else {
+        var cand = 0
+        var found: Option[(String, Int)] = None
+        while (found.isEmpty && cand < 2000) {
+          val words = (cand until cand + 24).map(j => s"$prefix$j")
+          cand += 24
+          val sigs = sigOf(words.map(w => s"$text $w"))
+          found = sigs.zip(words).collectFirst {
+            case ((bks, nsh), w)
+                if keepBands.forall(b => bks(b) == hBks(b)) &&
+                  bks(cleanBand) != hBks(cleanBand) =>
+              (s"$text $w", nsh)
+          }
+        }
+        found.getOrElse(sys.error(
+          s"forceDrift: no word displaces band $cleanBand's minimum"))
+      }
+    }
+    val (j1pText, j1pNsh) = forceDrift(
+      growInvisible(hText, (1.7 * hNsh).toInt, "gc", keepBands)._1, "ze")
+    val (j2pText, j2pNsh) = forceDrift(
+      growInvisible(hText, (2.9 * hNsh).toInt, "qd", keepBands)._1, "zg")
+    val j1pBks = sigOf(Seq(j1pText)).head._1
+    val j2pBks = sigOf(Seq(j2pText)).head._1
+    println(s"[stride] partial junk J1'/J2': ${j1pNsh}/${j2pNsh} " +
+      s"shingles; invisible in bands ${keepBands.mkString(",")}: ${
+        keepBands.forall(b => j1pBks(b) == hBks(b) &&
+          j2pBks(b) == hBks(b))}; band $cleanBand clean: ${
+        j1pBks(cleanBand) != hBks(cleanBand) &&
+          j2pBks(cleanBand) != hBks(cleanBand)}")
+    require(64 - java.lang.Long.numberOfLeadingZeros(j1pNsh) ==
+      64 - java.lang.Long.numberOfLeadingZeros(dNsh) &&
+      64 - java.lang.Long.numberOfLeadingZeros(j2pNsh) ==
+        64 - java.lang.Long.numberOfLeadingZeros(dNsh),
+      "fixture drift: J1'/D/J2' must share one power-of-two window")
+    require(j1pBks(cleanBand) != hBks(cleanBand) &&
+      j2pBks(cleanBand) != hBks(cleanBand),
+      "fixture drift: the last band must have drifted to be clean")
+    var partialHits = 0
+    (8 to 13).foreach { k =>
+      val corpus = ((1L to k.toLong).map(i => (i, hText)) :+
+        (998L, j1pText) :+ (999L, dText) :+ (1501L, j2pText)).toDF(
+        "doc_id", "text")
+      val probe = Seq((5000L, pText)).toDF("doc_id", "text")
+      val got = graft.pipeline.NearDup
+        .matchesAgainst(corpus, probe, 0.5, bucketCap = cap)
+        .collect().map(r => (r.getBoolean(1), r.getLong(2))).head
+      graft.core.CacheRegistry.releaseAll()
+      if (got._1) partialHits += 1
+      println(f"[stride] one-clean-band K=$k%2d: matched: " +
+        f"${got._1}%-5s id=${got._2}")
+      assert(got._1 && got._2 == 999L,
+        s"one clean band must pin the qualifier (K=$k) — the " +
+          "multi-band bound's prediction failed")
+    }
+    println(s"[stride] one-clean-band recall: $partialHits/6 — the " +
+      "interior-window miss requires the bracketing in EVERY shared " +
+      "band; a single unbracketed band restores recall 1.0, as the " +
+      "multi-band bound predicts")
     spark.stop()
   }
 }

@@ -280,7 +280,28 @@ object NearDup {
     // band-invisible members within factor 2 of its size bracketing
     // it — in EVERY band bucket it shares with the probe; then
     // survival is stride luck (~cap/bn), measured honestly by
-    // StrideSoak phase 3. Cost: <= 2 rows per non-empty window, and
+    // StrideSoak phase 3. QUANTIFIED multi-band bound (round 11):
+    // the keep decision runs independently per (band, bkey) bucket,
+    // and one surviving bucket suffices (the candidate join is a
+    // union over bands). Per shared band, the qualifier survives
+    // with p = 1 when that band's bucket is NOT bracketed (it is
+    // then its size window's endpoint — the phase-2 guarantee) and
+    // with p >= cap/bn when it is. A miss therefore needs the
+    // bracketing construction to hold in ALL B shared bands
+    // simultaneously. The B band keys come from disjoint minhash
+    // rows, so for any corpus whose would-be bracketing docs are not
+    // adversarially grown to preserve every band minimum (StrideSoak
+    // grows its junk with a greedy per-band search — nature does
+    // not), membership of a junk doc in the qualifier's bucket is
+    // independent across bands and P(miss) <= prod_b max(0,
+    // 1 - cap/bn_b) <= (1 - cap/bn_max)^B — at cap 64, B = 8 and
+    // even a 10x-over-cap bucket (bn = 640) that is bracketed in
+    // every band, P(miss) <= (1 - 0.1)^8 ~ 0.43 per ADVERSARIAL
+    // qualifier, and vanishes when any band is clean. The sharpest
+    // testable corollary — junk invisible in only 7 of 8 bands must
+    // restore recall to 1.0 because the one clean band pins the
+    // qualifier as its window endpoint — is hard-asserted by
+    // StrideSoak phase 4 (6/6). Cost: <= 2 rows per non-empty window, and
     // window count is <= bit length of the largest shingle set
     // (~2·log2(maxNsh) extra rows per over-cap bucket vs cap kept by
     // the stride); the lag/lead markers share the existing

@@ -1,0 +1,202 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 index-family contracts: the bucketed bands layout
+  * (probe plan has no index-side exchange and reads the bucketed
+  * scan), index compaction (file counts drop, probe outputs are
+  * bit-identical — layout independence), and the ANN multi-probe
+  * recall lever (probe 1 is exactly argmaxBucket; a planted
+  * second-bucket neighbor is missed single-probe and recovered at
+  * nProbes = 2).
+  */
+class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(name: String): String = java.nio.file.Files
+    .createTempDirectory(name).toString + "/x"
+
+  private def docsDf: DataFrame = {
+    import spark.implicits._
+    // 40 docs in 8 content families (near-dups within a family),
+    // enough band collisions to exercise the keep window
+    (0 until 40).map { i =>
+      val fam = i % 8
+      val base = (1 to 25).map(j => s"w${(j * (fam + 3)) % 19}")
+      (i.toLong, (base :+ s"tail$i").mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  private def incomingDf: DataFrame = {
+    import spark.implicits._
+    // near-dups of family docs + novels
+    (0 until 10).map { i =>
+      val fam = i % 8
+      val base = (1 to 25).map(j => s"w${(j * (fam + 3)) % 19}")
+      (100L + i, (base :+ "probe zz").mkString(" "))
+    }.toDF("doc_id", "text")
+      .unionByName((0 until 4).map(i =>
+        (200L + i, (1 to 25).map(j => s"nv${j}x$i").mkString(" ")))
+        .toDF("doc_id", "text"))
+  }
+
+  private def collected(df: DataFrame): Seq[(Long, Boolean, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
+      r.getDouble(3))).sortBy(_._1).toSeq
+
+  private def dataFiles(dir: String): Int = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
+  }
+
+  test("bucketed bands layout: identical output, no index-side exchange") {
+    val path = tmp("graft_lshb_spec")
+    val pathPlain = tmp("graft_lshp_spec")
+    NearDup.writeIndexBucketed(docsDf, path, "graft_spec_bands")
+    NearDup.writeIndex(docsDf, pathPlain)
+    val direct = NearDup.matchesAgainst(docsDf, incomingDf)
+    val viaPlain = NearDup.matchesAgainstIndex(spark, pathPlain, incomingDf)
+    val viaBucketed = NearDup.matchesAgainstBucketedIndex(
+      spark, path, "graft_spec_bands", incomingDf)
+    val d = collected(direct)
+    assert(d.nonEmpty && d.exists(_._2), "fixture must produce matches")
+    assert(collected(viaPlain) == d, "plain index diverged from direct")
+    assert(collected(viaBucketed) == d, "bucketed index diverged")
+    // plan posture: the bucketed probe must read the bucketed scan
+    // (no exchange between the bands scan and the keep window), so
+    // it plans strictly FEWER exchanges than the path-based probe of
+    // the same data, whose window must shuffle the scan output
+    def exchanges(df: DataFrame): Int =
+      "Exchange hashpartitioning".r.findAllIn(
+        df.queryExecution.executedPlan.toString).length
+    val eb = exchanges(NearDup.matchesAgainstBucketedIndex(
+      spark, path, "graft_spec_bands", incomingDf))
+    val ep = exchanges(NearDup.matchesAgainstIndex(
+      spark, pathPlain, incomingDf))
+    assert(eb < ep,
+      s"bucketed probe plans $eb exchanges, path-based $ep — the " +
+        "bucketed layout must remove the index-side exchange")
+    val planB = NearDup.matchesAgainstBucketedIndex(
+      spark, path, "graft_spec_bands", incomingDf)
+      .queryExecution.executedPlan.toString
+    assert(planB.contains("Bucketed: true"),
+      "bucketed probe plan does not read the bucketed scan")
+    graft.core.CacheRegistry.releaseAll()
+  }
+
+  test("compactIndex: file count drops, probe output bit-identical") {
+    val path = tmp("graft_compact_spec")
+    NearDup.writeIndex(docsDf, path)
+    // simulate many daily appends: each is a partition-local file add
+    (0 until 6).foreach { b =>
+      import spark.implicits._
+      val nd = (0 until 3).map(i =>
+        (1000L + b * 10 + i,
+          (1 to 25).map(j => s"ap${j}b${b}i$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      NearDup.appendIndex(nd, path)
+      graft.core.CacheRegistry.releaseAll()
+    }
+    val before = collected(
+      NearDup.matchesAgainstIndex(spark, path, incomingDf))
+    graft.core.CacheRegistry.releaseAll()
+    val filesBefore = dataFiles(path)
+    NearDup.compactIndex(spark, path, targetFiles = 2)
+    val filesAfter = dataFiles(path)
+    assert(filesAfter < filesBefore,
+      s"compaction did not shrink the file count " +
+        s"($filesBefore -> $filesAfter)")
+    assert(filesAfter <= 4, s"expected <= 2 files per table, got " +
+      s"$filesAfter total")
+    val after = collected(
+      NearDup.matchesAgainstIndex(spark, path, incomingDf))
+    assert(after == before, "probe output changed across compaction")
+    graft.core.CacheRegistry.releaseAll()
+  }
+
+  test("AnnIndex.compact: file count drops, search output identical") {
+    import spark.implicits._
+    def vec(seed: Int): Seq[Float] =
+      (0 until 6).map(d => (((seed * 31 + d * 17) % 13) - 6).toFloat)
+    val base = (0 until 30).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val path = tmp("graft_annc_spec")
+    AnnIndex.write(base, path)
+    (0 until 5).foreach { b =>
+      AnnIndex.append((0 until 4).map(i =>
+        (500L + b * 10 + i, vec(100 + b * 7 + i)))
+        .toDF("vec_id", "embedding"), path)
+    }
+    val qs = base.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def snap(): Seq[(Long, Long, Int, Int, Double)] =
+      AnnIndex.topK(spark, path, qs, k = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+          r.getDouble(4))).sortBy(t => (t._1, t._4)).toSeq
+    val before = snap()
+    assert(before.nonEmpty)
+    val filesBefore = dataFiles(path)
+    AnnIndex.compact(spark, path)
+    val filesAfter = dataFiles(path)
+    assert(filesAfter < filesBefore,
+      s"ANN compaction did not shrink files ($filesBefore -> $filesAfter)")
+    assert(snap() == before, "search output changed across compaction")
+  }
+
+  test("multi-probe: probe 1 is argmaxBucket; planted neighbor needs probe 2") {
+    import spark.implicits._
+    // topNBuckets prefix property on assorted vectors (incl. ties:
+    // first-max index must win, matching argmaxBucket)
+    val vs = Seq(
+      Seq(0.5f, -2.0f, 1.0f, 0.25f),
+      Seq(1.0f, 1.0f, -1.0f, 0.0f),
+      Seq(-3.0f, 2.0f, 3.0f, 1.0f),
+      Seq(0.0f, 0.0f, 0.0f, 0.1f)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+    val chk = vs.select(
+      PipelineOps.argmaxBucket(col("embedding")).as("am"),
+      PipelineOps.topNBuckets(col("embedding"), 2).as("tb"),
+      PipelineOps.topNBuckets(col("embedding"), 4).as("all4"))
+      .collect()
+    chk.foreach { r =>
+      assert(r.getSeq[Int](1).head == r.getInt(0),
+        "topNBuckets(1) must equal argmaxBucket")
+      assert(r.getSeq[Int](2).sorted == Seq(1, 2, 3, 4),
+        "topNBuckets(dim) must be a permutation of all buckets")
+    }
+    // planted recall boundary: the query's argmax is dim 2, its true
+    // nearest neighbor's argmax is dim 1 (second-strongest for the
+    // query) — single-probe misses it, 2-probe must find it at rank 1
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.9f, 0.0f, 0.0f)),  // neighbor, bucket 1
+      (2L, Seq(0.0f, 1.0f, 0.3f, 0.0f)),  // bucket 2, lower cos
+      (3L, Seq(0.1f, 1.0f, 0.0f, 0.2f)),  // bucket 2
+      (4L, Seq(0.0f, 0.0f, 0.0f, 1.0f)))  // elsewhere
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), PipelineOps.norm(col("embedding")).as("nrm"),
+        col("embedding"),
+        PipelineOps.argmaxBucket(col("embedding")).as("bucket"))
+    val q = Seq((10L, Seq(0.9f, 1.0f, 0.0f, 0.0f)))
+      .toDF("query_id", "qv")
+    val single = AnnIndex.search(corpus, q, k = 2)
+      .select("vec_id").as[Long].collect().toSet
+    val multi = AnnIndex.search(corpus, q, k = 2, nProbes = 2)
+      .filter(col("rank") === 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!single.contains(1L),
+      "fixture broken: single-probe should miss the cross-bucket neighbor")
+    assert(multi == Set(1L),
+      s"2-probe search must rank the planted neighbor first, got $multi")
+  }
+}
