@@ -426,14 +426,20 @@ object NearDup {
                                   threshold: Double = 0.5,
                                   bucketCap: Int = LshBucketCap)
       : DataFrame = {
-    val corpusSh = spark.read.parquet(s"$path/signatures")
-    graft.core.Checks.requireColumns(corpusSh,
+    val corpusSh0 = spark.read.parquet(s"$path/signatures")
+    graft.core.Checks.requireColumns(corpusSh0,
       "matches_against_bucketed_index(signatures)", "doc_id", "sh",
       "bks")
-    val cb0 = spark.table(table)
-    graft.core.Checks.requireColumns(cb0,
+    val cb00 = spark.table(table)
+    graft.core.Checks.requireColumns(cb00,
       "matches_against_bucketed_index(bands)", "corpus_id", "nsh_c",
       "band", "bkey")
+    // same logical-delete contract as matchesAgainstIndex; the
+    // broadcast anti-join preserves the bucketed scan's partitioning
+    // so the zero-exchange window plan survives tombstones
+    val tomb = tombstonesAt(spark, path)
+    val corpusSh = dropTombstoned(corpusSh0, "doc_id", tomb)
+    val cb0 = dropTombstoned(cb00, "corpus_id", tomb)
     val incSh = shingleify(incoming)
       .transform(graft.core.CacheRegistry.persist(_))
     incSh.count() // materialize before fan-out (2 plan branches)
@@ -460,40 +466,94 @@ object NearDup {
       .write.mode("append").parquet(s"$path/bands")
   }
 
-  /** Compact a [[writeIndex]] layout after many [[appendIndex]]
-    * increments: each daily append is a partition-local file ADD (by
-    * design — no read, no shuffle), so after months the index is a
-    * small-files catalog problem — every probe pays file-listing and
-    * per-file open cost proportional to APPEND COUNT, not data size
-    * (the same failure S8's FstWriter.compact exists for on the FST
-    * side). This rewrites both tables into ~`targetFiles` large
-    * files each; probe output is bit-identical (IndexCompactionSpec
-    * asserts it) because the probe never depends on file layout.
-    * Run it off the serving path (the rewrite reads the whole index
-    * once — amortized over the appends it absorbs); the swap is two
-    * directory renames.
+  /** Logically REMOVE documents from a [[writeIndex]] — the takedown
+    * / PII-purge path a continuous build cannot live without: a
+    * removal must take effect on the NEXT probe (a removed doc may
+    * no longer claim matches or occupy a keep-rule slot), but
+    * rewriting a 100 TB index per takedown batch is not an option.
+    * So removals are TOMBSTONES: `ids` (a doc_id column) appends to
+    * `path/tombstones` as a partition-local file add — the same
+    * zero-read increment as [[appendIndex]] — and every index probe
+    * broadcast-ANTI-joins the tombstone set out of both tables
+    * before doing anything else (tombstone sets are takedown-sized,
+    * not corpus-sized; a deployment whose tombstones outgrow
+    * broadcast should compact instead, which is also the cure for
+    * accumulated tombstone cost). [[compactIndex]] applies
+    * tombstones PHYSICALLY and clears them, so the logical-delete
+    * debt is bounded by the compaction cadence.
+    */
+  def removeFromIndex(ids: DataFrame, path: String): Unit = {
+    graft.core.Checks.requireColumns(ids, "remove_from_index",
+      "doc_id")
+    ids.select("doc_id").write.mode("append")
+      .parquet(s"$path/tombstones")
+  }
+
+  /** The live tombstone set at `path`, empty-schema None when no
+    * removal has ever been recorded.
+    */
+  private def tombstonesAt(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Option[DataFrame] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) Some(spark.read.parquet(dir.toString))
+    else None
+  }
+
+  /** Anti-join `df` against the tombstones (if any) on `idCol`. */
+  private def dropTombstoned(df: DataFrame, idCol: String,
+                             tomb: Option[DataFrame]): DataFrame =
+    tomb.fold(df) { t =>
+      df.join(broadcast(t.select(col("doc_id").as(idCol)).distinct()),
+        Seq(idCol), "left_anti")
+    }
+
+  /** Compact a [[writeIndex]] layout after many [[appendIndex]] /
+    * [[removeFromIndex]] increments: each daily append is a
+    * partition-local file ADD (by design — no read, no shuffle), so
+    * after months the index is a small-files catalog problem — every
+    * probe pays file-listing and per-file open cost proportional to
+    * APPEND COUNT, not data size (the same failure S8's
+    * FstWriter.compact exists for on the FST side). This rewrites
+    * both tables into ~`targetFiles` large files each, APPLIES any
+    * tombstones physically (the rewrite filters them out, then the
+    * tombstone dir is deleted — probes stop paying the anti-join),
+    * and swaps with directory renames; probe output is bit-identical
+    * (IndexMaintenanceSpec asserts it) because the probe never
+    * depends on file layout and tombstoned rows were already
+    * invisible logically. Run it off the serving path (the rewrite
+    * reads the whole index once — amortized over the appends it
+    * absorbs).
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
                    path: String, targetFiles: Int = 32): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    Seq("signatures", "bands").foreach { sub =>
-      val dir = new org.apache.hadoop.fs.Path(s"$path/$sub")
-      val fs = dir.getFileSystem(hconf)
-      val tmp = new org.apache.hadoop.fs.Path(s"$path/${sub}__compact")
-      val old = new org.apache.hadoop.fs.Path(s"$path/${sub}__old")
-      // write the compacted copy BESIDE the live table (reads are
-      // lazy — overwriting in place would read-under-write), then
-      // swap with two renames; __old survives until the end of the
-      // loop body so a crash between renames leaves the data
-      // recoverable under one of the three names
-      spark.read.parquet(dir.toString)
-        .repartition(targetFiles)
-        .write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(old, true)
-      require(fs.rename(dir, old), s"compactIndex: cannot move $dir")
-      require(fs.rename(tmp, dir), s"compactIndex: cannot move $tmp")
-      fs.delete(old, true)
+    val tomb = tombstonesAt(spark, path)
+    Seq("signatures" -> "doc_id", "bands" -> "corpus_id").foreach {
+      case (sub, idCol) =>
+        val dir = new org.apache.hadoop.fs.Path(s"$path/$sub")
+        val fs = dir.getFileSystem(hconf)
+        val tmp = new org.apache.hadoop.fs.Path(s"$path/${sub}__compact")
+        val old = new org.apache.hadoop.fs.Path(s"$path/${sub}__old")
+        // write the compacted copy BESIDE the live table (reads are
+        // lazy — overwriting in place would read-under-write), then
+        // swap with two renames; __old survives until the end of the
+        // loop body so a crash between renames leaves the data
+        // recoverable under one of the three names
+        dropTombstoned(spark.read.parquet(dir.toString), idCol, tomb)
+          .repartition(targetFiles)
+          .write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(old, true)
+        require(fs.rename(dir, old), s"compactIndex: cannot move $dir")
+        require(fs.rename(tmp, dir), s"compactIndex: cannot move $tmp")
+        fs.delete(old, true)
     }
+    // tombstones are now physical — clear them AFTER both tables
+    // swapped (a crash before this point leaves them applied
+    // logically AND physically, which is harmless: the anti-join of
+    // an already-absent id is a no-op)
+    val tdir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    tdir.getFileSystem(hconf).delete(tdir, true)
   }
 
   /** The index-backed [[dedupAgainst]]: survivors of the incoming
@@ -530,13 +590,18 @@ object NearDup {
     // fail fast with a named error if the path is not a writeIndex
     // layout — a wrong path would otherwise surface as an unresolved
     // column three joins deep
-    val corpusSh = spark.read.parquet(s"$indexPath/signatures")
-    graft.core.Checks.requireColumns(corpusSh,
+    val corpusSh0 = spark.read.parquet(s"$indexPath/signatures")
+    graft.core.Checks.requireColumns(corpusSh0,
       "matches_against_index(signatures)", "doc_id", "sh", "bks")
-    val cb0 = spark.read.parquet(s"$indexPath/bands")
-    graft.core.Checks.requireColumns(cb0,
+    val cb00 = spark.read.parquet(s"$indexPath/bands")
+    graft.core.Checks.requireColumns(cb00,
       "matches_against_index(bands)", "corpus_id", "nsh_c", "band",
       "bkey")
+    // logical deletes first: a tombstoned doc may neither claim a
+    // match nor occupy a keep-rule slot (see removeFromIndex)
+    val tomb = tombstonesAt(spark, indexPath)
+    val corpusSh = dropTombstoned(corpusSh0, "doc_id", tomb)
+    val cb0 = dropTombstoned(cb00, "corpus_id", tomb)
     val incSh = shingleify(incoming)
       .transform(graft.core.CacheRegistry.persist(_))
     incSh.count() // materialize before fan-out (2 plan branches)

@@ -2268,6 +2268,68 @@ object PipelineQueries {
         s, idx, table, incoming)
     }),
 
+    // index deletions (takedown / PII purge): build the full-corpus
+    // index, tombstone every doc_id % 11 == 0 (NearDup.
+    // removeFromIndex — a partition-local file add, no rewrite),
+    // then run p43's exact probe. The oracle is the SAME probe SQL
+    // over the corpus WITH THOSE ROWS ABSENT: a logically-deleted
+    // doc must be indistinguishable from one never indexed — it may
+    // neither claim a match nor occupy a keep-rule slot. Compaction
+    // later applies tombstones physically (IndexMaintenanceSpec
+    // asserts probe identity across that transition).
+    "p92_index_tombstones" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val incoming = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" zzz extra tail qq")).as("text"))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
+      val idx = graft.core.Scratch.path(s"graft_lsht_index_${
+        dir.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      graft.pipeline.NearDup.writeIndex(d, idx)
+      // fresh tombstone state per run: writeIndex overwrites the
+      // tables but a previous run's tombstones would double-apply
+      val tdir = new org.apache.hadoop.fs.Path(s"$idx/tombstones")
+      tdir.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(tdir, true)
+      graft.pipeline.NearDup.removeFromIndex(
+        d.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .select("doc_id"), idx)
+      graft.pipeline.NearDup.matchesAgainstIndex(s, idx, incoming)
+    }),
+
+    // LSH-index health report — the number a production build
+    // monitors per band: bucket count, band rows, max/p99 bucket
+    // size, over-cap bucket count and the share of band rows in
+    // them (the keep rule's workload). Reads the STORED index (one
+    // aggregate over the bands table, bucket-bounded state); the
+    // oracle recomputes the band table from the raw corpus, so the
+    // gate also asserts the stored index equals a fresh shingle pass
+    // — drift detection for free.
+    "p93_lsh_index_report" -> ((s, dir) => {
+      val idx = graft.core.Scratch.path(s"graft_lshr_index_${
+        dir.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      graft.pipeline.NearDup.writeIndex(
+        docs(s, dir).select("doc_id", "text"), idx)
+      val cap = graft.pipeline.PipelineOps.LshBucketCap
+      s.read.parquet(s"$idx/bands")
+        .groupBy("band", "bkey").agg(count(lit(1)).as("n"))
+        .groupBy("band").agg(
+          count(lit(1)).as("n_buckets"),
+          sum(col("n")).as("band_rows"),
+          max(col("n")).as("max_bucket"),
+          round(percentile(col("n"), lit(0.99)), 6).as("p99_bucket"),
+          sum(when(col("n") > cap, 1L).otherwise(0L))
+            .as("over_cap_buckets"),
+          round(sum(when(col("n") > cap, col("n")).otherwise(0L))
+            .cast("double") / sum(col("n")).cast("double"), 6)
+            .as("over_cap_row_share"))
+      // no orderBy: 8 rows, and the gate compare is row-order
+      // insensitive — a global Sort would trip PlanLintSpec for
+      // nothing
+    }),
+
     // semantic (embedding-space) decontamination: the fourth leg of
     // the decon taxonomy (p23 n-gram, p59 Bloom, p79 multi-suite —
     // all token-overlap; this one catches PARAPHRASED contamination
@@ -2981,12 +3043,19 @@ r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
 SELECT query_id, vec_id, bucket, rank, cos FROM r WHERE rank <= 5"""
   }
 
-  /** ONE oracle for p43 (in-session probe) and p84 (precomputed-index
-    * probe): the index tables are a pure function of the corpus, so
-    * the two queries must be hash-identical — sharing the SQL makes
-    * the gate assert exactly that round-trip equivalence.
+  /** ONE oracle for p43 (in-session probe), p84 (precomputed-index
+    * probe) and p91 (bucketed-index probe): the index tables are a
+    * pure function of the corpus, so the queries must be
+    * hash-identical — sharing the SQL makes the gate assert exactly
+    * that round-trip equivalence. p92 (tombstoned index) passes the
+    * removal predicate as `corpusWhere`: a logically-deleted doc
+    * must be indistinguishable from one never indexed, so its oracle
+    * is this SAME probe over the corpus WITH THE ROWS GONE.
     */
-  private lazy val incrementalDedupOracle: String = {
+  private lazy val incrementalDedupOracle: String =
+    incrementalDedupOracleOver("TRUE")
+
+  private def incrementalDedupOracleOver(corpusWhere: String): String = {
     val sh = hashedShinglesSql(shinglesSql(wordsSql("text")))
     s"""WITH inc0 AS (
     SELECT doc_id + 2000000 AS doc_id,
@@ -2997,7 +3066,8 @@ SELECT query_id, vec_id, bucket, rank, cos FROM r WHERE rank <= 5"""
       array_to_string(list_reverse(string_split(text, ' ')), ' ')
         AS text
     FROM documents WHERE doc_id % 7 = 0),
-csh0 AS (SELECT doc_id, $sh AS sh FROM documents),
+csh0 AS (SELECT doc_id, $sh AS sh FROM documents
+  WHERE $corpusWhere),
 csh AS (SELECT * FROM csh0 WHERE len(sh) > 0),
 ish0 AS (SELECT doc_id, $sh AS sh FROM inc0),
 ish AS (SELECT * FROM ish0 WHERE len(sh) > 0),
@@ -4295,6 +4365,35 @@ FROM m LEFT JOIN d2 USING (canon1)"""
     // layout; the storage layout must not change a single output
     // bit, so it shares p43/p84's oracle verbatim
     "p91_bucketed_lsh_index" -> incrementalDedupOracle,
+
+    // p92: tombstoned docs must be indistinguishable from never
+    // indexed — same probe SQL, corpus rows removed
+    "p92_index_tombstones" ->
+      incrementalDedupOracleOver("doc_id % 11 <> 0"),
+
+    // p93: recompute the band table from the raw corpus and
+    // aggregate identically — stored-index drift would hash-mismatch
+    "p93_lsh_index_report" -> {
+      val sh = hashedShinglesSql(shinglesSql(wordsSql("text")))
+      val cap = graft.pipeline.PipelineOps.LshBucketCap
+      s"""WITH sh0 AS (SELECT doc_id, $sh AS sh FROM documents),
+sh2 AS (SELECT * FROM sh0 WHERE len(sh) > 0),
+cb AS (SELECT doc_id,
+    CAST(unnest(range(0, ${graft.pipeline.PipelineOps.LshBands}))
+      AS INT) AS band,
+    unnest(${bandKeysSql("sh")}) AS bkey FROM sh2),
+bs AS (SELECT band, bkey, CAST(count(*) AS BIGINT) AS n FROM cb
+  GROUP BY band, bkey)
+SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+  CAST(sum(n) AS BIGINT) AS band_rows,
+  max(n) AS max_bucket,
+  round(quantile_cont(n, 0.99), 6) AS p99_bucket,
+  CAST(sum(CASE WHEN n > $cap THEN 1 ELSE 0 END) AS BIGINT)
+    AS over_cap_buckets,
+  round(CAST(sum(CASE WHEN n > $cap THEN n ELSE 0 END) AS DOUBLE) /
+    CAST(sum(n) AS DOUBLE), 6) AS over_cap_row_share
+FROM bs GROUP BY band"""
+    },
 
     // p89 shares this string VERBATIM: the index-backed probe must
     // be hash-identical to the in-session one, so the gate holds

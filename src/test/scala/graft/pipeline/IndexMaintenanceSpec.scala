@@ -125,6 +125,52 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.core.CacheRegistry.releaseAll()
   }
 
+  test("tombstones: logical delete now, physical at compaction") {
+    import spark.implicits._
+    val path = tmp("graft_tomb_spec")
+    NearDup.writeIndex(docsDf, path)
+    val before = collected(
+      NearDup.matchesAgainstIndex(spark, path, incomingDf))
+    graft.core.CacheRegistry.releaseAll()
+    // incoming doc 100 (family 0) matches some corpus doc in family
+    // 0 (doc_ids congruent 0 mod 8); tombstone that family entirely
+    val fam0 = docsDf.filter(pmod(col("doc_id"), lit(8)) === 0)
+      .select("doc_id")
+    val victim = before.find(r => r._1 == 100L).get
+    assert(victim._2 && victim._3 % 8 == 0,
+      s"fixture: doc 100 must match a family-0 corpus doc, got $victim")
+    NearDup.removeFromIndex(fam0, path)
+    val after = collected(
+      NearDup.matchesAgainstIndex(spark, path, incomingDf))
+    graft.core.CacheRegistry.releaseAll()
+    assert(!after.find(_._1 == 100L).get._2,
+      "tombstoned family must stop matching (logical delete)")
+    // row-by-row contract: a probe that matched family 0 is now
+    // unmatched; every other row is untouched
+    before.zip(after).foreach { case (b, a) =>
+      assert(b._1 == a._1)
+      if (b._2 && b._3 % 8 == 0)
+        assert(!a._2 && a._3 == -1L,
+          s"probe ${b._1}: family-0 match must disappear, got $a")
+      else
+        assert(a == b,
+          s"probe ${b._1}: non-family-0 row perturbed: $b -> $a")
+    }
+    // compaction applies the tombstones physically and clears them
+    NearDup.compactIndex(spark, path, targetFiles = 2)
+    assert(!new java.io.File(s"$path/tombstones").exists(),
+      "compaction must clear the tombstone dir")
+    val sigIds = spark.read.parquet(s"$path/signatures")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!sigIds.exists(_ % 8 == 0),
+      "compaction must physically remove tombstoned signatures")
+    val afterCompact = collected(
+      NearDup.matchesAgainstIndex(spark, path, incomingDf))
+    assert(afterCompact == after,
+      "probe output changed when tombstones went physical")
+    graft.core.CacheRegistry.releaseAll()
+  }
+
   test("AnnIndex.compact: file count drops, search output identical") {
     import spark.implicits._
     def vec(seed: Int): Seq[Float] =
