@@ -29,11 +29,17 @@ object AnnIndex {
     * ([[PipelineOps.argmaxBucket]]), with the L2 norm precomputed —
     * probes never touch raw-corpus scan work again.
     */
-  def write(embeddings: DataFrame, path: String): Unit =
+  def write(embeddings: DataFrame, path: String): Unit = {
+    // a full rebuild starts clean: stale tombstones from the path's
+    // previous life would silently delete freshly indexed vectors
+    val tdir = new org.apache.hadoop.fs.Path(s"${path}__tombstones")
+    tdir.getFileSystem(embeddings.sparkSession.sparkContext
+      .hadoopConfiguration).delete(tdir, true)
     embeddings.select(col("vec_id"),
         norm(col("embedding")).as("nrm"), col("embedding"),
         argmaxBucket(col("embedding")).as("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
+  }
 
   /** Append NEW embeddings to an existing index — the continuous
     * increment (new corpus shards arriving): partition-local file
@@ -46,12 +52,46 @@ object AnnIndex {
         argmaxBucket(col("embedding")).as("bucket"))
       .write.partitionBy("bucket").mode("append").parquet(path)
 
+  /** Logically REMOVE vectors from a [[write]]n index — the
+    * embedding-side takedown/PII-purge path, mirroring
+    * [[graft.pipeline.NearDup.removeFromIndex]]: `ids` (a vec_id
+    * column) appends to `path__tombstones` as a partition-local file
+    * add (the tombstone dir sits BESIDE the index, not inside it —
+    * the index root is partitioned by bucket and a foreign subdir
+    * would break partition discovery); [[topK]] anti-joins the set
+    * out before searching, and [[compact]] applies tombstones
+    * physically and clears them.
+    */
+  def remove(ids: DataFrame, path: String): Unit = {
+    graft.core.Checks.requireColumns(ids, "ann_index_remove", "vec_id")
+    ids.select("vec_id").write.mode("append")
+      .parquet(s"${path}__tombstones")
+  }
+
+  private def tombstonesAt(spark: SparkSession, path: String)
+      : Option[DataFrame] = {
+    val dir = new org.apache.hadoop.fs.Path(s"${path}__tombstones")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) Some(spark.read.parquet(dir.toString))
+    else None
+  }
+
+  private def dropTombstoned(df: DataFrame,
+                             tomb: Option[DataFrame]): DataFrame =
+    tomb.fold(df) { t =>
+      df.join(broadcast(t.select("vec_id").distinct()),
+        Seq("vec_id"), "left_anti")
+    }
+
   /** Top-k cosine neighbors for a query batch against a [[write]]n
     * index: each query searches ONLY its own coarse bucket (p06
     * semantics — output is (query_id, vec_id, bucket, rank, cos),
     * hash-identical to the in-session search on the same data). The
     * query side carries (query_id, qv); its bucket and norm derive
     * here with the same deterministic functions the build used.
+    * Tombstoned vectors ([[remove]]) are anti-joined out first — a
+    * removed vector may not appear in any result NOR hold a top-k
+    * slot (rank re-flows, same as never indexed).
     */
   def topK(spark: SparkSession, indexPath: String, queries: DataFrame,
            k: Int = 5, nProbes: Int = 1): DataFrame = {
@@ -61,7 +101,8 @@ object AnnIndex {
     val e = spark.read.parquet(indexPath)
     graft.core.Checks.requireColumns(e, "ann_index_topk",
       "vec_id", "nrm", "embedding", "bucket")
-    search(e, queries, k, nProbes)
+    search(dropTombstoned(e, tombstonesAt(spark, indexPath)),
+      queries, k, nProbes)
   }
 
   /** The bucketed search core — ONE definition for the p06
@@ -130,7 +171,10 @@ object AnnIndex {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(s"${path}__compact")
     val old = new org.apache.hadoop.fs.Path(s"${path}__old")
-    spark.read.parquet(path)
+    // apply tombstones physically while rewriting (same contract as
+    // NearDup.compactIndex: a logically-invisible row going
+    // physically absent changes nothing a search can see)
+    dropTombstoned(spark.read.parquet(path), tombstonesAt(spark, path))
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(tmp.toString)
@@ -138,5 +182,8 @@ object AnnIndex {
     require(fs.rename(dir, old), s"ann compact: cannot move $dir")
     require(fs.rename(tmp, dir), s"ann compact: cannot move $tmp")
     fs.delete(old, true)
+    val tdir = new org.apache.hadoop.fs.Path(s"${path}__tombstones")
+    tdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(tdir, true)
   }
 }

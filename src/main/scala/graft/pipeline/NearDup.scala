@@ -371,6 +371,12 @@ object NearDup {
     */
   def writeIndex(corpus: DataFrame, path: String): Unit = {
     val spark = corpus.sparkSession
+    // a full rebuild starts with a clean slate: stale tombstones
+    // from the path's previous life would silently delete freshly
+    // indexed docs
+    val tdir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    tdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(tdir, true)
     shingleify(corpus)
       .write.mode("overwrite").parquet(s"$path/signatures")
     spark.read.parquet(s"$path/signatures")

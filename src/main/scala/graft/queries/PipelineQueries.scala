@@ -2287,12 +2287,9 @@ object PipelineQueries {
             concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
       val idx = graft.core.Scratch.path(s"graft_lsht_index_${
         dir.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      // writeIndex is a full rebuild: it clears any previous run's
+      // tombstones itself (the clean-slate contract)
       graft.pipeline.NearDup.writeIndex(d, idx)
-      // fresh tombstone state per run: writeIndex overwrites the
-      // tables but a previous run's tombstones would double-apply
-      val tdir = new org.apache.hadoop.fs.Path(s"$idx/tombstones")
-      tdir.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .delete(tdir, true)
       graft.pipeline.NearDup.removeFromIndex(
         d.filter(pmod(col("doc_id"), lit(11)) === 0)
           .select("doc_id"), idx)

@@ -200,6 +200,50 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(snap() == before, "search output changed across compaction")
   }
 
+  test("AnnIndex.remove: tombstoned vector vacates its top-k slot") {
+    import spark.implicits._
+    def vec(seed: Int): Seq[Float] =
+      (0 until 6).map(d => (((seed * 29 + d * 13) % 11) - 5).toFloat)
+    val base = (0 until 40).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val path = tmp("graft_annt_spec")
+    AnnIndex.write(base, path)
+    val qs = base.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def snap(): Seq[(Long, Long, Int)] =
+      AnnIndex.topK(spark, path, qs, k = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    val before = snap()
+    // tombstone every vector that currently holds a rank-1 slot
+    val rank1 = before.filter(_._3 == 1).map(_._2).distinct
+    AnnIndex.remove(rank1.toDF("vec_id"), path)
+    val after = snap()
+    assert(!after.exists(r => rank1.contains(r._2)),
+      "removed vectors may not appear in any result")
+    // ranks re-flow: each query still returns results (the corpus
+    // has other same-bucket members) and rank 1 is now the previous
+    // runner-up wherever one existed
+    before.groupBy(_._1).foreach { case (q, rows) =>
+      val prev2 = rows.find(_._3 == 2).map(_._2)
+      val now1 = after.filter(_._1 == q).find(_._3 == 1).map(_._2)
+      prev2.filterNot(rank1.contains).foreach { p =>
+        assert(now1.contains(p),
+          s"query $q: previous rank-2 $p must take rank 1, got $now1")
+      }
+    }
+    // compaction applies physically, clears tombstones, search stable
+    AnnIndex.compact(spark, path)
+    assert(!new java.io.File(s"${path}__tombstones").exists(),
+      "ANN compaction must clear the tombstone dir")
+    val ids = spark.read.parquet(path).select("vec_id")
+      .as[Long].collect().toSet
+    assert(rank1.forall(id => !ids.contains(id)),
+      "ANN compaction must physically drop tombstoned vectors")
+    assert(snap() == after,
+      "search output changed when ANN tombstones went physical")
+  }
+
   test("multi-probe: probe 1 is argmaxBucket; planted neighbor needs probe 2") {
     import spark.implicits._
     // topNBuckets prefix property on assorted vectors (incl. ties:
