@@ -452,6 +452,32 @@ object NearDup {
     probe(corpusSh, cb0, incSh, threshold, bucketCap)
   }
 
+  /** [[appendIndex]] for a [[writeIndexBucketed]] layout: the new
+    * docs' band rows append INTO the bucketed catalog table (Spark
+    * validates the bucket spec matches, so the table's
+    * zero-exchange probe contract survives the append; each append
+    * adds one file per non-empty bucket — compaction cadence
+    * applies, same as the path layout). Using plain [[appendIndex]]
+    * on a bucketed index would write to `path/bands`, which the
+    * bucketed probe never reads — this is the correct increment.
+    */
+  def appendIndexBucketed(newDocs: DataFrame, path: String,
+                          table: String,
+                          numBuckets: Int = 32): Unit = {
+    val sh = shingleify(newDocs)
+      .transform(graft.core.CacheRegistry.persist(_))
+    sh.count()
+    sh.write.mode("append").parquet(s"$path/signatures")
+    sh.select(col("doc_id").as("corpus_id"),
+        size(col("sh")).as("nsh_c"),
+        posexplode(col("bks")).as(Seq("band", "bkey")))
+      .write.mode("append")
+      .bucketBy(numBuckets, "band", "bkey")
+      .sortBy("band", "bkey", "nsh_c", "corpus_id")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** Append NEW documents to an existing [[writeIndex]] — the
     * continuous-build increment: once a batch's survivors are
     * decided, append them so the NEXT batch probes the grown corpus.

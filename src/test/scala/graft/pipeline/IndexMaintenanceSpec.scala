@@ -95,6 +95,29 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.core.CacheRegistry.releaseAll()
   }
 
+  test("bucketed append: new docs visible, bucket spec preserved") {
+    import spark.implicits._
+    val path = tmp("graft_lshba_spec")
+    val firstHalf = docsDf.filter(col("doc_id") < 20)
+    val secondHalf = docsDf.filter(col("doc_id") >= 20)
+    NearDup.writeIndexBucketed(firstHalf, path, "graft_spec_ba")
+    NearDup.appendIndexBucketed(secondHalf, path, "graft_spec_ba")
+    graft.core.CacheRegistry.releaseAll()
+    val viaBucketed = collected(NearDup.matchesAgainstBucketedIndex(
+      spark, path, "graft_spec_ba", incomingDf))
+    val direct = collected(NearDup.matchesAgainst(docsDf, incomingDf))
+    assert(viaBucketed == direct,
+      "append into the bucketed table diverged from the full corpus")
+    // the appended table still carries the bucket spec (the probe's
+    // zero-exchange contract): the scan must stay bucketed
+    val plan = NearDup.matchesAgainstBucketedIndex(
+      spark, path, "graft_spec_ba", incomingDf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      "bucketed scan lost its bucket spec after append")
+    graft.core.CacheRegistry.releaseAll()
+  }
+
   test("compactIndex: file count drops, probe output bit-identical") {
     val path = tmp("graft_compact_spec")
     NearDup.writeIndex(docsDf, path)
