@@ -20,6 +20,10 @@ object Bench {
       // rank-filtered audit-sample windows (caps are 4096 > the 1000
       // default threshold); a semantics-exact optimizer rule
       .config("spark.sql.optimizer.windowGroupLimitThreshold", "8192")
+      // same documented deployment conf as Verify: bench plans must
+      // come from the same planning mode the gate verifies
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering",
+        "true")
       // let AQE coalesce tiny post-shuffle partitions even when the
       // result is being persisted (small cached intermediates
       // otherwise schedule full-width near-empty shuffle tasks)

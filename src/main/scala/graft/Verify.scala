@@ -20,6 +20,12 @@ object Verify {
       // rank-filtered audit-sample windows (caps are 4096 > the 1000
       // default threshold); a semantics-exact optimizer rule
       .config("spark.sql.optimizer.windowGroupLimitThreshold", "8192")
+      // second documented deployment conf: one-file-per-bucket
+      // bucketed scans expose their sort order (Spark self-guards —
+      // only trusted when every bucket holds exactly one file), so
+      // compacted bucketed-index probes plan no index-side sort
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering",
+        "true")
       // same AQE cached-plan coalescing as Bench: correctness results
       // must come from the same planning mode the bench measures
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",

@@ -588,6 +588,90 @@ object NearDup {
     tdir.getFileSystem(hconf).delete(tdir, true)
   }
 
+  /** [[compactIndex]] for a [[writeIndexBucketed]] layout. Beyond the
+    * small-files cure, this buys the LAST plan node: the rewrite
+    * hash-repartitions on the bucket columns with the table's own
+    * bucket count, so each task holds exactly one bucket and writes
+    * exactly ONE per-bucket-sorted file — and Spark elides the
+    * probe's window SORT whenever every bucket has one file (the
+    * scan's outputOrdering is only trusted then). Post-compaction the
+    * probe's index side is pure scan bandwidth: no exchange (the
+    * bucketed scan's partitioning), no sort (the files' own order) —
+    * IndexMaintenanceSpec asserts the Sort node count drops and the
+    * output is bit-identical. Tombstones apply physically and clear,
+    * same contract as [[compactIndex]].
+    *
+    * The sort elision needs
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` (off
+    * by default since Spark 3.0; Spark still self-guards by ONLY
+    * exposing the order when every bucket has exactly one file —
+    * the state this compaction establishes). Without the conf the
+    * probe keeps a per-task sort (no exchange either way); with it,
+    * post-compaction probes read the index at scan bandwidth.
+    */
+  def compactIndexBucketed(spark: org.apache.spark.sql.SparkSession,
+                           path: String, table: String,
+                           numBuckets: Int = 32): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val tomb = tombstonesAt(spark, path)
+    // signatures: same rewrite as the path layout
+    val sdir = new org.apache.hadoop.fs.Path(s"$path/signatures")
+    val sfs = sdir.getFileSystem(hconf)
+    val stmp = new org.apache.hadoop.fs.Path(s"$path/signatures__compact")
+    val sold = new org.apache.hadoop.fs.Path(s"$path/signatures__old")
+    dropTombstoned(spark.read.parquet(sdir.toString), "doc_id", tomb)
+      .repartition(numBuckets)
+      .write.mode("overwrite").parquet(stmp.toString)
+    sfs.delete(sold, true)
+    require(sfs.rename(sdir, sold), s"compact: cannot move $sdir")
+    require(sfs.rename(stmp, sdir), s"compact: cannot move $stmp")
+    sfs.delete(sold, true)
+    // bands: rewrite through a temp TABLE (bucket-id file names are
+    // assigned by the bucketed writer), then swap directories and
+    // re-register the catalog entry over the compacted files —
+    // DROP TABLE on an external table never touches data
+    val bdir = new org.apache.hadoop.fs.Path(s"$path/bands_table")
+    val bfs = bdir.getFileSystem(hconf)
+    val btmp = new org.apache.hadoop.fs.Path(s"$path/bands_table__compact")
+    val bold = new org.apache.hadoop.fs.Path(s"$path/bands_table__old")
+    val tmpTable = s"${table}__compact"
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+    bfs.delete(btmp, true)
+    dropTombstoned(spark.table(table), "corpus_id", tomb)
+      // group each bucket into ONE task by repartitioning on the
+      // COMPUTED bucket id (pmod(murmur3(band,bkey), n) — verified
+      // identical to the bucketed writer's file assignment): all of
+      // a bucket's rows share the value, so the writer emits exactly
+      // one file per bucket. Repartitioning on the raw (band, bkey)
+      // columns instead gets ELIDED as redundant against the
+      // bucketed scan's own partitioning and leaves multi-bucket
+      // tasks — measured, not hypothetical
+      .repartition(numBuckets,
+        pmod(hash(col("band"), col("bkey")), lit(numBuckets)))
+      .write.mode("overwrite")
+      .option("path", btmp.toString)
+      .bucketBy(numBuckets, "band", "bkey")
+      .sortBy("band", "bkey", "nsh_c", "corpus_id")
+      .format("parquet")
+      .saveAsTable(tmpTable)
+    spark.sql(s"DROP TABLE $tmpTable")
+    spark.sql(s"DROP TABLE $table")
+    bfs.delete(bold, true)
+    require(bfs.rename(bdir, bold), s"compact: cannot move $bdir")
+    require(bfs.rename(btmp, bdir), s"compact: cannot move $btmp")
+    bfs.delete(bold, true)
+    spark.sql(
+      s"""CREATE TABLE $table
+         |(corpus_id BIGINT, nsh_c INT, band INT, bkey STRING)
+         |USING PARQUET
+         |CLUSTERED BY (band, bkey)
+         |SORTED BY (band, bkey, nsh_c, corpus_id)
+         |INTO $numBuckets BUCKETS
+         |LOCATION '${bdir.toString}'""".stripMargin)
+    val tdir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    tdir.getFileSystem(hconf).delete(tdir, true)
+  }
+
   /** The index-backed [[dedupAgainst]]: survivors of the incoming
     * batch vs the PRECOMPUTED corpus index, then deduped within the
     * batch. The foreachBatch body of an index-backed streaming

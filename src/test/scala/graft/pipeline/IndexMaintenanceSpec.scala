@@ -18,6 +18,11 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", 4)
+    // the documented deployment conf (README "Running at scale"):
+    // lets a one-file-per-bucket bucketed scan expose its sort
+    // order, so the probe's keep window plans NEITHER exchange NOR
+    // sort after compactIndexBucketed — asserted below
+    .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -110,11 +115,32 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "append into the bucketed table diverged from the full corpus")
     // the appended table still carries the bucket spec (the probe's
     // zero-exchange contract): the scan must stay bucketed
-    val plan = NearDup.matchesAgainstBucketedIndex(
+    def plan(): String = NearDup.matchesAgainstBucketedIndex(
       spark, path, "graft_spec_ba", incomingDf)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("Bucketed: true"),
+    val planAfterAppend = plan()
+    assert(planAfterAppend.contains("Bucketed: true"),
       "bucketed scan lost its bucket spec after append")
+    // bucketed compaction: one file per bucket lets Spark trust the
+    // files' own sort order, eliding the keep window's Sort — the
+    // probe's index side becomes pure scan bandwidth
+    def sorts(p: String): Int =
+      "\\+- Sort \\[band".r.findAllIn(p).length
+    val sortsBefore = sorts(planAfterAppend)
+    assert(sortsBefore >= 1,
+      "multi-file buckets should plan a window sort before compaction")
+    NearDup.compactIndexBucketed(spark, path, "graft_spec_ba")
+    graft.core.CacheRegistry.releaseAll()
+    val planCompacted = plan()
+    assert(planCompacted.contains("Bucketed: true"),
+      "bucketed scan lost its bucket spec across compaction")
+    assert(sorts(planCompacted) < sortsBefore,
+      "one-file-per-bucket compaction must elide the window sort " +
+        s"(before $sortsBefore, after ${sorts(planCompacted)})")
+    val viaCompacted = collected(NearDup.matchesAgainstBucketedIndex(
+      spark, path, "graft_spec_ba", incomingDf))
+    assert(viaCompacted == direct,
+      "bucketed compaction changed the probe output")
     graft.core.CacheRegistry.releaseAll()
   }
 
