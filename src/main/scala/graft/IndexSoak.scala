@@ -219,6 +219,68 @@ object IndexSoak {
     println(f"[idxsoak] per-batch median: first half $firstHalf%.2f s, " +
       f"second half $lastHalf%.2f s (flat => index growth is free)")
 
+    // ---- phase 5 (runs before 4's artifacts so the plain loop
+    // index is untouched): bucketed-layout loop in LOCKSTEP --------
+    // the SAME batches drive a second continuous build on the
+    // writeIndexBucketed layout (dedupAgainstBucketedIndex ->
+    // appendIndexBucketed, compactIndexBucketed at batch 5); the
+    // survivor sets must match the plain-layout loop batch-for-batch
+    // — the strongest layout-independence claim: not one probe, the
+    // whole accumulated build
+    println("[idxsoak] ---- phase 5: bucketed loop, lockstep vs plain ----")
+    val bIdx = graft.core.Scratch.path("graft_idxsoak_bloop")
+    val bTable = "graft_idxsoak_bloop_bands"
+    val pIdx = graft.core.Scratch.path("graft_idxsoak_ploop")
+    graft.pipeline.NearDup.writeIndexBucketed(base, bIdx, bTable)
+    graft.pipeline.NearDup.writeIndex(base, pIdx)
+    var prevNovel5: Option[DataFrame] = None
+    var lockstep = true
+    (1 to 10).foreach { b =>
+      val reprobe = prevNovel5 match {
+        case Some(p) => p.select(
+          (col("doc_id") + lit(300000000L)).as("doc_id"),
+          concat(col("text"), lit(" zv")).as("text"))
+        case None => batchOf(70 + b, batchSize)
+          .filter(col("doc_id") < 90000000L)
+      }
+      val novel = batchOf(70 + b + 20, batchSize)
+        .filter(col("doc_id") >= 95000000L)
+      val inc = novel.unionByName(reprobe).cache()
+      inc.count()
+      def ids(df: DataFrame): Set[Long] =
+        df.select("doc_id").collect().map(_.getLong(0)).toSet
+      val t0 = System.nanoTime()
+      val sb = graft.pipeline.NearDup
+        .dedupAgainstBucketedIndex(spark, bIdx, bTable, inc).cache()
+      val sbIds = ids(sb)
+      graft.pipeline.NearDup.appendIndexBucketed(sb, bIdx, bTable)
+      val bSecs = (System.nanoTime() - t0) / 1e9
+      graft.core.CacheRegistry.releaseAll()
+      val t1 = System.nanoTime()
+      val sp = graft.pipeline.NearDup
+        .dedupAgainstIndex(spark, pIdx, inc).cache()
+      val spIds = ids(sp)
+      graft.pipeline.NearDup.appendIndex(sp, pIdx)
+      val pSecs = (System.nanoTime() - t1) / 1e9
+      lockstep &&= (sbIds == spIds)
+      println(f"[idxsoak] b-batch $b%2d: bucketed $bSecs%5.2f s / " +
+        f"plain $pSecs%5.2f s, ${sbIds.size}%4d survivors, " +
+        f"lockstep ${sbIds == spIds}")
+      assert(sbIds == spIds,
+        s"batch $b: bucketed loop diverged from plain loop")
+      sb.unpersist(true); sp.unpersist(true); inc.unpersist(true)
+      graft.core.CacheRegistry.releaseAll()
+      if (b == 5) {
+        val t2 = System.nanoTime()
+        graft.pipeline.NearDup.compactIndexBucketed(spark, bIdx, bTable)
+        println(f"[idxsoak] bucketed compaction after b-batch 5: ${
+          (System.nanoTime() - t2) / 1e9}%.2f s")
+      }
+      prevNovel5 = Some(novel)
+    }
+    println(s"[idxsoak] bucketed loop lockstep with plain: $lockstep " +
+      "(10 batches, incl. across a mid-loop bucketed compaction)")
+
     // ---- phase 4: compaction -------------------------------------
     println("[idxsoak] ---- phase 4: compaction after 20 appends ----")
     def files(dir: String): Int = {

@@ -120,7 +120,7 @@ object AnnIndex {
     * every wider probe's candidates). The single-probe boundary this
     * buys back: a near-neighbor whose second-strongest component
     * edges out the query's argmax lands one bucket over and
-    * single-probe misses it — CurationFilterSpec constructs that
+    * single-probe misses it — IndexMaintenanceSpec constructs that
     * miss and measures the recovery. Scale shape is unchanged:
     * queries stay a broadcast (now nProbes rows per query), the
     * corpus side still reads ONLY probed buckets via dynamic

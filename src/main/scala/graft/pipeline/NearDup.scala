@@ -691,6 +691,29 @@ object NearDup {
       Seq("doc_id"), "left_semi")
   }
 
+  /** [[dedupAgainstIndex]] for a [[writeIndexBucketed]] layout — the
+    * foreachBatch body of a bucketed-index streaming build:
+    * survivors = dedupAgainstBucketedIndex(...);
+    * appendIndexBucketed(survivors, path, table);
+    * CacheRegistry.releaseAll(). IndexSoak phase 5 runs this loop in
+    * LOCKSTEP with the plain-layout loop and asserts the survivor
+    * sets are identical batch-for-batch.
+    */
+  def dedupAgainstBucketedIndex(spark: org.apache.spark.sql.SparkSession,
+                                path: String, table: String,
+                                incoming: DataFrame,
+                                threshold: Double = 0.5,
+                                bucketCap: Int = LshBucketCap)
+      : DataFrame = {
+    val matched = matchesAgainstBucketedIndex(spark, path, table,
+      incoming, threshold, bucketCap)
+      .filter(col("matched")).select(col("new_id"))
+    val vsCorpus = incoming.join(matched,
+      incoming("doc_id") === matched("new_id"), "left_anti")
+    vsCorpus.join(canonicalIds(vsCorpus, threshold),
+      Seq("doc_id"), "left_semi")
+  }
+
   /** [[matchesAgainst]] against a [[writeIndex]]-precomputed corpus:
     * identical output (same probe core, same keep rule, same
     * verify), but the per-batch cost is ONLY the incoming batch's
