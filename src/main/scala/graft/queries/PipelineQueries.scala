@@ -2327,6 +2327,42 @@ object PipelineQueries {
       // nothing
     }),
 
+    // IVF probe-width recall table (p36's methodology applied to the
+    // argmax quantizer): per query, how many of the brute-force
+    // (p05) top-5 the single-probe (p06) and 2-probe (p90) searches
+    // recover — the number that decides an nProbes setting on REAL
+    // data, complementing IndexMaintenanceSpec's constructed
+    // single-probe miss. Reuses the declared queries verbatim, so
+    // this table can never drift from what p06/p90 actually compute.
+    // Expected shape on the driver's UNSTRUCTURED synthetic
+    // embeddings: low absolute recall for any 1-component coarse
+    // quantizer (mean 0.04 single / 0.06 two-probe at sf0.001; p36
+    // reads 0.08 for minhash-LSH on the same fixture) with the
+    // 2-probe column >= the 1-probe column row-by-row (a superset by
+    // construction) — on clustered real embeddings the same table is
+    // how a pipeline owner picks nProbes.
+    "p94_ivf_recall" -> ((s, dir) => {
+      val truth = queries("p05_cosine_topk")(s, dir)
+        .select("query_id", "vec_id")
+      val single = queries("p06_cosine_ann")(s, dir)
+        .select("query_id", "vec_id")
+      val multi = queries("p90_ann_multiprobe")(s, dir)
+        .select("query_id", "vec_id")
+      def hits(approx: DataFrame, name: String) =
+        truth.join(approx, Seq("query_id", "vec_id"))
+          .groupBy("query_id").agg(count(lit(1)).as(name))
+      truth.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+        .join(hits(single, "sh"), Seq("query_id"), "left")
+        .join(hits(multi, "mh"), Seq("query_id"), "left")
+        .select(col("query_id"), col("n_true"),
+          coalesce(col("sh"), lit(0L)).as("p1_hits"),
+          coalesce(col("mh"), lit(0L)).as("p2_hits"),
+          round(coalesce(col("sh"), lit(0L)).cast("double") /
+            col("n_true").cast("double"), 6).as("p1_recall"),
+          round(coalesce(col("mh"), lit(0L)).cast("double") /
+            col("n_true").cast("double"), 6).as("p2_recall"))
+    }),
+
     // semantic (embedding-space) decontamination: the fourth leg of
     // the decon taxonomy (p23 n-gram, p59 Bloom, p79 multi-suite —
     // all token-overlap; this one catches PARAPHRASED contamination
@@ -3122,6 +3158,31 @@ r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
     ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
 SELECT query_id, vec_id, bucket, rank, cos FROM r WHERE rank <= 5"""
 
+  /** The 2-probe expansion of [[bucketedAnnOracle]] (p90, and the
+    * multi-probe leg of p94's recall table). The probe ranking
+    * (abs(x) DESC, index ASC) mirrors PipelineOps.topNBuckets'
+    * comparator exactly — probe 1 IS argmaxBucket's first-max tie
+    * rule; DuckDB zips the parallel unnests positionally, giving
+    * each component its 1-based index.
+    */
+  private lazy val multiProbeAnnOracle: String =
+    s"""WITH e AS (SELECT *, ${argmaxBucketSql("embedding")} AS bucket
+    FROM embeddings),
+q0 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+    WHERE vec_id < 10),
+qx AS (SELECT query_id, qv, unnest(qv) AS x,
+    unnest(range(1, len(qv) + 1)) AS i FROM q0),
+pb AS (SELECT query_id, qv, CAST(i AS INT) AS bucket FROM (
+    SELECT query_id, qv, i, row_number() OVER (PARTITION BY query_id
+      ORDER BY abs(x) DESC, i ASC) AS pr FROM qx)
+  WHERE pr <= 2),
+c AS (SELECT pb.query_id, e.vec_id, e.bucket,
+    ${cosineSql("pb.qv", "e.embedding")} AS cos
+  FROM pb JOIN e ON e.bucket = pb.bucket AND e.vec_id <> pb.query_id),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
+SELECT query_id, vec_id, bucket, rank, cos FROM r WHERE rank <= 5"""
+
   /** SQL twin of [[unigramNll]]: CTEs `toks`/`vocab`/`tot`/`nll`
     * with `nll` keyed on `keyCols` — p40 selects from it directly,
     * p88 layers the percentile thresholds on top. One definition so
@@ -3228,28 +3289,9 @@ WHERE (CAST(i AS DOUBLE) / CAST(len(sa.sh) + len(sb.sh) - i AS DOUBLE))
     // gate assert the partitioned round-trip changed nothing.
     "p85_ann_index" -> bucketedAnnOracle,
 
-    // p90: the 2-probe expansion of the bucketed ANN oracle. The
-    // probe ranking (abs(x) DESC, index ASC) mirrors
-    // PipelineOps.topNBuckets' comparator exactly — probe 1 IS
-    // argmaxBucket's first-max tie rule; DuckDB zips the parallel
-    // unnests positionally, giving each component its 1-based index
-    "p90_ann_multiprobe" ->
-      s"""WITH e AS (SELECT *, ${argmaxBucketSql("embedding")} AS bucket
-    FROM embeddings),
-q0 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-    WHERE vec_id < 10),
-qx AS (SELECT query_id, qv, unnest(qv) AS x,
-    unnest(range(1, len(qv) + 1)) AS i FROM q0),
-pb AS (SELECT query_id, qv, CAST(i AS INT) AS bucket FROM (
-    SELECT query_id, qv, i, row_number() OVER (PARTITION BY query_id
-      ORDER BY abs(x) DESC, i ASC) AS pr FROM qx)
-  WHERE pr <= 2),
-c AS (SELECT pb.query_id, e.vec_id, e.bucket,
-    ${cosineSql("pb.qv", "e.embedding")} AS cos
-  FROM pb JOIN e ON e.bucket = pb.bucket AND e.vec_id <> pb.query_id),
-r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-    ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
-SELECT query_id, vec_id, bucket, rank, cos FROM r WHERE rank <= 5""",
+    // p90: the 2-probe expansion of the bucketed ANN oracle (see
+    // multiProbeAnnOracle for the probe-ranking contract)
+    "p90_ann_multiprobe" -> multiProbeAnnOracle,
 
     "p07_langid" ->
       s"""SELECT doc_id, lang, $predSql AS predicted,
@@ -4362,6 +4404,27 @@ FROM m LEFT JOIN d2 USING (canon1)"""
     // layout; the storage layout must not change a single output
     // bit, so it shares p43/p84's oracle verbatim
     "p91_bucketed_lsh_index" -> incrementalDedupOracle,
+
+    // p94: p36's recall-table SQL shape over the IVF quantizer —
+    // truth = brute force, legs = the single- and 2-probe oracles
+    "p94_ivf_recall" ->
+      s"""WITH truth AS (SELECT query_id, vec_id FROM ($p05Sql) t),
+s1 AS (SELECT query_id, vec_id FROM ($bucketedAnnOracle) t),
+s2 AS (SELECT query_id, vec_id FROM ($multiProbeAnnOracle) t),
+base AS (SELECT query_id, count(*) AS n_true FROM truth
+  GROUP BY query_id),
+h1 AS (SELECT query_id, count(*) AS h FROM truth
+  JOIN s1 USING (query_id, vec_id) GROUP BY query_id),
+h2 AS (SELECT query_id, count(*) AS h FROM truth
+  JOIN s2 USING (query_id, vec_id) GROUP BY query_id)
+SELECT b.query_id, b.n_true,
+  coalesce(h1.h, 0) AS p1_hits, coalesce(h2.h, 0) AS p2_hits,
+  round(CAST(coalesce(h1.h, 0) AS DOUBLE)
+    / CAST(b.n_true AS DOUBLE), 6) AS p1_recall,
+  round(CAST(coalesce(h2.h, 0) AS DOUBLE)
+    / CAST(b.n_true AS DOUBLE), 6) AS p2_recall
+FROM base b LEFT JOIN h1 ON h1.query_id = b.query_id
+  LEFT JOIN h2 ON h2.query_id = b.query_id""",
 
     // p92: tombstoned docs must be indistinguishable from never
     // indexed — same probe SQL, corpus rows removed
