@@ -93,4 +93,51 @@ object Api {
       funnel.survivors.select("doc_id", "text"), path, nShards, format)
     funnel.accounting
   }
+
+  /** Start a CONTINUOUS near-dup-free corpus build — the one-call
+    * production entry for the index-backed streaming loop: every
+    * micro-batch of `source` (needs doc_id, text) probes the
+    * precomputed LSH index at `indexPath`
+    * ([[pipeline.NearDup.dedupAgainstIndex]] — batch-proportional
+    * probe, within-batch canonical election), survivors append to
+    * BOTH the corpus at `corpusPath` and the index (so the NEXT
+    * batch probes the grown corpus), and the per-batch operator
+    * caches release. Bootstrap with `NearDup.writeIndex` over the
+    * existing corpus (or over an empty frame for a from-scratch
+    * build); run `NearDup.compactIndex` on a maintenance cadence and
+    * `NearDup.removeFromIndex` for takedowns — both compose with a
+    * live loop (tombstones are visible to the next batch's probe).
+    * Returns the started query; the caller owns awaitTermination /
+    * stop. Exactly the loop IncrementalCurationSpec verifies
+    * batch-for-batch against the re-shingling reference loop.
+    */
+  def continuousBuild(source: DataFrame, indexPath: String,
+                      corpusPath: String, checkpointDir: String,
+                      threshold: Double = 0.5,
+                      trigger: Option[org.apache.spark.sql.streaming
+                        .Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = source.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bs = batch.sparkSession
+        graft.functions.GraftFunctions.install(bs)
+        val survivors = pipeline.NearDup
+          .dedupAgainstIndex(bs, indexPath, batch, threshold)
+          .select("doc_id", "text")
+          .transform(graft.core.CacheRegistry.persist(_))
+        // decide survivors BEFORE growing the index (the append
+        // must not feed back into this batch's own probe), and
+        // materialize once for the two consumers below
+        survivors.count()
+        survivors.write.mode("append").parquet(corpusPath)
+        pipeline.NearDup.appendIndex(survivors, indexPath)
+        graft.core.CacheRegistry.releaseAll()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+    // default: run until stopped (the production cadence); pass
+    // Trigger.AvailableNow() to drain staged input and terminate
+    // (the one-shot / catch-up shape, and what the spec drives)
+    trigger.fold(w)(w.trigger).start()
+  }
 }

@@ -90,4 +90,50 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cube = Api.toCube(tt, coords = false)
     assert(cube.count() > 0)
   }
+
+  test("Api.continuousBuild: streaming loop accumulates a near-dup-free corpus") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.install(spark)
+    val stageDir = Files.createTempDirectory("graft_api_cb_src").toString
+    val idx = Files.createTempDirectory("graft_api_cb_idx").toString + "/ix"
+    val corpus = Files.createTempDirectory("graft_api_cb_out").toString + "/c"
+    def doc(n: Int): String =
+      (1 to 30).map(i => s"w${(i * n) % 17}").mkString(" ")
+    // batch 1: two novels; batch 2: a near-dup of doc 1 + a novel;
+    // batch 3: an exact dup of doc 2 + two MUTUAL near-dups (only
+    // the min id may survive the intra-batch election)
+    val batches = Seq(
+      Seq((1L, doc(3)), (2L, doc(5))),
+      Seq((3L, doc(3) + " zzz tail"), (4L, doc(11))),
+      Seq((5L, doc(5)), (6L, doc(13)), (7L, doc(13) + " tail x")))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$stageDir/b$i")
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    pipeline.NearDup.writeIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), idx)
+    batches.indices.foreach { i =>
+      val q = Api.continuousBuild(
+        spark.readStream.schema(schema).parquet(s"$stageDir/b$i"),
+        idx, corpus,
+        Files.createTempDirectory(s"graft_api_cb_ck$i").toString,
+        trigger = Some(org.apache.spark.sql.streaming.Trigger
+          .AvailableNow()))
+      assert(q.awaitTermination(120000), s"batch $i drain timed out")
+    }
+    val ids = spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 4L, 6L),
+      s"continuousBuild accumulated $ids")
+    // the sink and the index's signature table agree on membership
+    val idxIds = spark.read.parquet(s"$idx/signatures")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(idxIds == ids, s"index membership $idxIds != corpus $ids")
+  }
 }
+
