@@ -110,6 +110,18 @@ object Api {
     * Returns the started query; the caller owns awaitTermination /
     * stop. Exactly the loop IncrementalCurationSpec verifies
     * batch-for-batch against the re-shingling reference loop.
+    *
+    * Failure semantics (foreachBatch side effects are at-least-once):
+    * the corpus append runs BEFORE the index append, so a crash
+    * between them replays the batch with the index unchanged — the
+    * same survivors are re-elected and re-appended, leaving exact
+    * doc_id duplicates in the corpus sink (drop them at read, or
+    * with an exact-dedup maintenance pass) but never losing a doc.
+    * The reverse order would be silently lossy: an indexed-but-
+    * unsunk doc matches itself on replay and is dropped forever.
+    * A replay AFTER both appends is naturally idempotent-ish: the
+    * survivors now match the grown index and are rejected before
+    * either append runs again.
     */
   def continuousBuild(source: DataFrame, indexPath: String,
                       corpusPath: String, checkpointDir: String,

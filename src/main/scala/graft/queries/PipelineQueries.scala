@@ -108,7 +108,8 @@ object PipelineQueries {
     // still agree, so the gate could not catch it); fail loudly
     // instead. The max() also materializes the persisted cache
     // before its three-way fan-out (f20 lesson).
-    val maxId = e.agg(max("vec_id")).head.getLong(0)
+    val maxId = Option(e.agg(max("vec_id")).head.get(0))
+      .fold(-1L)(_.asInstanceOf[Long]) // null row = empty table: fine
     require(maxId < PlantedIdOffset,
       s"semDeconFixture: natural vec_id $maxId reaches the planted-" +
         s"copy offset $PlantedIdOffset; raise the offset or the " +
