@@ -94,56 +94,108 @@ object Api {
     funnel.accounting
   }
 
+  /** TEST-ONLY crash injection for [[continuousBuild]]'s failure-
+    * semantics spec: invoked between the corpus append and the index
+    * append with the running batchId. Default no-op; ApiSpec swaps in
+    * a throwing hook to simulate a crash exactly in the window the
+    * scaladoc below reasons about, then restarts from the checkpoint.
+    */
+  private[graft] var continuousBuildFailpoint: Long => Unit = _ => ()
+
   /** Start a CONTINUOUS near-dup-free corpus build — the one-call
     * production entry for the index-backed streaming loop: every
     * micro-batch of `source` (needs doc_id, text) probes the
     * precomputed LSH index at `indexPath`
-    * ([[pipeline.NearDup.dedupAgainstIndex]] — batch-proportional
+    * ([[pipeline.NearDup.dedupAgainstIndex]] — touched-bucket-bounded
     * probe, within-batch canonical election), survivors append to
     * BOTH the corpus at `corpusPath` and the index (so the NEXT
     * batch probes the grown corpus), and the per-batch operator
     * caches release. Bootstrap with `NearDup.writeIndex` over the
     * existing corpus (or over an empty frame for a from-scratch
-    * build); run `NearDup.compactIndex` on a maintenance cadence and
-    * `NearDup.removeFromIndex` for takedowns — both compose with a
-    * live loop (tombstones are visible to the next batch's probe).
+    * build); `NearDup.removeFromIndex` takedowns compose with a live
+    * loop (tombstones are visible to the next batch's probe).
     * Returns the started query; the caller owns awaitTermination /
     * stop. Exactly the loop IncrementalCurationSpec verifies
     * batch-for-batch against the re-shingling reference loop.
     *
+    * `bucketedTable` routes the loop through the zero-exchange
+    * bucketed layout instead of the path layout: bootstrap with
+    * `NearDup.writeIndexBucketed(corpus, indexPath, table)` and pass
+    * the same table name — probes go through
+    * [[pipeline.NearDup.dedupAgainstBucketedIndex]] and appends
+    * through `appendIndexBucketed` (IndexSoak phase 5 proves the two
+    * layouts elect identical survivors in lockstep, including across
+    * a mid-loop compaction). `compactEvery = Some(n)` runs the
+    * matching compaction after every n-th batch (by streaming
+    * batchId, so the cadence survives restarts) — the small-files
+    * and tombstone debt stays bounded without a separate maintenance
+    * scheduler.
+    *
     * Failure semantics (foreachBatch side effects are at-least-once):
-    * the corpus append runs BEFORE the index append, so a crash
-    * between them replays the batch with the index unchanged — the
-    * same survivors are re-elected and re-appended, leaving exact
-    * doc_id duplicates in the corpus sink (drop them at read, or
-    * with an exact-dedup maintenance pass) but never losing a doc.
-    * The reverse order would be silently lossy: an indexed-but-
-    * unsunk doc matches itself on replay and is dropped forever.
-    * A replay AFTER both appends is naturally idempotent-ish: the
-    * survivors now match the grown index and are rejected before
-    * either append runs again.
+    * each batch's survivors are materialized DURABLY to a staging
+    * dir under the checkpoint location before either side effect
+    * consumes them — both appends read the staged parquet back, so a
+    * mid-batch executor/cache loss can never recompute the election
+    * against a half-grown index (the read-under-write hazard a
+    * memory-only cache would carry on a cluster). The corpus append
+    * then runs BEFORE the index append: a crash between them replays
+    * the batch with the index unchanged — the same survivors are
+    * re-elected and re-appended, leaving exact doc_id duplicates in
+    * the corpus sink (drop them at read with
+    * `dropDuplicates("doc_id")`, or with an exact-dedup maintenance
+    * pass) but never losing a doc. The reverse order would be
+    * silently lossy: an indexed-but-unsunk doc matches itself on
+    * replay and is dropped forever. A replay AFTER both appends is
+    * naturally idempotent: the survivors now match the grown index
+    * and are rejected before either append runs again. ApiSpec
+    * drives the crash-and-restart path through
+    * [[continuousBuildFailpoint]] and asserts each claim.
     */
   def continuousBuild(source: DataFrame, indexPath: String,
                       corpusPath: String, checkpointDir: String,
                       threshold: Double = 0.5,
                       trigger: Option[org.apache.spark.sql.streaming
-                        .Trigger] = None)
+                        .Trigger] = None,
+                      bucketedTable: Option[String] = None,
+                      numBuckets: Int = 32,
+                      compactEvery: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val w = source.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val bs = batch.sparkSession
         graft.functions.GraftFunctions.install(bs)
-        val survivors = pipeline.NearDup
-          .dedupAgainstIndex(bs, indexPath, batch, threshold)
-          .select("doc_id", "text")
-          .transform(graft.core.CacheRegistry.persist(_))
-        // decide survivors BEFORE growing the index (the append
-        // must not feed back into this batch's own probe), and
-        // materialize once for the two consumers below
-        survivors.count()
-        survivors.write.mode("append").parquet(corpusPath)
-        pipeline.NearDup.appendIndex(survivors, indexPath)
+        // decide survivors BEFORE growing the index (the append must
+        // not feed back into this batch's own probe)
+        val elected = (bucketedTable match {
+          case Some(t) => pipeline.NearDup
+            .dedupAgainstBucketedIndex(bs, indexPath, t, batch,
+              threshold)
+          case None => pipeline.NearDup
+            .dedupAgainstIndex(bs, indexPath, batch, threshold)
+        }).select("doc_id", "text")
+        // durable materialization: stage the election to parquet and
+        // feed BOTH side effects from the read-back — batch-sized IO
+        // that removes any dependence on executor cache retention
+        // (see failure-semantics scaladoc)
+        val staging = s"$checkpointDir/graft_survivors_staging"
+        elected.write.mode("overwrite").parquet(staging)
         graft.core.CacheRegistry.releaseAll()
+        val survivors = bs.read.parquet(staging)
+        survivors.write.mode("append").parquet(corpusPath)
+        continuousBuildFailpoint(batchId)
+        bucketedTable match {
+          case Some(t) => pipeline.NearDup
+            .appendIndexBucketed(survivors, indexPath, t, numBuckets)
+          case None => pipeline.NearDup.appendIndex(survivors, indexPath)
+        }
+        graft.core.CacheRegistry.releaseAll()
+        compactEvery.filter(n => (batchId + 1) % n == 0).foreach { _ =>
+          bucketedTable match {
+            case Some(t) => pipeline.NearDup
+              .compactIndexBucketed(bs, indexPath, t, numBuckets)
+            case None => pipeline.NearDup.compactIndex(bs, indexPath)
+          }
+        }
         ()
       }
       .option("checkpointLocation", checkpointDir)

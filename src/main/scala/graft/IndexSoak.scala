@@ -38,6 +38,13 @@ object IndexSoak {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // the documented bucketed-index deployment conf (README
+      // "Running at scale"): a one-file-per-bucket bucketed scan
+      // exposes its sort order, so post-compaction probes elide the
+      // keep window's Sort — phases 5/6 measure the layout at its
+      // advertised best
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -141,6 +148,41 @@ object IndexSoak {
       println(f"[idxsoak] scale ${k}%2dx: band rows $full%9d, " +
         f"window input $touched%8d (${100.0 * touched / full}%5.1f%%), " +
         f"probe median ${times(1)}%.2f s")
+    }
+
+    // ---- phase 2b: batch scaling (fixed corpus) -------------------
+    // the honest complement to phase 2 (which scales the CORPUS under
+    // a fixed batch and shows window input is a ~constant fraction of
+    // the band table): scale the BATCH under the fixed 1x corpus and
+    // show probe cost + window input track batch size — together the
+    // two sweeps pin the probe's real bound, the touched-bucket
+    // population (NearDup.probe's round-12 wording)
+    println("[idxsoak] ---- phase 2b: batch scaling (fixed 1x corpus) ----")
+    val cb0Base = spark.read.parquet(s"$idx/bands")
+    Seq(1, 2, 4).foreach { m =>
+      val mb = (0 until m).map(i => batchOf(200 + i * 3, batchSize))
+        .reduce(_ unionByName _).cache()
+      val mn = mb.count()
+      val touched = {
+        val ib = mb
+          .withColumn("sig",
+            graft.functions.GraftFunctions.shingleSig(col("text")))
+          .filter(size(col("sig.sh")) > 0)
+          .select(posexplode(col("sig.bks")).as(Seq("band", "bkey")))
+          .distinct()
+        cb0Base.join(broadcast(ib), Seq("band", "bkey"), "left_semi")
+          .count()
+      }
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        graft.pipeline.NearDup.matchesAgainstIndex(spark, idx, mb)
+          .count()
+        graft.core.CacheRegistry.releaseAll()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[idxsoak] batch ${m}%2dx ($mn%5d docs): window input " +
+        f"$touched%8d rows, probe median ${times(1)}%.2f s")
+      mb.unpersist(true)
     }
 
     // ---- phase 3: 20-batch continuous build ----------------------
@@ -311,6 +353,49 @@ object IndexSoak {
     assert(beforeC == afterC,
       "probe output changed across compaction")
     println("[idxsoak] compaction output identical: true")
+
+    // ---- phase 6: bucketed-vs-plain probe crossover ---------------
+    // the round-11 verdict's open item: the bucketed layout's
+    // zero-exchange/zero-sort plan is real, but at soak scale it
+    // measured SLOWER than plain end-to-end — is there a corpus/batch
+    // ratio where it wins? Same fixed batch, growing corpus replicas;
+    // both layouts freshly built, the bucketed one compacted to its
+    // advertised serving state (one sorted file per bucket, sort
+    // elided under the outputOrdering conf set above). Probe-only
+    // medians: the probe is where the layouts differ (both appends
+    // are partition-local file adds).
+    println("[idxsoak] ---- phase 6: bucketed-vs-plain crossover ----")
+    Seq(1, 4, 16, 64).foreach { k =>
+      val rep = replica(k)
+      val pIdx6 = graft.core.Scratch.path(s"graft_idxsoak_p6_plain_${k}x")
+      val bIdx6 = graft.core.Scratch.path(s"graft_idxsoak_p6_buck_${k}x")
+      val bTbl6 = s"graft_idxsoak_p6_bands_${k}x"
+      graft.pipeline.NearDup.writeIndex(rep, pIdx6)
+      graft.pipeline.NearDup.writeIndexBucketed(rep, bIdx6, bTbl6)
+      graft.pipeline.NearDup.compactIndexBucketed(spark, bIdx6, bTbl6)
+      def med(f: => Long): Double = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        f
+        graft.core.CacheRegistry.releaseAll()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(1)
+      // one warmup each (file listing, codegen) so the median is the
+      // steady state both layouts would serve at
+      graft.pipeline.NearDup.matchesAgainstIndex(spark, pIdx6, batch)
+        .count()
+      graft.core.CacheRegistry.releaseAll()
+      graft.pipeline.NearDup.matchesAgainstBucketedIndex(
+        spark, bIdx6, bTbl6, batch).count()
+      graft.core.CacheRegistry.releaseAll()
+      val pm = med(graft.pipeline.NearDup
+        .matchesAgainstIndex(spark, pIdx6, batch).count())
+      val bm = med(graft.pipeline.NearDup
+        .matchesAgainstBucketedIndex(spark, bIdx6, bTbl6, batch)
+        .count())
+      println(f"[idxsoak] crossover ${k}%2dx corpus: plain $pm%6.2f s, " +
+        f"bucketed(compacted) $bm%6.2f s, bucketed/plain ${bm / pm}%.2f")
+      spark.sql(s"DROP TABLE IF EXISTS $bTbl6")
+    }
     spark.stop()
   }
 }

@@ -45,12 +45,31 @@ object AnnIndex {
     * increment (new corpus shards arriving): partition-local file
     * adds under the buckets the new vectors land in; existing bucket
     * files are never read or rewritten.
+    *
+    * Contract: incoming vec_ids must not be live-tombstoned — the
+    * same ID-REUSE-FORBIDDEN rule as
+    * [[graft.pipeline.NearDup.removeFromIndex]] (a bare-id tombstone
+    * would hide the re-added vectors from [[topK]] and the next
+    * [[compact]] would physically delete them); the guard fails
+    * loudly with the recovery recipe instead.
     */
-  def append(embeddings: DataFrame, path: String): Unit =
+  def append(embeddings: DataFrame, path: String): Unit = {
+    tombstonesAt(embeddings.sparkSession, path).foreach { t =>
+      val clash = embeddings.select("vec_id")
+        .join(broadcast(t.select("vec_id").distinct()),
+          Seq("vec_id"), "left_semi")
+        .limit(5).collect().map(_.get(0))
+      require(clash.isEmpty,
+        s"ann_index_append: vec_ids [${clash.mkString(", ")}] are " +
+          s"tombstoned at $path — id reuse after remove is forbidden. " +
+          "Run AnnIndex.compact first (applies and clears tombstones), " +
+          "then re-append; or ingest under fresh ids.")
+    }
     embeddings.select(col("vec_id"),
         norm(col("embedding")).as("nrm"), col("embedding"),
         argmaxBucket(col("embedding")).as("bucket"))
       .write.partitionBy("bucket").mode("append").parquet(path)
+  }
 
   /** Logically REMOVE vectors from a [[write]]n index — the
     * embedding-side takedown/PII-purge path, mirroring
@@ -60,7 +79,10 @@ object AnnIndex {
     * the index root is partitioned by bucket and a foreign subdir
     * would break partition discovery); [[topK]] anti-joins the set
     * out before searching, and [[compact]] applies tombstones
-    * physically and clears them.
+    * physically and clears them. ID-REUSE-FORBIDDEN: re-appending a
+    * live-tombstoned vec_id is rejected by [[append]]'s guard (see
+    * there, and NearDup.removeFromIndex for the full rationale) —
+    * upsert = remove, compact, re-append.
     */
   def remove(ids: DataFrame, path: String): Unit = {
     graft.core.Checks.requireColumns(ids, "ann_index_remove", "vec_id")

@@ -229,7 +229,12 @@ object NearDup {
     * table, co-located with the window's partitioning). The probe's
     * first move is a broadcast left-semi filter of `cb0` down to the
     * batch's touched (band, bkey) buckets, so per-call cost is
-    * proportional to the BATCH, not the corpus (see inline comment).
+    * bounded by the TOUCHED-BUCKET POPULATION — a function of the
+    * batch's collision footprint, never corpus row count (see the
+    * inline comment for the honest fine print: for a fixed batch the
+    * touched population still scales with corpus dup-density, i.e.
+    * with how full the touched buckets are; the bucketed + compacted
+    * layout is what removes the residual per-bucket sort cost).
     */
   private def probe(corpusSh: DataFrame, cb0: DataFrame,
                     incSh: DataFrame, threshold: Double,
@@ -237,7 +242,7 @@ object NearDup {
     val ib = incSh.select(col("doc_id").as("new_id"),
       size(col("sh")).as("nsh_n"),
       posexplode(col("bks")).as(Seq("band", "bkey")))
-    // BATCH-PROPORTIONAL prefilter (round 11): the keep-rule window
+    // TOUCHED-BUCKET prefilter (round 11): the keep-rule window
     // below partitions by (band, bkey) and the candidate join only
     // ever reads buckets the incoming batch touches, so left-semi-
     // filtering the corpus band table to the batch's distinct
@@ -248,8 +253,18 @@ object NearDup {
     // O(corpus x bands) rows — per probe call, which re-pays a
     // corpus-proportional cost per daily batch and defeats the whole
     // point of a precomputed index. With it the window's input is
-    // <= touched buckets (<= batch_size x bands keys, each bucket
-    // <= its population), i.e. proportional to the BATCH.
+    // the touched-bucket POPULATION: <= batch_size x bands keys,
+    // each carrying that bucket's full corpus membership. Honest
+    // bound (round 12 wording): for a FIXED batch this is a roughly
+    // constant FRACTION of the band table (IndexSoak phase 2
+    // measures ~2.6% across a 1x -> 16x corpus replication that
+    // grows every touched bucket), i.e. still linear in corpus
+    // dup-density — "batch-proportional" holds only under bounded
+    // per-bucket populations. What scales with the batch itself is
+    // the number of touched buckets (IndexSoak's batch-scaling phase
+    // measures window input tracking batch size at fixed corpus);
+    // the residual per-bucket sort cost on hot buckets is what the
+    // bucketed + compacted layout eliminates.
     // The touched-key set is broadcast: it is tiny next to the
     // corpus (a 10M-doc daily batch x 8 bands ~ 80M 12-byte keys,
     // within Spark's broadcast range), so the index side is filtered
@@ -363,11 +378,12 @@ object NearDup {
     * written first and bands derive from reading it back, so the
     * expensive shingle pass over the corpus text runs exactly once.
     *
-    * At cluster scale, prefer [[writeIndexBucketed]]: the bands
-    * table bucketed + sorted on the probe's exact window spec, so
-    * per-batch probes co-locate with ZERO index-side exchange AND
-    * zero index-side sort; the path-based parquet layout here keeps
-    * the API storage-agnostic.
+    * For probe-dominated serving, [[writeIndexBucketed]] is the
+    * faster layout once compacted (the bands table bucketed + sorted
+    * on the probe's exact window spec — zero index-side exchange,
+    * zero sort); see its scaladoc for the measured trade against
+    * this path layout's cheaper appends. The path-based parquet
+    * layout here keeps the API storage-agnostic.
     */
   def writeIndex(corpus: DataFrame, path: String): Unit = {
     val spark = corpus.sparkSession
@@ -387,24 +403,50 @@ object NearDup {
   }
 
   /** [[writeIndex]] with the bands table stored as a BUCKETED,
-    * per-bucket-SORTED catalog table — the cluster-scale layout. The
-    * bucketing spec is exactly the probe's window spec
-    * (`bucketBy(numBuckets, band, bkey)` +
+    * per-bucket-SORTED catalog table. The bucketing spec is exactly
+    * the probe's window spec (`bucketBy(numBuckets, band, bkey)` +
     * `sortBy(band, bkey, nsh_c, corpus_id)`), so a
     * [[matchesAgainstBucketedIndex]] probe's keep-rule window reads
     * the scan's own hash partitioning (no index-side Exchange) and,
-    * when each bucket holds one file (the state [[compactIndex]]
-    * restores), the scan's own sort order (no index-side Sort
-    * either) — the per-batch plan touches only the batch's buckets
-    * at scan bandwidth. Signatures stay path-based parquet (the
-    * verify join is a doc_id hash join; bucketing buys it nothing a
-    * broadcast of batch candidates doesn't). The table's data lives
-    * under `path/bands_table` (external), so dropping the session
-    * catalog never loses the index.
+    * when each bucket holds one file (the state
+    * [[compactIndexBucketed]] restores), the scan's own sort order
+    * (no index-side Sort either) — the per-batch plan touches only
+    * the batch's buckets at scan bandwidth. Signatures stay
+    * path-based parquet (the verify join is a doc_id hash join;
+    * bucketing buys it nothing a broadcast of batch candidates
+    * doesn't). The table's data lives under `path/bands_table`
+    * (external), so dropping the session catalog never loses the
+    * index.
+    *
+    * WHEN TO PREFER WHICH LAYOUT — measured, not asserted
+    * (INDEXSOAK_r12.log phases 5–6). Probe-only, against the
+    * compacted serving state (one sorted file per bucket, under the
+    * documented outputOrdering conf): bucketed is at-parity-to-
+    * faster than the plain layout at EVERY measured corpus scale —
+    * bucketed/plain wall ratio 0.64 / 0.88 / 0.98 / 0.80 at
+    * 1x/4x/16x/64x corpus (40 k → 2.56 M band rows, fixed 200-doc
+    * batch). End-to-end dedup→append loop, however, the bucketed
+    * layout costs MORE per batch (9.4–12.2 s vs plain 7.0–9.0 s over
+    * 10 lockstep batches): the increment premium is the bucketed
+    * append itself (a per-task-sorted catalog-table write vs a plain
+    * file add), and fresh appends re-introduce multi-file buckets
+    * (and therefore the window sort) until the next compaction. So:
+    * choose bucketed when probes dominate appends — read-mostly
+    * serving, many probe calls per append, with a compaction cadence
+    * keeping buckets one-file (`Api.continuousBuild(compactEvery)`);
+    * stay with plain [[writeIndex]] when per-batch append cost
+    * dominates (write-heavy loops at modest probe rates), where its
+    * cheaper increments win end to end.
     */
   def writeIndexBucketed(corpus: DataFrame, path: String,
                          table: String, numBuckets: Int = 32): Unit = {
     val spark = corpus.sparkSession
+    // a full rebuild starts with a clean slate, same as writeIndex:
+    // stale tombstones from the path's previous life would silently
+    // delete freshly indexed docs on the very next probe
+    val tdir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    tdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(tdir, true)
     shingleify(corpus)
       .write.mode("overwrite").parquet(s"$path/signatures")
     spark.sql(s"DROP TABLE IF EXISTS $table")
@@ -460,10 +502,13 @@ object NearDup {
     * applies, same as the path layout). Using plain [[appendIndex]]
     * on a bucketed index would write to `path/bands`, which the
     * bucketed probe never reads — this is the correct increment.
+    * Same ID-REUSE-FORBIDDEN guard as [[appendIndex]].
     */
   def appendIndexBucketed(newDocs: DataFrame, path: String,
                           table: String,
                           numBuckets: Int = 32): Unit = {
+    requireNotTombstoned(newDocs, "doc_id", path,
+      "append_index_bucketed")
     val sh = shingleify(newDocs)
       .transform(graft.core.CacheRegistry.persist(_))
     sh.count()
@@ -486,8 +531,14 @@ object NearDup {
     * nothing lazy escapes). At cluster scale both appends are
     * partition-local file adds — no read, no shuffle, no compaction
     * of the existing index.
+    *
+    * Contract: `newDocs` ids must not be live-tombstoned (see
+    * [[removeFromIndex]] — ID-REUSE-FORBIDDEN); the guard fails the
+    * append loudly instead of letting the tombstone silently swallow
+    * the new rows.
     */
   def appendIndex(newDocs: DataFrame, path: String): Unit = {
+    requireNotTombstoned(newDocs, "doc_id", path, "append_index")
     val sh = shingleify(newDocs)
       .transform(graft.core.CacheRegistry.persist(_))
     sh.count()
@@ -513,6 +564,24 @@ object NearDup {
     * accumulated tombstone cost). [[compactIndex]] applies
     * tombstones PHYSICALLY and clears them, so the logical-delete
     * debt is bounded by the compaction cadence.
+    *
+    * ID-REUSE-FORBIDDEN contract (round 12): tombstones are a bare
+    * id set with no ordering, so "remove X, later append a NEW doc
+    * under id X" cannot be expressed — the tombstone would hide the
+    * re-added rows from every probe and the next compaction would
+    * physically delete them. Both appends therefore `require` that
+    * no incoming id is live-tombstoned and fail loudly with the
+    * recovery recipe (IndexMaintenanceSpec pins the lifecycle). The
+    * supported upsert path is: removeFromIndex(X) ->
+    * compactIndex(...) (applies + clears tombstones) ->
+    * appendIndex(X'); or ingest corrections under fresh ids
+    * (content-hash ids get this for free — a corrected text IS a new
+    * id). Chosen over timestamp-versioned tombstones deliberately:
+    * versioning buys in-place upsert but puts a wall-clock order on
+    * every append/remove (replayed streaming batches would need
+    * stable timestamps to stay deterministic) — a loud error plus a
+    * cheap documented recipe is the safer contract for an
+    * at-least-once pipeline.
     */
   def removeFromIndex(ids: DataFrame, path: String): Unit = {
     graft.core.Checks.requireColumns(ids, "remove_from_index",
@@ -538,6 +607,34 @@ object NearDup {
     tomb.fold(df) { t =>
       df.join(broadcast(t.select(col("doc_id").as(idCol)).distinct()),
         Seq(idCol), "left_anti")
+    }
+
+  /** The id-reuse guard behind the ID-REUSE-FORBIDDEN contract (see
+    * [[removeFromIndex]]): appending a doc whose id sits in the live
+    * tombstone set would be silently lossy TWICE — every probe
+    * anti-joins the id out (the new rows are invisible), and the next
+    * compaction physically deletes them while clearing the tombstone
+    * that hid them. Rather than lose a document with no error, the
+    * append fails loudly and names the recovery recipe. Cost in the
+    * common case (no tombstone dir) is one fs.exists; with live
+    * tombstones it is a broadcast semi-join of the takedown-sized
+    * tombstone set against the batch — never corpus-sized.
+    */
+  private def requireNotTombstoned(ids: DataFrame, idCol: String,
+                                   path: String, op: String): Unit =
+    tombstonesAt(ids.sparkSession, path).foreach { t =>
+      val clash = ids.select(col(idCol))
+        .join(broadcast(t.select(col("doc_id").as(idCol)).distinct()),
+          Seq(idCol), "left_semi")
+        .limit(5).collect().map(_.get(0))
+      require(clash.isEmpty,
+        s"$op: ids [${clash.mkString(", ")}] are tombstoned at $path " +
+          "— id reuse after removeFromIndex is forbidden (the bare-id " +
+          "tombstone would hide the new rows from every probe and the " +
+          "next compaction would physically delete them). Run " +
+          "compactIndex first (applies tombstones and clears them), " +
+          "then re-append; or ingest the corrected document under a " +
+          "fresh id.")
     }
 
   /** Compact a [[writeIndex]] layout after many [[appendIndex]] /
@@ -655,11 +752,16 @@ object NearDup {
       .format("parquet")
       .saveAsTable(tmpTable)
     spark.sql(s"DROP TABLE $tmpTable")
-    spark.sql(s"DROP TABLE $table")
     bfs.delete(bold, true)
     require(bfs.rename(bdir, bold), s"compact: cannot move $bdir")
     require(bfs.rename(btmp, bdir), s"compact: cannot move $btmp")
     bfs.delete(bold, true)
+    // the catalog entry drops only AFTER both renames succeeded: a
+    // failed rename aborts above with the live table still registered
+    // (its data recoverable under one of the three names), so the
+    // unserveable window is just this DROP -> CREATE re-registration
+    // instead of spanning the whole swap
+    spark.sql(s"DROP TABLE $table")
     spark.sql(
       s"""CREATE TABLE $table
          |(corpus_id BIGINT, nsh_c INT, band INT, bkey STRING)

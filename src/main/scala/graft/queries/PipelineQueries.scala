@@ -2328,40 +2328,61 @@ object PipelineQueries {
       // nothing
     }),
 
-    // IVF probe-width recall table (p36's methodology applied to the
-    // argmax quantizer): per query, how many of the brute-force
-    // (p05) top-5 the single-probe (p06) and 2-probe (p90) searches
-    // recover — the number that decides an nProbes setting on REAL
-    // data, complementing IndexMaintenanceSpec's constructed
-    // single-probe miss. Reuses the declared queries verbatim, so
-    // this table can never drift from what p06/p90 actually compute.
-    // Expected shape on the driver's UNSTRUCTURED synthetic
-    // embeddings: low absolute recall for any 1-component coarse
-    // quantizer (mean 0.04 single / 0.06 two-probe at sf0.001; p36
-    // reads 0.08 for minhash-LSH on the same fixture) with the
-    // 2-probe column >= the 1-probe column row-by-row (a superset by
-    // construction) — on clustered real embeddings the same table is
-    // how a pipeline owner picks nProbes.
+    // IVF probe-width recall/cost table (p36's methodology applied
+    // to the argmax quantizer), round-12 sweep: per query, how many
+    // of the brute-force (p05) top-5 each probe width nProbes ∈
+    // {1, 2, 4, 8} recovers, NEXT TO the candidate volume that width
+    // pays (sum of probed-bucket populations minus the query itself
+    // — the rows the search actually scores). Recall alone can't
+    // decide an nProbes setting; recall-per-candidate can: the knob
+    // is bought with linear candidate growth, and this table shows
+    // both axes on real data, complementing IndexMaintenanceSpec's
+    // constructed single-probe miss. All widths run through the ONE
+    // declared search core (AnnIndex.search — exactly what p06 /
+    // p85 / p90 call), so the table cannot drift from what the
+    // serving paths compute. Expected shape on the driver's
+    // UNSTRUCTURED synthetic embeddings: low absolute recall for any
+    // 1-component coarse quantizer, monotone non-decreasing in width
+    // row-by-row (each width's candidate set is a superset of the
+    // narrower one's) — on clustered real embeddings the same table
+    // is how a pipeline owner picks nProbes.
     "p94_ivf_recall" -> ((s, dir) => {
       val truth = queries("p05_cosine_topk")(s, dir)
         .select("query_id", "vec_id")
-      val single = queries("p06_cosine_ann")(s, dir)
-        .select("query_id", "vec_id")
-      val multi = queries("p90_ann_multiprobe")(s, dir)
-        .select("query_id", "vec_id")
-      def hits(approx: DataFrame, name: String) =
-        truth.join(approx, Seq("query_id", "vec_id"))
-          .groupBy("query_id").agg(count(lit(1)).as(name))
-      truth.groupBy("query_id").agg(count(lit(1)).as("n_true"))
-        .join(hits(single, "sh"), Seq("query_id"), "left")
-        .join(hits(multi, "mh"), Seq("query_id"), "left")
-        .select(col("query_id"), col("n_true"),
-          coalesce(col("sh"), lit(0L)).as("p1_hits"),
-          coalesce(col("mh"), lit(0L)).as("p2_hits"),
-          round(coalesce(col("sh"), lit(0L)).cast("double") /
-            col("n_true").cast("double"), 6).as("p1_recall"),
-          round(coalesce(col("mh"), lit(0L)).cast("double") /
-            col("n_true").cast("double"), 6).as("p2_recall"))
+      val e = emb(s, dir).select(col("vec_id"),
+        norm(col("embedding")).as("nrm"), col("embedding"),
+        argmaxBucket(col("embedding")).as("bucket"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      // bucket populations: a tiny (<= dim rows) aggregate, broadcast
+      // into the per-width candidate-volume legs
+      val bc = e.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      val widths = Seq(1, 2, 4, 8)
+      val base = truth.groupBy("query_id")
+        .agg(count(lit(1)).as("n_true"))
+      val joined = widths.foldLeft(base) { (acc, w) =>
+        val hits = truth.join(
+          graft.pipeline.AnnIndex.search(e, q, k = 5, nProbes = w)
+            .select("query_id", "vec_id"),
+          Seq("query_id", "vec_id"))
+          .groupBy("query_id").agg(count(lit(1)).as(s"p${w}_hits"))
+        // candidate volume = Σ population of the w probed buckets,
+        // minus 1 (probe 1 is the query's own argmax bucket, and
+        // search excludes the query vector itself)
+        val cand = q.select(col("query_id"),
+            explode(topNBuckets(col("qv"), w)).as("bucket"))
+          .join(broadcast(bc), Seq("bucket"))
+          .groupBy("query_id")
+          .agg((sum(col("bn")) - lit(1L)).as(s"p${w}_cand"))
+        acc.join(hits, Seq("query_id"), "left")
+          .join(cand, Seq("query_id"), "left")
+      }
+      joined.select(col("query_id") +: col("n_true") +:
+        widths.flatMap(w => Seq(
+          coalesce(col(s"p${w}_hits"), lit(0L)).as(s"p${w}_hits"),
+          round(coalesce(col(s"p${w}_hits"), lit(0L)).cast("double") /
+            col("n_true").cast("double"), 6).as(s"p${w}_recall"),
+          col(s"p${w}_cand"))): _*)
     }),
 
     // semantic (embedding-space) decontamination: the fourth leg of
@@ -4406,26 +4427,59 @@ FROM m LEFT JOIN d2 USING (canon1)"""
     // bit, so it shares p43/p84's oracle verbatim
     "p91_bucketed_lsh_index" -> incrementalDedupOracle,
 
-    // p94: p36's recall-table SQL shape over the IVF quantizer —
-    // truth = brute force, legs = the single- and 2-probe oracles
-    "p94_ivf_recall" ->
-      s"""WITH truth AS (SELECT query_id, vec_id FROM ($p05Sql) t),
-s1 AS (SELECT query_id, vec_id FROM ($bucketedAnnOracle) t),
-s2 AS (SELECT query_id, vec_id FROM ($multiProbeAnnOracle) t),
+    // p94: p36's recall-table SQL shape over the IVF quantizer,
+    // swept across probe widths 1/2/4/8 with per-width candidate
+    // volume — truth = brute force; each width's probe set is the
+    // prefix of ONE ranked bucket list (prk), so the legs share the
+    // quantizer exactly the way topNBuckets' prefix property shares
+    // it on the Spark side
+    "p94_ivf_recall" -> {
+      val widths = Seq(1, 2, 4, 8)
+      val legs = widths.map { w =>
+        s"""pb$w AS (SELECT query_id, qv, bucket FROM prk WHERE pw <= $w),
+c$w AS (SELECT pb$w.query_id, e.vec_id,
+    ${cosineSql(s"pb$w.qv", "e.embedding")} AS cos
+  FROM pb$w JOIN e ON e.bucket = pb$w.bucket
+    AND e.vec_id <> pb$w.query_id),
+s$w AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY cos DESC, vec_id) AS rnk FROM c$w)
+  WHERE rnk <= 5),
+h$w AS (SELECT query_id, count(*) AS h FROM truth
+  JOIN s$w USING (query_id, vec_id) GROUP BY query_id),
+cd$w AS (SELECT query_id, CAST(sum(bn) - 1 AS BIGINT) AS cand
+  FROM pb$w JOIN bc USING (bucket) GROUP BY query_id)"""
+      }
+      val sel = widths.map { w =>
+        s"""coalesce(h$w.h, 0) AS p${w}_hits,
+  round(CAST(coalesce(h$w.h, 0) AS DOUBLE)
+    / CAST(b.n_true AS DOUBLE), 6) AS p${w}_recall,
+  cd$w.cand AS p${w}_cand"""
+      }.mkString(",\n  ")
+      val joins = widths.map { w =>
+        s"""LEFT JOIN h$w ON h$w.query_id = b.query_id
+  JOIN cd$w ON cd$w.query_id = b.query_id"""
+      }.mkString("\n  ")
+      s"""WITH e AS (SELECT *, ${argmaxBucketSql("embedding")} AS bucket
+    FROM embeddings),
+truth AS (SELECT query_id, vec_id FROM ($p05Sql) t),
+bc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS bn FROM e
+  GROUP BY bucket),
+q0 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < 10),
+qx AS (SELECT query_id, qv, unnest(qv) AS x,
+    unnest(range(1, len(qv) + 1)) AS i FROM q0),
+prk AS (SELECT query_id, qv, CAST(i AS INT) AS bucket,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY abs(x) DESC, i ASC) AS pw FROM qx),
+${legs.mkString(",\n")},
 base AS (SELECT query_id, count(*) AS n_true FROM truth
-  GROUP BY query_id),
-h1 AS (SELECT query_id, count(*) AS h FROM truth
-  JOIN s1 USING (query_id, vec_id) GROUP BY query_id),
-h2 AS (SELECT query_id, count(*) AS h FROM truth
-  JOIN s2 USING (query_id, vec_id) GROUP BY query_id)
+  GROUP BY query_id)
 SELECT b.query_id, b.n_true,
-  coalesce(h1.h, 0) AS p1_hits, coalesce(h2.h, 0) AS p2_hits,
-  round(CAST(coalesce(h1.h, 0) AS DOUBLE)
-    / CAST(b.n_true AS DOUBLE), 6) AS p1_recall,
-  round(CAST(coalesce(h2.h, 0) AS DOUBLE)
-    / CAST(b.n_true AS DOUBLE), 6) AS p2_recall
-FROM base b LEFT JOIN h1 ON h1.query_id = b.query_id
-  LEFT JOIN h2 ON h2.query_id = b.query_id""",
+  $sel
+FROM base b
+  $joins"""
+    },
 
     // p92: tombstoned docs must be indistinguishable from never
     // indexed — same probe SQL, corpus rows removed

@@ -135,5 +135,121 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(idxIds == ids, s"index membership $idxIds != corpus $ids")
   }
+
+  private def cbDoc(n: Int): String =
+    (1 to 30).map(i => s"w${(i * n) % 17}").mkString(" ")
+
+  private def cbSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text",
+      org.apache.spark.sql.types.StringType)))
+
+  test("Api.continuousBuild: bucketed layout + compactEvery cadence " +
+      "matches the plain loop's corpus") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.install(spark)
+    val srcDir = Files.createTempDirectory("graft_api_cbb_src").toString
+    val idx = Files.createTempDirectory("graft_api_cbb_idx").toString + "/ix"
+    val table = "graft_api_cbb_bands"
+    val corpus = Files.createTempDirectory("graft_api_cbb_out").toString + "/c"
+    val ck = Files.createTempDirectory("graft_api_cbb_ck").toString
+    // same 3-batch fixture as the plain-loop test above, so the
+    // expected corpus is the same Seq(1, 2, 4, 6); batches land as
+    // file APPENDS into one source dir under ONE checkpoint, so the
+    // streaming batchIds increment 0, 1, 2 and compactEvery = 2
+    // fires a real mid-loop bucketed compaction after batch 1
+    val batches = Seq(
+      Seq((1L, cbDoc(3)), (2L, cbDoc(5))),
+      Seq((3L, cbDoc(3) + " zzz tail"), (4L, cbDoc(11))),
+      Seq((5L, cbDoc(5)), (6L, cbDoc(13)), (7L, cbDoc(13) + " tail x")))
+    pipeline.NearDup.writeIndexBucketed(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), idx, table)
+    batches.foreach { rows =>
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      val q = Api.continuousBuild(
+        spark.readStream.schema(cbSchema).parquet(srcDir),
+        idx, corpus, ck,
+        trigger = Some(org.apache.spark.sql.streaming.Trigger
+          .AvailableNow()),
+        bucketedTable = Some(table), compactEvery = Some(2))
+      assert(q.awaitTermination(120000), "bucketed drain timed out")
+    }
+    val ids = spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 4L, 6L),
+      s"bucketed continuousBuild accumulated $ids")
+    val idxIds = spark.read.parquet(s"$idx/signatures")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(idxIds == ids, s"index membership $idxIds != corpus $ids")
+    // the cadence really compacted: the bands table is still the
+    // bucketed layout and serves a probe after the mid-loop rewrite
+    assert(spark.table(table).count() > 0)
+  }
+
+  test("Api.continuousBuild failure semantics: a crash between the " +
+      "two appends loses nothing") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.install(spark)
+    val srcDir = Files.createTempDirectory("graft_api_fs_src").toString
+    val idx = Files.createTempDirectory("graft_api_fs_idx").toString + "/ix"
+    val corpus = Files.createTempDirectory("graft_api_fs_out").toString + "/c"
+    val ck = Files.createTempDirectory("graft_api_fs_ck").toString
+    Seq((1L, cbDoc(3)), (2L, cbDoc(5))).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    pipeline.NearDup.writeIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), idx)
+    def start() = Api.continuousBuild(
+      spark.readStream.schema(cbSchema).parquet(srcDir), idx, corpus,
+      ck, trigger = Some(org.apache.spark.sql.streaming.Trigger
+        .AvailableNow()))
+    try {
+      // crash EXACTLY in the window the scaladoc reasons about:
+      // after the corpus append, before the index append
+      Api.continuousBuildFailpoint =
+        _ => throw new RuntimeException("injected crash between appends")
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        start().awaitTermination()
+      }
+      graft.core.CacheRegistry.releaseAll()
+      // crash state: survivors are in the corpus once, index is
+      // still empty (the batch never committed)
+      assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+        .collect().sorted.toSeq == Seq(1L, 2L))
+      assert(spark.read.parquet(s"$idx/signatures").isEmpty,
+        "index must be unchanged when the crash precedes its append")
+    } finally {
+      Api.continuousBuildFailpoint = _ => ()
+    }
+    // restart from the SAME checkpoint: the batch replays against
+    // the unchanged index — same survivors re-elected, corpus gets
+    // exact doc_id duplicates (the documented at-least-once
+    // artifact), the index gets them once, and no doc is lost
+    assert(start().awaitTermination(120000), "recovery drain timed out")
+    val corpusIds = spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(corpusIds == Seq(1L, 1L, 2L, 2L),
+      s"replay must leave exact duplicates, got $corpusIds")
+    // the documented read-side recipe restores exactly-once
+    assert(spark.read.parquet(corpus).dropDuplicates("doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    val idxIds = spark.read.parquet(s"$idx/signatures")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(idxIds == Seq(1L, 2L),
+      s"index must hold each survivor exactly once, got $idxIds")
+    // a full replay AFTER both appends (fresh checkpoint, same
+    // input) is idempotent: the survivors now match themselves in
+    // the grown index and nothing appends again
+    val ck2 = Files.createTempDirectory("graft_api_fs_ck2").toString
+    val q3 = Api.continuousBuild(
+      spark.readStream.schema(cbSchema).parquet(srcDir), idx, corpus,
+      ck2, trigger = Some(org.apache.spark.sql.streaming.Trigger
+        .AvailableNow()))
+    assert(q3.awaitTermination(120000))
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 1L, 2L, 2L),
+      "a post-commit replay must append nothing")
+  }
 }
 

@@ -220,6 +220,101 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.core.CacheRegistry.releaseAll()
   }
 
+  test("id-reuse contract: tombstoned id re-append fails loudly; " +
+      "compact-then-reappend is the upsert recipe") {
+    import spark.implicits._
+    val path = tmp("graft_reuse_spec")
+    NearDup.writeIndex(docsDf, path)
+    NearDup.removeFromIndex(Seq(3L, 5L).toDF("doc_id"), path)
+    // re-appending a live-tombstoned id must not silently vanish —
+    // the guard rejects it with the recovery recipe in the message
+    val newDoc = Seq((3L, (1 to 25).map(j => s"upd${j}v2").mkString(" ")))
+      .toDF("doc_id", "text")
+    val err = intercept[IllegalArgumentException] {
+      NearDup.appendIndex(newDoc, path)
+    }
+    assert(err.getMessage.contains("tombstoned") &&
+      err.getMessage.contains("compactIndex"),
+      s"guard must name the hazard and the recipe, got: ${err.getMessage}")
+    // ids NOT in the tombstone set still append fine alongside live
+    // tombstones (the guard is per-id, not a write freeze)
+    NearDup.appendIndex(
+      Seq((900L, (1 to 25).map(j => s"ok${j}w").mkString(" ")))
+        .toDF("doc_id", "text"), path)
+    graft.core.CacheRegistry.releaseAll()
+    // the documented upsert: compact (applies + clears tombstones),
+    // THEN re-append the corrected doc under the same id
+    NearDup.compactIndex(spark, path, targetFiles = 2)
+    NearDup.appendIndex(newDoc, path)
+    graft.core.CacheRegistry.releaseAll()
+    // the re-added version is live: a near-dup of the NEW text
+    // probes to doc 3
+    val probe = Seq((5000L, (1 to 25).map(j => s"upd${j}v2")
+      .mkString(" ") + " tail")).toDF("doc_id", "text")
+    val hit = collected(NearDup.matchesAgainstIndex(spark, path, probe))
+    assert(hit.head._2 && hit.head._3 == 3L,
+      s"re-appended doc 3 must be probe-visible after compaction, got $hit")
+    graft.core.CacheRegistry.releaseAll()
+    // same guard on the bucketed append path
+    val bpath = tmp("graft_reuse_b_spec")
+    NearDup.writeIndexBucketed(docsDf, bpath, "graft_spec_reuse_b")
+    NearDup.removeFromIndex(Seq(7L).toDF("doc_id"), bpath)
+    intercept[IllegalArgumentException] {
+      NearDup.appendIndexBucketed(
+        Seq((7L, "x y z")).toDF("doc_id", "text"), bpath,
+        "graft_spec_reuse_b")
+    }
+    graft.core.CacheRegistry.releaseAll()
+  }
+
+  test("writeIndexBucketed full rebuild clears stale tombstones") {
+    import spark.implicits._
+    val path = tmp("graft_bstale_spec")
+    val table = "graft_spec_bstale"
+    NearDup.writeIndexBucketed(docsDf, path, table)
+    // tombstone family 0, then REBUILD the index at the same path:
+    // the rebuild is a clean slate — the old tombstones must not
+    // silently delete freshly indexed docs
+    NearDup.removeFromIndex(
+      docsDf.filter(pmod(col("doc_id"), lit(8)) === 0)
+        .select("doc_id"), path)
+    NearDup.writeIndexBucketed(docsDf, path, table)
+    val after = collected(NearDup.matchesAgainstBucketedIndex(
+      spark, path, table, incomingDf))
+    val direct = collected(NearDup.matchesAgainst(docsDf, incomingDf))
+    assert(after == direct,
+      "a full bucketed rebuild must not inherit the previous life's " +
+        "tombstones")
+    graft.core.CacheRegistry.releaseAll()
+  }
+
+  test("AnnIndex id-reuse contract mirrors the LSH index") {
+    import spark.implicits._
+    def vec(seed: Int): Seq[Float] =
+      (0 until 6).map(d => (((seed * 37 + d * 19) % 15) - 7).toFloat)
+    val base = (0 until 20).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val path = tmp("graft_annr_spec")
+    AnnIndex.write(base, path)
+    AnnIndex.remove(Seq(4L).toDF("vec_id"), path)
+    val err = intercept[IllegalArgumentException] {
+      AnnIndex.append(Seq((4L, vec(104))).toDF("vec_id", "embedding"),
+        path)
+    }
+    assert(err.getMessage.contains("tombstoned"),
+      s"ANN guard must name the hazard, got: ${err.getMessage}")
+    // fresh ids still append; compact-then-reappend works
+    AnnIndex.append(Seq((500L, vec(105))).toDF("vec_id", "embedding"),
+      path)
+    AnnIndex.compact(spark, path)
+    AnnIndex.append(Seq((4L, vec(104))).toDF("vec_id", "embedding"),
+      path)
+    val ids = spark.read.parquet(path).select("vec_id")
+      .as[Long].collect().toSet
+    assert(ids.contains(4L) && ids.contains(500L),
+      "compact-then-reappend must make the reused id live again")
+  }
+
   test("AnnIndex.compact: file count drops, search output identical") {
     import spark.implicits._
     def vec(seed: Int): Seq[Float] =
