@@ -2328,6 +2328,30 @@ object PipelineQueries {
       // nothing
     }),
 
+    // ANN-index health report — p93's drift-detecting report applied
+    // to the embedding side: per coarse bucket, the numbers a
+    // serving deployment watches (bucket population IS each probe's
+    // per-bucket candidate volume, so the max/spread here is the
+    // skew that decides nProbes and compaction cadence), plus the
+    // stored norms' mean/max as a drift canary. Reads the STORED
+    // partitioned index (one aggregate over bucket-pruned state);
+    // the oracle recomputes bucket + norm from the raw embeddings,
+    // so the gate also asserts the index equals a fresh quantizer
+    // pass — the same free drift detection p93 gives the LSH index.
+    "p95_ann_index_report" -> ((s, dir) => {
+      val idx = graft.core.Scratch.path(s"graft_ann_index_rep_${
+        dir.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      graft.pipeline.AnnIndex.write(
+        emb(s, dir).select("vec_id", "embedding"), idx)
+      s.read.parquet(idx).groupBy("bucket").agg(
+        count(lit(1)).as("n_vecs"),
+        // d9 accumulator: order-independent mean both engines sum
+        // identically (the unigram-NLL pattern)
+        round(sum(d9(col("nrm"))).cast("double") / count(lit(1)), 6)
+          .as("avg_nrm"),
+        round(max(col("nrm")), 6).as("max_nrm"))
+    }),
+
     // IVF probe-width recall/cost table (p36's methodology applied
     // to the argmax quantizer), round-12 sweep: per query, how many
     // of the brute-force (p05) top-5 each probe width nProbes ∈
@@ -4426,6 +4450,19 @@ FROM m LEFT JOIN d2 USING (canon1)"""
     // layout; the storage layout must not change a single output
     // bit, so it shares p43/p84's oracle verbatim
     "p91_bucketed_lsh_index" -> incrementalDedupOracle,
+
+    // p95: recompute bucket + norm from the raw embeddings and
+    // aggregate identically — stored-ANN-index drift would
+    // hash-mismatch (p93's pattern on the embedding side)
+    "p95_ann_index_report" ->
+      s"""WITH e AS (SELECT vec_id,
+    ${argmaxBucketSql("embedding")} AS bucket,
+    ${normSql("embedding")} AS nrm FROM embeddings)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs,
+  round(CAST(sum(${d9Sql("nrm")}) AS DOUBLE) / count(*), 6)
+    AS avg_nrm,
+  round(max(nrm), 6) AS max_nrm
+FROM e GROUP BY bucket""",
 
     // p94: p36's recall-table SQL shape over the IVF quantizer,
     // swept across probe widths 1/2/4/8 with per-width candidate
