@@ -365,6 +365,8 @@ object IndexSoak {
     // medians: the probe is where the layouts differ (both appends
     // are partition-local file adds).
     println("[idxsoak] ---- phase 6: bucketed-vs-plain crossover ----")
+    var probe1xPlain = 0.0
+    var probe1xBuck = 0.0
     Seq(1, 4, 16, 64).foreach { k =>
       val rep = replica(k)
       val pIdx6 = graft.core.Scratch.path(s"graft_idxsoak_p6_plain_${k}x")
@@ -394,8 +396,51 @@ object IndexSoak {
         .count())
       println(f"[idxsoak] crossover ${k}%2dx corpus: plain $pm%6.2f s, " +
         f"bucketed(compacted) $bm%6.2f s, bucketed/plain ${bm / pm}%.2f")
+      if (k == 1) { probe1xPlain = pm; probe1xBuck = bm }
       spark.sql(s"DROP TABLE IF EXISTS $bTbl6")
     }
+
+    // ---- phase 7: append-cost A/B + end-to-end break-even ---------
+    // phase 6 has the compacted bucketed probe WINNING at every
+    // scale while phase 5's loop has bucketed LOSING end-to-end, so
+    // the delta must be the INCREMENT. Measure it directly: paired
+    // alternating appends of the same fresh batch into both layouts
+    // (same JVM, same drift window), then derive the break-even
+    // probes-per-append from phase 6's 1x probe medians — the number
+    // a deployment compares against its own probe:append ratio.
+    println("[idxsoak] ---- phase 7: append-cost A/B (the increment premium) ----")
+    val apIdx = graft.core.Scratch.path("graft_idxsoak_p7_plain")
+    val abIdx = graft.core.Scratch.path("graft_idxsoak_p7_buck")
+    val abTbl = "graft_idxsoak_p7_bands"
+    graft.pipeline.NearDup.writeIndex(base, apIdx)
+    graft.pipeline.NearDup.writeIndexBucketed(base, abIdx, abTbl)
+    val appendTimes = (1 to 5).map { i =>
+      val nd = batchOf(400 + i, batchSize)
+        .filter(col("doc_id") >= 95000000L).cache()
+      nd.count()
+      val t0 = System.nanoTime()
+      graft.pipeline.NearDup.appendIndex(nd, apIdx)
+      graft.core.CacheRegistry.releaseAll()
+      val p = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      graft.pipeline.NearDup.appendIndexBucketed(nd, abIdx, abTbl)
+      graft.core.CacheRegistry.releaseAll()
+      val b = (System.nanoTime() - t1) / 1e9
+      nd.unpersist(true)
+      println(f"[idxsoak] append $i: plain $p%5.2f s, bucketed $b%5.2f s")
+      (p, b)
+    }
+    val apMed = appendTimes.map(_._1).sorted.apply(2)
+    val abMed = appendTimes.map(_._2).sorted.apply(2)
+    val premium = abMed - apMed
+    val saving = probe1xPlain - probe1xBuck
+    println(f"[idxsoak] append medians: plain $apMed%.2f s, bucketed " +
+      f"$abMed%.2f s => increment premium ${premium}%.2f s/append; " +
+      f"probe saving (1x, compacted) ${saving}%.2f s/probe => " +
+      f"bucketed wins end-to-end above ~${
+        if (saving > 0) f"${premium / saving}%.0f" else "n/a (no probe saving)"
+      } probes/append at this fixture scale")
+    spark.sql(s"DROP TABLE IF EXISTS $abTbl")
     spark.stop()
   }
 }

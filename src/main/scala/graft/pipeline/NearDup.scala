@@ -419,24 +419,29 @@ object NearDup {
     * index.
     *
     * WHEN TO PREFER WHICH LAYOUT — measured, not asserted
-    * (INDEXSOAK_r12.log phases 5–6). Probe-only, against the
+    * (INDEXSOAK_r12.log phases 5–7). Probe-only, against the
     * compacted serving state (one sorted file per bucket, under the
-    * documented outputOrdering conf): bucketed is at-parity-to-
+    * documented outputOrdering conf): bucketed is consistently
     * faster than the plain layout at EVERY measured corpus scale —
-    * bucketed/plain wall ratio 0.64 / 0.88 / 0.98 / 0.80 at
-    * 1x/4x/16x/64x corpus (40 k → 2.56 M band rows, fixed 200-doc
-    * batch). End-to-end dedup→append loop, however, the bucketed
-    * layout costs MORE per batch (9.4–12.2 s vs plain 7.0–9.0 s over
-    * 10 lockstep batches): the increment premium is the bucketed
-    * append itself (a per-task-sorted catalog-table write vs a plain
-    * file add), and fresh appends re-introduce multi-file buckets
-    * (and therefore the window sort) until the next compaction. So:
-    * choose bucketed when probes dominate appends — read-mostly
-    * serving, many probe calls per append, with a compaction cadence
-    * keeping buckets one-file (`Api.continuousBuild(compactEvery)`);
-    * stay with plain [[writeIndex]] when per-batch append cost
-    * dominates (write-heavy loops at modest probe rates), where its
-    * cheaper increments win end to end.
+    * bucketed/plain wall ratio 0.84–0.89 at 1x/4x/16x/64x corpus
+    * (40 k → 2.56 M band rows, fixed 200-doc batch; an earlier
+    * window measured 0.64–0.98, same direction). End-to-end
+    * dedup→append loop, however, the bucketed layout costs MORE per
+    * batch (9.4–12.2 s vs plain 7.0–9.0 s over 10 lockstep batches):
+    * phase 7 isolates the increment premium at ~0.9 s/append — the
+    * bucketed append is a per-task-sorted catalog-table write vs a
+    * plain file add — and fresh appends re-introduce multi-file
+    * buckets (and therefore the window sort) until the next
+    * compaction. At this fixture's scale the probe saving is small
+    * (~0.03 s), so the measured break-even is ~34 probes per append;
+    * the saving grows with bucket population (it is the window sort
+    * + exchange the layout removes), so the break-even FALLS as the
+    * corpus grows hot. Rule: choose bucketed when probes dominate
+    * appends — read-mostly serving with a compaction cadence keeping
+    * buckets one-file (`Api.continuousBuild(compactEvery)`); stay
+    * with plain [[writeIndex]] when per-batch append cost dominates
+    * (write-heavy loops at modest probe rates), where its cheaper
+    * increments win end to end.
     */
   def writeIndexBucketed(corpus: DataFrame, path: String,
                          table: String, numBuckets: Int = 32): Unit = {
