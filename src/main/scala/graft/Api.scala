@@ -204,4 +204,55 @@ object Api {
     // (the one-shot / catch-up shape, and what the spec drives)
     trigger.fold(w)(w.trigger).start()
   }
+
+  /** TEST-ONLY crash injection for [[continuousAnnBuild]]: invoked
+    * AFTER the batch's index append (the window whose replay leaves
+    * the duplicate-row artifact the scaladoc below reasons about).
+    */
+  private[graft] var continuousAnnFailpoint: Long => Unit = _ => ()
+
+  /** Start a CONTINUOUS ANN-index build — the embedding-side sibling
+    * of [[continuousBuild]]: every micro-batch of `source` (needs
+    * vec_id, embedding) appends into the [[pipeline.AnnIndex]] at
+    * `indexPath` (partition-local file adds under the buckets the
+    * new vectors land in — existing bucket files never read), and
+    * `compactEvery = Some(n)` folds the maintenance cadence into the
+    * loop (small-files cure + physical tombstone apply + replay-
+    * duplicate collapse, every n-th streaming batchId). Bootstrap
+    * with `AnnIndex.write` (over an empty frame for a from-scratch
+    * build); `AnnIndex.remove` takedowns compose with the live loop,
+    * and its ID-REUSE-FORBIDDEN guard applies to every batch.
+    * Returns the started query; the caller owns awaitTermination /
+    * stop.
+    *
+    * Failure semantics (at-least-once): the loop has ONE side effect
+    * per batch, so the only replay artifact is a batch appending
+    * TWICE — exact duplicate rows that occupy extra top-k slots
+    * until the next [[pipeline.AnnIndex.compact]] collapses them
+    * (exact-duplicate collapse is part of the compaction contract).
+    * No vector is ever lost, and searches between crash and
+    * compaction are degraded only by duplicates of that one batch —
+    * ApiSpec drives the crash, the degraded window, and the
+    * compaction cure through [[continuousAnnFailpoint]].
+    */
+  def continuousAnnBuild(source: DataFrame, indexPath: String,
+                         checkpointDir: String,
+                         trigger: Option[org.apache.spark.sql.streaming
+                           .Trigger] = None,
+                         compactEvery: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = source.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bs = batch.sparkSession
+        pipeline.AnnIndex.append(batch.select("vec_id", "embedding"),
+          indexPath)
+        continuousAnnFailpoint(batchId)
+        compactEvery.filter(n => (batchId + 1) % n == 0).foreach { _ =>
+          pipeline.AnnIndex.compact(bs, indexPath)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+    trigger.fold(w)(w.trigger).start()
+  }
 }

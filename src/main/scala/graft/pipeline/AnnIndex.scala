@@ -183,10 +183,18 @@ object AnnIndex {
     * [[graft.pipeline.NearDup.compactIndex]] fixes for the LSH
     * index). Rewrites each bucket partition into one file (a
     * hash-repartition on the partition column sends each bucket to
-    * exactly one task); search output is bit-identical because
-    * nothing in [[search]] depends on file layout. The swap is two
-    * directory renames, with the old data recoverable until the
-    * final delete.
+    * exactly one task). The rewrite ALSO collapses EXACT duplicate
+    * rows — the artifact an at-least-once streaming append leaves
+    * behind when a batch replays after its append committed (see
+    * [[graft.Api.continuousAnnBuild]]): without the collapse, a
+    * replayed vector occupies multiple top-k slots forever. The
+    * distinct is per-bucket (duplicates share their bucket, so it
+    * rides the compaction's own repartition — no extra shuffle), and
+    * it only merges rows identical in EVERY column: search output is
+    * therefore bit-identical across compaction for a duplicate-free
+    * index, and for a replayed one it changes exactly by the
+    * duplicate rows disappearing. The swap is two directory renames,
+    * with the old data recoverable until the final delete.
     */
   def compact(spark: SparkSession, path: String): Unit = {
     val dir = new org.apache.hadoop.fs.Path(path)
@@ -198,6 +206,7 @@ object AnnIndex {
     // physically absent changes nothing a search can see)
     dropTombstoned(spark.read.parquet(path), tombstonesAt(spark, path))
       .repartition(col("bucket"))
+      .dropDuplicates("vec_id", "nrm", "embedding", "bucket")
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(tmp.toString)
     fs.delete(old, true)

@@ -251,5 +251,71 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().sorted.toSeq == Seq(1L, 1L, 2L, 2L),
       "a post-commit replay must append nothing")
   }
+
+  test("Api.continuousAnnBuild: streaming appends; replay duplicates " +
+      "are cured by compaction") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_api_ann_src").toString
+    val idx = Files.createTempDirectory("graft_api_ann_idx").toString + "/ix"
+    val ck = Files.createTempDirectory("graft_api_ann_ck").toString
+    def vec(seed: Int): Seq[Float] =
+      (0 until 6).map(d => (((seed * 31 + d * 17) % 13) - 6).toFloat)
+    val annSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    pipeline.AnnIndex.write(
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"), idx)
+    def start() = Api.continuousAnnBuild(
+      spark.readStream.schema(annSchema).parquet(srcDir), idx, ck,
+      trigger = Some(org.apache.spark.sql.streaming.Trigger
+        .AvailableNow()))
+    // batch 0: a from-scratch build becomes searchable
+    (0 until 10).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    assert(start().awaitTermination(120000), "ann batch 0 timed out")
+    val qs = Seq((100L, vec(3))).toDF("query_id", "qv")
+    // bucket-bounded search: the query's coarse bucket holds >= 1 of
+    // the appended vectors (vec(3) itself lands there)
+    val hits0 = pipeline.AnnIndex.topK(spark, idx, qs, k = 3).count()
+    assert(hits0 >= 1 && hits0 <= 3,
+      s"from-scratch build must be searchable, got $hits0 hits")
+    // batch 1 crashes AFTER its append commits: the replay appends
+    // the same vectors again — exact duplicate rows, no loss
+    (10 until 14).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    try {
+      Api.continuousAnnFailpoint =
+        _ => throw new RuntimeException("injected crash after ann append")
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        start().awaitTermination()
+      }
+    } finally {
+      Api.continuousAnnFailpoint = _ => ()
+    }
+    assert(start().awaitTermination(120000), "ann recovery timed out")
+    val counts = spark.read.parquet(idx).groupBy("vec_id")
+      .count().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0 until 10).forall(i => counts(i.toLong) == 1L),
+      s"batch-0 vectors must appear once, got $counts")
+    assert((10 until 14).forall(i => counts(i.toLong) == 2L),
+      s"replayed batch-1 vectors must appear twice, got $counts")
+    // the documented cure: compaction collapses exact duplicates
+    pipeline.AnnIndex.compact(spark, idx)
+    val after = spark.read.parquet(idx).groupBy("vec_id")
+      .count().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(after.size == 14 && after.values.forall(_ == 1L),
+      s"compaction must collapse replay duplicates, got $after")
+    // and the index still searches, with no vector occupying more
+    // than one top-k slot (the degradation the collapse cures)
+    val finalHits = pipeline.AnnIndex.topK(spark, idx, qs, k = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(finalHits.nonEmpty && finalHits.distinct == finalHits,
+      s"post-compaction top-k must be duplicate-free, got $finalHits")
+  }
 }
 
