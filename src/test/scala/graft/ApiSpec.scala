@@ -188,6 +188,47 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table(table).count() > 0)
   }
 
+  test("Api.continuousBuild: compactEvery cadence on the plain layout " +
+      "bounds index files without changing the corpus") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.install(spark)
+    val srcDir = Files.createTempDirectory("graft_api_cbp_src").toString
+    val idx = Files.createTempDirectory("graft_api_cbp_idx").toString + "/ix"
+    val corpus = Files.createTempDirectory("graft_api_cbp_out").toString + "/c"
+    val ck = Files.createTempDirectory("graft_api_cbp_ck").toString
+    val batches = Seq(
+      Seq((1L, cbDoc(3)), (2L, cbDoc(5))),
+      Seq((3L, cbDoc(3) + " zzz tail"), (4L, cbDoc(11))),
+      Seq((5L, cbDoc(5)), (6L, cbDoc(13)), (7L, cbDoc(13) + " tail x")))
+    pipeline.NearDup.writeIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), idx)
+    batches.foreach { rows =>
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      val q = Api.continuousBuild(
+        spark.readStream.schema(cbSchema).parquet(srcDir),
+        idx, corpus, ck,
+        trigger = Some(org.apache.spark.sql.streaming.Trigger
+          .AvailableNow()),
+        compactEvery = Some(1))
+      assert(q.awaitTermination(120000), "plain-cadence drain timed out")
+    }
+    val ids = spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 4L, 6L),
+      s"plain cadence loop accumulated $ids")
+    // compaction ran after EVERY batch: both tables sit at the
+    // compactIndex target file count, not one-file-per-append growth
+    def files(dir: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
+    }
+    assert(files(s"$idx/signatures") <= 32 && files(s"$idx/bands") <= 32,
+      s"cadence compaction must bound index files, got " +
+        s"${files(s"$idx/signatures")}/${files(s"$idx/bands")}")
+  }
+
   test("Api.continuousBuild failure semantics: a crash between the " +
       "two appends loses nothing") {
     import spark.implicits._
