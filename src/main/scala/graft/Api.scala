@@ -113,10 +113,16 @@ object Api {
     * caches release. Bootstrap with `NearDup.writeIndex` over the
     * existing corpus (or over an empty frame for a from-scratch
     * build); `NearDup.removeFromIndex` takedowns compose with a live
-    * loop (tombstones are visible to the next batch's probe).
-    * Returns the started query; the caller owns awaitTermination /
-    * stop. Exactly the loop IncrementalCurationSpec verifies
-    * batch-for-batch against the re-shingling reference loop.
+    * loop — tombstones are visible to the next batch's probe, and a
+    * live-tombstoned id ARRIVING IN THE STREAM is treated as
+    * inadmissible (dropped from the election before any side effect,
+    * like a near-dup match): a taken-down document must neither
+    * re-enter the corpus nor poison the loop on the append guard.
+    * Re-admission is the id-reuse recipe — compact (clears
+    * tombstones), then re-ingest. Returns the started query; the
+    * caller owns awaitTermination / stop. Exactly the loop
+    * IncrementalCurationSpec verifies batch-for-batch against the
+    * re-shingling reference loop.
     *
     * `bucketedTable` routes the loop through the zero-exchange
     * bucketed layout instead of the path layout: bootstrap with
@@ -157,22 +163,54 @@ object Api {
                       trigger: Option[org.apache.spark.sql.streaming
                         .Trigger] = None,
                       bucketedTable: Option[String] = None,
-                      numBuckets: Int = 32,
                       compactEvery: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery.forall(_ > 0),
+      s"continuous_build: compactEvery must be positive, got " +
+        s"$compactEvery")
+    // the bucketed table's bucket count is READ from the catalog at
+    // entry, not taken as a parameter: a must-match parameter would
+    // fail only at the first append (after the batch's corpus
+    // append — the restart-loop shape), and a mismatched compaction
+    // would silently rewrite the table at the wrong count. The
+    // bootstrap (writeIndexBucketed) owns the layout; this loop
+    // follows it.
+    val numBuckets = bucketedTable.map { t =>
+      val rows = source.sparkSession
+        .sql(s"DESCRIBE TABLE EXTENDED $t")
+        .filter(org.apache.spark.sql.functions.col("col_name")
+          === "Num Buckets")
+        .select("data_type").collect()
+      require(rows.nonEmpty,
+        s"continuous_build: table $t is not bucketed — bootstrap it " +
+          "with NearDup.writeIndexBucketed before starting the loop")
+      rows.head.getString(0).trim.toInt
+    }
     val w = source.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val bs = batch.sparkSession
         graft.functions.GraftFunctions.install(bs)
         // decide survivors BEFORE growing the index (the append must
         // not feed back into this batch's own probe)
-        val elected = (bucketedTable match {
+        val elected0 = (bucketedTable match {
           case Some(t) => pipeline.NearDup
             .dedupAgainstBucketedIndex(bs, indexPath, t, batch,
               threshold)
           case None => pipeline.NearDup
             .dedupAgainstIndex(bs, indexPath, batch, threshold)
         }).select("doc_id", "text")
+        // takedown semantics for the LOOP: a live-tombstoned id is
+        // INADMISSIBLE — dropped from the election like a near-dup
+        // match, BEFORE any side effect. Without this, a re-ingested
+        // tombstoned id would pass the probe (its corpus rows are
+        // anti-joined out), append to the corpus, then trip the
+        // index append's ID-REUSE-FORBIDDEN guard — a poison-pill
+        // batch that re-appends corpus duplicates on every restart
+        // while the index never advances. Re-admission stays the
+        // documented recipe: compact (clears tombstones), then
+        // re-ingest.
+        val elected = pipeline.NearDup
+          .dropLiveTombstoned(elected0, indexPath)
         // durable materialization: stage the election to parquet and
         // feed BOTH side effects from the read-back — batch-sized IO
         // that removes any dependence on executor cache retention
@@ -185,14 +223,20 @@ object Api {
         continuousBuildFailpoint(batchId)
         bucketedTable match {
           case Some(t) => pipeline.NearDup
-            .appendIndexBucketed(survivors, indexPath, t, numBuckets)
+            .appendIndexBucketed(survivors, indexPath, t,
+              numBuckets.get)
           case None => pipeline.NearDup.appendIndex(survivors, indexPath)
         }
         graft.core.CacheRegistry.releaseAll()
+        // the staged batch is consumed — reclaim it (a replay
+        // re-stages from scratch, so nothing depends on it now)
+        val sdir = new org.apache.hadoop.fs.Path(staging)
+        sdir.getFileSystem(bs.sparkContext.hadoopConfiguration)
+          .delete(sdir, true)
         compactEvery.filter(n => (batchId + 1) % n == 0).foreach { _ =>
           bucketedTable match {
             case Some(t) => pipeline.NearDup
-              .compactIndexBucketed(bs, indexPath, t, numBuckets)
+              .compactIndexBucketed(bs, indexPath, t, numBuckets.get)
             case None => pipeline.NearDup.compactIndex(bs, indexPath)
           }
         }
@@ -241,10 +285,20 @@ object Api {
                            .Trigger] = None,
                          compactEvery: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery.forall(_ > 0),
+      s"continuous_ann_build: compactEvery must be positive, got " +
+        s"$compactEvery")
     val w = source.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val bs = batch.sparkSession
-        pipeline.AnnIndex.append(batch.select("vec_id", "embedding"),
+        // takedown semantics for the loop (same rationale as
+        // continuousBuild): a live-tombstoned vec_id is inadmissible
+        // and drops here, instead of tripping the append's
+        // ID-REUSE-FORBIDDEN guard and stalling the stream on every
+        // replay of that batch
+        pipeline.AnnIndex.append(
+          pipeline.AnnIndex.dropLiveTombstoned(
+            batch.select("vec_id", "embedding"), indexPath),
           indexPath)
         continuousAnnFailpoint(batchId)
         compactEvery.filter(n => (batchId + 1) % n == 0).foreach { _ =>

@@ -54,17 +54,9 @@ object AnnIndex {
     * loudly with the recovery recipe instead.
     */
   def append(embeddings: DataFrame, path: String): Unit = {
-    tombstonesAt(embeddings.sparkSession, path).foreach { t =>
-      val clash = embeddings.select("vec_id")
-        .join(broadcast(t.select("vec_id").distinct()),
-          Seq("vec_id"), "left_semi")
-        .limit(5).collect().map(_.get(0))
-      require(clash.isEmpty,
-        s"ann_index_append: vec_ids [${clash.mkString(", ")}] are " +
-          s"tombstoned at $path — id reuse after remove is forbidden. " +
-          "Run AnnIndex.compact first (applies and clears tombstones), " +
-          "then re-append; or ingest under fresh ids.")
-    }
+    graft.core.Tombstones.requireAbsent(embeddings, "vec_id",
+      "vec_id", s"${path}__tombstones", "ann_index_append",
+      "AnnIndex.compact")
     embeddings.select(col("vec_id"),
         norm(col("embedding")).as("nrm"), col("embedding"),
         argmaxBucket(col("embedding")).as("bucket"))
@@ -91,19 +83,21 @@ object AnnIndex {
   }
 
   private def tombstonesAt(spark: SparkSession, path: String)
-      : Option[DataFrame] = {
-    val dir = new org.apache.hadoop.fs.Path(s"${path}__tombstones")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(dir)) Some(spark.read.parquet(dir.toString))
-    else None
-  }
+      : Option[DataFrame] =
+    graft.core.Tombstones.at(spark, s"${path}__tombstones")
 
   private def dropTombstoned(df: DataFrame,
                              tomb: Option[DataFrame]): DataFrame =
-    tomb.fold(df) { t =>
-      df.join(broadcast(t.select("vec_id").distinct()),
-        Seq("vec_id"), "left_anti")
-    }
+    graft.core.Tombstones.drop(df, "vec_id", "vec_id", tomb)
+
+  /** [[dropTombstoned]] against the LIVE set at `path`, for loop
+    * owners implementing takedown semantics ABOVE the append guard
+    * (`Api.continuousAnnBuild` drops inadmissible vec_ids from each
+    * batch instead of letting the reuse guard poison the stream).
+    */
+  private[graft] def dropLiveTombstoned(df: DataFrame,
+                                        path: String): DataFrame =
+    dropTombstoned(df, tombstonesAt(df.sparkSession, path))
 
   /** Top-k cosine neighbors for a query batch against a [[write]]n
     * index: each query searches ONLY its own coarse bucket (p06

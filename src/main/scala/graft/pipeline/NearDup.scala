@@ -595,52 +595,36 @@ object NearDup {
       .parquet(s"$path/tombstones")
   }
 
-  /** The live tombstone set at `path`, empty-schema None when no
-    * removal has ever been recorded.
+  /** The live tombstone set at `path` (mechanics shared with the ANN
+    * index through [[graft.core.Tombstones]]).
     */
   private def tombstonesAt(spark: org.apache.spark.sql.SparkSession,
-                           path: String): Option[DataFrame] = {
-    val dir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(dir)) Some(spark.read.parquet(dir.toString))
-    else None
-  }
+                           path: String): Option[DataFrame] =
+    graft.core.Tombstones.at(spark, s"$path/tombstones")
 
   /** Anti-join `df` against the tombstones (if any) on `idCol`. */
   private def dropTombstoned(df: DataFrame, idCol: String,
                              tomb: Option[DataFrame]): DataFrame =
-    tomb.fold(df) { t =>
-      df.join(broadcast(t.select(col("doc_id").as(idCol)).distinct()),
-        Seq(idCol), "left_anti")
-    }
+    graft.core.Tombstones.drop(df, idCol, "doc_id", tomb)
+
+  /** [[dropTombstoned]] against the LIVE set at `path`, for callers
+    * outside this object that implement takedown semantics on top of
+    * the probe (e.g. `Api.continuousBuild`, whose election must treat
+    * a tombstoned id as inadmissible rather than crash on the
+    * append-side reuse guard).
+    */
+  private[graft] def dropLiveTombstoned(df: DataFrame,
+                                        path: String): DataFrame =
+    dropTombstoned(df, "doc_id",
+      tombstonesAt(df.sparkSession, path))
 
   /** The id-reuse guard behind the ID-REUSE-FORBIDDEN contract (see
-    * [[removeFromIndex]]): appending a doc whose id sits in the live
-    * tombstone set would be silently lossy TWICE — every probe
-    * anti-joins the id out (the new rows are invisible), and the next
-    * compaction physically deletes them while clearing the tombstone
-    * that hid them. Rather than lose a document with no error, the
-    * append fails loudly and names the recovery recipe. Cost in the
-    * common case (no tombstone dir) is one fs.exists; with live
-    * tombstones it is a broadcast semi-join of the takedown-sized
-    * tombstone set against the batch — never corpus-sized.
+    * [[removeFromIndex]] and [[graft.core.Tombstones.requireAbsent]]).
     */
   private def requireNotTombstoned(ids: DataFrame, idCol: String,
                                    path: String, op: String): Unit =
-    tombstonesAt(ids.sparkSession, path).foreach { t =>
-      val clash = ids.select(col(idCol))
-        .join(broadcast(t.select(col("doc_id").as(idCol)).distinct()),
-          Seq(idCol), "left_semi")
-        .limit(5).collect().map(_.get(0))
-      require(clash.isEmpty,
-        s"$op: ids [${clash.mkString(", ")}] are tombstoned at $path " +
-          "— id reuse after removeFromIndex is forbidden (the bare-id " +
-          "tombstone would hide the new rows from every probe and the " +
-          "next compaction would physically delete them). Run " +
-          "compactIndex first (applies tombstones and clears them), " +
-          "then re-append; or ingest the corrected document under a " +
-          "fresh id.")
-    }
+    graft.core.Tombstones.requireAbsent(ids, idCol, "doc_id",
+      s"$path/tombstones", op, "compactIndex")
 
   /** Compact a [[writeIndex]] layout after many [[appendIndex]] /
     * [[removeFromIndex]] increments: each daily append is a

@@ -293,6 +293,59 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a post-commit replay must append nothing")
   }
 
+  test("Api.continuousBuild: a live-tombstoned id arriving in the " +
+      "stream is inadmissible, not a poison pill") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.install(spark)
+    val srcDir = Files.createTempDirectory("graft_api_tb_src").toString
+    val idx = Files.createTempDirectory("graft_api_tb_idx").toString + "/ix"
+    val corpus = Files.createTempDirectory("graft_api_tb_out").toString + "/c"
+    val ck = Files.createTempDirectory("graft_api_tb_ck").toString
+    pipeline.NearDup.writeIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), idx)
+    def drain(): Unit = {
+      val q = Api.continuousBuild(
+        spark.readStream.schema(cbSchema).parquet(srcDir), idx, corpus,
+        ck, trigger = Some(org.apache.spark.sql.streaming.Trigger
+          .AvailableNow()))
+      assert(q.awaitTermination(120000), "tombstone-drop drain timed out")
+    }
+    Seq((1L, cbDoc(3)), (2L, cbDoc(5))).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    drain()
+    // takedown doc 1, then the stream re-ingests id 1 (a "corrected"
+    // text — the forbidden reuse) plus a novel: the loop must NOT
+    // crash on the append guard; the tombstoned id is dropped from
+    // the election before any side effect
+    pipeline.NearDup.removeFromIndex(Seq(1L).toDF("doc_id"), idx)
+    Seq((1L, cbDoc(7) + " corrected"), (30L, cbDoc(11)))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    drain()
+    val ids = spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 30L),
+      s"only the novel may append while id 1 is tombstoned, got $ids")
+  }
+
+  test("Api continuous builds reject a non-positive compactEvery " +
+      "before any side effect") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_api_ce_src").toString
+    Seq((1L, cbDoc(3))).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    intercept[IllegalArgumentException] {
+      Api.continuousBuild(
+        spark.readStream.schema(cbSchema).parquet(srcDir), "/nope",
+        "/nope2", "/nope3", compactEvery = Some(0))
+    }
+    intercept[IllegalArgumentException] {
+      Api.continuousAnnBuild(
+        spark.readStream.schema(cbSchema).parquet(srcDir), "/nope",
+        "/nope3", compactEvery = Some(-2))
+    }
+  }
+
   test("Api.continuousAnnBuild: streaming appends; replay duplicates " +
       "are cured by compaction") {
     import spark.implicits._
@@ -357,6 +410,19 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("vec_id").as[Long].collect().toSeq
     assert(finalHits.nonEmpty && finalHits.distinct == finalHits,
       s"post-compaction top-k must be duplicate-free, got $finalHits")
+    // takedown composes with the live loop: a re-sent tombstoned
+    // vec_id is dropped from the batch (no poison pill, no re-add);
+    // the accompanying novel still lands
+    pipeline.AnnIndex.remove(Seq(12L).toDF("vec_id"), idx)
+    Seq((12L, vec(12)), (20L, vec(20)))
+      .toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    assert(start().awaitTermination(120000), "ann batch 2 timed out")
+    val phys = spark.read.parquet(idx).groupBy("vec_id")
+      .count().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(phys(20L) == 1L, s"novel vec 20 must append once, got $phys")
+    assert(phys(12L) == 1L,
+      s"tombstoned vec 12 must not be re-added by the loop, got $phys")
   }
 }
 
