@@ -153,9 +153,13 @@ object Api {
     * silently lossy: an indexed-but-unsunk doc matches itself on
     * replay and is dropped forever. A replay AFTER both appends is
     * naturally idempotent: the survivors now match the grown index
-    * and are rejected before either append runs again. ApiSpec
-    * drives the crash-and-restart path through
-    * [[continuousBuildFailpoint]] and asserts each claim.
+    * and are rejected before either append runs again — with one
+    * honest exception: a doc too short to shingle can never
+    * self-match (it has no signature), so a post-commit replay
+    * re-appends it to the corpus — the same exact-duplicate class,
+    * cured by the same read-side recipe. ApiSpec drives the
+    * crash-and-restart path through [[continuousBuildFailpoint]]
+    * and asserts each claim.
     */
   def continuousBuild(source: DataFrame, indexPath: String,
                       corpusPath: String, checkpointDir: String,
@@ -168,14 +172,12 @@ object Api {
     require(compactEvery.forall(_ > 0),
       s"continuous_build: compactEvery must be positive, got " +
         s"$compactEvery")
-    // the bucketed table's bucket count is READ from the catalog at
-    // entry, not taken as a parameter: a must-match parameter would
-    // fail only at the first append (after the batch's corpus
-    // append — the restart-loop shape), and a mismatched compaction
-    // would silently rewrite the table at the wrong count. The
-    // bootstrap (writeIndexBucketed) owns the layout; this loop
-    // follows it.
-    val numBuckets = bucketedTable.map { t =>
+    // fail fast if the bootstrap is missing: the bucketed appends
+    // and compactions read the table's own bucket count from the
+    // catalog (NearDup.tableNumBuckets — the layout's single source
+    // of truth), so all this entry must check is that the bucketed
+    // table exists at all
+    bucketedTable.foreach { t =>
       val rows = source.sparkSession
         .sql(s"DESCRIBE TABLE EXTENDED $t")
         .filter(org.apache.spark.sql.functions.col("col_name")
@@ -184,33 +186,36 @@ object Api {
       require(rows.nonEmpty,
         s"continuous_build: table $t is not bucketed — bootstrap it " +
           "with NearDup.writeIndexBucketed before starting the loop")
-      rows.head.getString(0).trim.toInt
     }
     val w = source.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val bs = batch.sparkSession
         graft.functions.GraftFunctions.install(bs)
-        // decide survivors BEFORE growing the index (the append must
-        // not feed back into this batch's own probe)
-        val elected0 = (bucketedTable match {
-          case Some(t) => pipeline.NearDup
-            .dedupAgainstBucketedIndex(bs, indexPath, t, batch,
-              threshold)
-          case None => pipeline.NearDup
-            .dedupAgainstIndex(bs, indexPath, batch, threshold)
-        }).select("doc_id", "text")
         // takedown semantics for the LOOP: a live-tombstoned id is
-        // INADMISSIBLE — dropped from the election like a near-dup
-        // match, BEFORE any side effect. Without this, a re-ingested
+        // INADMISSIBLE and drops from the BATCH, before the election
+        // and before any side effect. Without this, a re-ingested
         // tombstoned id would pass the probe (its corpus rows are
         // anti-joined out), append to the corpus, then trip the
         // index append's ID-REUSE-FORBIDDEN guard — a poison-pill
         // batch that re-appends corpus duplicates on every restart
-        // while the index never advances. Re-admission stays the
+        // while the index never advances. The drop must precede the
+        // WITHIN-BATCH election, not follow it: a tombstoned id that
+        // entered the election could win a canonical slot, evict a
+        // legitimate same-batch near-dup, and then be dropped — the
+        // legitimate doc silently lost. Re-admission stays the
         // documented recipe: compact (clears tombstones), then
         // re-ingest.
-        val elected = pipeline.NearDup
-          .dropLiveTombstoned(elected0, indexPath)
+        val admissible = pipeline.NearDup
+          .dropLiveTombstoned(batch, indexPath)
+        // decide survivors BEFORE growing the index (the append must
+        // not feed back into this batch's own probe)
+        val elected = (bucketedTable match {
+          case Some(t) => pipeline.NearDup
+            .dedupAgainstBucketedIndex(bs, indexPath, t, admissible,
+              threshold)
+          case None => pipeline.NearDup
+            .dedupAgainstIndex(bs, indexPath, admissible, threshold)
+        }).select("doc_id", "text")
         // durable materialization: stage the election to parquet and
         // feed BOTH side effects from the read-back — batch-sized IO
         // that removes any dependence on executor cache retention
@@ -223,8 +228,7 @@ object Api {
         continuousBuildFailpoint(batchId)
         bucketedTable match {
           case Some(t) => pipeline.NearDup
-            .appendIndexBucketed(survivors, indexPath, t,
-              numBuckets.get)
+            .appendIndexBucketed(survivors, indexPath, t)
           case None => pipeline.NearDup.appendIndex(survivors, indexPath)
         }
         graft.core.CacheRegistry.releaseAll()
@@ -236,7 +240,7 @@ object Api {
         compactEvery.filter(n => (batchId + 1) % n == 0).foreach { _ =>
           bucketedTable match {
             case Some(t) => pipeline.NearDup
-              .compactIndexBucketed(bs, indexPath, t, numBuckets.get)
+              .compactIndexBucketed(bs, indexPath, t)
             case None => pipeline.NearDup.compactIndex(bs, indexPath)
           }
         }

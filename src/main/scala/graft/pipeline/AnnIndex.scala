@@ -30,11 +30,19 @@ object AnnIndex {
     * probes never touch raw-corpus scan work again.
     */
   def write(embeddings: DataFrame, path: String): Unit = {
-    // a full rebuild starts clean: stale tombstones from the path's
-    // previous life would silently delete freshly indexed vectors
+    // a full rebuild starts clean — BOTH sides of the state: stale
+    // tombstones from the path's previous life would silently delete
+    // freshly indexed vectors, and stale BUCKET DIRS would survive a
+    // rebuild under spark.sql.sources.partitionOverwriteMode=dynamic
+    // (dynamic overwrite only replaces touched partitions, so a
+    // bucket the new corpus doesn't hit would keep serving the old
+    // index's vectors) — delete the index dir explicitly instead of
+    // trusting the overwrite mode
+    val hconf = embeddings.sparkSession.sparkContext.hadoopConfiguration
+    val idir = new org.apache.hadoop.fs.Path(path)
+    idir.getFileSystem(hconf).delete(idir, true)
     val tdir = new org.apache.hadoop.fs.Path(s"${path}__tombstones")
-    tdir.getFileSystem(embeddings.sparkSession.sparkContext
-      .hadoopConfiguration).delete(tdir, true)
+    tdir.getFileSystem(hconf).delete(tdir, true)
     embeddings.select(col("vec_id"),
         norm(col("embedding")).as("nrm"), col("embedding"),
         argmaxBucket(col("embedding")).as("bucket"))
@@ -54,6 +62,11 @@ object AnnIndex {
     * loudly with the recovery recipe instead.
     */
   def append(embeddings: DataFrame, path: String): Unit = {
+    // refuse to write into a mid-swap index (a replayed append would
+    // otherwise recreate the live dir with just this batch and the
+    // next compaction would silently truncate the index to it)
+    graft.core.Swaps.guard(embeddings.sparkSession, path,
+      "ann_index_append")
     graft.core.Tombstones.requireAbsent(embeddings, "vec_id",
       "vec_id", s"${path}__tombstones", "ann_index_append",
       "AnnIndex.compact")
@@ -110,7 +123,8 @@ object AnnIndex {
     * slot (rank re-flows, same as never indexed).
     */
   def topK(spark: SparkSession, indexPath: String, queries: DataFrame,
-           k: Int = 5, nProbes: Int = 1): DataFrame = {
+           k: Int = 5, nProbes: Int = 1,
+           excludeSelf: Boolean = true): DataFrame = {
     // fail fast with a named error if the path is not a write()
     // layout — a wrong path would otherwise surface as an unresolved
     // column inside the join
@@ -118,7 +132,7 @@ object AnnIndex {
     graft.core.Checks.requireColumns(e, "ann_index_topk",
       "vec_id", "nrm", "embedding", "bucket")
     search(dropTombstoned(e, tombstonesAt(spark, indexPath)),
-      queries, k, nProbes)
+      queries, k, nProbes, excludeSelf)
   }
 
   /** The bucketed search core — ONE definition for the p06
@@ -144,7 +158,8 @@ object AnnIndex {
     * nProbes while staying bucket-bounded.
     */
   def search(corpus: DataFrame, queries: DataFrame,
-             k: Int = 5, nProbes: Int = 1): DataFrame = {
+             k: Int = 5, nProbes: Int = 1,
+             excludeSelf: Boolean = true): DataFrame = {
     require(nProbes >= 1, s"ann search: nProbes must be >= 1, got $nProbes")
     val q =
       if (nProbes == 1)
@@ -157,11 +172,17 @@ object AnnIndex {
           norm(col("qv")).as("qn"))
     val rn = row_number().over(Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc))
+    // excludeSelf implements the corpus-member query shape (p06:
+    // "my neighbors, not me"). A serving deployment whose QUERY ids
+    // live in a different id space than the corpus must pass
+    // excludeSelf = false, or a coincidental query_id == vec_id
+    // collision silently drops a valid neighbor.
+    val selfCond =
+      if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true)
     broadcast(q).join(
         corpus.select(col("vec_id"), col("nrm"), col("embedding"),
           col("bucket").as("cbucket")),
-        col("cbucket") === col("bucket") &&
-          col("vec_id") =!= col("query_id"))
+        col("cbucket") === col("bucket") && selfCond)
       .withColumn("cos",
         dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")))
       .withColumn("rank", rn)
@@ -191,10 +212,26 @@ object AnnIndex {
     * with the old data recoverable until the final delete.
     */
   def compact(spark: SparkSession, path: String): Unit = {
+    graft.core.Swaps.guard(spark, path, "ann_index_compact")
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(s"${path}__compact")
     val old = new org.apache.hadoop.fs.Path(s"${path}__old")
+    def hasParquet(p: org.apache.hadoop.fs.Path): Boolean = {
+      if (!fs.exists(p)) return false
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) return true
+      }
+      false
+    }
+    // nothing-to-compact guard: a partitionBy write of ZERO rows
+    // emits no data files, so an index that has never been appended
+    // (the empty-frame bootstrap, or an all-empty stream so far) has
+    // nothing readable — and nothing to rewrite. Returning here also
+    // keeps a compaction cadence from poisoning a young stream on
+    // schema inference.
+    if (!hasParquet(dir)) return
     // apply tombstones physically while rewriting (same contract as
     // NearDup.compactIndex: a logically-invisible row going
     // physically absent changes nothing a search can see)
@@ -203,6 +240,15 @@ object AnnIndex {
       .dropDuplicates("vec_id", "nrm", "embedding", "bucket")
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(tmp.toString)
+    // an index tombstoned down to ZERO rows would swap in a file-less
+    // partitioned dir — permanently unreadable. Keep the logical-
+    // delete state instead: rows stay hidden by the probe-side
+    // anti-join, tombstones stay live, and the next data-bearing
+    // compaction applies everything physically.
+    if (!hasParquet(tmp)) {
+      fs.delete(tmp, true)
+      return
+    }
     fs.delete(old, true)
     require(fs.rename(dir, old), s"ann compact: cannot move $dir")
     require(fs.rename(tmp, dir), s"ann compact: cannot move $tmp")

@@ -42,6 +42,20 @@ object NearDup {
     // branches through the uncached plan, the shingle/minhash chain —
     // the dominant per-row cost — executes twice
     sh.count()
+    val (cand, pairs) = lshPairsFromSignatures(sh, threshold)
+    (sh, cand, pairs)
+  }
+
+  /** [[lshPairs]] over ALREADY-PREPARED signatures (persisted +
+    * materialized (doc_id, sh, bks) — the caller owns that contract):
+    * the chain from band explode to verified pairs, shingling
+    * nothing. This is how [[dedupAgainstIndex]]'s within-batch
+    * election reuses the probe's signature cache instead of
+    * re-running the shingle kernel — the dominant per-row cost —
+    * over the batch a second time.
+    */
+  private def lshPairsFromSignatures(sh: DataFrame, threshold: Double)
+      : (DataFrame, DataFrame) = {
     // shingle-set size rides the band rows (4 bytes each): it feeds
     // the exact size-ratio prefilter on the verify path below AND
     // orders the over-cap rank blocks (near-dup pairs at threshold τ
@@ -148,7 +162,7 @@ object NearDup {
         .jaccardLong(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("doc_id_a", "doc_id_b", "jaccard")
-    (sh, cand, pairs)
+    (cand, pairs)
   }
 
   /** Canonical-survivor set: connected components over the near-dup
@@ -158,14 +172,30 @@ object NearDup {
   def canonicalIds(source: DataFrame, threshold: Double = 0.5)
       : DataFrame = {
     val (_, _, pairs) = lshPairs(source, threshold)
+    canonicalFromPairs(source.select(col("doc_id").as("id")), pairs)
+  }
+
+  /** [[canonicalIds]] over prepared signatures (see
+    * [[lshPairsFromSignatures]]' contract). `ids` is the FULL doc-id
+    * set including docs too short to shingle — they have no pairs,
+    * sit as isolated CC nodes, and survive, exactly as in
+    * [[canonicalIds]].
+    */
+  private def canonicalIdsFromSignatures(ids: DataFrame, sh: DataFrame,
+                                         threshold: Double): DataFrame = {
+    val (_, pairs) = lshPairsFromSignatures(sh, threshold)
+    canonicalFromPairs(ids, pairs)
+  }
+
+  private def canonicalFromPairs(ids: DataFrame,
+                                 pairs: DataFrame): DataFrame =
     Clusters.connectedComponents(
-      source.select(col("doc_id").as("id")),
+      ids,
       pairs.select(col("doc_id_a").as("a"), col("doc_id_b").as("b")),
-      // pairs are a self-join of exactly this doc set (lshPairs)
+      // pairs are a self-join of exactly this doc set
       trustedEndpoints = true)
       .filter(col("id") === col("label"))
       .select(col("id").as("doc_id"))
-  }
 
   private def shingleify(df: DataFrame): DataFrame = df
     .withColumn("sig",
@@ -479,6 +509,20 @@ object NearDup {
                                   threshold: Double = 0.5,
                                   bucketCap: Int = LshBucketCap)
       : DataFrame = {
+    val incSh = shingleify(incoming)
+      .transform(graft.core.CacheRegistry.persist(_))
+    incSh.count() // materialize before fan-out (2 plan branches)
+    probeBucketedWithSignatures(spark, path, table, incSh, threshold,
+      bucketCap)
+  }
+
+  /** The bucketed-layout probe over prepared batch signatures — see
+    * [[probeIndexWithSignatures]].
+    */
+  private def probeBucketedWithSignatures(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      table: String, incSh: DataFrame, threshold: Double,
+      bucketCap: Int): DataFrame = {
     val corpusSh0 = spark.read.parquet(s"$path/signatures")
     graft.core.Checks.requireColumns(corpusSh0,
       "matches_against_bucketed_index(signatures)", "doc_id", "sh",
@@ -493,9 +537,6 @@ object NearDup {
     val tomb = tombstonesAt(spark, path)
     val corpusSh = dropTombstoned(corpusSh0, "doc_id", tomb)
     val cb0 = dropTombstoned(cb00, "corpus_id", tomb)
-    val incSh = shingleify(incoming)
-      .transform(graft.core.CacheRegistry.persist(_))
-    incSh.count() // materialize before fan-out (2 plan branches)
     probe(corpusSh, cb0, incSh, threshold, bucketCap)
   }
 
@@ -512,6 +553,11 @@ object NearDup {
   def appendIndexBucketed(newDocs: DataFrame, path: String,
                           table: String,
                           numBuckets: Int = 32): Unit = {
+    val spark = newDocs.sparkSession
+    graft.core.Swaps.guard(spark, s"$path/signatures",
+      "append_index_bucketed")
+    graft.core.Swaps.guard(spark, s"$path/bands_table",
+      "append_index_bucketed")
     requireNotTombstoned(newDocs, "doc_id", path,
       "append_index_bucketed")
     val sh = shingleify(newDocs)
@@ -522,11 +568,30 @@ object NearDup {
         size(col("sh")).as("nsh_c"),
         posexplode(col("bks")).as(Seq("band", "bkey")))
       .write.mode("append")
-      .bucketBy(numBuckets, "band", "bkey")
+      // the CATALOG owns the bucket count once the table exists —
+      // trusting the parameter instead would fail the append on a
+      // bucket-spec mismatch (numBuckets is only the initial count
+      // when this append creates the table)
+      .bucketBy(tableNumBuckets(spark, table).getOrElse(numBuckets),
+        "band", "bkey")
       .sortBy("band", "bkey", "nsh_c", "corpus_id")
       .format("parquet")
       .saveAsTable(table)
   }
+
+  /** The bucket count the session catalog records for `table`, None
+    * when the table doesn't exist or isn't bucketed — the layout's
+    * single source of truth for appends and compactions (a must-match
+    * parameter would fail only at write time, and a mismatched
+    * compaction would silently relay the table).
+    */
+  private def tableNumBuckets(spark: org.apache.spark.sql.SparkSession,
+                              table: String): Option[Int] =
+    if (!spark.catalog.tableExists(table)) None
+    else spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+      .filter(col("col_name") === "Num Buckets")
+      .select("data_type").collect()
+      .headOption.map(_.getString(0).trim.toInt)
 
   /** Append NEW documents to an existing [[writeIndex]] — the
     * continuous-build increment: once a batch's survivors are
@@ -543,6 +608,12 @@ object NearDup {
     * the new rows.
     */
   def appendIndex(newDocs: DataFrame, path: String): Unit = {
+    val spark = newDocs.sparkSession
+    // refuse to write into a mid-swap table (see core.Swaps: a
+    // replayed append into the missing live dir is how an
+    // interrupted compaction becomes silent truncation)
+    graft.core.Swaps.guard(spark, s"$path/signatures", "append_index")
+    graft.core.Swaps.guard(spark, s"$path/bands", "append_index")
     requireNotTombstoned(newDocs, "doc_id", path, "append_index")
     val sh = shingleify(newDocs)
       .transform(graft.core.CacheRegistry.persist(_))
@@ -649,6 +720,7 @@ object NearDup {
     val tomb = tombstonesAt(spark, path)
     Seq("signatures" -> "doc_id", "bands" -> "corpus_id").foreach {
       case (sub, idCol) =>
+        graft.core.Swaps.guard(spark, s"$path/$sub", "compact_index")
         val dir = new org.apache.hadoop.fs.Path(s"$path/$sub")
         val fs = dir.getFileSystem(hconf)
         val tmp = new org.apache.hadoop.fs.Path(s"$path/${sub}__compact")
@@ -657,8 +729,16 @@ object NearDup {
         // lazy — overwriting in place would read-under-write), then
         // swap with two renames; __old survives until the end of the
         // loop body so a crash between renames leaves the data
-        // recoverable under one of the three names
+        // recoverable under one of the three names. The rewrite also
+        // collapses EXACT duplicate rows — the artifact a replayed
+        // at-least-once append leaves when it crashed between the
+        // signatures and bands writes (same contract as
+        // AnnIndex.compact): duplicates are invisible to probe
+        // OUTPUT (cand is distinct, the best-match agg is max) but
+        // waste verify-join work and, in the bands table, inflate bn
+        // counts toward the over-cap keep rule.
         dropTombstoned(spark.read.parquet(dir.toString), idCol, tomb)
+          .distinct()
           .repartition(targetFiles)
           .write.mode("overwrite").parquet(tmp.toString)
         fs.delete(old, true)
@@ -698,15 +778,25 @@ object NearDup {
   def compactIndexBucketed(spark: org.apache.spark.sql.SparkSession,
                            path: String, table: String,
                            numBuckets: Int = 32): Unit = {
+    graft.core.Swaps.guard(spark, s"$path/signatures",
+      "compact_index_bucketed")
+    graft.core.Swaps.guard(spark, s"$path/bands_table",
+      "compact_index_bucketed")
     val hconf = spark.sparkContext.hadoopConfiguration
     val tomb = tombstonesAt(spark, path)
-    // signatures: same rewrite as the path layout
+    // the live table's OWN layout drives the rewrite (see
+    // tableNumBuckets — the parameter is only a fallback for a table
+    // the catalog has lost)
+    val nb = tableNumBuckets(spark, table).getOrElse(numBuckets)
+    // signatures: same rewrite as the path layout (incl. the exact-
+    // duplicate collapse — see compactIndex)
     val sdir = new org.apache.hadoop.fs.Path(s"$path/signatures")
     val sfs = sdir.getFileSystem(hconf)
     val stmp = new org.apache.hadoop.fs.Path(s"$path/signatures__compact")
     val sold = new org.apache.hadoop.fs.Path(s"$path/signatures__old")
     dropTombstoned(spark.read.parquet(sdir.toString), "doc_id", tomb)
-      .repartition(numBuckets)
+      .distinct()
+      .repartition(nb)
       .write.mode("overwrite").parquet(stmp.toString)
     sfs.delete(sold, true)
     require(sfs.rename(sdir, sold), s"compact: cannot move $sdir")
@@ -723,7 +813,14 @@ object NearDup {
     val tmpTable = s"${table}__compact"
     spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
     bfs.delete(btmp, true)
+    // capture the live table's schema BEFORE dropping it: the
+    // re-registration below must declare exactly the types the
+    // parquet files carry (a hardcoded BIGINT corpus_id would break
+    // every probe of an INT-id corpus at the first compaction —
+    // parquet scans do not widen int32 to int64)
+    val bandsDdl = spark.table(table).schema.toDDL
     dropTombstoned(spark.table(table), "corpus_id", tomb)
+      .distinct()
       // group each bucket into ONE task by repartitioning on the
       // COMPUTED bucket id (pmod(murmur3(band,bkey), n) — verified
       // identical to the bucketed writer's file assignment): all of
@@ -732,11 +829,11 @@ object NearDup {
       // columns instead gets ELIDED as redundant against the
       // bucketed scan's own partitioning and leaves multi-bucket
       // tasks — measured, not hypothetical
-      .repartition(numBuckets,
-        pmod(hash(col("band"), col("bkey")), lit(numBuckets)))
+      .repartition(nb,
+        pmod(hash(col("band"), col("bkey")), lit(nb)))
       .write.mode("overwrite")
       .option("path", btmp.toString)
-      .bucketBy(numBuckets, "band", "bkey")
+      .bucketBy(nb, "band", "bkey")
       .sortBy("band", "bkey", "nsh_c", "corpus_id")
       .format("parquet")
       .saveAsTable(tmpTable)
@@ -753,11 +850,11 @@ object NearDup {
     spark.sql(s"DROP TABLE $table")
     spark.sql(
       s"""CREATE TABLE $table
-         |(corpus_id BIGINT, nsh_c INT, band INT, bkey STRING)
+         |($bandsDdl)
          |USING PARQUET
          |CLUSTERED BY (band, bkey)
          |SORTED BY (band, bkey, nsh_c, corpus_id)
-         |INTO $numBuckets BUCKETS
+         |INTO $nb BUCKETS
          |LOCATION '${bdir.toString}'""".stripMargin)
     val tdir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     tdir.getFileSystem(hconf).delete(tdir, true)
@@ -773,12 +870,37 @@ object NearDup {
                         indexPath: String, incoming: DataFrame,
                         threshold: Double = 0.5,
                         bucketCap: Int = LshBucketCap): DataFrame = {
-    val matched = matchesAgainstIndex(spark, indexPath, incoming,
+    val incSh = shingleify(incoming)
+      .transform(graft.core.CacheRegistry.persist(_))
+    incSh.count()
+    val matched = probeIndexWithSignatures(spark, indexPath, incSh,
       threshold, bucketCap)
       .filter(col("matched")).select(col("new_id"))
+    electSurvivors(incoming, incSh, matched, threshold)
+  }
+
+  /** The shared back half of the dedupAgainst* family: drop the
+    * corpus-matched docs, then run the within-batch canonical
+    * election over the SAME cached signatures the probe used —
+    * the batch is shingled exactly once per micro-batch (round-12
+    * review: the election previously re-shingled the survivors from
+    * raw text, paying the dominant per-row cost twice). The
+    * survivors' signature subset is persisted + materialized because
+    * the election fans out over four plan branches — same contract
+    * as lshPairs' own cache.
+    */
+  private def electSurvivors(incoming: DataFrame, incSh: DataFrame,
+                             matched: DataFrame,
+                             threshold: Double): DataFrame = {
     val vsCorpus = incoming.join(matched,
       incoming("doc_id") === matched("new_id"), "left_anti")
-    vsCorpus.join(canonicalIds(vsCorpus, threshold),
+    val vsSh = incSh.join(matched,
+      incSh("doc_id") === matched("new_id"), "left_anti")
+      .transform(graft.core.CacheRegistry.persist(_))
+    vsSh.count()
+    vsCorpus.join(
+      canonicalIdsFromSignatures(
+        vsCorpus.select(col("doc_id").as("id")), vsSh, threshold),
       Seq("doc_id"), "left_semi")
   }
 
@@ -796,13 +918,13 @@ object NearDup {
                                 threshold: Double = 0.5,
                                 bucketCap: Int = LshBucketCap)
       : DataFrame = {
-    val matched = matchesAgainstBucketedIndex(spark, path, table,
-      incoming, threshold, bucketCap)
+    val incSh = shingleify(incoming)
+      .transform(graft.core.CacheRegistry.persist(_))
+    incSh.count()
+    val matched = probeBucketedWithSignatures(spark, path, table,
+      incSh, threshold, bucketCap)
       .filter(col("matched")).select(col("new_id"))
-    val vsCorpus = incoming.join(matched,
-      incoming("doc_id") === matched("new_id"), "left_anti")
-    vsCorpus.join(canonicalIds(vsCorpus, threshold),
-      Seq("doc_id"), "left_semi")
+    electSurvivors(incoming, incSh, matched, threshold)
   }
 
   /** [[matchesAgainst]] against a [[writeIndex]]-precomputed corpus:
@@ -817,6 +939,23 @@ object NearDup {
                           indexPath: String, incoming: DataFrame,
                           threshold: Double = 0.5,
                           bucketCap: Int = LshBucketCap): DataFrame = {
+    val incSh = shingleify(incoming)
+      .transform(graft.core.CacheRegistry.persist(_))
+    incSh.count() // materialize before fan-out (2 plan branches)
+    probeIndexWithSignatures(spark, indexPath, incSh, threshold,
+      bucketCap)
+  }
+
+  /** The path-layout index probe over PREPARED batch signatures
+    * (persisted + materialized by the caller) — shared by
+    * [[matchesAgainstIndex]] and [[dedupAgainstIndex]] so the latter
+    * shingles the batch exactly once for both the probe and the
+    * within-batch election.
+    */
+  private def probeIndexWithSignatures(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      incSh: DataFrame, threshold: Double, bucketCap: Int)
+      : DataFrame = {
     // fail fast with a named error if the path is not a writeIndex
     // layout — a wrong path would otherwise surface as an unresolved
     // column three joins deep
@@ -832,9 +971,6 @@ object NearDup {
     val tomb = tombstonesAt(spark, indexPath)
     val corpusSh = dropTombstoned(corpusSh0, "doc_id", tomb)
     val cb0 = dropTombstoned(cb00, "corpus_id", tomb)
-    val incSh = shingleify(incoming)
-      .transform(graft.core.CacheRegistry.persist(_))
-    incSh.count() // materialize before fan-out (2 plan branches)
     probe(corpusSh, cb0, incSh, threshold, bucketCap)
   }
 
@@ -850,11 +986,16 @@ object NearDup {
   def dedupAgainst(corpus: DataFrame, incoming: DataFrame,
                    threshold: Double = 0.5,
                    bucketCap: Int = LshBucketCap): DataFrame = {
-    val matched = matchesAgainst(corpus, incoming, threshold, bucketCap)
+    val corpusSh = shingleify(corpus)
+      .transform(graft.core.CacheRegistry.persist(_))
+    val incSh = shingleify(incoming)
+      .transform(graft.core.CacheRegistry.persist(_))
+    corpusSh.count(); incSh.count()
+    val cb0 = corpusSh.select(col("doc_id").as("corpus_id"),
+      size(col("sh")).as("nsh_c"),
+      posexplode(col("bks")).as(Seq("band", "bkey")))
+    val matched = probe(corpusSh, cb0, incSh, threshold, bucketCap)
       .filter(col("matched")).select(col("new_id"))
-    val vsCorpus = incoming.join(matched,
-      incoming("doc_id") === matched("new_id"), "left_anti")
-    vsCorpus.join(canonicalIds(vsCorpus, threshold),
-      Seq("doc_id"), "left_semi")
+    electSurvivors(incoming, incSh, matched, threshold)
   }
 }

@@ -314,18 +314,23 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       .coalesce(1).write.mode("append").parquet(srcDir)
     drain()
     // takedown doc 1, then the stream re-ingests id 1 (a "corrected"
-    // text — the forbidden reuse) plus a novel: the loop must NOT
-    // crash on the append guard; the tombstoned id is dropped from
-    // the election before any side effect
+    // text — the forbidden reuse) plus a novel AND a near-dup of the
+    // re-ingested text under a higher id: the loop must NOT crash on
+    // the append guard, and the tombstoned id must be dropped BEFORE
+    // the within-batch election — were it dropped after, id 1 (the
+    // min id) would win the canonical slot, evict doc 31, and then
+    // be dropped itself, silently losing 31
     pipeline.NearDup.removeFromIndex(Seq(1L).toDF("doc_id"), idx)
-    Seq((1L, cbDoc(7) + " corrected"), (30L, cbDoc(11)))
+    Seq((1L, cbDoc(7) + " corrected"), (30L, cbDoc(11)),
+        (31L, cbDoc(7) + " corrected tail"))
       .toDF("doc_id", "text")
       .coalesce(1).write.mode("append").parquet(srcDir)
     drain()
     val ids = spark.read.parquet(corpus).select("doc_id").as[Long]
       .collect().sorted.toSeq
-    assert(ids == Seq(1L, 2L, 30L),
-      s"only the novel may append while id 1 is tombstoned, got $ids")
+    assert(ids == Seq(1L, 2L, 30L, 31L),
+      "the novel AND the near-dup of the dropped tombstoned id must " +
+        s"append while id 1 is inadmissible, got $ids")
   }
 
   test("Api continuous builds reject a non-positive compactEvery " +

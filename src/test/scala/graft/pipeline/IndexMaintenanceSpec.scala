@@ -388,6 +388,185 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "search output changed when ANN tombstones went physical")
   }
 
+  test("interrupted-swap guard: mid-swap states refuse writes, " +
+      "completed swaps self-heal") {
+    import spark.implicits._
+    val path = tmp("graft_swap_spec")
+    NearDup.writeIndex(docsDf, path)
+    def mkdir(p: String): Unit =
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+    // mid-swap state (__old AND __compact): both appends must refuse
+    // loudly instead of recreating the live dir with one batch
+    mkdir(s"$path/signatures__old")
+    mkdir(s"$path/signatures__compact")
+    val nd = Seq((700L, "a b c d e f g h i j k l m n o p"))
+      .toDF("doc_id", "text")
+    val err = intercept[IllegalArgumentException] {
+      NearDup.appendIndex(nd, path)
+    }
+    assert(err.getMessage.contains("mid-swap"),
+      s"guard must name the hazard, got: ${err.getMessage}")
+    intercept[IllegalArgumentException] {
+      NearDup.compactIndex(spark, path)
+    }
+    graft.core.CacheRegistry.releaseAll()
+    // completed-swap state (__old only): the lost trailing cleanup
+    // finishes and the write proceeds
+    new java.io.File(s"$path/signatures__compact").delete()
+    NearDup.appendIndex(nd, path)
+    graft.core.CacheRegistry.releaseAll()
+    assert(!new java.io.File(s"$path/signatures__old").exists(),
+      "a completed swap's leftover __old must be cleaned up")
+    // same guard on the ANN side
+    def vecs(n: Int): org.apache.spark.sql.DataFrame =
+      (0 until n).map(i => (i.toLong,
+        (0 until 4).map(d => ((i * 7 + d) % 5 - 2).toFloat)))
+        .toDF("vec_id", "embedding")
+    val apath = tmp("graft_swap_ann_spec")
+    AnnIndex.write(vecs(8), apath)
+    mkdir(s"${apath}__old"); mkdir(s"${apath}__compact")
+    intercept[IllegalArgumentException] {
+      AnnIndex.append(vecs(2), apath)
+    }
+    intercept[IllegalArgumentException] {
+      AnnIndex.compact(spark, apath)
+    }
+    new java.io.File(s"${apath}__compact").delete()
+    AnnIndex.append(vecs(2), apath)
+    assert(!new java.io.File(s"${apath}__old").exists())
+  }
+
+  test("ANN compaction survives empty and fully-tombstoned indexes") {
+    import spark.implicits._
+    // empty bootstrap (zero-row partitioned write has no data files):
+    // compaction must be a no-op, not a schema-inference crash — the
+    // state a compactEvery cadence hits on a young stream
+    val path = tmp("graft_annz_spec")
+    AnnIndex.write(Seq.empty[(Long, Seq[Float])]
+      .toDF("vec_id", "embedding"), path)
+    AnnIndex.compact(spark, path)
+    // fully-tombstoned: applying the tombstones physically would
+    // leave a file-less (unreadable) dir, so the compaction keeps
+    // the logical-delete state — index stays readable, rows stay
+    // hidden, tombstones stay live
+    def vec(seed: Int): Seq[Float] =
+      (0 until 4).map(d => (((seed * 13 + d * 7) % 9) - 4).toFloat)
+    val base = (0 until 6).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    AnnIndex.write(base, path)
+    AnnIndex.remove(base.select("vec_id"), path)
+    AnnIndex.compact(spark, path)
+    val qs = Seq((100L, vec(2))).toDF("query_id", "qv")
+    assert(AnnIndex.topK(spark, path, qs, k = 3).count() == 0,
+      "a fully-tombstoned index must serve zero results, not crash")
+    assert(new java.io.File(s"${path}__tombstones").exists(),
+      "tombstones must stay live when the rewrite would empty the index")
+    // new data arrives: the next compaction applies everything
+    AnnIndex.append((10 until 14).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding"), path)
+    AnnIndex.compact(spark, path)
+    assert(!new java.io.File(s"${path}__tombstones").exists(),
+      "a data-bearing compaction applies and clears the tombstones")
+    val ids = spark.read.parquet(path).select("vec_id")
+      .as[Long].collect().toSet
+    assert(ids == Set(10L, 11L, 12L, 13L),
+      s"only the post-takedown vectors may remain, got $ids")
+  }
+
+  test("AnnIndex.write full rebuild clears stale buckets under " +
+      "dynamic partition overwrite") {
+    import spark.implicits._
+    val prev = spark.conf.getOption(
+      "spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+        "dynamic")
+      val path = tmp("graft_anndyn_spec")
+      // first life: vectors whose argmax lands in buckets 1 and 2
+      AnnIndex.write(Seq(
+        (1L, Seq(5.0f, 0.1f, 0.1f)), (2L, Seq(0.1f, 5.0f, 0.1f)))
+        .toDF("vec_id", "embedding"), path)
+      // rebuild touches ONLY bucket 1: dynamic overwrite alone would
+      // leave the old bucket-2 vector serving forever
+      AnnIndex.write(Seq((3L, Seq(5.0f, 0.2f, 0.1f)))
+        .toDF("vec_id", "embedding"), path)
+      val ids = spark.read.parquet(path).select("vec_id")
+        .as[Long].collect().toSet
+      assert(ids == Set(3L),
+        s"a full rebuild must not inherit stale buckets, got $ids")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf
+          .set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf
+          .unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
+  test("bucketed compaction preserves a non-BIGINT id schema") {
+    import spark.implicits._
+    val path = tmp("graft_intid_spec")
+    val table = "graft_spec_intid"
+    val intDocs = docsDf.select(col("doc_id").cast("int").as("doc_id"),
+      col("text"))
+    NearDup.writeIndexBucketed(intDocs, path, table)
+    NearDup.compactIndexBucketed(spark, path, table)
+    // the re-registered table must still scan (a hardcoded BIGINT
+    // corpus_id would throw a parquet int32->bigint conversion error
+    // on the very next probe)
+    val probed = NearDup.matchesAgainstBucketedIndex(spark, path,
+      table, incomingDf
+        .select(col("doc_id").cast("int").as("doc_id"), col("text")))
+      .collect()
+    assert(probed.nonEmpty && probed.exists(_.getBoolean(1)),
+      "probe of an int-id bucketed index must work across compaction")
+    graft.core.CacheRegistry.releaseAll()
+  }
+
+  test("compactIndex collapses the exact-duplicate replay artifact") {
+    import spark.implicits._
+    val path = tmp("graft_dupcollapse_spec")
+    NearDup.writeIndex(docsDf, path)
+    // simulate the at-least-once artifact: a crashed batch re-appends
+    // its signature rows (duplicate both tables to exercise both)
+    Seq("signatures", "bands").foreach { sub =>
+      val once = spark.read.parquet(s"$path/$sub")
+      once.write.mode("append").parquet(s"$path/$sub")
+    }
+    val sigRows = spark.read.parquet(s"$path/signatures").count()
+    NearDup.compactIndex(spark, path, targetFiles = 2)
+    assert(spark.read.parquet(s"$path/signatures").count()
+      == sigRows / 2,
+      "compaction must collapse exact duplicate signature rows")
+    assert(spark.read.parquet(s"$path/bands")
+      .groupBy("corpus_id", "band", "bkey").count()
+      .filter(col("count") > 1).count() == 0,
+      "compaction must collapse exact duplicate band rows")
+    // probe still healthy after the collapse
+    val out = collected(
+      NearDup.matchesAgainstIndex(spark, path, incomingDf))
+    assert(out.nonEmpty && out.exists(_._2))
+    graft.core.CacheRegistry.releaseAll()
+  }
+
+  test("search excludeSelf=false keeps a coincidental id collision") {
+    import spark.implicits._
+    val corpus = Seq((42L, Seq(1.0f, 0.2f, 0.1f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), PipelineOps.norm(col("embedding")).as("nrm"),
+        col("embedding"),
+        PipelineOps.argmaxBucket(col("embedding")).as("bucket"))
+    // external query space: query 42 is NOT corpus vector 42
+    val q = Seq((42L, Seq(0.9f, 0.3f, 0.1f))).toDF("query_id", "qv")
+    assert(AnnIndex.search(corpus, q, k = 1).count() == 0,
+      "default corpus-member semantics excludes the id collision")
+    val kept = AnnIndex.search(corpus, q, k = 1, excludeSelf = false)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(kept == Seq(42L),
+      s"excludeSelf=false must keep the valid neighbor, got $kept")
+  }
+
   test("multi-probe: probe 1 is argmaxBucket; planted neighbor needs probe 2") {
     import spark.implicits._
     // topNBuckets prefix property on assorted vectors (incl. ties:
