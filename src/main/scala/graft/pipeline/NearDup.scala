@@ -458,12 +458,13 @@ object NearDup {
     * window measured 0.64–0.98, same direction). End-to-end
     * dedup→append loop, however, the bucketed layout costs MORE per
     * batch (9.4–12.2 s vs plain 7.0–9.0 s over 10 lockstep batches):
-    * phase 7 isolates the increment premium at ~0.9 s/append — the
-    * bucketed append is a per-task-sorted catalog-table write vs a
-    * plain file add — and fresh appends re-introduce multi-file
-    * buckets (and therefore the window sort) until the next
-    * compaction. At this fixture's scale the probe saving is small
-    * (~0.03 s), so the measured break-even is ~34 probes per append;
+    * phase 7 isolates the increment premium at ~0.9-1.1 s/append
+    * (two windows) — the bucketed append is a per-task-sorted
+    * catalog-table write vs a plain file add — and fresh appends
+    * re-introduce multi-file buckets (and therefore the window sort)
+    * until the next compaction. At this fixture's scale the probe
+    * saving is small (~0.03-0.05 s), so the measured break-even is
+    * ~23-34 probes per append;
     * the saving grows with bucket population (it is the window sort
     * + exchange the layout removes), so the break-even FALLS as the
     * corpus grows hot. Rule: choose bucketed when probes dominate
