@@ -178,14 +178,23 @@ object Api {
     // of truth), so all this entry must check is that the bucketed
     // table exists at all
     bucketedTable.foreach { t =>
-      val rows = source.sparkSession
-        .sql(s"DESCRIBE TABLE EXTENDED $t")
-        .filter(org.apache.spark.sql.functions.col("col_name")
-          === "Num Buckets")
-        .select("data_type").collect()
-      require(rows.nonEmpty,
-        s"continuous_build: table $t is not bucketed — bootstrap it " +
-          "with NearDup.writeIndexBucketed before starting the loop")
+      val ss = source.sparkSession
+      // tableExists first: a missing table must surface as THIS
+      // bootstrap message, not as DESCRIBE's raw AnalysisException
+      // (advisor r12); a table that exists (this session or restored
+      // via NearDup.registerBucketedIndex) must also carry the
+      // bucket spec
+      val bucketed = ss.catalog.tableExists(t) && {
+        ss.sql(s"DESCRIBE TABLE EXTENDED $t")
+          .filter(org.apache.spark.sql.functions.col("col_name")
+            === "Num Buckets")
+          .select("data_type").collect().nonEmpty
+      }
+      require(bucketed,
+        s"continuous_build: table $t is missing or not bucketed — " +
+          "bootstrap it with NearDup.writeIndexBucketed (or restore " +
+          "a lost catalog entry with NearDup.registerBucketedIndex) " +
+          "before starting the loop")
     }
     val w = source.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -219,7 +228,12 @@ object Api {
         // durable materialization: stage the election to parquet and
         // feed BOTH side effects from the read-back — batch-sized IO
         // that removes any dependence on executor cache retention
-        // (see failure-semantics scaladoc)
+        // (see failure-semantics scaladoc). The FIXED name is safe
+        // only because Spark enforces exactly one active query per
+        // checkpoint location (the structured-streaming checkpoint
+        // lock), so no second loop can race this dir; the name being
+        // checkpoint-relative is what carries that exclusivity — do
+        // not move it outside checkpointDir
         val staging = s"$checkpointDir/graft_survivors_staging"
         elected.write.mode("overwrite").parquet(staging)
         graft.core.CacheRegistry.releaseAll()

@@ -30,23 +30,41 @@ object AnnIndex {
     * probes never touch raw-corpus scan work again.
     */
   def write(embeddings: DataFrame, path: String): Unit = {
-    // a full rebuild starts clean — BOTH sides of the state: stale
-    // tombstones from the path's previous life would silently delete
-    // freshly indexed vectors, and stale BUCKET DIRS would survive a
-    // rebuild under spark.sql.sources.partitionOverwriteMode=dynamic
-    // (dynamic overwrite only replaces touched partitions, so a
-    // bucket the new corpus doesn't hit would keep serving the old
-    // index's vectors) — delete the index dir explicitly instead of
-    // trusting the overwrite mode
+    // a full rebuild starts clean — ALL the path's previous-life
+    // state: stale tombstones would silently delete freshly indexed
+    // vectors, and stale __old/__compact swap leftovers would make
+    // every later append/compact refuse with a false mid-swap error
+    // (advisor r12 — a rebuild supersedes any interrupted swap)
     val hconf = embeddings.sparkSession.sparkContext.hadoopConfiguration
-    val idir = new org.apache.hadoop.fs.Path(path)
-    idir.getFileSystem(hconf).delete(idir, true)
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(hconf)
+    val old = new org.apache.hadoop.fs.Path(s"${path}__old")
+    val tmp = new org.apache.hadoop.fs.Path(s"${path}__compact")
+    fs.delete(old, true)
+    fs.delete(tmp, true)
     val tdir = new org.apache.hadoop.fs.Path(s"${path}__tombstones")
     tdir.getFileSystem(hconf).delete(tdir, true)
-    embeddings.select(col("vec_id"),
-        norm(col("embedding")).as("nrm"), col("embedding"),
-        argmaxBucket(col("embedding")).as("bucket"))
-      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+    // the rebuild writes BESIDE the live index and swaps with the
+    // same two-rename protocol as compact — never delete-then-write:
+    // a crash mid-write would otherwise lose the index outright with
+    // no recovery copy (advisor r12), and the whole-dir swap also
+    // guarantees no stale BUCKET DIR survives under
+    // spark.sql.sources.partitionOverwriteMode=dynamic (dynamic
+    // overwrite only replaces touched partitions). A crash between
+    // the renames leaves the __old + __compact pair Swaps.guard
+    // refuses, with both full copies recoverable.
+    val out = embeddings.select(col("vec_id"),
+      norm(col("embedding")).as("nrm"), col("embedding"),
+      argmaxBucket(col("embedding")).as("bucket"))
+    if (!fs.exists(live)) {
+      out.write.partitionBy("bucket").mode("overwrite").parquet(path)
+    } else {
+      out.write.partitionBy("bucket").mode("overwrite")
+        .parquet(tmp.toString)
+      require(fs.rename(live, old), s"ann rebuild: cannot move $live")
+      require(fs.rename(tmp, live), s"ann rebuild: cannot move $tmp")
+      fs.delete(old, true)
+    }
   }
 
   /** Append NEW embeddings to an existing index — the continuous

@@ -419,10 +419,15 @@ object NearDup {
     val spark = corpus.sparkSession
     // a full rebuild starts with a clean slate: stale tombstones
     // from the path's previous life would silently delete freshly
-    // indexed docs
+    // indexed docs, and stale __old/__compact leftovers from an
+    // interrupted compaction would make every subsequent append and
+    // compaction refuse with a false mid-swap error even though the
+    // rebuilt live dirs are now authoritative — a rebuild SUPERSEDES
+    // any interrupted swap (advisor r12)
     val tdir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     tdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(tdir, true)
+    clearSwapLeftovers(spark, s"$path/signatures", s"$path/bands")
     shingleify(corpus)
       .write.mode("overwrite").parquet(s"$path/signatures")
     spark.read.parquet(s"$path/signatures")
@@ -479,10 +484,13 @@ object NearDup {
     val spark = corpus.sparkSession
     // a full rebuild starts with a clean slate, same as writeIndex:
     // stale tombstones from the path's previous life would silently
-    // delete freshly indexed docs on the very next probe
+    // delete freshly indexed docs on the very next probe, and stale
+    // swap leftovers would false-refuse every later append/compact
+    // (advisor r12 — the rebuild supersedes any interrupted swap)
     val tdir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     tdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(tdir, true)
+    clearSwapLeftovers(spark, s"$path/signatures", s"$path/bands_table")
     shingleify(corpus)
       .write.mode("overwrite").parquet(s"$path/signatures")
     spark.sql(s"DROP TABLE IF EXISTS $table")
@@ -496,6 +504,96 @@ object NearDup {
       .sortBy("band", "bkey", "nsh_c", "corpus_id")
       .format("parquet")
       .saveAsTable(table)
+    writeNumBucketsMarker(spark, path, numBuckets)
+  }
+
+  /** Delete `${dir}__old` / `${dir}__compact` leftovers for each
+    * given dir — called ONLY by the full-rebuild write* paths, whose
+    * fresh write supersedes whatever an interrupted swap left behind
+    * (every other mutation must go through [[graft.core.Swaps.guard]]
+    * and refuse instead).
+    */
+  private def clearSwapLeftovers(spark: org.apache.spark.sql.SparkSession,
+                                 dirs: String*): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    dirs.flatMap(d => Seq(s"${d}__old", s"${d}__compact")).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).delete(hp, true)
+    }
+  }
+
+  /** Persist the bands table's bucket count BESIDE the data
+    * (`path/bands_numbuckets`): the session catalog is the runtime
+    * source of truth ([[tableNumBuckets]]), but it does not survive a
+    * new SparkSession with an in-memory catalog — this marker is what
+    * lets [[registerBucketedIndex]] re-register the table over the
+    * surviving external files with the CORRECT bucket count (a
+    * guessed count would silently mis-declare the files' hash
+    * partitioning and corrupt every probe's keep-rule window).
+    */
+  private def writeNumBucketsMarker(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      numBuckets: Int): Unit = {
+    val mp = new org.apache.hadoop.fs.Path(s"$path/bands_numbuckets")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(mp, true)
+    try out.write(s"$numBuckets\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readNumBucketsMarker(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : Option[Int] = {
+    val mp = new org.apache.hadoop.fs.Path(s"$path/bands_numbuckets")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mp)) None
+    else {
+      val in = fs.open(mp)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        Some(new String(buf, 0, n, "UTF-8").trim.toInt)
+      } finally in.close()
+    }
+  }
+
+  /** Re-register the catalog entry of a [[writeIndexBucketed]] index
+    * over its surviving external data — the recovery call for the two
+    * ways a bucketed index loses its catalog entry while the files at
+    * `path/bands_table` live on: a NEW SparkSession with an in-memory
+    * catalog (external data survives, catalog entries don't), or a
+    * manual/accidental `DROP TABLE`. Schema comes from the parquet
+    * files; the bucket count comes from the durable
+    * `path/bands_numbuckets` marker (pass `numBuckets` explicitly
+    * only for a pre-marker index, where YOU are asserting the count
+    * the files were written with — a wrong value silently corrupts
+    * every probe). [[appendIndexBucketed]] refuses to run while the
+    * entry is missing and names this call as the recipe.
+    */
+  def registerBucketedIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String, table: String,
+                            numBuckets: Option[Int] = None): Unit = {
+    val bdir = new org.apache.hadoop.fs.Path(s"$path/bands_table")
+    val fs = bdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(bdir),
+      s"register_bucketed_index: no index data at $bdir — bootstrap " +
+        "with writeIndexBucketed instead")
+    val nb = numBuckets.orElse(readNumBucketsMarker(spark, path))
+      .getOrElse(throw new IllegalArgumentException(
+        s"register_bucketed_index: $path/bands_numbuckets is missing " +
+          "(pre-marker index) — pass numBuckets explicitly, asserting " +
+          "the count the files were written with"))
+    val ddl = spark.read.parquet(bdir.toString).schema.toDDL
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(
+      s"""CREATE TABLE $table
+         |($ddl)
+         |USING PARQUET
+         |CLUSTERED BY (band, bkey)
+         |SORTED BY (band, bkey, nsh_c, corpus_id)
+         |INTO $nb BUCKETS
+         |LOCATION '${bdir.toString}'""".stripMargin)
+    writeNumBucketsMarker(spark, path, nb)
   }
 
   /** [[matchesAgainstIndex]] over a [[writeIndexBucketed]] layout:
@@ -559,13 +657,32 @@ object NearDup {
       "append_index_bucketed")
     graft.core.Swaps.guard(spark, s"$path/bands_table",
       "append_index_bucketed")
+    // refuse the orphaned-data state: index files exist at
+    // path/bands_table but the catalog entry is gone (a new session's
+    // in-memory catalog, or a manual DROP). Proceeding would let
+    // saveAsTable(append) silently CREATE a fresh table and fork
+    // every probe away from the surviving index — the data is never
+    // lost, but the index is effectively truncated to this batch with
+    // no error (advisor r12, medium). registerBucketedIndex is the
+    // one-call recovery.
+    val creating = !spark.catalog.tableExists(table)
+    if (creating) {
+      val bdir = new org.apache.hadoop.fs.Path(s"$path/bands_table")
+      val fs = bdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(!fs.exists(bdir),
+        s"append_index_bucketed: table $table is not in the session " +
+          s"catalog but index data exists at $bdir — appending now " +
+          "would create a NEW table and fork probes away from the " +
+          "surviving index. Re-register it first: " +
+          s"NearDup.registerBucketedIndex(spark, \"$path\", \"$table\")")
+    }
     requireNotTombstoned(newDocs, "doc_id", path,
       "append_index_bucketed")
     val sh = shingleify(newDocs)
       .transform(graft.core.CacheRegistry.persist(_))
     sh.count()
     sh.write.mode("append").parquet(s"$path/signatures")
-    sh.select(col("doc_id").as("corpus_id"),
+    val w0 = sh.select(col("doc_id").as("corpus_id"),
         size(col("sh")).as("nsh_c"),
         posexplode(col("bks")).as(Seq("band", "bkey")))
       .write.mode("append")
@@ -577,7 +694,13 @@ object NearDup {
         "band", "bkey")
       .sortBy("band", "bkey", "nsh_c", "corpus_id")
       .format("parquet")
-      .saveAsTable(table)
+    // a bootstrap-by-append creates the table EXTERNAL under
+    // path/bands_table, matching writeIndexBucketed — dropping the
+    // session catalog never loses the index (the option is only legal
+    // at creation; an existing table already owns its location)
+    val w = if (creating) w0.option("path", s"$path/bands_table") else w0
+    w.saveAsTable(table)
+    if (creating) writeNumBucketsMarker(spark, path, numBuckets)
   }
 
   /** The bucket count the session catalog records for `table`, None
@@ -783,6 +906,10 @@ object NearDup {
       "compact_index_bucketed")
     graft.core.Swaps.guard(spark, s"$path/bands_table",
       "compact_index_bucketed")
+    require(spark.catalog.tableExists(table),
+      s"compact_index_bucketed: table $table is not in the session " +
+        "catalog — restore a lost entry with " +
+        s"NearDup.registerBucketedIndex(spark, \"$path\", \"$table\")")
     val hconf = spark.sparkContext.hadoopConfiguration
     val tomb = tombstonesAt(spark, path)
     // the live table's OWN layout drives the rewrite (see
@@ -805,8 +932,8 @@ object NearDup {
     sfs.delete(sold, true)
     // bands: rewrite through a temp TABLE (bucket-id file names are
     // assigned by the bucketed writer), then swap directories and
-    // re-register the catalog entry over the compacted files —
-    // DROP TABLE on an external table never touches data
+    // REFRESH the live catalog entry — its location/schema/bucket
+    // spec are untouched by the swap, only the files changed
     val bdir = new org.apache.hadoop.fs.Path(s"$path/bands_table")
     val bfs = bdir.getFileSystem(hconf)
     val btmp = new org.apache.hadoop.fs.Path(s"$path/bands_table__compact")
@@ -814,12 +941,6 @@ object NearDup {
     val tmpTable = s"${table}__compact"
     spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
     bfs.delete(btmp, true)
-    // capture the live table's schema BEFORE dropping it: the
-    // re-registration below must declare exactly the types the
-    // parquet files carry (a hardcoded BIGINT corpus_id would break
-    // every probe of an INT-id corpus at the first compaction —
-    // parquet scans do not widen int32 to int64)
-    val bandsDdl = spark.table(table).schema.toDDL
     dropTombstoned(spark.table(table), "corpus_id", tomb)
       .distinct()
       // group each bucket into ONE task by repartitioning on the
@@ -843,20 +964,21 @@ object NearDup {
     require(bfs.rename(bdir, bold), s"compact: cannot move $bdir")
     require(bfs.rename(btmp, bdir), s"compact: cannot move $btmp")
     bfs.delete(bold, true)
-    // the catalog entry drops only AFTER both renames succeeded: a
-    // failed rename aborts above with the live table still registered
-    // (its data recoverable under one of the three names), so the
-    // unserveable window is just this DROP -> CREATE re-registration
-    // instead of spanning the whole swap
-    spark.sql(s"DROP TABLE $table")
-    spark.sql(
-      s"""CREATE TABLE $table
-         |($bandsDdl)
-         |USING PARQUET
-         |CLUSTERED BY (band, bkey)
-         |SORTED BY (band, bkey, nsh_c, corpus_id)
-         |INTO $nb BUCKETS
-         |LOCATION '${bdir.toString}'""".stripMargin)
+    // the swap changes NOTHING the catalog records — location, schema
+    // and bucket spec are all identical (nb came FROM the table; the
+    // rewrite preserves types, so an INT-id corpus stays INT) — so a
+    // REFRESH of the cached file listing is all the catalog needs.
+    // (An earlier DROP -> CREATE re-registration here had an
+    // unguarded window: a crash between the two left no catalog
+    // entry and no __old marker, and a replayed appendIndexBucketed
+    // would then silently recreate the table away from the compacted
+    // data — advisor r12, medium. REFRESH is atomic from the catalog
+    // reader's point of view: the entry never disappears.)
+    spark.sql(s"REFRESH TABLE $table")
+    // refresh the durable bucket-count marker too — pre-marker
+    // indexes gain it at their first compaction, making
+    // registerBucketedIndex's recovery self-sufficient from then on
+    writeNumBucketsMarker(spark, path, nb)
     val tdir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     tdir.getFileSystem(hconf).delete(tdir, true)
   }

@@ -436,6 +436,119 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!new java.io.File(s"${apath}__old").exists())
   }
 
+  test("orphaned bucketed index: append refuses loudly, " +
+      "registerBucketedIndex restores the catalog entry") {
+    import spark.implicits._
+    val path = tmp("graft_orphan_spec")
+    val table = "graft_spec_orphan"
+    NearDup.writeIndexBucketed(docsDf, path, table)
+    val direct = collected(NearDup.matchesAgainst(docsDf, incomingDf))
+    graft.core.CacheRegistry.releaseAll()
+    // simulate the catalog-loss states (a NEW session's in-memory
+    // catalog, a manual DROP, or the old compaction's crash window):
+    // the external data survives, the entry is gone
+    spark.sql(s"DROP TABLE $table")
+    val nd = Seq((900L, (1 to 25).map(j => s"orph${j}w").mkString(" ")))
+      .toDF("doc_id", "text")
+    // appending now would silently CREATE a fresh table and fork
+    // probes away from the surviving index — the guard must refuse
+    // and name the recovery call
+    val err = intercept[IllegalArgumentException] {
+      NearDup.appendIndexBucketed(nd, path, table)
+    }
+    assert(err.getMessage.contains("registerBucketedIndex"),
+      s"guard must name the recovery recipe, got: ${err.getMessage}")
+    graft.core.CacheRegistry.releaseAll()
+    // the same state must not slip through the compaction path either
+    val cerr = intercept[IllegalArgumentException] {
+      NearDup.compactIndexBucketed(spark, path, table)
+    }
+    assert(cerr.getMessage.contains("registerBucketedIndex"))
+    // one-call recovery: re-register over the surviving external
+    // files (bucket count from the durable path marker), probe output
+    // identical, and the append contract is back
+    NearDup.registerBucketedIndex(spark, path, table)
+    val restored = collected(NearDup.matchesAgainstBucketedIndex(
+      spark, path, table, incomingDf))
+    assert(restored == direct,
+      "re-registered index diverged from the pre-loss output")
+    graft.core.CacheRegistry.releaseAll()
+    NearDup.appendIndexBucketed(nd, path, table)
+    graft.core.CacheRegistry.releaseAll()
+    val probe = Seq((5001L, (1 to 25).map(j => s"orph${j}w")
+      .mkString(" ") + " tail")).toDF("doc_id", "text")
+    val hit = collected(NearDup.matchesAgainstBucketedIndex(
+      spark, path, table, probe))
+    assert(hit.head._2 && hit.head._3 == 900L,
+      s"post-recovery append must be probe-visible, got $hit")
+    graft.core.CacheRegistry.releaseAll()
+  }
+
+  test("full rebuilds supersede interrupted-swap leftovers") {
+    import spark.implicits._
+    def mkdir(p: String): Unit =
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+    // LSH path layout: a previously mid-swap index is rebuilt — the
+    // rebuild is the new authority, so the stale __old/__compact pair
+    // must not false-refuse the very next append
+    val path = tmp("graft_superc_spec")
+    NearDup.writeIndex(docsDf, path)
+    mkdir(s"$path/signatures__old"); mkdir(s"$path/signatures__compact")
+    mkdir(s"$path/bands__old"); mkdir(s"$path/bands__compact")
+    NearDup.writeIndex(docsDf, path)
+    NearDup.appendIndex(
+      Seq((901L, (1 to 25).map(j => s"sup${j}w").mkString(" ")))
+        .toDF("doc_id", "text"), path)
+    graft.core.CacheRegistry.releaseAll()
+    // bucketed layout
+    val bpath = tmp("graft_superb_spec")
+    val table = "graft_spec_superb"
+    NearDup.writeIndexBucketed(docsDf, bpath, table)
+    mkdir(s"$bpath/signatures__old"); mkdir(s"$bpath/signatures__compact")
+    mkdir(s"$bpath/bands_table__old"); mkdir(s"$bpath/bands_table__compact")
+    NearDup.writeIndexBucketed(docsDf, bpath, table)
+    NearDup.appendIndexBucketed(
+      Seq((902L, (1 to 25).map(j => s"supb${j}w").mkString(" ")))
+        .toDF("doc_id", "text"), bpath, table)
+    graft.core.CacheRegistry.releaseAll()
+    // ANN index
+    def vec(seed: Int): Seq[Float] =
+      (0 until 4).map(d => (((seed * 11 + d * 5) % 9) - 4).toFloat)
+    val apath = tmp("graft_supera_spec")
+    AnnIndex.write((0 until 8).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding"), apath)
+    mkdir(s"${apath}__old"); mkdir(s"${apath}__compact")
+    AnnIndex.write((0 until 8).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding"), apath)
+    AnnIndex.append(Seq((20L, vec(20))).toDF("vec_id", "embedding"),
+      apath)
+    val ids = spark.read.parquet(apath).select("vec_id")
+      .as[Long].collect().toSet
+    assert(ids == (0L until 8L).toSet + 20L,
+      s"rebuild-then-append must serve the rebuilt index, got $ids")
+  }
+
+  test("AnnIndex.write rebuild over a live index swaps, " +
+      "never deletes first") {
+    import spark.implicits._
+    def vec(seed: Int): Seq[Float] =
+      (0 until 4).map(d => (((seed * 23 + d * 3) % 9) - 4).toFloat)
+    val path = tmp("graft_annswap_spec")
+    AnnIndex.write((0 until 10).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding"), path)
+    // second life: entirely different vectors — the swap must serve
+    // exactly the new set (and the swap protocol leaves no residue)
+    AnnIndex.write((100 until 105).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding"), path)
+    val ids = spark.read.parquet(path).select("vec_id")
+      .as[Long].collect().toSet
+    assert(ids == (100L until 105L).toSet,
+      s"rebuild must serve only the new corpus, got $ids")
+    assert(!new java.io.File(s"${path}__old").exists() &&
+      !new java.io.File(s"${path}__compact").exists(),
+      "a completed rebuild must leave no swap residue")
+  }
+
   test("ANN compaction survives empty and fully-tombstoned indexes") {
     import spark.implicits._
     // empty bootstrap (zero-row partitioned write has no data files):
