@@ -108,19 +108,26 @@ object Bench {
               .take(120))
           }
         val secs = (System.nanoTime() - t0) / 1e9
+        // per-phase breakdown of the connected-components loop, when
+        // this query ran one (p16's driver-vs-local gap was only
+        // adjudicable by re-running with env-var instrumentation —
+        // now the artifact itself says which phase was slow on the
+        // box that produced it)
+        val cc = graft.pipeline.Clusters.lastStats
+        graft.pipeline.Clusters.lastStats = None
         // drop per-query persisted intermediates (outside the timed
         // section): 80+ queries in one JVM otherwise accumulate
         // storage-memory pressure that inflates later queries
         graft.core.CacheRegistry.releaseAll()
         spark.catalog.clearCache()
-        (name, secs, err, startOff)
+        (name, secs, err, startOff, cc)
     }
     // a closing probe so the tail window is covered too
     calibs += ((results.length, calibrate()))
     // keep the JSON line SHORT (3-decimal seconds): the driver captures
     // a bounded stdout tail, and a multi-KB line gets cut mid-JSON and
     // fails to parse (this happened in round 2)
-    val qs = results.map { case (k, v, err, _) =>
+    val qs = results.map { case (k, v, err, _, _) =>
       err match {
         case None => s""""$k":${f3(v)}"""
         case Some(m) => s""""$k":{"sec":${f3(v)},"err":"${esc(m)}"}"""
@@ -129,21 +136,34 @@ object Bench {
     val calibJson = calibs.map { case (i, c) => s"[$i,${f3(c)}]" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    // the calib-NORMALIZED headline (r12 verdict #1): cross-round
+    // totals are only comparable after dividing out the box's drift,
+    // and the committed artifact must carry that number machine-
+    // readably instead of leaving it to a hand-kept ledger. Median of
+    // the whole in-run calib series (not just the opening probe) so a
+    // mid-run contention window can't skew the normalizer.
+    val calibMedian = {
+      val s = calibs.map(_._2).sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val valuePerCalib = total / calibMedian
     // full per-query detail (driver stdout truncates to a tail): name,
     // start offset from startEpoch, seconds, error — plus the calib
     // series keyed by query index, so any window is reconstructible
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "bench_full.json")
-    val detail = results.map { case (k, v, err, off) =>
+    val detail = results.map { case (k, v, err, off, cc) =>
       val e = err.map(m => s""","err":"${esc(m)}"""").getOrElse("")
-      s"""{"name":"$k","start_off":${f3(off)},"sec":${f3(v)}$e}"""
+      val c = cc.map(s => s""","cc":$s""").getOrElse("")
+      s"""{"name":"$k","start_off":${f3(off)},"sec":${f3(v)}$e$c}"""
     }.mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","calib_sec":${f3(calib)},"calib_every":$calibEvery,"calibs":$calibJson,"start_epoch":${f3(startEpoch)},"sf":"$sfDir","failures":$failures,"detail":$detail}"""
+    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","value_per_calib":${f3(valuePerCalib)},"calib_median":${f3(calibMedian)},"calib_sec":${f3(calib)},"calib_every":$calibEvery,"calibs":$calibJson,"start_epoch":${f3(startEpoch)},"sf":"$sfDir","failures":$failures,"detail":$detail}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       full.getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: $e") }
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","calib_sec":${f3(calib)},"calibs":$calibJson,"queries":$qs,"sf":"$sfDir","failures":$failures}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","value_per_calib":${f3(valuePerCalib)},"calib_median":${f3(calibMedian)},"calib_sec":${f3(calib)},"calibs":$calibJson,"queries":$qs,"sf":"$sfDir","failures":$failures}""")
     spark.stop()
     if (failures > 0) sys.exit(1)
   }

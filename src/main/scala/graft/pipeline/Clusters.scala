@@ -54,6 +54,16 @@ import org.apache.spark.storage.StorageLevel
   */
 object Clusters {
 
+  /** Per-phase wall-clock of the LAST [[connectedComponents]] call in
+    * this JVM, as a compact JSON fragment — consumed by
+    * [[graft.Bench]] so the committed bench artifact itself carries
+    * the loop's breakdown (pairs materialization, label init, each
+    * round) on WHATEVER box ran it: r11/r12 showed p16 ~3x slower on
+    * the driver than locally with no way to tell per-round latency
+    * from environment without this.
+    */
+  @volatile private[graft] var lastStats: Option[String] = None
+
   /** Connected components of the undirected graph over `nodes`
     * (column `id`) induced by `pairs` (columns `a`, `b`). Returns
     * one row per node: (id, label) with label = minimum id
@@ -94,8 +104,9 @@ object Clusters {
       "a", "b")
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     val tA = System.nanoTime()
+    def secsSince(t0: Long): Double = (System.nanoTime() - t0) / 1e9
     def dbg(msg: String, t0: Long): Unit =
-      if (debug) println(f"[cc] $msg: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      if (debug) println(f"[cc] $msg: ${secsSince(t0)}%.2f s")
     // the symmetrized edge view scans `pairs` twice (a->b and b->a):
     // persist the pair set so an expensive upstream pair generator
     // (LSH candidate join + verify) runs once, not twice. The count()
@@ -104,8 +115,23 @@ object Clusters {
     // plan in one job and the LSH chain executes twice.
     val p = pairs.select(col("a"), col("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    p.count()
-    dbg("pairs materialize", tA)
+    val nPairs = p.count()
+    val pairsSec = secsSince(tA)
+    dbg(s"pairs materialize ($nPairs pairs)", tA)
+    // size the LOOP's fan-out to the ACTIVE set, not the session
+    // default: edge-incident nodes are a sliver of a real corpus
+    // (most docs have no near-dup pair), so a loop partitioned at
+    // corpus-scale parallelism pays rounds x stages x near-empty
+    // tasks of pure scheduling overhead — the measured driver-side
+    // amplification of r11/r12's p16. ~250k edge rows per task keeps
+    // single-task rounds for test-scale graphs while a 100 TB pair
+    // set still fans out to full cluster parallelism.
+    val sizedParts =
+      !sys.props.get("graft.cc.sizedParts").contains("off")
+    val loopParts = math.max(1L, math.min(
+      nodes.sparkSession.sparkContext.defaultParallelism.toLong,
+      2L * nPairs / 250000L + 1L)).toInt
+    if (debug) println(s"[cc] loopParts=$loopParts sized=$sizedParts")
     // Stray-endpoint guard: semi-join the SYMMETRIZED edges on the
     // source side against `nodes`. This removes (stray, *) rows, and
     // because labels only ever enter the table via groupBy(a) over
@@ -118,9 +144,11 @@ object Clusters {
     // are connected only through out-of-set ids (stray bridges).
     val edges0 = p
       .unionByName(p.select(col("b").as("a"), col("a").as("b")))
-    val edges = (if (trustedEndpoints) edges0
+    val edges1 = (if (trustedEndpoints) edges0
       else edges0.join(nodes.select(col("id").as("a")),
         Seq("a"), "left_semi"))
+    val edges = (if (sizedParts) edges1.repartition(loopParts)
+      else edges1)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // only edge-incident nodes iterate (lazy localCheckpoint: the
@@ -153,10 +181,12 @@ object Clusters {
         .collect()(0).getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO) // empty graph -> 0
     var prevSum = labelSum(labels)
+    val initSec = secsSince(tB)
     dbg("active labels materialize", tB)
 
     var iter = 0
     var converged = false
+    val roundSecs = scala.collection.mutable.ArrayBuffer[Double]()
     while (!converged && iter < maxIter) {
       val t0 = System.nanoTime()
       // pointer-jumping edges: every node also "neighbors" its label.
@@ -180,8 +210,15 @@ object Clusters {
       prevSum = nextSum
       labels = next
       iter += 1
-      if (debug) println(f"[cc] iter $iter: ${(System.nanoTime() - t0) / 1e9}%.2f s converged=$converged")
+      roundSecs += secsSince(t0)
+      if (debug) println(f"[cc] iter $iter: ${secsSince(t0)}%.2f s converged=$converged")
     }
+    def f3(v: Double): String =
+      "%.3f".formatLocal(java.util.Locale.US, v)
+    lastStats = Some(
+      s"""{"pairs":$nPairs,"loop_parts":$loopParts,""" +
+        s""""pairs_sec":${f3(pairsSec)},"init_sec":${f3(initSec)},""" +
+        s""""rounds":[${roundSecs.map(f3).mkString(",")}]}""")
     if (!converged) {
       // surfacing contract (see scaladoc): a tripped maxIter means the
       // labels are PARTIAL — some components still carry >1 label —
@@ -201,8 +238,20 @@ object Clusters {
     // stray pair endpoints outside the node set out of the output.
     // `labels` is an RDD leaf here, so releasing p/edges cannot
     // invalidate the result the caller is about to scan.
+    //
+    // The label table has at most 2*nPairs rows (edge-incident nodes
+    // only) but sits behind an RDD leaf with UNKNOWN stats, so
+    // without a hint Spark plans a shuffle join that exchanges the
+    // ENTIRE corpus-sized node set to meet it — the one avoidable
+    // full-corpus shuffle in the whole operator. Broadcast the label
+    // side whenever the known pair count bounds it small enough
+    // (~2M rows ≈ 32 MB of (id,label)); past that, the shuffle join
+    // is the right plan and the hint stays off.
+    val labelsOut = labels.withColumnRenamed("label", "alab")
+    val labelSide =
+      if (2L * nPairs <= 2000000L) broadcast(labelsOut) else labelsOut
     val out = nodes.select(col("id"))
-      .join(labels.withColumnRenamed("label", "alab"), Seq("id"), "left")
+      .join(labelSide, Seq("id"), "left")
       .select(col("id"), coalesce(col("alab"), col("id")).as("label"))
     p.unpersist()
     edges.unpersist()

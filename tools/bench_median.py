@@ -51,10 +51,22 @@ for q in qnames:
         vals.append(v["sec"] if isinstance(v, dict) else v)
     med[q] = round(statistics.median(vals), 3)
 
+total_median = round(sum(med.values()), 3)
+# the calib-NORMALIZED headline (r12 verdict #1): the committed
+# artifact itself carries the number cross-round comparisons need —
+# divide the median total by the median of every interleaved
+# fixed-work calibration across all runs, so no hand-kept ledger is
+# needed to tell box drift from code movement.
+all_calibs = [c for r in runs
+              for _, c in (r.get("calibs") or [])] or \
+             [r.get("calib_sec", 0.0) for r in runs]
+calib_median = round(statistics.median(all_calibs), 3)
 doc = {
     "metric": "total_median",
-    "value": round(sum(med.values()), 3),
+    "value": total_median,
     "unit": "sec",
+    "value_per_calib": round(total_median / calib_median, 3),
+    "calib_median": calib_median,
     "sf": sf,
     "n_runs": n,
     "calib_sec_median": round(statistics.median(
@@ -62,6 +74,7 @@ doc = {
     "calib_sec_runs": [r.get("calib_sec") for r in runs],
     "calibs_runs": [r.get("calibs") for r in runs],
     "total_runs": [r["value"] for r in runs],
+    "value_per_calib_runs": [r.get("value_per_calib") for r in runs],
     "failures": max(r["failures"] for r in runs),
     "queries": med,
 }
@@ -69,4 +82,5 @@ with open(out, "w") as f:
     json.dump(doc, f, indent=1, sort_keys=True)
     f.write("\n")
 print(f"wrote {out}: total_median={doc['value']} "
-      f"calib_median={doc['calib_sec_median']} over {n} runs")
+      f"value_per_calib={doc['value_per_calib']} "
+      f"calib_median={doc['calib_median']} over {n} runs")
