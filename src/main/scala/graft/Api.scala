@@ -135,7 +135,13 @@ object Api {
     * matching compaction after every n-th batch (by streaming
     * batchId, so the cadence survives restarts) — the small-files
     * and tombstone debt stays bounded without a separate maintenance
-    * scheduler.
+    * scheduler. `compactAdvice = Some(thresholds)` is the
+    * DATA-DRIVEN alternative (or complement): after each batch the
+    * loop consults [[pipeline.NearDup.compactionAdvice]] — a
+    * control-plane-cheap file/tombstone census — and compacts only
+    * when a debt threshold is actually crossed, so a quiet stream
+    * never pays rewrite cost on a timer while a bursty one compacts
+    * as soon as the debt warrants it.
     *
     * Failure semantics (foreachBatch side effects are at-least-once):
     * each batch's survivors are materialized DURABLY to a staging
@@ -148,7 +154,8 @@ object Api {
     * the batch with the index unchanged — the same survivors are
     * re-elected and re-appended, leaving exact doc_id duplicates in
     * the corpus sink (drop them at read with
-    * `dropDuplicates("doc_id")`, or with an exact-dedup maintenance
+    * `dropDuplicates("doc_id")`, or rewrite the sink once with
+    * [[pipeline.CorpusSink.dedupExact]] — the one-call maintenance
     * pass) but never losing a doc. The reverse order would be
     * silently lossy: an indexed-but-unsunk doc matches itself on
     * replay and is dropped forever. A replay AFTER both appends is
@@ -167,7 +174,9 @@ object Api {
                       trigger: Option[org.apache.spark.sql.streaming
                         .Trigger] = None,
                       bucketedTable: Option[String] = None,
-                      compactEvery: Option[Int] = None)
+                      compactEvery: Option[Int] = None,
+                      compactAdvice: Option[pipeline.Maintenance
+                        .Thresholds] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(compactEvery.forall(_ > 0),
       s"continuous_build: compactEvery must be positive, got " +
@@ -251,7 +260,15 @@ object Api {
         val sdir = new org.apache.hadoop.fs.Path(staging)
         sdir.getFileSystem(bs.sparkContext.hadoopConfiguration)
           .delete(sdir, true)
-        compactEvery.filter(n => (batchId + 1) % n == 0).foreach { _ =>
+        // fixed cadence first; the debt census only runs when the
+        // cadence didn't already compact this batch (post-compaction
+        // debt is minimal by construction — no point re-measuring)
+        val cadence = compactEvery.exists(n => (batchId + 1) % n == 0)
+        val advised = !cadence && compactAdvice.exists { th =>
+          pipeline.NearDup.compactionAdvice(bs, indexPath, th)
+            .compactNow
+        }
+        if (cadence || advised) {
           bucketedTable match {
             case Some(t) => pipeline.NearDup
               .compactIndexBucketed(bs, indexPath, t)
@@ -280,7 +297,10 @@ object Api {
     * new vectors land in — existing bucket files never read), and
     * `compactEvery = Some(n)` folds the maintenance cadence into the
     * loop (small-files cure + physical tombstone apply + replay-
-    * duplicate collapse, every n-th streaming batchId). Bootstrap
+    * duplicate collapse, every n-th streaming batchId);
+    * `compactAdvice = Some(thresholds)` compacts on MEASURED debt
+    * instead ([[pipeline.AnnIndex.compactionAdvice]]), same
+    * composition as [[continuousBuild]]. Bootstrap
     * with `AnnIndex.write` (over an empty frame for a from-scratch
     * build); `AnnIndex.remove` takedowns compose with the live loop,
     * and its ID-REUSE-FORBIDDEN guard applies to every batch.
@@ -301,7 +321,9 @@ object Api {
                          checkpointDir: String,
                          trigger: Option[org.apache.spark.sql.streaming
                            .Trigger] = None,
-                         compactEvery: Option[Int] = None)
+                         compactEvery: Option[Int] = None,
+                         compactAdvice: Option[pipeline.Maintenance
+                           .Thresholds] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(compactEvery.forall(_ > 0),
       s"continuous_ann_build: compactEvery must be positive, got " +
@@ -319,9 +341,13 @@ object Api {
             batch.select("vec_id", "embedding"), indexPath),
           indexPath)
         continuousAnnFailpoint(batchId)
-        compactEvery.filter(n => (batchId + 1) % n == 0).foreach { _ =>
-          pipeline.AnnIndex.compact(bs, indexPath)
+        // same cadence-then-census composition as continuousBuild
+        val cadence = compactEvery.exists(n => (batchId + 1) % n == 0)
+        val advised = !cadence && compactAdvice.exists { th =>
+          pipeline.AnnIndex.compactionAdvice(bs, indexPath, th)
+            .compactNow
         }
+        if (cadence || advised) pipeline.AnnIndex.compact(bs, indexPath)
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -209,6 +209,21 @@ object AnnIndex {
         col("cbucket").as("bucket"), col("rank"), col("cos"))
   }
 
+  /** The ANN index's maintenance advisor — the embedding-side sibling
+    * of [[graft.pipeline.NearDup.compactionAdvice]] (see
+    * [[graft.pipeline.Maintenance]] for the debt model): parquet data
+    * files across the bucket partitions + live tombstone rows, mapped
+    * to compact-now / ok. Control-plane cheap; never reads vectors.
+    */
+  def compactionAdvice(spark: SparkSession, path: String,
+                       thresholds: Maintenance.Thresholds =
+                         Maintenance.Thresholds())
+      : Maintenance.Advice =
+    Maintenance.advise(
+      Maintenance.countParquetFiles(spark, Seq(path)),
+      Maintenance.tombstoneRows(spark, s"${path}__tombstones"),
+      thresholds)
+
   /** Compact an index after many [[append]] increments: each append
     * is a partition-local file ADD, so after months of daily batches
     * every probe pays file-listing and per-file open cost

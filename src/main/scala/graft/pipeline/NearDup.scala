@@ -821,6 +821,27 @@ object NearDup {
     graft.core.Tombstones.requireAbsent(ids, idCol, "doc_id",
       s"$path/tombstones", op, "compactIndex")
 
+  /** The LSH index's maintenance advisor (see
+    * [[graft.pipeline.Maintenance]]): measure the small-files debt
+    * (parquet data files across signatures and whichever bands layout
+    * the path carries) and the tombstone debt, and say whether either
+    * crossed its threshold — the data-driven alternative to a fixed
+    * `compactEvery` cadence, consumable directly by a maintenance
+    * scheduler or via `Api.continuousBuild(compactAdvice = ...)`.
+    * Control-plane cheap: one fs listing + one takedown-sized count;
+    * never reads index data.
+    */
+  def compactionAdvice(spark: org.apache.spark.sql.SparkSession,
+                       path: String,
+                       thresholds: Maintenance.Thresholds =
+                         Maintenance.Thresholds())
+      : Maintenance.Advice =
+    Maintenance.advise(
+      Maintenance.countParquetFiles(spark, Seq(
+        s"$path/signatures", s"$path/bands", s"$path/bands_table")),
+      Maintenance.tombstoneRows(spark, s"$path/tombstones"),
+      thresholds)
+
   /** Compact a [[writeIndex]] layout after many [[appendIndex]] /
     * [[removeFromIndex]] increments: each daily append is a
     * partition-local file ADD (by design — no read, no shuffle), so

@@ -229,6 +229,69 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"${files(s"$idx/signatures")}/${files(s"$idx/bands")}")
   }
 
+  test("Api.continuousBuild: compactAdvice compacts on measured debt, " +
+      "stays idle below it") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.install(spark)
+    val srcDir = Files.createTempDirectory("graft_api_adv_src").toString
+    val idx = Files.createTempDirectory("graft_api_adv_idx").toString + "/ix"
+    val corpus = Files.createTempDirectory("graft_api_adv_out").toString + "/c"
+    val ck = Files.createTempDirectory("graft_api_adv_ck").toString
+    pipeline.NearDup.writeIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), idx)
+    def files(dir: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
+    }
+    // generous thresholds: debt never crosses, so NO compaction runs
+    // and append-mode file growth is visible
+    val batches = Seq(
+      Seq((1L, cbDoc(3)), (2L, cbDoc(5))),
+      Seq((3L, cbDoc(11)), (4L, cbDoc(13))))
+    batches.foreach { rows =>
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      val q = Api.continuousBuild(
+        spark.readStream.schema(cbSchema).parquet(srcDir),
+        idx, corpus, ck,
+        trigger = Some(org.apache.spark.sql.streaming.Trigger
+          .AvailableNow()),
+        compactAdvice = Some(pipeline.Maintenance.Thresholds()))
+      assert(q.awaitTermination(120000), "advice drain timed out")
+    }
+    val grown = files(s"$idx/signatures")
+    assert(grown >= 2,
+      s"below-threshold advice must not compact (got $grown sig files)")
+    assert(new java.io.File(s"$idx/tombstones").exists() == false)
+    // now create tombstone debt and tighten THAT threshold: the
+    // census crosses after the next batch's appends and the loop
+    // compacts — tombstones go physical and clear (the unambiguous
+    // did-compaction-run observable at toy file counts)
+    pipeline.NearDup.removeFromIndex(Seq(4L).toDF("doc_id"), idx)
+    Seq((5L, cbDoc(17))).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val q2 = Api.continuousBuild(
+      spark.readStream.schema(cbSchema).parquet(srcDir),
+      idx, corpus, ck,
+      trigger = Some(org.apache.spark.sql.streaming.Trigger
+        .AvailableNow()),
+      compactAdvice = Some(pipeline.Maintenance
+        .Thresholds(maxTombstoneRows = 0)))
+    assert(q2.awaitTermination(120000))
+    assert(!new java.io.File(s"$idx/tombstones").exists(),
+      "advised compaction must apply and clear the tombstone debt")
+    assert(spark.read.parquet(s"$idx/signatures")
+      .filter(col("doc_id") === 4L).isEmpty,
+      "advised compaction must drop the tombstoned doc physically")
+    assert(!pipeline.NearDup.compactionAdvice(spark, idx,
+      pipeline.Maintenance.Thresholds(maxTombstoneRows = 0))
+      .compactNow, "post-compaction debt must read ok")
+    // the corpus is untouched by maintenance
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("Api.continuousBuild failure semantics: a crash between the " +
       "two appends loses nothing") {
     import spark.implicits._
@@ -291,6 +354,19 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(corpus).select("doc_id").as[Long]
       .collect().sorted.toSeq == Seq(1L, 1L, 2L, 2L),
       "a post-commit replay must append nothing")
+    // the one-call maintenance cure: rewrite the sink exactly-once
+    // (crash -> replay -> cure, the full documented lifecycle)
+    val removed = pipeline.CorpusSink.dedupExact(spark, corpus)
+    assert(removed == 2L,
+      s"dedupExact must report the 2 replayed rows, got $removed")
+    val cured = spark.read.parquet(corpus)
+    assert(cured.select("doc_id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L), "cure must keep each doc exactly once")
+    assert(cured.columns.sorted.toSeq == Seq("doc_id", "text"),
+      "cure must preserve the sink schema")
+    assert(!new java.io.File(s"${corpus}__old").exists() &&
+      !new java.io.File(s"${corpus}__compact").exists(),
+      "a completed cure must leave no swap residue")
   }
 
   test("Api.continuousBuild: a live-tombstoned id arriving in the " +

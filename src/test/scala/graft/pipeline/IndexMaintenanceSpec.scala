@@ -663,6 +663,72 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.core.CacheRegistry.releaseAll()
   }
 
+  test("compactionAdvice: thresholds trip strictly above, clear " +
+      "after compaction, on both indexes") {
+    import spark.implicits._
+    val path = tmp("graft_advice_spec")
+    NearDup.writeIndex(docsDf, path)
+    (0 until 3).foreach { b =>
+      NearDup.appendIndex(
+        Seq((1100L + b, (1 to 25).map(j => s"adv${j}b$b").mkString(" ")))
+          .toDF("doc_id", "text"), path)
+      graft.core.CacheRegistry.releaseAll()
+    }
+    NearDup.removeFromIndex(Seq(3L, 5L).toDF("doc_id"), path)
+    val a0 = NearDup.compactionAdvice(spark, path)
+    assert(a0.dataFiles > 0 && a0.tombstoneRows == 2 && !a0.compactNow,
+      s"debt below default thresholds must advise ok, got $a0")
+    // boundary semantics: a counter AT its threshold is ok, one
+    // ABOVE trips — both counters, independently
+    val atFiles = Maintenance.Thresholds(maxDataFiles = a0.dataFiles)
+    assert(!NearDup.compactionAdvice(spark, path, atFiles).compactNow,
+      "files == maxDataFiles must not trip")
+    val aboveFiles = NearDup.compactionAdvice(spark, path,
+      Maintenance.Thresholds(maxDataFiles = a0.dataFiles - 1))
+    assert(aboveFiles.compactNow &&
+      aboveFiles.reasons.exists(_.contains("data files")),
+      s"files > maxDataFiles must trip and name the reason, got $aboveFiles")
+    assert(!NearDup.compactionAdvice(spark, path,
+      Maintenance.Thresholds(maxTombstoneRows = 2)).compactNow,
+      "tombstones == max must not trip")
+    val aboveTombs = NearDup.compactionAdvice(spark, path,
+      Maintenance.Thresholds(maxTombstoneRows = 1))
+    assert(aboveTombs.compactNow &&
+      aboveTombs.reasons.exists(_.contains("tombstone")),
+      s"tombstones > max must trip, got $aboveTombs")
+    // acting on the advice clears the debt: same thresholds now ok
+    NearDup.compactIndex(spark, path, targetFiles = 1)
+    val after = NearDup.compactionAdvice(spark, path,
+      Maintenance.Thresholds(maxDataFiles = a0.dataFiles - 1,
+        maxTombstoneRows = 1))
+    assert(!after.compactNow && after.tombstoneRows == 0 &&
+      after.dataFiles < a0.dataFiles,
+      s"compaction must clear the advised debt, got $after")
+    graft.core.CacheRegistry.releaseAll()
+    // ANN sibling: same boundary, same clear
+    def vec(seed: Int): Seq[Float] =
+      (0 until 4).map(d => (((seed * 19 + d * 7) % 9) - 4).toFloat)
+    val apath = tmp("graft_advice_ann_spec")
+    AnnIndex.write((0 until 10).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding"), apath)
+    (0 until 3).foreach { b =>
+      AnnIndex.append(Seq((100L + b, vec(50 + b)))
+        .toDF("vec_id", "embedding"), apath)
+    }
+    AnnIndex.remove(Seq(2L).toDF("vec_id"), apath)
+    val b0 = AnnIndex.compactionAdvice(spark, apath)
+    assert(b0.dataFiles > 0 && b0.tombstoneRows == 1 && !b0.compactNow)
+    assert(!AnnIndex.compactionAdvice(spark, apath,
+      Maintenance.Thresholds(maxDataFiles = b0.dataFiles)).compactNow)
+    assert(AnnIndex.compactionAdvice(spark, apath,
+      Maintenance.Thresholds(maxDataFiles = b0.dataFiles - 1))
+      .compactNow)
+    AnnIndex.compact(spark, apath)
+    val b1 = AnnIndex.compactionAdvice(spark, apath,
+      Maintenance.Thresholds(maxDataFiles = b0.dataFiles - 1))
+    assert(!b1.compactNow && b1.tombstoneRows == 0)
+  }
+
   test("search excludeSelf=false keeps a coincidental id collision") {
     import spark.implicits._
     val corpus = Seq((42L, Seq(1.0f, 0.2f, 0.1f)))
