@@ -79,6 +79,84 @@ object IndexSoak {
     val batch = batchOf(0, batchSize).cache()
     println(s"[idxsoak] corpus $n docs, batch ${batch.count()} docs")
 
+    // ---- focused mode: break-even at production batch sizes ------
+    // `runMain graft.IndexSoak <docs> <batchSize> breakeven [k,k,..]`
+    // The r12-quoted 23-34 probes/append break-even came from 200-doc
+    // fixture batches, where the ~1 s bucketed-append premium is
+    // mostly FIXED overhead (catalog round-trip, bucket shuffle
+    // setup) — amortized over a production-sized batch the premium
+    // per doc collapses and the break-even should drop. This mode
+    // re-measures phase 6's probe saving and phase 7's append premium
+    // with the requested batch size at grown corpora (default
+    // 16x/64x), the regime a pipeline owner actually operates in.
+    // Note the near-dup half of a probe batch is capped by the
+    // fixture's mod-17 slice (~n/17 docs); the novel half scales
+    // freely, so append batches are exactly batchSize/2 novel docs.
+    if (args.length > 2 && args(2) == "breakeven") {
+      val scales = if (args.length > 3)
+        args(3).split(",").map(_.trim.toInt).toSeq else Seq(16, 64)
+      println(s"[idxsoak] ---- breakeven mode: batch $batchSize, " +
+        s"corpora ${scales.mkString("x/")}x ----")
+      scales.foreach { k =>
+        val rep = replica(k)
+        val pIdxB = graft.core.Scratch.path(s"graft_be_plain_${k}x")
+        val bIdxB = graft.core.Scratch.path(s"graft_be_buck_${k}x")
+        val bTblB = s"graft_be_bands_${k}x"
+        graft.pipeline.NearDup.writeIndex(rep, pIdxB)
+        graft.pipeline.NearDup.writeIndexBucketed(rep, bIdxB, bTblB)
+        graft.pipeline.NearDup.compactIndexBucketed(spark, bIdxB, bTblB)
+        def med3(f: => Long): Double = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          f
+          graft.core.CacheRegistry.releaseAll()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted.apply(1)
+        // one warmup each (file listing, codegen), as in phase 6
+        graft.pipeline.NearDup.matchesAgainstIndex(spark, pIdxB, batch)
+          .count()
+        graft.core.CacheRegistry.releaseAll()
+        graft.pipeline.NearDup.matchesAgainstBucketedIndex(
+          spark, bIdxB, bTblB, batch).count()
+        graft.core.CacheRegistry.releaseAll()
+        val pm = med3(graft.pipeline.NearDup
+          .matchesAgainstIndex(spark, pIdxB, batch).count())
+        val bm = med3(graft.pipeline.NearDup
+          .matchesAgainstBucketedIndex(spark, bIdxB, bTblB, batch)
+          .count())
+        println(f"[idxsoak] be ${k}%2dx probe medians: plain $pm%6.2f s," +
+          f" bucketed(compacted) $bm%6.2f s, ratio ${bm / pm}%.2f")
+        val appendTimes = (1 to 5).map { i =>
+          val nd = batchOf(600 + k * 10 + i, batchSize)
+            .filter(col("doc_id") >= 95000000L).cache()
+          val ndN = nd.count()
+          val t0 = System.nanoTime()
+          graft.pipeline.NearDup.appendIndex(nd, pIdxB)
+          graft.core.CacheRegistry.releaseAll()
+          val p = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          graft.pipeline.NearDup.appendIndexBucketed(nd, bIdxB, bTblB)
+          graft.core.CacheRegistry.releaseAll()
+          val b = (System.nanoTime() - t1) / 1e9
+          nd.unpersist(true)
+          println(f"[idxsoak] be ${k}%2dx append $i ($ndN docs): " +
+            f"plain $p%5.2f s, bucketed $b%5.2f s")
+          (p, b)
+        }
+        val apM = appendTimes.map(_._1).sorted.apply(2)
+        val abM = appendTimes.map(_._2).sorted.apply(2)
+        val prem = abM - apM
+        val sav = pm - bm
+        println(f"[idxsoak] be ${k}%2dx: append plain $apM%.2f s / " +
+          f"bucketed $abM%.2f s => premium $prem%.2f s/append; probe " +
+          f"saving $sav%.2f s/probe => break-even ~${
+            if (sav > 0) f"${prem / sav}%.1f" else "n/a"
+          } probes/append at batch $batchSize, corpus ${k}x")
+        spark.sql(s"DROP TABLE IF EXISTS $bTblB")
+      }
+      spark.stop()
+      return
+    }
+
     val idx = graft.core.Scratch.path("graft_idxsoak_index")
     val tb = System.nanoTime()
     graft.pipeline.NearDup.writeIndex(base, idx)

@@ -53,9 +53,15 @@ object AnnIndex {
     // overwrite only replaces touched partitions). A crash between
     // the renames leaves the __old + __compact pair Swaps.guard
     // refuses, with both full copies recoverable.
+    // one task per bucket (same hash-repartition as compact): a
+    // partitionBy writer otherwise emits one file per (input task x
+    // touched bucket) — batch parallelism times bucket count — and
+    // the fresh index starts with the small-files debt compaction
+    // exists to cure. With it, files scale with the bucket count.
     val out = embeddings.select(col("vec_id"),
       norm(col("embedding")).as("nrm"), col("embedding"),
       argmaxBucket(col("embedding")).as("bucket"))
+      .repartition(col("bucket"))
     if (!fs.exists(live)) {
       out.write.partitionBy("bucket").mode("overwrite").parquet(path)
     } else {
@@ -91,6 +97,9 @@ object AnnIndex {
     embeddings.select(col("vec_id"),
         norm(col("embedding")).as("nrm"), col("embedding"),
         argmaxBucket(col("embedding")).as("bucket"))
+      // one file per touched bucket instead of one per (task x
+      // bucket) — see the rebuild's repartition note
+      .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("append").parquet(path)
   }
 

@@ -29,10 +29,11 @@ object Maintenance {
   /** Debt levels above which [[Advice.compactNow]] flips: more than
     * `maxDataFiles` parquet data files across the index's tables, or
     * more than `maxTombstoneRows` live tombstoned ids. Defaults suit
-    * a daily-batch pipeline (256 files ≈ months of appends between
-    * compactions at a few files per append; 100k tombstones is far
-    * below any broadcast limit but enough anti-join debt to be worth
-    * clearing).
+    * a daily-batch pipeline (an append adds at most one file per
+    * bucket — 32 by default, after the r13 one-file-per-bucket append
+    * fix — so 256 files ≈ a week of daily appends between
+    * compactions; 100k tombstones is far below any broadcast limit
+    * but enough anti-join debt to be worth clearing).
     */
   case class Thresholds(maxDataFiles: Long = 256L,
                         maxTombstoneRows: Long = 100000L) {

@@ -454,30 +454,30 @@ object NearDup {
     * index.
     *
     * WHEN TO PREFER WHICH LAYOUT — measured, not asserted
-    * (INDEXSOAK_r12.log phases 5–7). Probe-only, against the
-    * compacted serving state (one sorted file per bucket, under the
-    * documented outputOrdering conf): bucketed is consistently
-    * faster than the plain layout at EVERY measured corpus scale —
-    * bucketed/plain wall ratio 0.84–0.89 at 1x/4x/16x/64x corpus
-    * (40 k → 2.56 M band rows, fixed 200-doc batch; an earlier
-    * window measured 0.64–0.98, same direction). End-to-end
-    * dedup→append loop, however, the bucketed layout costs MORE per
-    * batch (9.4–12.2 s vs plain 7.0–9.0 s over 10 lockstep batches):
-    * phase 7 isolates the increment premium at ~0.9-1.1 s/append
-    * (two windows) — the bucketed append is a per-task-sorted
-    * catalog-table write vs a plain file add — and fresh appends
-    * re-introduce multi-file buckets (and therefore the window sort)
-    * until the next compaction. At this fixture's scale the probe
-    * saving is small (~0.03-0.05 s), so the measured break-even is
-    * ~23-34 probes per append;
-    * the saving grows with bucket population (it is the window sort
-    * + exchange the layout removes), so the break-even FALLS as the
-    * corpus grows hot. Rule: choose bucketed when probes dominate
-    * appends — read-mostly serving with a compaction cadence keeping
-    * buckets one-file (`Api.continuousBuild(compactEvery)`); stay
-    * with plain [[writeIndex]] when per-batch append cost dominates
-    * (write-heavy loops at modest probe rates), where its cheaper
-    * increments win end to end.
+    * (INDEXSOAK_r12.log phases 5–7, re-measured at production batch
+    * sizes in INDEXSOAK_r13.log). Probe-only, against the compacted
+    * serving state (one sorted file per bucket, under the documented
+    * outputOrdering conf): bucketed is consistently faster than the
+    * plain layout at EVERY measured corpus scale — bucketed/plain
+    * wall ratio 0.84–0.89 at 1x/4x/16x/64x corpus (40 k → 2.56 M
+    * band rows, fixed 200-doc batch; 0.66–0.80 with a 5.3k-doc
+    * batch). The r12-measured increment premium (~1 s/append at
+    * 200-doc batches, 3.5–10.7 s at 5.3k-doc batches) turned out to
+    * be mostly a WRITER PATHOLOGY, not the layout: the bucketed
+    * append emitted one file per (input task x non-empty bucket) —
+    * ~1000 files per 32-partition append — fixed in r13 by the same
+    * computed-bucket-id repartition the compaction already used.
+    * With the fix, an append adds at most numBuckets sorted files
+    * and the steady-window premium at 5.3k-doc batches is
+    * ~0.5 s/append against a probe saving of ~0.1-0.5 s/probe:
+    * break-even ~4-7 probes per append (INDEXSOAK_r13 breakeven
+    * mode, 16x/64x corpus). Rule: choose bucketed for any mixed or
+    * read-leaning workload — with a compaction cadence keeping
+    * buckets one-file (`Api.continuousBuild(compactEvery)` or the
+    * data-driven `compactAdvice`) it serves probes with ZERO
+    * index-side exchange; plain [[writeIndex]] still wins for
+    * write-only loops that probe rarely (<~4 probes/append), where
+    * its shuffle-free file-add increments are cheapest.
     */
   def writeIndexBucketed(corpus: DataFrame, path: String,
                          table: String, numBuckets: Int = 32): Unit = {
@@ -498,6 +498,17 @@ object NearDup {
       .select(col("doc_id").as("corpus_id"),
         size(col("sh")).as("nsh_c"),
         posexplode(col("bks")).as(Seq("band", "bkey")))
+      // one task per bucket (the compaction's computed-bucket-id
+      // repartition): without it the bootstrap writes one file per
+      // (scan task x bucket) — at cluster scale thousands of tasks
+      // x nb buckets — and the fresh index pays the multi-file
+      // window sort until its first compaction. With it the index
+      // is BORN in the compacted serving state (one sorted file per
+      // bucket). The trade: bootstrap write parallelism equals
+      // numBuckets, so size numBuckets to the corpus (it is also
+      // the probe's bucket-pruning grain), not to the batch
+      .repartition(numBuckets,
+        pmod(hash(col("band"), col("bkey")), lit(numBuckets)))
       .write.mode("overwrite")
       .option("path", s"$path/bands_table")
       .bucketBy(numBuckets, "band", "bkey")
@@ -682,16 +693,26 @@ object NearDup {
       .transform(graft.core.CacheRegistry.persist(_))
     sh.count()
     sh.write.mode("append").parquet(s"$path/signatures")
+    // the CATALOG owns the bucket count once the table exists —
+    // trusting the parameter instead would fail the append on a
+    // bucket-spec mismatch (numBuckets is only the initial count
+    // when this append creates the table)
+    val nb = tableNumBuckets(spark, table).getOrElse(numBuckets)
     val w0 = sh.select(col("doc_id").as("corpus_id"),
         size(col("sh")).as("nsh_c"),
         posexplode(col("bks")).as(Seq("band", "bkey")))
+      // group each bucket into ONE task (same computed-bucket-id
+      // repartition as compactIndexBucketed): the bucketed writer
+      // otherwise emits one file per (input task x non-empty bucket)
+      // — measured at ~1000 files PER APPEND on a 32-partition batch
+      // (INDEXSOAK_r13), which was nearly all of the append premium
+      // and left probes paying a 1000-file listing+sort until the
+      // next compaction. With the repartition an append adds at most
+      // nb files, each sorted, so the small-files debt grows by the
+      // bucket count, not by batch parallelism x bucket count
+      .repartition(nb, pmod(hash(col("band"), col("bkey")), lit(nb)))
       .write.mode("append")
-      // the CATALOG owns the bucket count once the table exists —
-      // trusting the parameter instead would fail the append on a
-      // bucket-spec mismatch (numBuckets is only the initial count
-      // when this append creates the table)
-      .bucketBy(tableNumBuckets(spark, table).getOrElse(numBuckets),
-        "band", "bkey")
+      .bucketBy(nb, "band", "bkey")
       .sortBy("band", "bkey", "nsh_c", "corpus_id")
       .format("parquet")
     // a bootstrap-by-append creates the table EXTERNAL under
