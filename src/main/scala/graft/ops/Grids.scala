@@ -29,7 +29,22 @@ object Grids {
     * back-to-back; both subgrids share ni.
     */
   def latLon2d(df: DataFrame): DataFrame = {
-    val g = if (df.columns.contains("grid")) df else Decode.addGrid(df)
+    val g0 = if (df.columns.contains("grid")) df else Decode.addGrid(df)
+    // r13 optimization (guide §2.4 "remove passes"): the four output
+    // branches (LA, LO, U-LA, U-LO) each re-derived their axis rows
+    // from the FULL input — six catalog scans per action in the f30
+    // plan. The coordinate-record subset is metadata-scale by
+    // construction (two >>/^^ rows per grid, axis-sized payloads), so
+    // persist it once and fan the branches out from the cache: the
+    // input is scanned ONCE per action regardless of branch count.
+    val g = g0.filter(col("nomvar").isin(">>", "^^", "^>"))
+      .select(col("grid"), col("nomvar"), col("ni"), col("nj"),
+        col("d"))
+      .transform(graft.core.CacheRegistry.persist(_))
+    // materialize BEFORE the four-way fan-out (f20 lesson): branches
+    // racing through the uncached plan in one job would each re-run
+    // the full input scan the cache exists to avoid
+    g.count()
     val lon = g.filter(col("nomvar") === ">>").select(
       col("grid"), col("d").as("lon_ax"), col("ni").as("g_ni"))
     val lat = g.filter(col("nomvar") === "^^").select(

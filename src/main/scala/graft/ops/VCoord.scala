@@ -233,6 +233,14 @@ object VCoord {
     val HybridToctoc =
       Seq("HYBRID_5002", "HYBRID_5003", "HYBRID_5004", "HYBRID_5005")
 
+    // Join strategy (r13 optimization pass, examined and LEFT ALONE):
+    // the descriptor/rep sides here are metadata-bounded and look like
+    // broadcast candidates, but AQE (on in every driving session)
+    // already converts these joins at runtime from their actual sizes;
+    // explicit broadcast()/shuffle_hash hints were paired-A/B'd
+    // (AbProfile, 8 reps, sf0.1) and measured neutral-to-worse — the
+    // extra eager broadcast-build jobs cost more than the saved
+    // conversion. OPTIMIZATION_r13.md "f19/f46" has the numbers.
     val joined = levels
       .join(reps, Seq("grid", "vctype", "datev"))
       .join(p0s, col("grid") === col("p_grid") &&

@@ -358,12 +358,18 @@ object FstQueries {
     "f25_query_with_meta" -> ((s, dir) => {
       val g = Decode.addGrid(cat(s, dir))
       val res = g.filter(col("nomvar") === "GZ")
-      val meta = Select.selectMeta(g)
+      // r13 optimization (guide §2.4): the meta subset feeds two
+      // branches (grid semi-join + HY re-attach) — persist the
+      // metadata-scale rows so the catalog is not re-scanned per
+      // branch (the data side keeps its two column-pruned scans:
+      // output rows + the distinct-grid probe).
+      val meta = Select.selectMeta(g).select("rid", "nomvar", "grid")
+        .transform(graft.core.CacheRegistry.persist(_))
       val attached = meta
         .join(res.select("grid").distinct(), Seq("grid"), "left_semi")
         .unionByName(meta.filter(col("nomvar") === "HY"))
         .dropDuplicates("rid")
-      res.unionByName(attached).select("rid", "nomvar", "grid")
+      res.select("rid", "nomvar", "grid").unionByName(attached)
     }),
 
     // F5/O5: process_hy — singleton HY stamped with the data's grid
@@ -529,9 +535,15 @@ object FstQueries {
         col("ig4").as("ig4ref"), col("d").as("ax"))
       val ay = g.filter(col("nomvar") === "^^")
         .select(col("grid"), col("d").as("ay"))
+      // r13 optimization (guide §2.4): dfFromGrid's >>/^^ branch union
+      // consumed this join tree TWICE (six catalog scans per action);
+      // params is one row per grid — persist it and materialize before
+      // the fan-out so the catalog is scanned once per action.
       val params = dims.join(ax, "grid").join(ay, "grid")
         .withColumn("grtyp", lit("Z"))
         .withColumn("axy", lit(null).cast("array<float>"))
+        .transform(graft.core.CacheRegistry.persist(_))
+      params.count()
       graft.ops.Grids.dfFromGrid(params)
         .select(col("nomvar"), col("ni"), col("nj"), col("ip1"),
           col("ip2"), col("grtyp"), col("ig1"), col("ig2"), col("ig3"),

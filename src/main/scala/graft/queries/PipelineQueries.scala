@@ -2371,16 +2371,30 @@ object PipelineQueries {
     // narrower one's) — on clustered real embeddings the same table
     // is how a pipeline owner picks nProbes.
     "p94_ivf_recall" -> ((s, dir) => {
+      // r13 optimization (guide §2.4): the truth base feeds FIVE
+      // branches (n_true + one hits leg per width) and its subtree is
+      // the brute-force p05 top-k — unpersisted, the all-pairs cosine
+      // evaluated five times per action. truth is query-batch x k
+      // rows; q is the 10-row query batch (8 references); bc is the
+      // <= dim-row bucket census whose fill scans the corpus (4
+      // broadcast legs = 4 fills without the persist). All three are
+      // bounded by batch/dim, never corpus rows — persist-safe at any
+      // scale. The four corpus-side search scans stay: one pass per
+      // probed width is what the sweep measures.
       val truth = queries("p05_cosine_topk")(s, dir)
         .select("query_id", "vec_id")
+        .transform(graft.core.CacheRegistry.persist(_))
       val e = emb(s, dir).select(col("vec_id"),
         norm(col("embedding")).as("nrm"), col("embedding"),
         argmaxBucket(col("embedding")).as("bucket"))
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        .transform(graft.core.CacheRegistry.persist(_))
       // bucket populations: a tiny (<= dim rows) aggregate, broadcast
       // into the per-width candidate-volume legs
       val bc = e.groupBy("bucket").agg(count(lit(1)).as("bn"))
+        .transform(graft.core.CacheRegistry.persist(_))
+      truth.count(); q.count(); bc.count() // materialize pre-fan-out
       val widths = Seq(1, 2, 4, 8)
       val base = truth.groupBy("query_id")
         .agg(count(lit(1)).as("n_true"))
@@ -2621,6 +2635,13 @@ object PipelineQueries {
         // the winner-election aggregate then moves (hash, doc, idx)
         // only, and the reassembly join compares fixed-width longs
         .withColumn("sh", h64(col("span"), 30))
+        // r13 optimization (guide §2.4): the winner election and the
+        // reassembly join both consume this table — without a persist
+        // the span explode + per-span md5 (the dominant per-row cost)
+        // ran twice per action; with it the corpus is span-hashed
+        // once (the lshPairs signature-table idiom).
+        .transform(graft.core.CacheRegistry.persist(_))
+      ex.count() // materialize before the two-branch fan-out
       val win = ex.groupBy("sh")
         .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
       val kept = col("doc_id") === col("w.doc_id") &&
@@ -2824,8 +2845,16 @@ object PipelineQueries {
     // is at most k rows per query, so the eval itself is free at any
     // corpus scale (the cost lives in the evaluated queries).
     "p36_ann_recall" -> ((s, dir) => {
+      // r13 optimization (guide §2.4): the truth base feeds three
+      // branches (n_true + two hit joins) and its subtree is the
+      // brute-force p05 cosine top-k — the most expensive leg of the
+      // query; unpersisted it evaluated three times per action. The
+      // result is query-batch x k rows, persist-safe at any corpus
+      // size.
       val truth = queries("p05_cosine_topk")(s, dir)
         .select("query_id", "vec_id")
+        .transform(graft.core.CacheRegistry.persist(_))
+      truth.count() // materialize before the three-way fan-out
       val lsh = queries("p15_cosine_lsh")(s, dir)
         .select("query_id", "vec_id")
       val mp = queries("p18_cosine_multiprobe")(s, dir)
