@@ -58,10 +58,22 @@ object PipelineQueries {
     */
   private def unigramNll(s: SparkSession, dir: String,
                          keys: Seq[String]): DataFrame = {
-    val toks = docs(s, dir).select(keys.map(col) :+
-      explode(transform(words(col("text")), w => lower(w)))
-        .as("term"): _*)
+    // r13 optimization (guide §2.4): the exploded term table feeds the
+    // vocabulary count AND the score join, and the vocabulary feeds
+    // the corpus total AND the same join — unpersisted, the parquet
+    // scan + tokenizing split ran twice and the vocabulary aggregate
+    // twice per action. Persist the token ARRAYS (the p44 idiom: one
+    // scan + one split, the explode re-runs per branch from the
+    // cache) and the vocabulary (bounded by distinct terms).
+    val tokArr = docs(s, dir).select(keys.map(col) :+
+      transform(words(col("text")), w => lower(w)).as("w"): _*)
+      .transform(graft.core.CacheRegistry.persist(_))
+    tokArr.count() // materialize before the two-branch fan-out
+    val toks = tokArr.select(keys.map(col) :+
+      explode(col("w")).as("term"): _*)
     val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .transform(graft.core.CacheRegistry.persist(_))
+    vocab.count()
     val tot = vocab.agg(sum("cnt").cast("double").as("n_corpus"))
     toks.join(vocab, Seq("term"))
       .crossJoin(broadcast(tot))
@@ -527,9 +539,17 @@ object PipelineQueries {
     // in corpus tokens, never pairwise.
     "p19_bm25_search" -> ((s, dir) => {
       val terms = BM25Terms
+      // r13 optimization: let-bind the tokenizing split (it ran twice
+      // per row — once for dl, once for ws) and persist the token
+      // table, which feeds the corpus stats AND the tf explode (two
+      // scans + two splits per action without it; the p44 idiom).
       val base = docs(s, dir).select(col("doc_id"),
-        size(words(col("text"))).as("dl"),
-        words(col("text")).as("ws"))
+        graft.pipeline.PipelineOps.bind(words(col("text")))(w =>
+          struct(size(w).as("dl"), w.as("ws"))).as("b"))
+        .select(col("doc_id"), col("b.dl").as("dl"),
+          col("b.ws").as("ws"))
+        .transform(graft.core.CacheRegistry.persist(_))
+      base.count() // materialize before the two-branch fan-out
       val stats = base.agg(
         count(lit(1)).as("n_docs"),
         (sum(col("dl")).cast("double") /
@@ -1238,9 +1258,17 @@ object PipelineQueries {
           Window.partitionBy("bucket")
             .orderBy(h64(col(idCol).cast("string"), 41), col(idCol))))
         .filter(col("srn") <= lit(EmbBucketCap)).drop("srn")
-      val nb = sampled(e.select(col("vec_id").as("nb_id"),
+      // r13 optimization (guide §2.4): both join sides take the SAME
+      // seeded-hash sample (same seed, same id values — only the
+      // column names differ), so compute it once, persist (bounded at
+      // buckets x cap rows at any scale), and rename for the neighbor
+      // side: one corpus scan + one sampling window instead of two.
+      val samp = sampled(e, "vec_id")
+        .transform(graft.core.CacheRegistry.persist(_))
+      samp.count() // materialize before the two-side fan-out
+      val nb = samp.select(col("vec_id").as("nb_id"),
         col("label").as("nb_label"), col("bucket"),
-        col("embedding").as("nb_v"), col("nrm").as("nb_n")), "nb_id")
+        col("embedding").as("nb_v"), col("nrm").as("nb_n"))
       // the sample window leaves the query side PARTITIONED BY
       // BUCKET — the broadcast join would then compute the hot
       // bucket's whole cap² dot-product block in ONE task (measured
@@ -1260,7 +1288,7 @@ object PipelineQueries {
       // bucket's cap² work and waste the id repartition above — the
       // hint keeps the plan shape scale-independent (p73 does the
       // same for its sampled side).
-      val knn = sampled(e, "vec_id")
+      val knn = samp
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .alias("a")
         .join(broadcast(nb.alias("b")), Seq("bucket"))
@@ -1572,10 +1600,17 @@ object PipelineQueries {
       // both join sides) — pair volume ≤ 2^planes·cap² at any
       // corpus size, and the per-cosine-bucket agreement statistics
       // stay unbiased. Dormant at test scales; oracle mirrors it.
+      // r13 optimization (guide §2.4): both join sides below consume
+      // this table — unpersisted, the sig+norm derivation and the
+      // sampling window ran twice per action. The sample is bounded
+      // at 2^planes x cap rows at any corpus size, so the persist is
+      // scale-safe by the same argument that lets one side broadcast.
       val es = e.withColumn("srn", row_number().over(
           Window.partitionBy("sig")
             .orderBy(h64(col("vec_id").cast("string"), 43), col("vec_id"))))
         .filter(col("srn") <= lit(EmbBucketCap)).drop("srn")
+        .transform(graft.core.CacheRegistry.persist(_))
+      es.count() // materialize before the two-side fan-out
       // the sampled table is bounded at 2^planes·cap rows at any
       // corpus size, so broadcast one side and spread the other by
       // id with a PINNED partition count — the p65 lesson: a sig-
