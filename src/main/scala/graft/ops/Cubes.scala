@@ -97,12 +97,18 @@ object Cubes {
     graft.core.Checks.requireColumns(df, "to_cube_with_coords",
       "nomvar", "rid", "d")
     val g = if (df.columns.contains("grid")) df else Decode.addGrid(df)
-    val lon = g.filter(col("nomvar") === ">>")
-      .groupBy("grid").agg(min_by(col("d"), col("rid")).as("lon"))
-    val lat = g.filter(col("nomvar") === "^^")
-      .groupBy("grid").agg(min_by(col("d"), col("rid")).as("lat"))
-    toCube(g)
-      .join(broadcast(lon), Seq("grid"), "left")
-      .join(broadcast(lat), Seq("grid"), "left")
+    // r13 optimization (guide §2.4): one coordinate scan instead of
+    // two — min(struct(rid, d)) picks the min-rid axis per nomvar in
+    // a single grouped pass (min skips the other nomvar's nulls), so
+    // the input is scanned once for both axes and once for the cube.
+    val axes = g.filter(col("nomvar").isin(">>", "^^"))
+      .groupBy("grid").agg(
+        min(when(col("nomvar") === ">>",
+          struct(col("rid"), col("d")))).as("lonr"),
+        min(when(col("nomvar") === "^^",
+          struct(col("rid"), col("d")))).as("latr"))
+      .select(col("grid"), col("lonr.d").as("lon"),
+        col("latr.d").as("lat"))
+    toCube(g).join(broadcast(axes), Seq("grid"), "left")
   }
 }

@@ -173,8 +173,29 @@ object Clusters {
           out
       } else df => df.localCheckpoint(false)
     val tB = System.nanoTime()
-    var labels = ckpt(edges.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("label")))
+    // r13 optimization (guide §2.4, one shuffle round removed): seed
+    // each active node with least(id, min neighbor id) instead of the
+    // identity label. This is EXACTLY the label table round 1 used to
+    // produce from identity labels (round 1 computes min over
+    // {neighbors' labels ∪ own label} = least(id, min neighbor id)),
+    // computed here inside the same exchange the old distinct() paid —
+    // a groupBy(a) with a min aggregate instead of a distinct — so the
+    // loop starts one round ahead: a near-dup pair graph (diameter-2
+    // components, the dominant real shape) now converges in ONE
+    // confirming round instead of change+confirm. The loop invariants
+    // are unchanged (labels are component ids, monotonically
+    // non-increasing; hash-to-min from any such seeding converges to
+    // the component min), so the returned labels are identical.
+    // `graft.cc.fusedInit=off` restores the identity seed for paired
+    // A/B.
+    val fusedInit = !sys.props.get("graft.cc.fusedInit").contains("off")
+    var labels = ckpt(
+      if (fusedInit)
+        edges.groupBy(col("a").as("id")).agg(min(col("b")).as("mb"))
+          .select(col("id"), least(col("id"), col("mb")).as("label"))
+      else
+        edges.select(col("a").as("id")).distinct()
+          .select(col("id"), col("id").as("label")))
     def labelSum(df: org.apache.spark.sql.DataFrame)
         : java.math.BigDecimal =
       Option(df.agg(sum(col("label").cast("decimal(38,0)")))
