@@ -93,8 +93,28 @@ object NearDup {
     // one exchange AND one sort (the count takes the whole-partition
     // frame explicitly; an unordered count window would otherwise
     // plan its own partition-key sort next to the rank's)
+    // r13 optimization (guide §2.4; the semanticCanonicals census
+    // precedent): the rank-block guard below only DOES anything when
+    // some band bucket exceeds the cap — on natural corpora none does,
+    // yet every self-join side paid the window's sort on top of the
+    // (band, bkey) exchange. One cheap driver census over the (cached)
+    // signature table decides the shape: no over-cap bucket -> the
+    // band table keeps constant blk/jk columns (byte-identical pairs,
+    // the predicate is vacuously true) and the self-join plans
+    // exchange-only, no sort; any over-cap bucket -> the exact
+    // window pipeline below, unchanged. graft.lsh.censusGate=off
+    // forces the window path for paired A/B.
+    val censusGate =
+      !sys.props.get("graft.lsh.censusGate").contains("off")
+    val anyOverCap = !censusGate || !bands0
+      .groupBy("band", "bkey").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > lit(LshBucketCap)).isEmpty
     val w = Window.partitionBy("band", "bkey").orderBy("nsh", "doc_id")
-    val bands = bands0
+    val bands =
+      if (!anyOverCap)
+        bands0.select(col("doc_id"), col("nsh"), col("band"),
+          col("bkey"), lit(0L).as("blk"), lit(0L).as("jk"))
+      else bands0
       .withColumn("bn", count(lit(1)).over(
         w.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)))
