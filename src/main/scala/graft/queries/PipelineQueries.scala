@@ -2824,6 +2824,14 @@ object PipelineQueries {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("cv")))),
           x => x.getField("cv")).as("c"))
+        // r13 optimization (guide §2.4): the trained codebook feeds
+        // both the corpus re-assignment and the query table — two
+        // broadcast builds, each re-running the whole training step
+        // (assign + two groupBys over the sub-vector cache) without
+        // this persist. The codebook is M x ks rows at any corpus
+        // size.
+        .transform(graft.core.CacheRegistry.persist(_))
+      cb1.count() // materialize before the two-broadcast fan-out
       val codes = assign(cb1)
       val qtab = sub.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("m"), col("sv"))
