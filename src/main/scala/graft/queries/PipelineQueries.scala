@@ -802,10 +802,19 @@ object PipelineQueries {
     // global sort of the scored corpus.
     "p49_dsir_resample" -> ((s, dir) => {
       val b = 256
+      // r13 optimization (guide §2.4): the bucket census and the
+      // per-doc scoring join both consume the hashed-token table —
+      // unpersisted, the explode + per-word md5 (the dominant
+      // per-row cost) ran twice per action. Persist the NARROW
+      // (doc_id, source, b) rows; the word text never leaves the
+      // fill projection.
       val toks = docs(s, dir).select(col("doc_id"), col("source"),
           explode(transform(words(col("text")), w => lower(w)))
             .as("w"))
-        .withColumn("b", pmod(h64(col("w"), 7), lit(b.toLong)))
+        .select(col("doc_id"), col("source"),
+          pmod(h64(col("w"), 7), lit(b.toLong)).as("b"))
+        .transform(graft.core.CacheRegistry.persist(_))
+      toks.count() // materialize before the two-branch fan-out
       val buckets = toks.groupBy("b").agg(
         count(lit(1)).as("raw_cnt"),
         sum(when(col("source") === "src0", 1L).otherwise(0L))
