@@ -1637,8 +1637,14 @@ object PipelineQueries {
         .withColumn("cos",
           dot(col("va"), col("vb")) / (col("na") * col("nb")))
         .select("id_a", "id_b", "cos")
+      // r13 optimization (guide §2.4): both re-attach joins consume
+      // the shingle table — unpersisted, the shingle+hash kernel (the
+      // dominant per-row cost, per NearDup's own docs) ran twice per
+      // action. The lshPairs signature-table idiom, applied here.
       val sh = docs(s, dir).select(col("doc_id"),
         hashedShingles(shingles(words(col("text")))).as("sh"))
+        .transform(graft.core.CacheRegistry.persist(_))
+      sh.count() // materialize before the two-join fan-out
       pairs
         .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
           Seq("id_a"))
@@ -2881,6 +2887,13 @@ object PipelineQueries {
             .as("pass_rate"),
           round(sum("n_chars").cast("double") / count(lit(1)), 6)
             .as("mean_chars"))
+        // r13 optimization (guide §2.4): the token-share total and the
+        // report rows both consume this aggregate, and the total's
+        // narrower column set defeats ReuseExchange (the documented
+        // metadataCleanup trap) — the gopher scan ran twice per
+        // action. The aggregate is |sources| rows at any corpus size.
+        .transform(graft.core.CacheRegistry.persist(_))
+      per.count() // materialize before the two-branch fan-out
       val tot = per.agg(sum("n_tokens").as("tot_tokens"))
       per.crossJoin(broadcast(tot))
         .withColumn("token_share", round(col("n_tokens").cast("double")
