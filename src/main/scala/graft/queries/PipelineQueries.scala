@@ -1267,17 +1267,17 @@ object PipelineQueries {
           Window.partitionBy("bucket")
             .orderBy(h64(col(idCol).cast("string"), 41), col(idCol))))
         .filter(col("srn") <= lit(EmbBucketCap)).drop("srn")
-      // r13 optimization (guide §2.4): both join sides take the SAME
-      // seeded-hash sample (same seed, same id values — only the
-      // column names differ), so compute it once, persist (bounded at
-      // buckets x cap rows at any scale), and rename for the neighbor
-      // side: one corpus scan + one sampling window instead of two.
-      val samp = sampled(e, "vec_id")
-        .transform(graft.core.CacheRegistry.persist(_))
-      samp.count() // materialize before the two-side fan-out
-      val nb = samp.select(col("vec_id").as("nb_id"),
+      // r13 optimization pass, examined and REVERTED: persisting one
+      // shared sample for both join sides (they take the same seeded
+      // sample) cut a corpus scan + a window, but the extra
+      // materialization action cost MORE than the saved recompute at
+      // bench scale (best-run calib-normalized 2.9x r12 with the
+      // persist vs ~1.0 for untouched neighbors — BENCH_r13 runs).
+      // The two-evaluation shape is the measured local optimum; at
+      // cluster scale a caller can persist the sample externally.
+      val nb = sampled(e.select(col("vec_id").as("nb_id"),
         col("label").as("nb_label"), col("bucket"),
-        col("embedding").as("nb_v"), col("nrm").as("nb_n"))
+        col("embedding").as("nb_v"), col("nrm").as("nb_n")), "nb_id")
       // the sample window leaves the query side PARTITIONED BY
       // BUCKET — the broadcast join would then compute the hot
       // bucket's whole cap² dot-product block in ONE task (measured
@@ -1297,7 +1297,7 @@ object PipelineQueries {
       // bucket's cap² work and waste the id repartition above — the
       // hint keeps the plan shape scale-independent (p73 does the
       // same for its sampled side).
-      val knn = samp
+      val knn = sampled(e, "vec_id")
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .alias("a")
         .join(broadcast(nb.alias("b")), Seq("bucket"))
@@ -1637,14 +1637,14 @@ object PipelineQueries {
         .withColumn("cos",
           dot(col("va"), col("vb")) / (col("na") * col("nb")))
         .select("id_a", "id_b", "cos")
-      // r13 optimization (guide §2.4): both re-attach joins consume
-      // the shingle table — unpersisted, the shingle+hash kernel (the
-      // dominant per-row cost, per NearDup's own docs) ran twice per
-      // action. The lshPairs signature-table idiom, applied here.
+      // r13 optimization pass, examined and REVERTED: persisting this
+      // shingle table for the two re-attach joins (the lshPairs
+      // idiom) measured SLOWER end-to-end at bench scale — the fill
+      // action + cache round-trip cost more than the second kernel
+      // evaluation (best-run calib-normalized ~1.7x r12 with the
+      // persist; BENCH_r13 runs). Left as two evaluations.
       val sh = docs(s, dir).select(col("doc_id"),
         hashedShingles(shingles(words(col("text")))).as("sh"))
-        .transform(graft.core.CacheRegistry.persist(_))
-      sh.count() // materialize before the two-join fan-out
       pairs
         .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
           Seq("id_a"))
@@ -2444,7 +2444,11 @@ object PipelineQueries {
       // into the per-width candidate-volume legs
       val bc = e.groupBy("bucket").agg(count(lit(1)).as("bn"))
         .transform(graft.core.CacheRegistry.persist(_))
-      truth.count(); q.count(); bc.count() // materialize pre-fan-out
+      // ONE materialization action (the expensive truth subtree); the
+      // q/bc fills are 10-row/dim-row jobs whose worst race cost is a
+      // transient duplicate fill — three count()s here measured ~0.3 s
+      // of pure action overhead at bench scale
+      truth.count()
       val widths = Seq(1, 2, 4, 8)
       val base = truth.groupBy("query_id")
         .agg(count(lit(1)).as("n_true"))
@@ -2685,13 +2689,12 @@ object PipelineQueries {
         // the winner-election aggregate then moves (hash, doc, idx)
         // only, and the reassembly join compares fixed-width longs
         .withColumn("sh", h64(col("span"), 30))
-        // r13 optimization (guide §2.4): the winner election and the
-        // reassembly join both consume this table — without a persist
-        // the span explode + per-span md5 (the dominant per-row cost)
-        // ran twice per action; with it the corpus is span-hashed
-        // once (the lshPairs signature-table idiom).
-        .transform(graft.core.CacheRegistry.persist(_))
-      ex.count() // materialize before the two-branch fan-out
+      // r13 optimization pass, examined and REVERTED: persisting this
+      // span table (election + reassembly both consume it) measured
+      // mildly SLOWER at bench scale (best-run calib-normalized
+      // ~1.1x r12) — the fill of corpus-wide span TEXT outweighs one
+      // repeated hash pass, and at 100 TB pinning span text is the
+      // wrong memory trade anyway. Two evaluations stay.
       val win = ex.groupBy("sh")
         .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
       val kept = col("doc_id") === col("w.doc_id") &&
@@ -2887,13 +2890,11 @@ object PipelineQueries {
             .as("pass_rate"),
           round(sum("n_chars").cast("double") / count(lit(1)), 6)
             .as("mean_chars"))
-        // r13 optimization (guide §2.4): the token-share total and the
-        // report rows both consume this aggregate, and the total's
-        // narrower column set defeats ReuseExchange (the documented
-        // metadataCleanup trap) — the gopher scan ran twice per
-        // action. The aggregate is |sources| rows at any corpus size.
-        .transform(graft.core.CacheRegistry.persist(_))
-      per.count() // materialize before the two-branch fan-out
+      // r13 optimization pass, examined and REVERTED: persisting this
+      // |sources|-row aggregate (the total's narrower columns defeat
+      // ReuseExchange, so the gopher scan runs twice) measured ~2.8x
+      // SLOWER at bench scale — the fill action outweighed one extra
+      // columnar scan (BENCH_r13 runs). Two scans stay.
       val tot = per.agg(sum("n_tokens").as("tot_tokens"))
       per.crossJoin(broadcast(tot))
         .withColumn("token_share", round(col("n_tokens").cast("double")
