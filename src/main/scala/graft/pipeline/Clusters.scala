@@ -69,9 +69,10 @@ object Clusters {
     * one row per node: (id, label) with label = minimum id
     * reachable. Nodes absent from every pair keep their own id as
     * label. Endpoints outside `nodes` are ignored COMPLETELY: the
-    * symmetrized edge set is semi-joined against `nodes` on the
-    * source side, so a stray id never enters the label table — it
-    * cannot become a returned label, and (crucially) it cannot act
+    * symmetrized edge set is semi-joined against `nodes` on BOTH
+    * sides, so a stray id never enters the label table — it cannot
+    * become a returned label (neither via the b-side of the fused
+    * seed's min(b) nor via relay), and (crucially) it cannot act
     * as a BRIDGE that merges two components that are only connected
     * through out-of-set ids. (Guarding just the label seed is not
     * enough: a seeded-then-relayed stray would conduct labels across
@@ -132,21 +133,29 @@ object Clusters {
       nodes.sparkSession.sparkContext.defaultParallelism.toLong,
       2L * nPairs / 250000L + 1L)).toInt
     if (debug) println(s"[cc] loopParts=$loopParts sized=$sizedParts")
-    // Stray-endpoint guard: semi-join the SYMMETRIZED edges on the
-    // source side against `nodes`. This removes (stray, *) rows, and
-    // because labels only ever enter the table via groupBy(a) over
-    // these edges (plus node-seeded jumps), a stray id can never be
-    // labeled — so the remaining (*, stray) rows are permanently
-    // inert in the b-side label join. Guarding only the label SEED
-    // is not sufficient: round 1's groupBy(a) would label the stray
-    // from its node neighbors and round 2 would relay that label to
-    // the stray's OTHER neighbors, silently merging components that
-    // are connected only through out-of-set ids (stray bridges).
+    // Stray-endpoint guard: semi-join the SYMMETRIZED edges against
+    // `nodes` on BOTH sides. The a-side guard removes (stray, *)
+    // rows — and it alone is load-bearing for label flow: labels
+    // only ever enter the table via groupBy(a) over these edges
+    // (plus node-seeded jumps), so a stray id can never be labeled,
+    // and guarding only the label SEED would not suffice (round 1's
+    // groupBy(a) would label the stray from its node neighbors and
+    // round 2 would relay that label across it, silently merging
+    // components connected only through out-of-set ids). The b-side
+    // guard removes the (node, stray) rows: they are inert in every
+    // ROUND's b-side label join (stray never labeled), but the r13
+    // fused seed below takes min(b) straight over these edges, and
+    // an unguarded b smaller than a node's in-set neighbors would
+    // become a seed label that is not a label-table key — labels
+    // could land on out-of-set ids and a component could converge
+    // with no id==label member (r13 ADVICE, high). Dropping the
+    // rows also stops shuffling them once per round.
     val edges0 = p
       .unionByName(p.select(col("b").as("a"), col("a").as("b")))
     val edges1 = (if (trustedEndpoints) edges0
-      else edges0.join(nodes.select(col("id").as("a")),
-        Seq("a"), "left_semi"))
+      else edges0
+        .join(nodes.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(nodes.select(col("id").as("b")), Seq("b"), "left_semi"))
     val edges = (if (sizedParts) edges1.repartition(loopParts)
       else edges1)
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -215,6 +215,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got2 == Map(2L -> 2L, 5L -> 2L, 9L -> 2L))
   }
 
+  test("connected components: stray smaller than every node never " +
+      "becomes a label (fused-seed guard)") {
+    import spark.implicits._
+    // r13 ADVICE (high): the fused seed takes min(b) over the
+    // symmetrized edges, so with >= 3 in-set nodes and a stray id
+    // SMALLER than all of them, a b-side-unguarded seed would label
+    // node 5 with out-of-set id 2 (least(5, min(2, 7)) = 2), the sum
+    // probe would converge on that non-fixpoint, and component {5,7}
+    // would have no id == label member — a canonical-survivor dedup
+    // would silently drop all its docs. Expected: stray 2 ignored
+    // completely, so components are {5,7} (edge 5-7) and {9}.
+    val nodes = Seq(5L, 7L, 9L).toDF("id")
+    val pairs = Seq((5L, 2L), (2L, 9L), (5L, 7L)).toDF("a", "b")
+    val got = Clusters.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 5L, 7L -> 5L, 9L -> 9L),
+      s"stray leaked into labels: $got")
+  }
+
   test("rank-block probes pair same+adjacent blocks exactly once") {
     import spark.implicits._
     // cluster A is over-cap (6 > cap 4): rank order = proj = id, so
