@@ -27,8 +27,22 @@ object Grids {
     * pinned by [[dfFromGrid]] + the driver round-trip): per subgrid
     * `[ni, nj, lon_axis(ni), lat_axis(nj)]`, two subgrids
     * back-to-back; both subgrids share ni.
+    *
+    * `cacheCoords = true` persists the coordinate-record subset (two
+    * >>/^^ rows per grid — metadata-scale at any corpus size) via
+    * [[graft.core.CacheRegistry]] and MATERIALIZES it with an eager
+    * count() before the four-way branch fan-out, so an expensive
+    * input is scanned once per action instead of once per branch
+    * (six scans in the r13-before f30 plan). Like `matchesAgainst`,
+    * the cache is pinned until the caller runs
+    * `CacheRegistry.releaseAll()` — harness-owned lifecycles only.
+    * The default stays LAZY: no job is triggered by building the
+    * frame, and a small or already-local input (f57's synthesized
+    * U-grid) does not pay a fixed materialization action it cannot
+    * amortize (r13 measured that collateral at ~1.5x the query).
     */
-  def latLon2d(df: DataFrame): DataFrame = {
+  def latLon2d(df: DataFrame, cacheCoords: Boolean = false)
+      : DataFrame = {
     val g0 = if (df.columns.contains("grid")) df else Decode.addGrid(df)
     // r13 optimization (guide §2.4 "remove passes"): the four output
     // branches (LA, LO, U-LA, U-LO) each re-derived their axis rows
@@ -37,14 +51,20 @@ object Grids {
     // construction (two >>/^^ rows per grid, axis-sized payloads), so
     // persist it once and fan the branches out from the cache: the
     // input is scanned ONCE per action regardless of branch count.
-    val g = g0.filter(col("nomvar").isin(">>", "^^", "^>"))
+    // r14: the persist decision is the CALLER's (cacheCoords) — f30's
+    // catalog scan amortizes it, f57's tiny local frame does not.
+    val gSub = g0.filter(col("nomvar").isin(">>", "^^", "^>"))
       .select(col("grid"), col("nomvar"), col("ni"), col("nj"),
         col("d"))
-      .transform(graft.core.CacheRegistry.persist(_))
-    // materialize BEFORE the four-way fan-out (f20 lesson): branches
-    // racing through the uncached plan in one job would each re-run
-    // the full input scan the cache exists to avoid
-    g.count()
+    val g =
+      if (cacheCoords) {
+        val c = gSub.transform(graft.core.CacheRegistry.persist(_))
+        // materialize BEFORE the four-way fan-out (f20 lesson):
+        // branches racing through the uncached plan in one job would
+        // each re-run the full input scan the cache exists to avoid
+        c.count()
+        c
+      } else gSub
     val lon = g.filter(col("nomvar") === ">>").select(
       col("grid"), col("d").as("lon_ax"), col("ni").as("g_ni"))
     val lat = g.filter(col("nomvar") === "^^").select(

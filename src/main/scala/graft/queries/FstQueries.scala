@@ -473,9 +473,12 @@ object FstQueries {
             (a, x) => a + x.cast("double")).as("cube_sum"))
     }),
 
-    // M14 (Z-grid path): LA/LO generation from deformation records
+    // M14 (Z-grid path): LA/LO generation from deformation records.
+    // cacheCoords: the input is a full catalog scan that would
+    // otherwise run once per output branch (r13: 6 scans -> 1); the
+    // bench/verify harnesses own the CacheRegistry lifecycle.
     "f30_latlon_2d" -> ((s, dir) =>
-      graft.ops.Grids.latLon2d(cat(s, dir))
+      graft.ops.Grids.latLon2d(cat(s, dir), cacheCoords = true)
         .select(col("grid"), col("nomvar"), col("ni"), col("nj"),
           posexplode(col("d")))
         .select(col("grid"), col("nomvar"), col("ni"), col("nj"),
@@ -576,7 +579,12 @@ object FstQueries {
         .withColumn("ay", lit(null).cast("array<float>"))
       val recs = graft.ops.Grids.dfFromGrid(params)
         .withColumn("grid", lit("u1"))
-      graft.ops.Grids.latLon2d(recs)
+      // NO cacheCoords: the input is a one-row local frame; r13's
+      // unconditional persist+count inside latLon2d cost f57 a fixed
+      // materialization action it cannot amortize (~1.5x the query,
+      // r13 verdict #3). The sys-prop exists only for paired A/B.
+      graft.ops.Grids.latLon2d(recs, cacheCoords =
+        sys.props.get("graft.f57.cacheCoords").contains("on"))
         .select(col("grid"), col("nomvar"), col("ni"), col("nj"),
           posexplode(col("d")))
         .select(col("grid"), col("nomvar"), col("ni"), col("nj"),

@@ -805,19 +805,33 @@ object PipelineQueries {
       // r13 optimization (guide §2.4): the bucket census and the
       // per-doc scoring join both consume the hashed-token table —
       // unpersisted, the explode + per-word md5 (the dominant
-      // per-row cost) ran twice per action. Persist the NARROW
-      // (doc_id, source, b) rows; the word text never leaves the
-      // fill projection.
-      val toks = docs(s, dir).select(col("doc_id"), col("source"),
+      // per-row cost) ran twice per action.
+      // r14 hardening (r13 verdict #5/what's-wrong): the r13 persist
+      // was one row PER TOKEN INSTANCE — narrow, but corpus-token-
+      // scale (~24 B x tokens pinned through the action at 100 TB).
+      // Roll up to (doc_id, source, bucket, n) BEFORE the persist:
+      // the cache is now bounded by |docs| x 256 rows regardless of
+      // document length, and both consumers survive the rollup
+      // exactly — the census sums n instead of counting rows, and
+      // the per-doc weight Σ lr becomes Σ lr·n, exact in DECIMAL
+      // (lr(28,9) x n(9,0) -> (38,9), no precision loss) so the
+      // rounded double is bit-identical. `graft.p49.rollup=off`
+      // restores the per-instance cache for paired A/B.
+      val rollup = !sys.props.get("graft.p49.rollup").contains("off")
+      val inst = docs(s, dir).select(col("doc_id"), col("source"),
           explode(transform(words(col("text")), w => lower(w)))
             .as("w"))
         .select(col("doc_id"), col("source"),
           pmod(h64(col("w"), 7), lit(b.toLong)).as("b"))
+      val toks = (if (rollup)
+          inst.groupBy("doc_id", "source", "b")
+            .agg(count(lit(1)).as("n"))
+        else inst.withColumn("n", lit(1L)))
         .transform(graft.core.CacheRegistry.persist(_))
       toks.count() // materialize before the two-branch fan-out
       val buckets = toks.groupBy("b").agg(
-        count(lit(1)).as("raw_cnt"),
-        sum(when(col("source") === "src0", 1L).otherwise(0L))
+        sum(col("n")).as("raw_cnt"),
+        sum(when(col("source") === "src0", col("n")).otherwise(0L))
           .as("tgt_cnt"))
       val tot = buckets.agg(
         sum("raw_cnt").cast("double").as("raw_n"),
@@ -831,8 +845,9 @@ object PipelineQueries {
             .cast("decimal(28,9)").as("lr"))
       val scored = toks.join(broadcast(lr), Seq("b"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"),
-          round(sum(col("lr")).cast("double"), 6).as("weight"))
+        .agg(sum(col("n")).as("n_tok"),
+          round(sum(col("lr") * col("n").cast("decimal(9,0)"))
+            .cast("double"), 6).as("weight"))
         .transform(graft.core.CacheRegistry.persist(_))
       scored.count() // materialize before the threshold + flag branches
       // 100th-best (weight desc, doc_id asc) as a broadcast threshold:
