@@ -32,15 +32,37 @@ object Cubes {
       df.withColumn("rid", struct(col("path"), col("key")))
     }
 
+  /** r14 optimization (guide §2.3 "aggregate before you shuffle"):
+    * the representative-record pick used to be a row_number window —
+    * which shuffles EVERY payload-bearing row to its group partition
+    * and SORTS it there — when all that is needed is the min-rid
+    * row's `d` per group. A grouped min_by runs partial (map-side)
+    * aggregation, so each map task ships at most one candidate row
+    * per group and the per-partition sort disappears; rid is unique
+    * (record id / (path,key)), so min_by picks exactly the row the
+    * window's rank-1 filter picked, and both order rid structs
+    * lexicographically. `graft.cubes.minByPick=off` restores the
+    * window pick for paired A/B.
+    */
+  private def pickMinRid(data: DataFrame, keys: Seq[String])
+      : DataFrame = {
+    if (!sys.props.get("graft.cubes.minByPick").contains("off"))
+      data.groupBy(keys.map(col): _*)
+        .agg(min_by(col("d"), col("rid")).as("d"))
+    else {
+      val w = Window.partitionBy(keys.map(col): _*).orderBy("rid")
+      data.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+    }
+  }
+
   def toCube(df0: DataFrame): DataFrame = {
     val df = withRid(df0)
     val g0 = if (df.columns.contains("grid")) df else Decode.addGrid(df)
     val g = if (g0.columns.contains("level")) g0 else Decode.addIpInfo(g0)
     val data = g.filter(!col("nomvar").isin(CubeSkip: _*))
-    val w = Window.partitionBy("grid", "nomvar", "ip1_kind", "level")
-      .orderBy("rid")
-    val picked = data.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val picked = pickMinRid(data,
+      Seq("grid", "nomvar", "ip1_kind", "level"))
     picked.groupBy("grid", "nomvar", "ip1_kind")
       .agg(sort_array(collect_list(struct(col("level"), col("d"))))
         .as("asc_layers"))
@@ -69,11 +91,8 @@ object Cubes {
     val g0 = if (df.columns.contains("grid")) df else Decode.addGrid(df)
     val g = if (g0.columns.contains("level")) g0 else Decode.addIpInfo(g0)
     val data = g.filter(!col("nomvar").isin(CubeSkip: _*))
-    val w = Window
-      .partitionBy("grid", "nomvar", "ip1_kind", "level", "datev")
-      .orderBy("rid")
-    val picked = data.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val picked = pickMinRid(data,
+      Seq("grid", "nomvar", "ip1_kind", "level", "datev"))
     picked.groupBy("grid", "nomvar", "ip1_kind", "level")
       .agg(sort_array(collect_list(struct(col("datev"), col("d"))))
         .as("frames"))
