@@ -179,6 +179,18 @@ object VCoord {
     // joins + full-catalog scan from re-running per lookup.
     val meta = vc.filter(col("nomvar").isin(VcMeta: _*))
       .transform(graft.core.CacheRegistry.persist(_))
+    // r14: EAGER materialization of this cache and perLevel (one
+    // count() each before the plan fans out) was applied and paired-
+    // A/B'd (AbProfile, 7 reps, sf0.1): eager LOST — f19 median 4.11
+    // vs 2.94 s lazy, f46 3.22 vs 2.50 (best-of-7 agrees). The two
+    // extra serialized fill jobs cost more than the lazy "race":
+    // within one action, BlockManager's per-block get-or-compute
+    // locking already makes concurrent legs share each cache fill,
+    // so the feared f20-style duplicate subtree evaluation does not
+    // materialize here. (The eager build also planned 6 SortMergeJoin
+    // as 12 static BroadcastHashJoin from known cache sizes —
+    // plans/r14/f19_quick_pressure_{before,after}.txt — and still
+    // lost: AQE converts those joins at runtime anyway.) Lazy kept.
     val data = vc.filter(!col("nomvar").isin(VcMeta: _*))
       .filter(col("ip1") =!= 0 && col("vctype") =!= "UNKNOWN" &&
         !col("nomvar").isin("PX", "PXSA"))
